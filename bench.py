@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline benchmark: one JSON line for the driver's BENCH_r{N}.json.
+
+Runs the flagship census pipeline plus representative queries from every
+surface (relational, event-stream, dedup/text/similarity) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.
+
+Each query is fully materialized through the ``noop`` sink so the
+measured time includes every column's computation but no output I/O —
+the closest local analogue of "execute the physical plan".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+# Queries chosen to exercise each surface; names match the registry so
+# BENCH numbers line up with CORRECTNESS entries.
+HEADLINE = (
+    "census_records_full",
+    "census_csv_output",
+    "tpch_q1_pricing_summary",
+    "top_customers_by_revenue",
+    "revenue_by_region",
+    "order_running_totals",
+    "events_sessionize",
+    "events_hourly",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "doc_token_stats",
+    "doc_fingerprint",
+    "embedding_cosine_topk",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from textract_farmdata_pipeline_spark.registry import QUERIES
+    from textract_farmdata_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        total = round(sum(timings.values()), 3)
+        sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+        try:
+            sf_val = float(sf)
+        except ValueError:
+            sf_val = sf
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_val,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,7 @@ The SQL restricts itself to the Spark∩DuckDB dialect (``||``, CASE,
 split_part, CAST AS VARCHAR(n), FLOOR, %), verified to produce
 bit-identical doubles and strings in both engines.
 
-Line taxonomy by ``k % 10`` (k = l_orderkey*8 + l_linenumber, unique):
+Line taxonomy by ``t = k % 10`` (k = l_orderkey*8 + l_linenumber, unique):
 
 == =====================================================================
 0  header line (stop-phrase, dropped by F4)
@@ -26,20 +26,19 @@ plus ``WORD``-typed blocks every 31st key (dropped by F1).  Names mix
 initials, abbreviations (``Robt.``, ``Wm.``), parenthesized alternates
 and generational suffixes — the reference's documented edge cases
 (/root/reference/lambda_function.py:189-218, 689-697, 711-715).
+
+Two CTE bodies are exported: ``ocr_features`` keeps the generator
+variables visible (the oracles reconstruct expected parses from them);
+``ocr_lines`` is the realistic block-table shape the pipeline consumes.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-# One CTE body, usable verbatim in Spark SQL and DuckDB.
-OCR_LINES_CTE_BODY = """
-  SELECT
-    k AS seq,
-    CAST(FLOOR(k / 2400) AS BIGINT) AS doc_id,
-    CAST(FLOOR((k % 2400) / 480) AS BIGINT) + 1 AS page,
-    CASE WHEN k % 31 = 0 THEN 'WORD' ELSE 'LINE' END AS block_type,
-    CASE k % 10
+OCR_FEATURES_CTE_BODY = """
+  SELECT *,
+    CASE t
       WHEN 0 THEN 'Wayne County Agricultural Census 1860'
       WHEN 1 THEN '   '
       WHEN 2 THEN full_name || ', ' || a1 || ', ' || a2 || ', ' || a3 || ', ' || a4 || ', ' || a5
@@ -50,32 +49,58 @@ OCR_LINES_CTE_BODY = """
       WHEN 7 THEN full_name
       WHEN 8 THEN '__ ' || full_name || ', ' || a1 || ', ' || a2
       ELSE 'see note ' || a4 || ' above xyz'
-    END AS text,
-    CASE WHEN k % 2 = 0 THEN 0.1 ELSE 0.55 END
-      + CAST(k * 3 % 10 AS DOUBLE) / 100.0 AS left,
-    CAST(k % 480 AS DOUBLE) / 1500.0
-      + CAST(k * 7 % 11 AS DOUBLE) / 2000.0 AS top,
-    0.1 AS width,
-    0.012 AS height
+    END AS text
   FROM (
     SELECT
       k,
-      (CASE k % 8 WHEN 0 THEN 'John' WHEN 1 THEN 'A. B.' WHEN 2 THEN 'Robt.'
-                  WHEN 3 THEN 'Mary Ann' WHEN 4 THEN 'Wm.' WHEN 5 THEN 'Seymour'
-                  WHEN 6 THEN 'J.' ELSE 'Geo.' END)
-      || ' ' ||
-      (CASE k % 9 WHEN 0 THEN 'Smith' WHEN 1 THEN 'Grady' WHEN 2 THEN 'Stemple'
-                  WHEN 3 THEN 'McCoy' WHEN 4 THEN 'Vance' WHEN 5 THEN 'Hatfield'
-                  WHEN 6 THEN 'Adkins' WHEN 7 THEN 'Ferrell' ELSE 'Oneal' END)
-      || (CASE WHEN k % 19 = 0 THEN ' (Johnny)' ELSE '' END)
-      || (CASE WHEN k % 13 = 0 THEN ' Jr.' WHEN k % 17 = 0 THEN ' Sr.' ELSE '' END)
+      CAST(FLOOR(k / 2400) AS BIGINT) AS doc_id,
+      CAST(FLOOR((k % 2400) / 480) AS BIGINT) + 1 AS page,
+      k % 10 AS t,
+      CASE WHEN k % 31 = 0 THEN 'WORD' ELSE 'LINE' END AS block_type,
+      CASE WHEN k % 2 = 0 THEN 0.1 ELSE 0.55 END
+        + CAST(k * 3 % 10 AS DOUBLE) / 100.0 AS x_left,
+      CAST(k % 480 AS DOUBLE) / 1500.0
+        + CAST(k * 7 % 11 AS DOUBLE) / 2000.0 AS top,
+      given_part, surname_part, alt_part, suffix_part,
+      given_part || ' ' || surname_part
+        || (CASE WHEN alt_part <> '' THEN ' (' || alt_part || ')' ELSE '' END)
+        || (CASE WHEN suffix_part <> '' THEN ' ' || suffix_part ELSE '' END)
         AS full_name,
-      CAST(k * 7 % 200 AS VARCHAR(20)) AS a1,
-      CAST(k * 11 % 400 AS VARCHAR(20)) AS a2,
-      CAST(k * 13 % 20000 AS VARCHAR(20)) AS a3,
-      CAST(k * 3 % 500 AS VARCHAR(20)) AS a4,
-      CAST(k * 5 % 900 AS VARCHAR(20)) AS a5
-    FROM (SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem) _keys
+      a1, a2, a3, a4, a5
+    FROM (
+      SELECT
+        k,
+        CASE k % 8 WHEN 0 THEN 'John' WHEN 1 THEN 'A. B.' WHEN 2 THEN 'Robt.'
+                   WHEN 3 THEN 'Mary Ann' WHEN 4 THEN 'Wm.' WHEN 5 THEN 'Seymour'
+                   WHEN 6 THEN 'J.' ELSE 'Geo.' END AS given_part,
+        CASE k % 9 WHEN 0 THEN 'Smith' WHEN 1 THEN 'Grady' WHEN 2 THEN 'Stemple'
+                   WHEN 3 THEN 'McCoy' WHEN 4 THEN 'Vance' WHEN 5 THEN 'Hatfield'
+                   WHEN 6 THEN 'Adkins' WHEN 7 THEN 'Ferrell' ELSE 'Oneal' END
+          AS surname_part,
+        CASE WHEN k % 19 = 0 THEN 'Johnny' ELSE '' END AS alt_part,
+        CASE WHEN k % 13 = 0 THEN 'Jr.' WHEN k % 17 = 0 THEN 'Sr.' ELSE '' END
+          AS suffix_part,
+        CAST(k * 7 % 200 AS VARCHAR(20)) AS a1,
+        CAST(k * 11 % 400 AS VARCHAR(20)) AS a2,
+        CAST(k * 13 % 20000 AS VARCHAR(20)) AS a3,
+        CAST(k * 3 % 500 AS VARCHAR(20)) AS a4,
+        CAST(k * 5 % 900 AS VARCHAR(20)) AS a5
+      FROM (
+        -- DISTINCT: the synthetic lineitem has duplicate (orderkey,
+        -- linenumber) pairs; a unique k makes every (top, seq) sort key
+        -- a total order, so window tie-breaks are deterministic in both
+        -- engines.
+        SELECT DISTINCT l_orderkey * 8 + l_linenumber AS k FROM lineitem
+      ) _keys
+    ) _parts
+  ) _named
+"""
+
+OCR_LINES_CTE_BODY = f"""
+  SELECT k AS seq, doc_id, page, block_type, text,
+    x_left, top, 0.1 AS width, 0.012 AS height
+  FROM (
+{OCR_FEATURES_CTE_BODY}
   ) _feat
 """
 
@@ -87,7 +112,14 @@ def ocr_lines_cte(name: str = "ocr_lines") -> str:
     return f"{name} AS (\n{OCR_LINES_CTE_BODY}\n)"
 
 
+def ocr_features_cte(name: str = "ocr_features") -> str:
+    """Generator-variable CTE (oracles reconstruct expected parses)."""
+    return f"{name} AS (\n{OCR_FEATURES_CTE_BODY}\n)"
+
+
 def load_ocr_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the fixture as a DataFrame over ``{sf_dir}/lineitem``."""
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
-    return spark.sql(OCR_LINES_SQL)
+    # ``left`` is a DuckDB reserved word, so the shared CTE emits
+    # ``x_left``; the engine-facing DataFrame keeps the Textract name.
+    return spark.sql(OCR_LINES_SQL).withColumnRenamed("x_left", "left")

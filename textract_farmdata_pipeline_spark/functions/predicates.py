@@ -64,6 +64,8 @@ DASHES = ("-", "—", "–")
 _DASH_CLASS = r"\-—–"
 
 _HEADER_RE = "|".join(re.escape(p) for p in HEADER_PHRASES)
+# Exported for DuckDB oracle SQL (same pattern, RE2-compatible).
+HEADER_REGEX = _HEADER_RE
 
 # F6 as one anchored regex over the trimmed pre-comma head: optional
 # runs of junk tokens (only _/-) then an uppercase first letter.
@@ -71,6 +73,7 @@ _HEADER_RE = "|".join(re.escape(p) for p in HEADER_PHRASES)
 # ``str.isupper()``, which accepts Unicode uppercase; Java regex and
 # DuckDB's RE2 agree on the Lu category.
 _NAME_START_RE = r"^([_\-]+\s+)*\p{Lu}"
+NAME_START_REGEX = _NAME_START_RE
 
 
 def _head(text: Column) -> Column:

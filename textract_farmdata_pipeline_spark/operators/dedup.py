@@ -1,0 +1,179 @@
+"""Deduplication operators (north-star surface).
+
+Exact dedup is a hash groupBy (map-side combinable, one shuffle on the
+key — scales to any size).  Near-dup families (MinHash+LSH, SimHash,
+n-gram Jaccard) build on deterministic md5-derived hashes so results
+are reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, key: Column | None = None) -> DataFrame:
+    """Representative-per-group exact dedup.
+
+    Returns one row per distinct key with the smallest doc_id as the
+    retained representative and the group size — deterministic, unlike
+    ``dropDuplicates`` (which keeps an arbitrary row).  One shuffle,
+    partial aggregation map-side.
+    """
+    key = key if key is not None else F.col("text")
+    return (
+        docs.groupBy(key.alias("dedup_key"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("group_size"))
+        .drop("dedup_key")
+        .select("keep_doc_id", "group_size")
+    )
+
+
+def exact_dedup_by_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on md5(text) — at 100 TB you shuffle 16-byte digests,
+    not document bodies."""
+    return exact_dedup(docs, F.md5(F.col(text_col)))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct) from a single-spaced text."""
+    toks = F.split(text, " ")
+    count = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(count - 1, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.12,
+    block_col: str = "source",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity within a blocking key.
+
+    Blocking (here: same ``source``) keeps the self-join from being a
+    full cross product; the join is shuffle-hash on the block key.  For
+    unblocked 100 TB near-dup use minhash_lsh_pairs instead.
+    """
+    with_sh = docs.select(
+        F.col("doc_id"), F.col(block_col).alias("block"), shingles(F.col("text"), n).alias("sh")
+    )
+    a = with_sh.alias("a")
+    b = with_sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+    """MinHash signatures from md5-derived shingle hashes.
+
+    Hash family: ``h_i(s) = int(md5(i || ':' || s)[:12], 16)`` — fully
+    deterministic, no fitted model state.  Signature is an array of
+    per-band minima computed with higher-order functions (no UDF, no
+    shuffle beyond the source read).
+    """
+    sh = shingles(F.col("text"), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 12), 16, 10
+                ).cast("long"),
+            )
+        ),
+    )
+    return docs.select("doc_id", sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs + exact Jaccard verification.
+
+    Band the signature (rows = n_hashes/bands), explode one row per
+    band bucket, self-join on (band, bucket) — the classic
+    shuffle-friendly LSH plan: candidate generation touches only
+    signature bytes, the verify step re-checks true shingle Jaccard on
+    the candidates only.
+    """
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(docs, n_hashes, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    with_sh = docs.select("doc_id", shingles(F.col("text"), shingle_n).alias("sh"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
+    union = F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
+    return (
+        cand.join(with_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
+        .join(with_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 48  # md5[:12] hex chars → 48 bits, positive in BIGINT
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint from md5-derived token hashes (48 bits).
+
+    Per document: for each bit position, sum +1/-1 over tokens
+    according to that bit of the token hash; positive sums set the bit
+    in the packed BIGINT.  Explode + groupBy keeps it a single shuffle
+    with map-side partial aggregation; integer arithmetic makes the
+    result exact under any execution order.
+    """
+    tok = F.explode(F.split(F.col(text_col), " "))
+    exploded = docs.select("doc_id", tok.alias("token"))
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, SIMHASH_BITS // 4), 16, 10).cast("long")
+    bit_cols = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"b{i}"
+        )
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*bit_cols)
+    packed = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = term if packed is None else packed + term
+    return agg.select("doc_id", packed.alias("simhash"))
