@@ -48,6 +48,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        # Warm-up: spin up JVM codegen + Python workers on the smallest
+        # SF so the first timed query doesn't absorb one-time startup.
+        QUERIES["census_records_full"](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+
         timings: dict[str, float] = {}
         for name in HEADLINE:
             fn = QUERIES[name]

@@ -4,9 +4,13 @@ The reference folds each ``(page, column)`` line stream with one piece
 of state, the in-flight record (/root/reference/lambda_function.py:455-565),
 after assigning banded page-line numbers to name lines (…:605-652).
 
-Spark mapping: one shuffle on ``(doc_id, page, column_side)`` then a
-single Arrow-batched ``applyInPandas`` pass per group that replays, in
-``(top, seq)`` order:
+Spark mapping: one shuffle on ``(doc_id, page, column_side)`` with an
+in-partition sort, then a single Arrow-batched ``mapInPandas`` pass that
+streams each partition's rows through a fold state machine (group
+boundaries detected on the sorted key — one Python call per *partition*,
+not per group, so the per-group pandas overhead of
+``groupBy().applyInPandas`` is gone).  The fold replays, in ``(top,
+seq)`` order:
 
 * O5 banded page-line numbering — sequential counter over name lines,
   incrementing when consecutive tops differ by more than ``0.01``;
@@ -58,62 +62,88 @@ _VALUE_COLS = (
 )
 
 
-def _fold_column(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Fold one (doc, page, column) group of classified lines into records."""
-    pdf = pdf.sort_values(["top", "seq"], kind="mergesort")
+_OUT_COLUMNS = ["doc_id", "page", "column_side", "record_seq", "name", "page_line", *_VALUE_COLS]
 
-    # O5: banded page-line numbers over name lines, in top order.
-    page_lines: list[int] = []
-    current, prev_top = 1, None
-    for top, is_name in zip(pdf["top"], pdf["is_name"]):
-        if is_name:
-            if prev_top is not None and abs(top - prev_top) > PAGE_LINE_BAND:
-                current += 1
-            page_lines.append(current)
-            prev_top = top
-        else:
-            page_lines.append(1)  # placeholder; only name lines matter
+# Yield an output batch once this many record rows have accumulated, so
+# driver/executor memory stays bounded regardless of partition size.
+_EMIT_EVERY = 8192
 
-    # A1: the single-record-state fold.
-    out_rows: list[tuple] = []
-    name = None
+
+def _fold_partition(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """Stream one sorted partition of classified lines into records.
+
+    Rows arrive ordered by ``(doc_id, page, column_side, top, seq)``;
+    the (doc, page, column) group boundary resets the fold state.  One
+    state machine handles O5 banding and the A1 record fold in the same
+    pass, carrying state across Arrow batch boundaries.
+    """
+    buf: list[tuple] = []
+
+    key = None  # current (doc_id, page, column_side)
+    name: str | None = None
     slots: list[str] | None = None
     rec_page_line = 1
+    group_count = 0  # records emitted for the current group
+    pl_counter, prev_top = 1, None  # O5 banding state
 
-    def flush() -> None:
+    def flush_record() -> None:
+        nonlocal group_count
         if name:
             padded = (slots + ["-"] * N_SLOTS)[:N_SLOTS]
-            out_rows.append((len(out_rows) + 1, name, rec_page_line, *padded))
+            group_count += 1
+            buf.append((*key, group_count, name, rec_page_line, *padded))
 
-    for text, is_name, is_cont, pl in zip(
-        pdf["text"], pdf["is_name"], pdf["is_cont"], page_lines
-    ):
-        text = text.strip()
-        if is_cont:
-            if slots is not None:
-                values = extract_continuation_values(text)
-                if values:
-                    slots = merge_positional(slots, values)
-        elif is_name:
-            flush()
-            name, slots = parse_name_line(text)
-            rec_page_line = pl
-        else:
-            # Malformed line: merge only if it yields any real value
-            # (lambda_function.py:526-545); dropped when no record is open.
-            if slots is not None:
-                values = extract_continuation_values(text)
-                if any(v != "-" for v in values):
-                    slots = merge_positional(slots, values)
-    flush()
+    for pdf in batches:
+        rows = zip(
+            pdf["doc_id"].tolist(),
+            pdf["page"].tolist(),
+            pdf["column_side"].tolist(),
+            pdf["top"].tolist(),
+            pdf["text"].tolist(),
+            pdf["is_name"].tolist(),
+            pdf["is_cont"].tolist(),
+        )
+        for doc_id, page, side, top, text, is_name, is_cont, in rows:
+            row_key = (doc_id, page, side)
+            if row_key != key:
+                flush_record()
+                key = row_key
+                name, slots = None, None
+                group_count = 0
+                pl_counter, prev_top = 1, None
 
-    doc_id = pdf["doc_id"].iloc[0]
-    page = pdf["page"].iloc[0]
-    side = pdf["column_side"].iloc[0]
-    return pd.DataFrame(
-        [(doc_id, page, side, seq, nm, pl, *vals) for seq, nm, pl, *vals in out_rows],
-        columns=["doc_id", "page", "column_side", "record_seq", "name", "page_line", *_VALUE_COLS],
-    )
+            if is_name:
+                # O5: banded page-line numbering over name lines.
+                if prev_top is not None and abs(top - prev_top) > PAGE_LINE_BAND:
+                    pl_counter += 1
+                prev_top = top
+
+            text = text.strip()
+            if is_cont:
+                if slots is not None:
+                    values = extract_continuation_values(text)
+                    if values:
+                        slots = merge_positional(slots, values)
+            elif is_name:
+                flush_record()
+                name, slots = parse_name_line(text)
+                rec_page_line = pl_counter
+            else:
+                # Malformed line: merge only if it yields any real value
+                # (lambda_function.py:526-545); dropped when no record
+                # is open.
+                if slots is not None:
+                    values = extract_continuation_values(text)
+                    if any(v != "-" for v in values):
+                        slots = merge_positional(slots, values)
+
+        if len(buf) >= _EMIT_EVERY:
+            yield pd.DataFrame(buf, columns=_OUT_COLUMNS)
+            buf = []
+
+    flush_record()
+    if buf:
+        yield pd.DataFrame(buf, columns=_OUT_COLUMNS)
 
 
 def assemble_records(lines: DataFrame) -> DataFrame:
@@ -124,6 +154,11 @@ def assemble_records(lines: DataFrame) -> DataFrame:
     ``RECORDS_SCHEMA``; reading order is ``(doc_id, page, column_side,
     record_seq)`` — left column before right, top to bottom (O6,
     lambda_function.py:654-666).
+
+    Physical plan: exactly one Exchange (hash on the group key), an
+    in-partition sort, and one Arrow-batched Python pass per partition.
+    Group state is O(1) per group (one in-flight record), so partitions
+    stream at any scale.
     """
     from ..shipping import ensure_package_shipped
 
@@ -138,9 +173,10 @@ def assemble_records(lines: DataFrame) -> DataFrame:
         "is_name",
         "is_cont",
     )
-    return cast.groupBy("doc_id", "page", "column_side").applyInPandas(
-        _fold_column, schema=RECORDS_SCHEMA
+    ordered = cast.repartition("doc_id", "page", "column_side").sortWithinPartitions(
+        "doc_id", "page", "column_side", "top", "seq"
     )
+    return ordered.mapInPandas(_fold_partition, schema=RECORDS_SCHEMA)
 
 
 def iter_column_records(

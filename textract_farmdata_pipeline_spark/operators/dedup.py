@@ -38,6 +38,8 @@ def exact_dedup_by_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) from a single-spaced text."""
     toks = F.split(text, " ")
+    if n == 1:  # fast path: no per-token slice/join allocations
+        return F.array_distinct(toks)
     count = F.size(toks) - (n - 1)
     return F.array_distinct(
         F.transform(
@@ -78,26 +80,31 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
-    """MinHash signatures from md5-derived shingle hashes.
+    """MinHash signatures from xxhash64-derived shingle hashes.
 
-    Hash family: ``h_i(s) = int(md5(i || ':' || s)[:12], 16)`` — fully
-    deterministic, no fitted model state.  Signature is an array of
-    per-band minima computed with higher-order functions (no UDF, no
-    shuffle beyond the source read).
+    Hash family: ``h_i(s) = xxhash64(i, xxhash64(s))`` — fully
+    deterministic, no fitted model state, and pure JVM integer hashing
+    (~50× cheaper than a crypto hash + base-16 string conversion).
+
+    Physical shape: explode shingles → ``n_hashes`` MIN aggregates →
+    pack into an array.  Everything stays inside whole-stage codegen
+    (higher-order-function lambdas are interpreted row-at-a-time and
+    were ~20× slower here); the only shuffle is the doc_id hash
+    aggregate, and MIN combines map-side, so at 100 TB each executor
+    ships one 8·n_hashes-byte partial per document, not its shingles.
+
+    Documents with no shingles (empty text) produce no signature row.
     """
-    sh = shingles(F.col("text"), shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                sh,
-                lambda s: F.conv(
-                    F.substring(F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 12), 16, 10
-                ).cast("long"),
-            )
-        ),
+    exploded = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("sh")
     )
-    return docs.select("doc_id", sig.alias("signature"))
+    h = F.xxhash64(F.col("sh"))
+    mins = [F.min(F.xxhash64(F.lit(i), h)).alias(f"_m{i}") for i in range(n_hashes)]
+    return (
+        exploded.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("signature"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -137,13 +144,35 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    with_sh = docs.select("doc_id", shingles(F.col("text"), shingle_n).alias("sh"))
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("double")
-    union = F.size(F.array_union(F.col("sa"), F.col("sb"))).cast("double")
+    # Verify: equi-joins the candidate stream against the doc→shingle
+    # sets; when that side fits the broadcast threshold (as here) AQE
+    # picks a broadcast join and the candidates never shuffle, and at
+    # corpus sizes beyond it the same plan degrades to sort-merge.
+    # Shingle sets are xxhash64-hashed to array<long> first — set
+    # intersection over fixed-width longs instead of strings — and
+    # |A∪B| = |A|+|B|−|A∩B| halves the per-pair set work vs
+    # materializing the union array.  (Jaccard over 64-bit-hashed
+    # shingles equals exact Jaccard up to a ~2⁻⁶⁴ collision rate.)
+    hashed_sh = F.array_distinct(
+        F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
+    )
+    with_sh = docs.select("doc_id", hashed_sh.alias("sh")).withColumn("sz", F.size("sh"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jaccard = inter.cast("double") / (F.col("sza") + F.col("szb") - inter).cast("double")
     return (
-        cand.join(with_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
-        .join(with_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
-        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        cand.join(
+            with_sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"), F.col("sz").alias("sza")
+            ),
+            "doc_a",
+        )
+        .join(
+            with_sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"), F.col("sz").alias("szb")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -152,7 +181,7 @@ SIMHASH_BITS = 48  # md5[:12] hex chars → 48 bits, positive in BIGINT
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """SimHash fingerprint from md5-derived token hashes (48 bits).
+    """SimHash fingerprint from xxhash64-derived token hashes (48 bits).
 
     Per document: for each bit position, sum +1/-1 over tokens
     according to that bit of the token hash; positive sums set the bit
@@ -162,7 +191,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     tok = F.explode(F.split(F.col(text_col), " "))
     exploded = docs.select("doc_id", tok.alias("token"))
-    h = F.conv(F.substring(F.md5(F.col("token")), 1, SIMHASH_BITS // 4), 16, 10).cast("long")
+    h = F.xxhash64(F.col("token")).bitwiseAND(F.lit((1 << SIMHASH_BITS) - 1))
     bit_cols = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
             f"b{i}"

@@ -49,11 +49,24 @@ def cosine_topk(
 
     q = F.broadcast(
         queries.select(
-            F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
-        )
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+        ).withColumn("qnorm", norm(F.col("qv")))
     )
-    c = corpus.select(F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv"))
-    score = cosine(F.col("qv"), F.col("cv"))
+    # Norms are per-row, not per-pair: hoist them out of the O(n·q)
+    # scoring loop.  The arithmetic shape dot/(qnorm·cnorm) is kept
+    # bit-identical to the inline form (same fold, same sqrt).  The
+    # repartition spreads a single-file corpus across all cores; at
+    # cluster scale the source is already partitioned and this becomes
+    # a cheap round-robin of vector rows (never a wide shuffle).
+    c = (
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv")
+        )
+        .withColumn("cnorm", norm(F.col("cv")))
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    )
+    score = dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
     if round_digits is not None:
         score = F.round(score, round_digits)
     scored = (
@@ -75,11 +88,19 @@ def near_dup_pairs(vectors: DataFrame, threshold: float = 0.95) -> DataFrame:
     For scale, gate with :func:`lsh_buckets` first so only same-bucket
     pairs are scored.
     """
-    a = vectors.select(F.col("vec_id").alias("id_a"), _as_double(F.col("embedding")).alias("va"))
-    b = vectors.select(F.col("vec_id").alias("id_b"), _as_double(F.col("embedding")).alias("vb"))
+    a = (
+        vectors.select(F.col("vec_id").alias("id_a"), _as_double(F.col("embedding")).alias("va"))
+        .withColumn("na", norm(F.col("va")))
+        .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+    )
+    b = F.broadcast(
+        vectors.select(F.col("vec_id").alias("id_b"), _as_double(F.col("embedding")).alias("vb"))
+        .withColumn("nb", norm(F.col("vb")))
+    )
+    score = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine"))
+        .select("id_a", "id_b", score.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 

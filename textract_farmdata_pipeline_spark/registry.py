@@ -657,11 +657,14 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash_lsh")  # no oracle: banded-hash semantics
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, Jaccard-verified (rows-only
-    check; estimator quality pinned by pytest against exact Jaccard)."""
+    check; estimator quality pinned by pytest against exact Jaccard).
+    3-gram shingles: the standard near-dup unit — unigram sets make
+    topically-similar synthetic docs all "duplicates" of each other,
+    which degenerates to a quadratic output."""
     from .operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, n_hashes=32, bands=8, threshold=0.5, shingle_n=1)
+    return minhash_lsh_pairs(docs, n_hashes=32, bands=8, threshold=0.5, shingle_n=3)
 
 
 @register("dedup_simhash")  # no oracle: bit-packing semantics
