@@ -1,0 +1,279 @@
+"""Sources (blocks reader, Textract connector, CSV sink) and streaming.
+
+Covers reference S1-S11 and §2.7: nested-block flattening defaults,
+the injected-client OCR fan-out with per-file fault isolation, the
+per-document CSV layout, the foreachBatch census stream, and
+watermarked event-time windows checked against their batch twins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _write_block_json(path: str, docs: dict[str, list[dict]]) -> None:
+    os.makedirs(path, exist_ok=True)
+    for doc_id, blocks in docs.items():
+        with open(os.path.join(path, f"{doc_id}.json"), "w") as fh:
+            for b in blocks:
+                fh.write(json.dumps({"doc_id": doc_id, **b}) + "\n")
+
+
+def _block(text, left, top, block_type="LINE", page=1, geometry=True):
+    out = {"BlockType": block_type, "Text": text, "Page": page}
+    if geometry:
+        out["Geometry"] = {
+            "BoundingBox": {"Left": left, "Top": top, "Width": 0.1, "Height": 0.01}
+        }
+    return out
+
+
+SAMPLE_DOCS = {
+    "census-page-1": [
+        _block("Wayne County Agricultural Census 1860", 0.3, 0.01),
+        _block("John Smith, 120, 40, 1500, 100, 300", 0.1, 0.10),
+        _block("450", 0.1, 0.12),
+        _block("Robt. Vance Jr., -, 80, -, 60, -", 0.6, 0.10),
+        _block("word-block", 0.6, 0.11, block_type="WORD"),
+        _block("   ", 0.6, 0.12),
+    ],
+}
+
+
+class TestBlockSource:
+    def test_read_and_flatten(self, spark, tmp_path):
+        from textract_farmdata_pipeline_spark.sources import read_blocks_json
+
+        path = str(tmp_path / "blocks")
+        _write_block_json(path, SAMPLE_DOCS)
+        lines = read_blocks_json(spark, path)
+        from textract_farmdata_pipeline_spark.sources import flatten_blocks
+
+        flat = flatten_blocks(lines)
+        rows = {r["text"]: r for r in flat.collect()}
+        assert len(rows) == 6
+        assert rows["450"]["left"] == pytest.approx(0.1)
+        assert rows["450"]["page"] == 1
+        assert rows["word-block"]["block_type"] == "WORD"
+
+    def test_missing_geometry_defaults_zero(self, spark, tmp_path):
+        from textract_farmdata_pipeline_spark.sources import flatten_blocks, read_blocks_json
+
+        path = str(tmp_path / "blocks")
+        _write_block_json(
+            path, {"d": [_block("No Geometry Line", 0, 0, geometry=False)]}
+        )
+        row = flatten_blocks(read_blocks_json(spark, path)).collect()[0]
+        assert row["left"] == 0.0 and row["top"] == 0.0
+        assert row["page"] == 1
+
+    def test_pipeline_over_block_source(self, spark, tmp_path):
+        """End-to-end: JSON blocks → census CSV frame (reference §3.1)."""
+        from textract_farmdata_pipeline_spark.plans import run_pipeline
+        from textract_farmdata_pipeline_spark.sources import flatten_blocks, read_blocks_json
+
+        path = str(tmp_path / "blocks")
+        _write_block_json(path, SAMPLE_DOCS)
+        out = run_pipeline(flatten_blocks(read_blocks_json(spark, path))).collect()
+        by_name = {r["name"]: r for r in out}
+        # continuation 450 cursor-merges into John Smith's slots? no —
+        # all five are filled, so it is dropped by P4 (no dash slots).
+        assert by_name["John Smith"]["acres_improved"] == "120"
+        assert by_name["John Smith"]["value_livestock"] == "300"
+        assert by_name["Robt. Vance Jr."]["suffix"] == "Jr."
+        assert by_name["Robt. Vance Jr."]["acres_improved"] == "-"
+        assert by_name["Robt. Vance Jr."]["acres_unimproved"] == "80"
+        # header/WORD/blank rows contribute no records
+        assert len(out) == 2
+
+
+def _make_fake_textract(blocks_by_key, fail_keys=()):
+    """In-memory Textract double (two result pages via NextToken).
+
+    Defined as a local class factory so cloudpickle serializes it BY
+    VALUE into the mapInPandas closure — test modules are not
+    importable on executors.
+    """
+
+    class FakeTextract:
+        def __init__(self):
+            self.jobs = {}
+
+        def start_document_text_detection(self, DocumentLocation):
+            key = DocumentLocation["S3Object"]["Name"]
+            if key in set(fail_keys):
+                raise RuntimeError(f"boom: {key}")
+            job_id = f"job-{key}"
+            self.jobs[job_id] = blocks_by_key[key]
+            return {"JobId": job_id}
+
+        def get_document_text_detection(self, JobId, NextToken=None):
+            blocks = self.jobs[JobId]
+            half = max(1, len(blocks) // 2)
+            if NextToken is None:
+                page = {"JobStatus": "SUCCEEDED", "Blocks": blocks[:half]}
+                if len(blocks) > half:
+                    page["NextToken"] = "page-2"
+                return page
+            return {"JobStatus": "SUCCEEDED", "Blocks": blocks[half:]}
+
+    return FakeTextract
+
+
+class TestTextractConnector:
+    def test_ocr_listing_paginates_and_isolates_failures(self, spark):
+        from textract_farmdata_pipeline_spark.sources import ocr_listing
+
+        blocks = {
+            "raw/a.pdf": [_block("John Smith, 10, 20", 0.1, 0.1) for _ in range(4)],
+            "raw/b.pdf": [_block("Mary Ann McCoy", 0.6, 0.2)],
+            "raw/poison.pdf": [],
+        }
+        listing = spark.createDataFrame(
+            [("bkt", k) for k in blocks], "bucket string, key string"
+        )
+        cls = _make_fake_textract(blocks, fail_keys=("raw/poison.pdf",))
+        out = ocr_listing(listing, client_factory=lambda bucket: cls(), poll_delay=0)
+        rows = out.collect()
+        # 4 + 1 blocks survive; the poisoned file is skipped (S11)
+        assert len(rows) == 5
+        assert {r["doc_id"] for r in rows} == {"a", "b"}
+        # NextToken pagination preserved arrival order per doc
+        a_rows = [r for r in rows if r["doc_id"] == "a"]
+        assert [r["seq"] for r in a_rows] == [0, 1, 2, 3]
+
+    def test_fail_fast_raises(self, spark):
+        from textract_farmdata_pipeline_spark.sources import ocr_listing
+
+        listing = spark.createDataFrame([("bkt", "raw/x.pdf")], "bucket string, key string")
+        cls = _make_fake_textract({}, fail_keys=("raw/x.pdf",))
+        with pytest.raises(Exception, match="boom"):
+            ocr_listing(
+                listing, client_factory=lambda b: cls(), poll_delay=0, fail_fast=True
+            ).collect()
+
+
+class TestCsvSink:
+    def test_per_document_layout(self, spark, tmp_path):
+        from textract_farmdata_pipeline_spark.plans import run_pipeline
+        from textract_farmdata_pipeline_spark.sources import (
+            flatten_blocks,
+            read_blocks_json,
+            write_census_csv,
+        )
+
+        blocks = str(tmp_path / "blocks")
+        docs = {
+            "doc-a": [_block("John Smith, 1, 2, 3, 4, 5", 0.1, 0.1)],
+            "doc-b": [_block("Geo. Oneal, 9", 0.6, 0.3)],
+        }
+        _write_block_json(blocks, docs)
+        out_dir = str(tmp_path / "csv")
+        frame = run_pipeline(
+            flatten_blocks(read_blocks_json(spark, blocks)), keep_doc_id=True
+        )
+        write_census_csv(frame, out_dir, single_file_per_doc=True)
+        parts = sorted(os.listdir(out_dir))
+        assert "doc_id=doc-a" in parts and "doc_id=doc-b" in parts
+        back = spark.read.option("header", True).csv(out_dir)
+        assert back.count() == 2
+        assert "name" in back.columns and "doc_id" in back.columns
+
+
+class TestStreamingCensus:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        from textract_farmdata_pipeline_spark.plans import run_pipeline
+        from textract_farmdata_pipeline_spark.sources import flatten_blocks, read_blocks_json
+        from textract_farmdata_pipeline_spark.streaming import stream_census_pipeline
+
+        blocks = str(tmp_path / "blocks")
+        _write_block_json(blocks, SAMPLE_DOCS)
+        out_dir = str(tmp_path / "out")
+        q = stream_census_pipeline(
+            spark,
+            blocks,
+            out_dir,
+            checkpoint_path=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        got = spark.read.option("header", True).csv(out_dir)
+        batch = run_pipeline(flatten_blocks(read_blocks_json(spark, blocks)))
+        assert got.count() == batch.count() == 2
+        assert sorted(r["name"] for r in got.collect()) == sorted(
+            r["name"] for r in batch.collect()
+        )
+
+
+class TestStreamingEvents:
+    @pytest.fixture(scope="class")
+    def batch_events(self, spark, sf_dir):
+        from textract_farmdata_pipeline_spark.streaming.events import EVENTS_SCHEMA
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+        return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+
+    def _run_stream(self, spark, sf_dir, build, tmp_path, name):
+        from textract_farmdata_pipeline_spark.streaming.events import read_events_stream
+
+        stream = build(read_events_stream(spark, sf_dir))
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.table(name)
+
+    def test_hourly_windows_match_batch(self, spark, sf_dir, batch_events, tmp_path):
+        from textract_farmdata_pipeline_spark.streaming import hourly_windows
+
+        got = self._run_stream(spark, sf_dir, hourly_windows, tmp_path, "hourly_mem")
+        want = (
+            batch_events.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .collect()
+        )
+        got_map = {(r["hour_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+        assert len(got_map) == len(want)
+        for r in want:
+            assert got_map[(r["hour_start"], r["event_type"])] == r["n_events"]
+
+    def test_session_windows_match_batch_sessionize(
+        self, spark, sf_dir, batch_events, tmp_path
+    ):
+        """session_window(gap) must produce the same (user, n_events)
+        multiset as the batch gaps-and-islands formulation."""
+        from pyspark.sql.window import Window
+
+        from textract_farmdata_pipeline_spark.streaming import session_windows
+
+        got = self._run_stream(spark, sf_dir, session_windows, tmp_path, "sessions_mem")
+
+        w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        gap_us = F.expr("ts_ns div 1000") - F.lag(F.expr("ts_ns div 1000")).over(w)
+        is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+        want = (
+            batch_events.withColumn("session_id", F.sum(is_new).over(cum))
+            .groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        got_counts = sorted(
+            (r["user_id"], r["n_events"]) for r in got.collect()
+        )
+        want_counts = sorted((r["user_id"], r["n_events"]) for r in want.collect())
+        assert got_counts == want_counts

@@ -47,7 +47,7 @@ from ..functions.parsing import (
 PAGE_LINE_BAND = 0.01
 
 RECORDS_SCHEMA = (
-    "doc_id long, page long, column_side string, record_seq long, "
+    "doc_id string, page long, column_side string, record_seq long, "
     "name string, page_line long, "
     "acres_improved string, acres_unimproved string, cash_value_farm string, "
     "value_implements string, value_livestock string"
@@ -163,8 +163,10 @@ def assemble_records(lines: DataFrame) -> DataFrame:
     from ..shipping import ensure_package_shipped
 
     ensure_package_shipped(lines.sparkSession)
+    # doc_id is an opaque document identity (reference: the S3 object
+    # basename) — kept as string so any source id shape works.
     cast = lines.selectExpr(
-        "cast(doc_id as long) doc_id",
+        "cast(doc_id as string) doc_id",
         "cast(page as long) page",
         "column_side",
         "cast(top as double) top",

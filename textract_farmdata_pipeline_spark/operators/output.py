@@ -38,11 +38,19 @@ def _render_slot(column: str) -> F.Column:
     return F.when(value.isin("", "None"), F.lit("-")).otherwise(value).alias(column)
 
 
-def to_census_csv(records: DataFrame, add_notes: bool = True) -> DataFrame:
-    """Assembled records → the 12/13-column census output frame."""
+def to_census_csv(
+    records: DataFrame, add_notes: bool = True, keep_doc_id: bool = False
+) -> DataFrame:
+    """Assembled records → the 12/13-column census output frame.
+
+    ``keep_doc_id`` prepends the document identity for per-document
+    sinks (sources.csv_sink partitions on it; partition columns stay
+    out of the CSV payload, so the file contract is unchanged).
+    """
     name = F.col("name")
     surname, given, suffix = name_parts_cols(name)
     cols = [
+        *([F.col("doc_id")] if keep_doc_id else []),
         name.alias("name"),
         alternate_name_col(name).alias("alternate_name"),
         surname.alias("surname"),

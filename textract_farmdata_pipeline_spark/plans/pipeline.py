@@ -29,6 +29,7 @@ def run_pipeline(
     threshold: float = DEFAULT_COLUMN_THRESHOLD,
     add_notes: bool = True,
     ordered: bool = True,
+    keep_doc_id: bool = False,
 ) -> DataFrame:
     """Full pipeline to the CSV-contract frame, in reading order (O6)."""
     records = blocks_to_records(blocks, threshold)
@@ -36,4 +37,4 @@ def run_pipeline(
         # O6 reading order: pages ascending, left column before right,
         # records top-to-bottom.  The projection below preserves the sort.
         records = records.orderBy("doc_id", "page", "column_side", "record_seq")
-    return to_census_csv(records, add_notes=add_notes)
+    return to_census_csv(records, add_notes=add_notes, keep_doc_id=keep_doc_id)

@@ -226,7 +226,9 @@ def census_records_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blocks = load_ocr_lines(spark, sf_dir).filter((F.col("seq") % 10).isin(2, 3, 4, 7, 8))
     return blocks_to_records(blocks).select(
-        "doc_id",
+        # the engine's doc_id is an opaque string; the fixture's is
+        # numeric, so cast back for the BIGINT-typed oracle
+        F.col("doc_id").cast("long").alias("doc_id"),
         "page",
         "column_side",
         "record_seq",
@@ -276,6 +278,21 @@ def census_records_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.pipeline import run_pipeline
 
     return run_pipeline(load_ocr_lines(spark, sf_dir), ordered=False)
+
+
+@register("census_ocr_connector")  # no oracle: side-effecting source path
+def census_ocr_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6-S8 connector plumbing driven offline: a fake Textract client
+    (deterministic blocks derived from the fixture, NextToken-paginated)
+    fanned out over a file listing via mapInPandas, feeding the full
+    pipeline.  Proves the OCR source composes with the engine without
+    AWS; the boto3 factory is the production drop-in."""
+    from .operators.output import to_census_csv
+    from .plans.pipeline import blocks_to_records
+    from .sources.fake_ocr import fake_ocr_lines
+
+    lines = fake_ocr_lines(spark, sf_dir, n_docs=8)
+    return to_census_csv(blocks_to_records(lines), add_notes=False)
 
 
 # =========================================================================

@@ -1,0 +1,115 @@
+"""Event-stream operators: watermarked windows over the ``events`` table.
+
+The reference has no event-time semantics (each file is processed when
+its event arrives, late data impossible by construction — SURVEY §2.7);
+these operators are the north-star streaming surface the driver's
+``events`` table exercises.  Each builder takes *any* streaming or
+batch DataFrame with ``(ts timestamp, user_id, event_type, value)`` —
+the same plan compiles both ways, so the batch twins in the registry
+(events_hourly / events_sessionize) are the oracle-checkable versions
+of exactly these queries.
+
+Watermark: 2 hours — bounds state for late data without dropping the
+driver's generator jitter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_WATERMARK = "2 hours"
+
+# With nanosAsLong the parquet's TIMESTAMP(NANOS) column reads as a
+# raw-nanos long named ``ts``.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def hourly_windows(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Tumbling 1-hour event-time windows with a watermark.
+
+    Streaming form of registry ``events_hourly``: same grouping, plus
+    the watermark that lets the engine finalize and emit windows.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    Streaming twin of registry ``events_sessionize`` (the batch
+    gaps-and-islands formulation); ``session_window`` keeps one open
+    session per user in state, merged/expired by the watermark.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def sliding_windows(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in size/slide wins)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), "n_events")
+    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's events parquet as a bounded stream (availableNow
+    backfill source).  The ns timestamp is read raw and re-derived at
+    µs, matching registry._events."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the streaming file source wants a directory; glob down to the one
+    # events file inside the sf dir
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
