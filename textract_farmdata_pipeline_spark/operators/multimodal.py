@@ -1,0 +1,144 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+North-star surface for a training-data pipeline at 100 TB: media
+travels as ``binary`` columns with a typed metadata struct, and every
+transformation is an Arrow-batched ``mapInPandas`` over those bytes —
+the media never round-trips through driver memory, partitioning is the
+ordinary columnar kind, and decode parallelism is the scan parallelism.
+
+This container has no image/audio codecs (no PIL/ffmpeg/librosa), so
+the *decode* step is split:
+
+* :func:`decode_image_stub` — the real-decoder seam; raises
+  ``NotImplementedError`` with the intended contract, so swapping a
+  codec in is a one-function change.
+* deterministic byte-level features (:func:`image_features`,
+  :func:`frame_sample`) — real Spark plumbing (schema, batching, UDF
+  signature) over a deterministic fake "image": the document's UTF-8
+  bytes.  These are what tests and the harness exercise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_FORMATS = ("png", "jpeg", "webp")
+
+
+def attach_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derive a deterministic binary media column + metadata struct.
+
+    Stand-in for reading real media: payload = UTF-8 bytes of the text,
+    metadata (width/height/format) pure functions of the payload size —
+    reproducible in any engine, so metadata-level queries stay
+    oracle-checkable.
+    """
+    payload = F.encode(F.col(text_col), "utf-8")
+    n_bytes = F.length(payload)
+    return docs.withColumn("media", payload).withColumn(
+        "media_meta",
+        F.struct(
+            n_bytes.alias("n_bytes"),
+            (F.lit(64) + n_bytes % 512).alias("width"),
+            (F.lit(64) + (n_bytes * 3) % 512).alias("height"),
+            F.element_at(F.array(*[F.lit(f) for f in IMAGE_FORMATS]), (n_bytes % 3 + 1).cast("int"))
+            .alias("format"),
+        ),
+    )
+
+
+def decode_image_stub(payload: bytes, fmt: str) -> "object":
+    """REAL-DECODER SEAM — not implemented in this container.
+
+    Contract: ``(payload bytes, format) -> HxWx3 uint8 array``.  Wire a
+    codec (PIL/libvips) here; every operator below consumes only the
+    deterministic byte-level path and does not need changing for tests.
+    """
+    raise NotImplementedError(
+        "no image codec in this environment; use the byte-level feature "
+        "path or inject a decoder"
+    )
+
+
+_FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, mean_byte double, max_byte long, "
+    "min_byte long, entropy_proxy double"
+)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Byte-level feature extraction over the binary column.
+
+    ``mapInPandas`` over (doc_id, media): each Arrow batch's payloads
+    are reduced in Python without ever materializing them as Spark
+    rows driver-side.  ``entropy_proxy`` = distinct-byte ratio — a
+    deterministic stand-in for a real perceptual feature.
+    """
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"].tolist(), pdf["media"].tolist()):
+                b = bytes(payload or b"")
+                if not b:
+                    rows.append((doc_id, 0, 0.0, 0, 0, 0.0))
+                    continue
+                rows.append(
+                    (
+                        doc_id,
+                        len(b),
+                        sum(b) / len(b),
+                        max(b),
+                        min(b),
+                        len(set(b)) / 256.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "mean_byte",
+                    "max_byte",
+                    "min_byte",
+                    "entropy_proxy",
+                ],
+            )
+
+    return media.select("doc_id", "media").mapInPandas(run, schema=_FEATURES_SCHEMA)
+
+
+_FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling: split each payload into ``n_frames``
+    evenly-spaced byte slices, one output row per frame.
+
+    The explode happens executor-side inside the UDF — the shape (one
+    media row fans out to N frame rows) is exactly how real video frame
+    extraction distributes.
+    """
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"].tolist(), pdf["media"].tolist()):
+                b = bytes(payload or b"")
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    rows.append((doc_id, i, b[i * step : (i + 1) * step]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return media.select("doc_id", "media").mapInPandas(run, schema=_FRAMES_SCHEMA)

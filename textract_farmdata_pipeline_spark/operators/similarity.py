@@ -9,6 +9,8 @@ is a map-only stage (no shuffle of the corpus).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -105,57 +107,217 @@ def near_dup_pairs(vectors: DataFrame, threshold: float = 0.95) -> DataFrame:
     )
 
 
-def lsh_buckets(vectors: DataFrame, n_planes: int = 16, dim: int = 64) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector.
+def _plane(table: int, p: int, dim: int) -> F.Column:
+    """One deterministic hyperplane as a literal array — md5-derived
+    components in [-0.5, 0.5), reproducible with no fitted state."""
+    import hashlib
 
-    Hyperplane components are deterministic md5-derived values in
-    [-0.5, 0.5) — reproducible across runs/engines with no fitted
-    state.  Bucket = sign-bit string of the n_planes projections.
+    comps = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{table}:{p}:{d}".encode()).hexdigest()[:12], 16)
+        comps.append(F.lit(h / float(1 << 48) - 0.5))
+    return F.array(*comps)
+
+
+def lsh_buckets(
+    vectors: DataFrame, n_planes: int = 16, dim: int = 64, table: int = 0
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (one hash table).
+
+    Bucket = sign-bit string of the n_planes projections; ``table``
+    seeds an independent plane family (for OR-amplification).
     """
-    planes = [
-        F.array(
-            *[
-                (
-                    F.conv(F.lit(format(_stable_hash(p, d), "x")), 16, 10).cast("double")
-                    / F.lit(float(1 << 48))
-                    - 0.5
-                )
-                for d in range(dim)
-            ]
-        )
+    v = _as_double(F.col("embedding"))
+    bits = [
+        F.when(dot(v, _plane(table, p, dim)) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for p in range(n_planes)
     ]
-    v = _as_double(F.col("embedding"))
-    bits = [F.when(dot(v, plane) >= 0, F.lit("1")).otherwise(F.lit("0")) for plane in planes]
     return vectors.select("vec_id", F.concat(*bits).alias("bucket"))
 
 
-def _stable_hash(plane: int, d: int) -> int:
+def _plane_matrix(n_planes: int, n_tables: int, dim: int):
+    """(n_tables·n_planes, dim) float64 matrix of deterministic
+    md5-derived components in [-0.5, 0.5) — same family as
+    :func:`_plane`, materialized once per executor for numpy."""
     import hashlib
 
-    return int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[:12], 16)
+    import numpy as np
+
+    mat = np.empty((n_tables * n_planes, dim))
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                h = int(hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()[:12], 16)
+                mat[t * n_planes + p, d] = h / float(1 << 48) - 0.5
+    return mat
 
 
-def ann_topk_lsh(
-    corpus: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 8, dim: int = 64
+def _multi_buckets(v: Column, n_planes: int, n_tables: int, dim: int) -> Column:
+    """Array of one bucket string per hash table for vector column ``v``.
+
+    Arrow-vectorized pandas UDF: the whole batch projects onto all
+    ``n_tables·n_planes`` hyperplanes in one numpy matmul, then sign
+    bits pack into per-table bucket strings.  (The pure-Column form —
+    one literal 64-float array per plane — drowned Catalyst in a
+    ~50k-node expression tree; one matmul per Arrow batch is the right
+    physical shape for codebook-style projections.)
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def buckets(col: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes = _plane_matrix(n_planes, n_tables, dim)
+        out = []
+        for vec in col:
+            arr = np.asarray(vec, dtype=np.float64)
+            bits = (planes @ arr) >= 0
+            out.append(
+                [
+                    "".join("1" if b else "0" for b in bits[t * n_planes : (t + 1) * n_planes])
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return buckets(v)
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: score only same-LSH-bucket candidates.
+    """Approximate top-k via IVF-flat: coarse quantize the corpus into
+    ``n_centroids`` buckets, probe each query's ``n_probe`` nearest.
 
-    The bucket join replaces the cross product — at scale this is the
-    difference between O(n·q) and O(n·q/2^planes) scored pairs.
+    Centroids are a deterministic pseudo-random corpus sample
+    (xxhash64-ordered) — the K-means-free variant; like a fitted
+    codebook they are driver-small and travel as a literal, so corpus
+    bucket assignment is a pure map stage (no shuffle, no join).  Only
+    same-bucket candidates are scored: at scale this is O(n·q·probe/C)
+    instead of O(n·q) scored pairs.
     """
     from pyspark.sql.window import Window
 
-    cb = lsh_buckets(corpus, n_planes, dim).join(corpus, "vec_id")
-    qb = lsh_buckets(queries, n_planes, dim).join(queries, "vec_id")
-    c = cb.select(F.col("vec_id").alias("neighbor_id"), "bucket", _as_double(F.col("embedding")).alias("cv"))
+    rows = (
+        corpus.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .orderBy(F.xxhash64(F.col("vec_id")))
+        .limit(n_centroids)
+        .collect()
+    )
+    # unit-normalize driver-side: assignment ranking then needs only a
+    # dot product per (row, centroid)
+    unit_cents = []
+    for r in rows:
+        vec = r["v"]
+        nrm = sum(x * x for x in vec) ** 0.5 or 1.0
+        unit_cents.append([x / nrm for x in vec])
+    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in unit_cents])
+
+    def scores(vec):
+        return F.transform(cents, lambda c: dot(c, vec))
+
+    c = (
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv")
+        )
+        .withColumn("cnorm", norm(F.col("cv")))
+        .withColumn("_s", scores(F.col("cv")))
+        .withColumn("bucket", F.array_position(F.col("_s"), F.array_max(F.col("_s"))))
+        .drop("_s")
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    )
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+        )
+        .withColumn("qnorm", norm(F.col("qv")))
+        .select("*", F.posexplode(scores(F.col("qv"))).alias("bucket0", "cscore"))
+        .withColumn("bucket", F.col("bucket0") + 1)
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("bucket").asc())
     q = F.broadcast(
-        qb.select(F.col("vec_id").alias("query_id"), "bucket", _as_double(F.col("embedding")).alias("qv"))
+        q.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "qnorm", "bucket")
     )
     scored = (
         c.join(q, "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing a bucket in ANY
+    of ``n_tables`` independent hyperplane tables (OR-amplification —
+    one table's recall decays as (1−θ/π)^planes, L tables recover it).
+
+    Plan shape: the corpus side is map-only (bucket arrays computed and
+    exploded in place, broadcast-joined against the query buckets, pair
+    scored immediately); only the scored candidate pairs shuffle — for
+    the dedup across tables and the final per-query top-k window.
+    At scale the scored-pair volume is O(n·q·L/2^planes), the knobs
+    trading recall for scan fraction.
+    """
+    from pyspark.sql.window import Window
+
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(corpus.sparkSession)
+    c = (
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv")
+        )
+        .withColumn("cnorm", norm(F.col("cv")))
+        .withColumn("_b", _multi_buckets(F.col("cv"), n_planes, n_tables, dim))
+        .select("*", F.posexplode(F.col("_b")).alias("tbl", "bucket"))
+        .drop("_b")
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+        )
+        .withColumn("qnorm", norm(F.col("qv")))
+        .withColumn("_b", _multi_buckets(F.col("qv"), n_planes, n_tables, dim))
+        .select("*", F.posexplode(F.col("_b")).alias("tbl", "bucket"))
+        .drop("_b")
+    )
+    scored = (
+        c.join(q, ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 4
+            ).alias("cosine"),
+        )
+        .distinct()  # a pair found in several tables scores identically
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (

@@ -513,6 +513,107 @@ def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return building.union(machinery).distinct().subtract(negative)
 
 
+_PART_TYPE_ORACLE = """
+SELECT p_type,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+  SUM(l_quantity) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+
+@register("part_type_revenue", _PART_TYPE_ORACLE)
+def part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension join on the part table (broadcast dim)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+    )
+
+
+_SUPPLIER_NATION_ORACLE = """
+SELECT n_name,
+  COUNT(DISTINCT s_suppkey) AS n_suppliers,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS shipped_value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("supplier_nation_volume", _SUPPLIER_NATION_ORACLE)
+def supplier_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side star join + distinct aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct(F.col("s_suppkey")).alias("n_suppliers"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("shipped_value"),
+        )
+    )
+
+
+_TOP_PER_SEGMENT_ORACLE = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) t WHERE rnk <= 3
+"""
+
+
+@register("top_orders_per_segment", _TOP_PER_SEGMENT_ORACLE)
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (window rank + filter) — the distributed top-k
+    that doesn't collect: rank computed within each segment partition."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+@register("orders_cube", _CUBE_ORACLE)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
 # =========================================================================
 # Event-stream surface
 # =========================================================================
@@ -826,3 +927,60 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 20), k=5, n_planes=4)
+
+
+@register("embedding_ann_ivf")  # no oracle: codebook-sample semantics
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF-flat coarse quantization (rows-only;
+    recall vs brute force pinned by pytest)."""
+    from .operators.similarity import ann_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+# =========================================================================
+# Multimodal surface: binary media columns + typed metadata
+# =========================================================================
+
+_MM_META_ORACLE = """
+SELECT doc_id, n_bytes,
+  64 + n_bytes % 512 AS width,
+  64 + (n_bytes * 3) % 512 AS height,
+  CASE n_bytes % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents) sizes
+"""
+
+
+@register("multimodal_metadata", _MM_META_ORACLE)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + typed metadata struct, flattened — the
+    oracle-checkable slice of the multimodal plumbing."""
+    from .operators.multimodal import attach_media
+
+    media = attach_media(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.format").alias("format"),
+    )
+
+
+@register("multimodal_image_features")  # no oracle: byte-reduce in Python
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched byte-level feature extraction over the binary
+    column (rows-only; determinism pinned by pytest)."""
+    from .operators.multimodal import attach_media, image_features
+
+    return image_features(attach_media(_t(spark, sf_dir, "documents")))
+
+
+@register("multimodal_frame_sample")  # no oracle: binary slicing
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: one media row fans out to N frame
+    rows executor-side (rows-only)."""
+    from .operators.multimodal import attach_media, frame_sample
+
+    return frame_sample(attach_media(_t(spark, sf_dir, "documents")), n_frames=4)
