@@ -74,3 +74,33 @@ def test_record_count_matches_name_lines(spark, sf_dir):
     expected = lines.filter(F.col("is_name") & ~F.col("is_cont")).count()
     got = blocks_to_records(blocks).count()
     assert got == expected
+
+
+class TestAdaptiveThreshold:
+    """G1 (reference dead code, lambda_function.py:96-131) as an
+    optional mode: histogram gap-finding with degenerate fallbacks."""
+
+    def test_degenerate_inputs_return_default(self, spark):
+        from textract_farmdata_pipeline_spark.operators.layout import (
+            DEFAULT_COLUMN_THRESHOLD,
+            analyze_column_threshold,
+        )
+
+        few = spark.createDataFrame([(0.1 * i,) for i in range(5)], "left double")
+        assert analyze_column_threshold(few) == DEFAULT_COLUMN_THRESHOLD
+        narrow = spark.createDataFrame(
+            [(0.40 + 0.00001 * i,) for i in range(50)], "left double"
+        )
+        assert analyze_column_threshold(narrow) == DEFAULT_COLUMN_THRESHOLD
+
+    def test_finds_the_gap_between_columns(self, spark):
+        from textract_farmdata_pipeline_spark.operators.layout import (
+            analyze_column_threshold,
+        )
+
+        # two dense columns around 0.15 and 0.75, nothing between
+        rows = [(0.10 + 0.001 * i,) for i in range(60)] + [
+            (0.70 + 0.001 * i,) for i in range(60)
+        ]
+        got = analyze_column_threshold(spark.createDataFrame(rows, "left double"))
+        assert 0.2 < got < 0.7
