@@ -277,3 +277,83 @@ class TestStreamingEvents:
         )
         want_counts = sorted((r["user_id"], r["n_events"]) for r in want.collect())
         assert got_counts == want_counts
+
+
+class TestStatefulStreaming:
+    def _mk_events_files(self, spark, tmp_path, batches):
+        """Write each batch as its own parquet file so
+        maxFilesPerTrigger=1 yields one micro-batch per file."""
+        d = str(tmp_path / "ev")
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long, value double"
+            ).coalesce(1).write.mode("append").parquet(d)
+        return d
+
+    def test_dedup_stream_drops_watermark_window_dupes(self, spark, tmp_path):
+        import datetime as dt
+
+        from textract_farmdata_pipeline_spark.streaming import dedup_stream
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 10, 1.0),
+            (1, t0, 10, 1.0),  # exact dupe
+            (2, t0 + dt.timedelta(minutes=1), 10, 2.0),
+            (2, t0 + dt.timedelta(minutes=2), 11, 2.5),  # same id, later ts
+            (3, t0 + dt.timedelta(minutes=3), 12, 3.0),
+        ]
+        d = self._mk_events_files(spark, tmp_path, [rows])
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(d)
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName("dedup_mem")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt-dedup"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("dedup_mem").collect()
+        assert sorted(r["event_id"] for r in got) == [1, 2, 3]
+
+    def test_running_totals_carry_state_across_batches(self, spark, tmp_path):
+        import datetime as dt
+
+        from textract_farmdata_pipeline_spark.streaming import (
+            user_running_totals_stream,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        batch1 = [(1, t0, 10, 1.0), (2, t0, 10, 2.0), (3, t0, 11, 5.0)]
+        batch2 = [(4, t0 + dt.timedelta(minutes=1), 10, 3.0)]
+        d = self._mk_events_files(spark, tmp_path, [batch1, batch2])
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            user_running_totals_stream(stream)
+            .writeStream.format("memory")
+            .queryName("totals_mem")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt-totals"))
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("totals_mem").collect()
+        # final (max) totals per user reflect BOTH batches: state carried
+        final = {}
+        for r in rows:
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                final[r["user_id"]] = (r["n_events"], r["total_value"])
+        assert final[10] == (3, 6.0)
+        assert final[11] == (1, 5.0)

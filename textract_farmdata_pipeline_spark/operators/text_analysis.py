@@ -61,6 +61,76 @@ def language_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-style pre-tokenizer simplification: letter runs, digit runs,
+# punctuation runs (portable across Java regex and RE2).
+BPE_PRETOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+"
+
+# Highest-frequency English character trigrams (public LID folklore —
+# the classic Cavnar-Trenkle n-gram profile, top slice).
+EN_TRIGRAMS: tuple[str, ...] = ("the", "and", "ing", "ion", "ent", "her", " th", "he ")
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting: pre-tokenize into letter/digit/punct runs
+    (the unit a byte-pair tokenizer would merge over), vs whitespace."""
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    ws = _tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(bpe).cast("long").alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(F.array_distinct(bpe)).cast("long").alias("n_distinct_bpe_tokens"),
+    )
+
+
+def language_guess_ngram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-n-gram LID heuristic: density of top English trigrams.
+
+    Occurrences counted via length-difference after deletion — one
+    codegen'd expression per trigram, no explode, engine-portable."""
+    low = F.lower(F.col(text_col))
+    hits = None
+    for g in EN_TRIGRAMS:
+        occ = (F.length(low) - F.length(F.replace(low, F.lit(g)))) / F.lit(len(g))
+        hits = occ if hits is None else hits + occ
+    density = hits / F.length(low).cast("double")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(density, 6).alias("trigram_density"),
+        F.when(density >= 0.01, F.lit("en")).otherwise(F.lit("unk")).alias("lang_guess"),
+    )
+
+
+ROLLING_BASE = 31
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rabin-Karp rolling hash over the token stream.
+
+    ``h = fold(tok_ints, (acc, x) -> (acc·B + x) mod M)`` seeded with
+    the first token's int — order-sensitive (reordered tokens change
+    the hash, unlike the positional-sum fingerprint) yet one map-side
+    expression per document: the fold is a left-to-right ``aggregate``
+    higher-order function, no explode, no shuffle.
+    """
+    toks = _tokens(F.col(text_col))
+    ints = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    n = F.size(ints)
+    folded = F.aggregate(
+        F.slice(ints, 2, n - 1),
+        F.element_at(ints, 1),
+        lambda acc, x: (acc * ROLLING_BASE + x) % ROLLING_MOD,
+    )
+    return docs.select(
+        "doc_id",
+        F.when(n == 0, F.lit(0).cast("long")).otherwise(folded).alias("rolling_fp"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Position-weighted 32-bit-word fingerprint per document.
 

@@ -866,6 +866,73 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_t(spark, sf_dir, "documents"))
 
 
+_BPE_ORACLE = r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+')) AS BIGINT)
+    AS n_bpe_tokens,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(list_distinct(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+'))) AS BIGINT)
+    AS n_distinct_bpe_tokens
+FROM documents
+"""
+
+
+@register("doc_bpe_token_stats", _BPE_ORACLE)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import bpe_token_stats
+
+    return bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+_LANG_NGRAM_ORACLE = """
+SELECT doc_id, lang,
+  round(hits / CAST(length(low) AS DOUBLE), 6) AS trigram_density,
+  CASE WHEN hits / CAST(length(low) AS DOUBLE) >= 0.01 THEN 'en' ELSE 'unk' END
+    AS lang_guess
+FROM (
+  SELECT doc_id, lang, lower(text) AS low,
+    (length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3.0
+    + (length(lower(text)) - length(replace(lower(text), 'and', ''))) / 3.0
+    + (length(lower(text)) - length(replace(lower(text), 'ing', ''))) / 3.0
+    + (length(lower(text)) - length(replace(lower(text), 'ion', ''))) / 3.0
+    + (length(lower(text)) - length(replace(lower(text), 'ent', ''))) / 3.0
+    + (length(lower(text)) - length(replace(lower(text), 'her', ''))) / 3.0
+    + (length(lower(text)) - length(replace(lower(text), ' th', ''))) / 3.0
+    + (length(lower(text)) - length(replace(lower(text), 'he ', ''))) / 3.0
+      AS hits
+  FROM documents
+) d
+"""
+
+
+@register("doc_lang_ngram", _LANG_NGRAM_ORACLE)
+def doc_lang_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import language_guess_ngram
+
+    return language_guess_ngram(_t(spark, sf_dir, "documents"))
+
+
+_ROLLING_FP_ORACLE = """
+SELECT doc_id,
+  CASE WHEN len(ints) = 0 THEN 0
+       ELSE list_reduce(ints, (acc, x) -> (acc * 31 + x) % 1000000007)
+  END AS rolling_fp
+FROM (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '),
+                   t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS ints
+  FROM documents
+) d
+"""
+
+
+@register("doc_rolling_fingerprint", _ROLLING_FP_ORACLE)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import rolling_fingerprints
+
+    return rolling_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 _TOPK_ORACLE = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
