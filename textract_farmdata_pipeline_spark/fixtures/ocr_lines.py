@@ -117,9 +117,22 @@ def ocr_features_cte(name: str = "ocr_features") -> str:
     return f"{name} AS (\n{OCR_FEATURES_CTE_BODY}\n)"
 
 
+# One cached copy per (spark app, sf_dir): the fixture is the *input
+# data* of every census query — a real deployment reads it from
+# storage once, it doesn't re-synthesize 400k lines of SQL string
+# concat per query (and Catalyst additionally duplicates the big CASE
+# into filters it pushes below the dedup aggregate).
+_cached: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_ocr_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the fixture as a DataFrame over ``{sf_dir}/lineitem``."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _cached:
+        return _cached[key]
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
     # ``left`` is a DuckDB reserved word, so the shared CTE emits
     # ``x_left``; the engine-facing DataFrame keeps the Textract name.
-    return spark.sql(OCR_LINES_SQL).withColumnRenamed("x_left", "left")
+    df = spark.sql(OCR_LINES_SQL).withColumnRenamed("x_left", "left").cache()
+    _cached[key] = df
+    return df
