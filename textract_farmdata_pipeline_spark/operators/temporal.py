@@ -1,0 +1,110 @@
+"""Temporal joins Spark lacks as built-ins: as-of and range joins.
+
+Composed from existing DataFrame operators (SURVEY §2 mapping rule (a)):
+
+* :func:`asof_join` — "latest right row at or before each left row" via
+  the union + last(ignorenulls) window trick: both sides merge into one
+  partitioned time-ordered stream, the right side's values forward-fill,
+  and left rows surface with the fill attached.  One shuffle on the
+  ``by`` key (the same exchange a sort-merge join would pay), no
+  per-row probing, no skew-prone inequality join.
+* :func:`range_join` — inequality band join made shuffle-friendly by
+  bucketizing time into ``width``-sized cells: each left row lands in
+  one bucket, each right row is replicated into every bucket its match
+  band overlaps (bounded by band/width), and the join becomes an
+  equi-join on (by, bucket) + residual band filter.  At 100 TB this is
+  the difference between a broadcast-nested-loop and a hash join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    values: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` within the same ``by`` group (inclusive —
+    DuckDB ``ASOF JOIN`` semantics, which the oracle uses directly).
+
+    ``values`` are the right-side columns to attach (as ``{v}{suffix}``);
+    unmatched left rows get NULLs.
+    """
+    by = list(by)
+    lcols = left.columns
+    l_sel: list[Column] = [F.col(c) for c in lcols] + [F.lit(1).alias("_side")]
+    r_sel: list[Column] = []
+    for c in lcols:
+        if c in by or c == on:
+            r_sel.append(F.col(c))
+        else:
+            r_sel.append(F.lit(None).cast(dict(left.dtypes)[c]).alias(c))
+    r_sel.append(F.lit(0).alias("_side"))
+    rtypes = dict(right.dtypes)
+    for v in values:
+        l_sel.append(F.lit(None).cast(rtypes[v]).alias(f"{v}{suffix}"))
+        r_sel.append(F.col(v).alias(f"{v}{suffix}"))
+
+    merged = left.select(*l_sel).unionByName(right.select(*r_sel))
+    # right rows (_side=0) sort before left rows at equal time → the
+    # fill at time t includes a right row at exactly t (inclusive asof)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for v in values:
+        merged = merged.withColumn(
+            f"{v}{suffix}", F.last(f"{v}{suffix}", ignorenulls=True).over(w)
+        )
+    return merged.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    lower: int,
+    upper: int,
+    width: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Band join: pairs where ``left.on - lower <= right.on <= left.on
+    + upper`` within the same ``by`` group.
+
+    ``width`` (default: the band size) is the bucket granularity; right
+    rows replicate into ceil(band/width)+1 buckets, left rows into one,
+    then an equi-join on (by, bucket) + exact band filter.  Pick width
+    ≈ band so the replication factor stays ~2.
+    """
+    by = list(by)
+    width = width or max(1, lower + upper)
+    # a right row at t matches left rows in [t - upper, t + lower]; it
+    # must therefore replicate into every width-bucket that interval
+    # touches: floor((t-upper)/width) .. floor((t+lower)/width)
+    n_buckets = (lower + upper) // width + 1
+
+    l = left.withColumn("_bucket", F.floor(F.col(on) / width))
+    offsets = F.sequence(F.lit(0), F.lit(n_buckets))
+    rt = F.col(f"{on}{suffix}")
+    r = right.select(
+        *by,
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns if c not in by and c != on],
+    ).withColumn(
+        "_bucket",
+        F.explode(F.transform(offsets, lambda i: F.floor((rt - upper) / width) + i)),
+    )
+    cond = (rt >= F.col(on) - lower) & (rt <= F.col(on) + upper)
+    return l.join(r, [*by, "_bucket"]).filter(cond).drop("_bucket")

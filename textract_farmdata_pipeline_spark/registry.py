@@ -713,6 +713,69 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_ORACLE = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts_us, c.value, p.value AS value_asof
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+"""
+
+
+@register("events_asof_join", _ASOF_ORACLE)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks): each click gets the user's
+    most recent purchase value at or before it.  Implemented as union +
+    forward-fill window; DuckDB's native ASOF JOIN is the oracle."""
+    from .operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    return asof_join(clicks, purchases, on="ts_us", by=("user_id",), values=("value",))
+
+
+_RANGE_ORACLE = """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts_us,
+       p.ts_us AS ts_us_r, p.value AS value_r
+FROM c JOIN p ON c.user_id = p.user_id
+ AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 600000000
+"""
+
+
+@register("events_range_join", _RANGE_ORACLE)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: purchases within 10 minutes after each click,
+    bucketized into an equi-join + residual filter (no nested loop)."""
+    from .operators.temporal import range_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    return range_join(
+        clicks, purchases, on="ts_us", by=("user_id",), lower=0, upper=600_000_000
+    )
+
+
 # =========================================================================
 # LLM-data-pipeline surface: dedup / text analysis / similarity
 # =========================================================================
