@@ -32,11 +32,17 @@ HEADLINE = (
     "order_running_totals",
     "events_sessionize",
     "events_hourly",
+    "events_asof_join",
+    "events_range_join",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "doc_token_stats",
     "doc_fingerprint",
+    "doc_rolling_fingerprint",
+    "skew_safe_count_distinct",
     "embedding_cosine_topk",
+    "embedding_ann_lsh",
+    "multimodal_image_features",
 )
 
 

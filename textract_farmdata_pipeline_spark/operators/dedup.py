@@ -35,6 +35,33 @@ def exact_dedup_by_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return exact_dedup(docs, F.md5(F.col(text_col)))
 
 
+def count_distinct_two_phase(
+    df: DataFrame, key: str, value_cols: dict[str, str]
+) -> DataFrame:
+    """Exact per-key COUNT(DISTINCT value) that survives key skew.
+
+    Phase 1 shuffles on (key, value) — a hot key's rows spread across
+    all partitions instead of piling onto one reducer (the failure mode
+    of the naive plan's Expand + single-key shuffle).  Phase 2 counts
+    the now-distinct pairs per key: tiny, since phase 1 already
+    collapsed duplicates map-side via partial aggregation.
+
+    ``value_cols`` maps value column → output alias; multiple distinct
+    counts run as parallel two-phase branches joined on the key.
+    """
+    out: DataFrame | None = None
+    for col, alias in value_cols.items():
+        branch = (
+            df.select(key, col)
+            .groupBy(key, col)
+            .agg(F.lit(1))
+            .groupBy(key)
+            .agg(F.count("*").alias(alias))
+        )
+        out = branch if out is None else out.join(branch, key)
+    return out
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) from a single-spaced text."""
     toks = F.split(text, " ")

@@ -595,6 +595,109 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROMO_ORACLE = """
+SELECT
+  CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+    AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+@register("promo_revenue_pct", _PROMO_ORACLE)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 pattern: conditional aggregation ratio in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0).cast("decimal(18,6)"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+_DISCOUNTED_ORDERS_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_discount > 0.09
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("discounted_orders_by_priority", _DISCOUNTED_ORDERS_ORACLE)
+def discounted_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 pattern: EXISTS → left-semi join, then count by group
+    (the synthetic lineitem lacks receipt/commit dates, so the inner
+    predicate is a deep-discount line instead of a late one)."""
+    orders = _t(spark, sf_dir, "orders")
+    deep = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.09)
+    return (
+        orders.join(deep, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+_ABOVE_AVG_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment FROM (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+      / COUNT(*) OVER (PARTITION BY c_mktsegment) AS seg_avg
+  FROM customer
+) t WHERE c_acctbal > seg_avg
+"""
+
+
+@register("customers_above_segment_avg", _ABOVE_AVG_ORACLE)
+def customers_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern as a window: each row compared to
+    its segment's average (DECIMAL sum / count for exactness)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    seg_avg = (
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return (
+        cust.withColumn("seg_avg", seg_avg)
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_SALTED_DISTINCT_ORACLE = """
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("skew_safe_count_distinct", _SALTED_DISTINCT_ORACLE)
+def skew_safe_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) via the two-phase skew-proof shape: the
+    first shuffle spreads by (key, value) — a hot key's rows fan out
+    across all partitions instead of one — then a cheap per-key count.
+    Spark plans naive COUNT(DISTINCT) with an Expand that keeps the hot
+    key on one reducer; this shape is what survives a skewed key at
+    100 TB."""
+    from .operators.dedup import count_distinct_two_phase
+
+    li = _t(spark, sf_dir, "lineitem")
+    return count_distinct_two_phase(
+        li, "l_returnflag", {"l_suppkey": "n_suppliers", "l_partkey": "n_parts"}
+    )
+
+
 _CUBE_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
   COUNT(*) AS n_orders,
