@@ -254,3 +254,67 @@ class TestSqlRegistration:
             "b", F.expr("starts_with_name(text)")
         )
         assert disagree.filter(F.col("a") != F.col("b")).count() == 0
+
+
+class TestSimhashPairs:
+    def test_banding_is_exact_vs_brute_force(self, spark, docs):
+        """Pigeonhole banding must find EXACTLY the pairs brute-force
+        hamming finds (it is a complete candidate generator for
+        max_hamming < n_bands, and verification is exact)."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            simhash,
+            simhash_near_dup_pairs,
+        )
+
+        sub = docs.limit(120)
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(sub, max_hamming=6, n_bands=8).collect()
+        )
+        sh = {r["doc_id"]: r["simhash"] for r in simhash(sub).collect()}
+        ids = sorted(sh)
+        want = sorted(
+            (a, b, bin(sh[a] ^ sh[b]).count("1"))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(sh[a] ^ sh[b]).count("1") <= 6
+        )
+        assert got == want
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join_on_skewed_data(self, spark):
+        from textract_farmdata_pipeline_spark.operators.skew import salted_join
+
+        # hot key 7: 5000 of 6000 rows
+        left = spark.range(6000).select(
+            F.when(F.col("id") < 5000, F.lit(7)).otherwise(F.col("id") % 40).alias("k"),
+            F.col("id").alias("lval"),
+        )
+        right = spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("rval")
+        )
+        fast = salted_join(left, right, on=("k",), salt=8)
+        plain = left.join(right, "k")
+        assert fast.count() == plain.count()
+        a = sorted((r["k"], r["lval"], r["rval"]) for r in fast.collect())
+        b = sorted((r["k"], r["lval"], r["rval"]) for r in plain.collect())
+        assert a == b
+
+    def test_left_join_keeps_unmatched(self, spark):
+        from textract_farmdata_pipeline_spark.operators.skew import salted_join
+
+        left = spark.range(10).select((F.col("id") % 5).alias("k"), F.col("id").alias("lv"))
+        right = spark.range(2).select(F.col("id").alias("k"), F.lit("hit").alias("tag"))
+        out = salted_join(left, right, on=("k",), salt=4, how="left")
+        assert out.count() == 10
+        assert out.filter(F.col("tag").isNull()).count() == 6
+
+    def test_rejects_outer(self, spark):
+        import pytest as _pytest
+
+        from textract_farmdata_pipeline_spark.operators.skew import salted_join
+
+        left = spark.range(1).select(F.col("id").alias("k"))
+        with _pytest.raises(AssertionError):
+            salted_join(left, left, on=("k",), how="full")

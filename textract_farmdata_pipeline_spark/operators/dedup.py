@@ -204,6 +204,56 @@ def minhash_lsh_pairs(
     )
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 6, n_bands: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 48-bit fingerprint into ``n_bands``
+    chunks; two fingerprints within ``max_hamming`` bit flips MUST agree
+    on at least one chunk whenever ``max_hamming < n_bands``, so the
+    candidate join is an equi-join on (band, chunk) — never an all-pairs
+    XOR scan.  Candidates then verify with one popcount each.
+    """
+    assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
+    bits_per = SIMHASH_BITS // n_bands
+    mask = (1 << bits_per) - 1
+    sh = simhash(docs)
+    banded = sh.select(
+        "doc_id",
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 SIMHASH_BITS = 48  # md5[:12] hex chars → 48 bits, positive in BIGINT
 
 

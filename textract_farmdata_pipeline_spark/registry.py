@@ -953,10 +953,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_simhash")  # no oracle: bit-packing semantics
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only; deterministic md5-derived)."""
+    """SimHash fingerprints (rows-only; deterministic xxhash-derived)."""
     from .operators.dedup import simhash
 
     return simhash(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash_pairs")  # no oracle: banded-hamming semantics
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-ball near-dup pairs via pigeonhole banding
+    (rows-only; exactness vs brute-force hamming pinned by pytest)."""
+    from .operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6, n_bands=8)
 
 
 _TOKEN_STATS_ORACLE = """
