@@ -122,13 +122,16 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32, shingle_n: int = 3) 
 
     Documents with no shingles (empty text) produce no signature row.
     """
-    exploded = docs.select(
+    # base string hash projected ONCE per shingle; the i-indexed rehash
+    # inside the aggregates then touches only the 8-byte long
+    hashed = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("sh")
-    )
-    h = F.xxhash64(F.col("sh"))
-    mins = [F.min(F.xxhash64(F.lit(i), h)).alias(f"_m{i}") for i in range(n_hashes)]
+    ).select("doc_id", F.xxhash64(F.col("sh")).alias("h"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"_m{i}") for i in range(n_hashes)
+    ]
     return (
-        exploded.groupBy("doc_id")
+        hashed.groupBy("doc_id")
         .agg(*mins)
         .select("doc_id", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("signature"))
     )
