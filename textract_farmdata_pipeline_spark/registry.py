@@ -280,6 +280,37 @@ def census_records_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_pipeline(load_ocr_lines(spark, sf_dir), ordered=False)
 
 
+_PAGE_STATS_ORACLE = (
+    _SIMPLE_RECORDS_BODY
+    + """
+SELECT doc_id, page, column_side,
+  COUNT(*) AS n_records,
+  CAST(MAX(page_line) AS BIGINT) AS max_page_line
+FROM records
+GROUP BY doc_id, page, column_side
+"""
+)
+
+
+@register("census_page_stats", _PAGE_STATS_ORACLE)
+def census_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2-analog observability as data (the reference only logged
+    counts): records and page-line extent per (doc, page, column)."""
+    from .plans.pipeline import blocks_to_records
+
+    blocks = load_ocr_lines(spark, sf_dir).filter((F.col("seq") % 10).isin(2, 3, 4, 7, 8))
+    return (
+        blocks_to_records(blocks)
+        .groupBy(
+            F.col("doc_id").cast("long").alias("doc_id"), "page", "column_side"
+        )
+        .agg(
+            F.count("*").alias("n_records"),
+            F.max("page_line").cast("long").alias("max_page_line"),
+        )
+    )
+
+
 @register("census_ocr_connector")  # no oracle: side-effecting source path
 def census_ocr_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6-S8 connector plumbing driven offline: a fake Textract client
