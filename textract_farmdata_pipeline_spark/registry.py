@@ -729,6 +729,59 @@ def skew_safe_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HAVING_ORACLE = """
+SELECT l_partkey, SUM(l_quantity) AS total_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(l_quantity) > 150
+"""
+
+
+@register("parts_high_volume_having", _HAVING_ORACLE)
+def parts_high_volume_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+_Q19_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+  AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+   OR (p_type LIKE 'PROMO%' AND l_quantity < 5)
+"""
+
+
+@register("disjunctive_predicate_revenue", _Q19_ORACLE)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 pattern: join + OR'd multi-column predicate branches
+    (exercises predicate normalization/pushdown through a join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(10, 30)
+            & (F.col("l_quantity") >= 20)
+        )
+        | (F.col("p_type").startswith("PROMO") & (F.col("l_quantity") < 5))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return joined.filter(cond).agg(F.sum(rev).cast("double").alias("revenue"))
+
+
 _CUBE_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
   COUNT(*) AS n_orders,
@@ -1137,6 +1190,75 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import rolling_fingerprints
 
     return rolling_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_SCRUB_ORACLE = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')),
+        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+    '(\+?\d{1,2}[ .\-]?)?\(?\d{3}\)?[ .\-]?\d{3}[ .\-]\d{4}', '<PHONE>', 'g')
+  AS scrubbed
+FROM documents
+"""
+
+
+@register("doc_clean_scrub", _SCRUB_ORACLE)
+def doc_clean_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control cleanup + PII redaction (emails/SSNs/phones
+    → typed placeholders), all codegen'd regex."""
+    from .operators.preprocess import clean_text, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", scrub_pii(clean_text(F.col("text"))).alias("scrubbed"))
+
+
+_SPLIT_ORACLE = """
+SELECT split, COUNT(*) AS n_docs FROM (
+  SELECT CASE
+    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90
+      THEN 'train'
+    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 95
+      THEN 'val'
+    ELSE 'test' END AS split
+  FROM documents
+) s GROUP BY split
+"""
+
+
+@register("doc_dataset_split", _SPLIT_ORACLE)
+def doc_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test split — identical
+    assignment in any engine, on any rerun (eval-set stability)."""
+    from .operators.preprocess import dataset_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return dataset_split(docs).groupBy("split").agg(F.count("*").alias("n_docs"))
+
+
+_CHUNK_ORACLE = """
+SELECT doc_id,
+  CAST(i - 1 AS INTEGER) AS chunk_idx,
+  array_to_string(toks[(i-1)*64 + 1 : (i-1)*64 + 64], ' ') AS chunk_text,
+  CAST(least(64, len(toks) - (i-1)*64) AS INTEGER) AS n_chunk_tokens
+FROM (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+    greatest(CAST(ceil(len(string_split(text, ' ')) / 64.0) AS BIGINT), 1) AS nc
+  FROM documents
+) d, LATERAL unnest(generate_series(1, nc)) AS t(i)
+"""
+
+
+@register("doc_chunk_tokens", _CHUNK_ORACLE)
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 64-token sequence chunks, one row per chunk (higher-order
+    slice + explode — chunking without Python)."""
+    from .operators.preprocess import chunk_tokens
+
+    return chunk_tokens(_t(spark, sf_dir, "documents"), chunk_size=64, overlap=0)
 
 
 _TOPK_ORACLE = """
