@@ -1,0 +1,133 @@
+"""Corpus-level ops: decontamination, deterministic sampling, sharding."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from textract_farmdata_pipeline_spark.operators.corpus import (
+    decontaminate,
+    hash_sample,
+    ngram_shingles,
+    shuffle_shards,
+    stratified_sample,
+)
+from textract_farmdata_pipeline_spark.operators.text_analysis import repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestShingles:
+    def test_ngram_positions(self, spark):
+        df = _docs(spark, [(1, "a b c d")])
+        got = sorted(
+            (r["pos"], r["shingle"]) for r in ngram_shingles(df, 3).collect()
+        )
+        assert got == [(1, "a b c"), (2, "b c d")]
+
+    def test_short_doc_yields_whole_text(self, spark):
+        df = _docs(spark, [(1, "a b")])
+        got = [(r["pos"], r["shingle"]) for r in ngram_shingles(df, 5).collect()]
+        assert got == [(1, "a b")]
+
+
+class TestDecontaminate:
+    def test_hit_counts_exact(self, spark):
+        corpus = _docs(
+            spark,
+            [
+                (1, "w x y z secret eval phrase here tail"),  # 1 distinct hit
+                (2, "secret eval phrase secret eval phrase"),  # repeated hits
+                (3, "totally clean document nothing shared"),
+            ],
+        )
+        ev = _docs(spark, [(100, "the secret eval phrase was this")])
+        out = {r["doc_id"]: r for r in decontaminate(corpus, ev, n=3).collect()}
+        assert 3 not in out  # clean doc absent
+        assert out[1]["n_hit_ngrams"] == 1 and out[1]["n_hit_distinct"] == 1
+        # doc 2: 3-grams = [sep, eps, pse, sep] -> "secret eval phrase" x2
+        assert out[2]["n_hit_ngrams"] == 2 and out[2]["n_hit_distinct"] == 1
+
+    def test_no_overlap_empty(self, spark):
+        corpus = _docs(spark, [(1, "a b c d e")])
+        ev = _docs(spark, [(9, "q r s t u")])
+        assert decontaminate(corpus, ev, n=3).count() == 0
+
+
+class TestHashSample:
+    def test_nested_fractions(self, spark):
+        """The 10% sample is a strict subset of the 20% sample."""
+        df = spark.range(5000).withColumnRenamed("id", "doc_id")
+        s10 = {r["doc_id"] for r in hash_sample(df, 0.10, "doc_id").collect()}
+        s20 = {r["doc_id"] for r in hash_sample(df, 0.20, "doc_id").collect()}
+        assert s10 < s20
+        assert 0.07 < len(s10) / 5000 < 0.13
+        assert 0.16 < len(s20) / 5000 < 0.24
+
+    def test_seed_changes_selection(self, spark):
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"] for r in hash_sample(df, 0.1, "doc_id", seed="a").collect()}
+        b = {r["doc_id"] for r in hash_sample(df, 0.1, "doc_id", seed="b").collect()}
+        assert a != b
+
+
+class TestStratifiedSample:
+    def test_exact_per_stratum_and_deterministic(self, spark):
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 4).cast("string").alias("g")
+        )
+        out1 = stratified_sample(df, "g", 25, "doc_id").collect()
+        out2 = stratified_sample(df, "g", 25, "doc_id").collect()
+        assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+        c = Counter(r["g"] for r in out1)
+        assert c == {"0": 25, "1": 25, "2": 25, "3": 25}
+
+    def test_small_stratum_kept_whole(self, spark):
+        df = spark.createDataFrame(
+            [(1, "rare"), (2, "rare")] + [(i, "common") for i in range(10, 60)],
+            "doc_id long, g string",
+        )
+        c = Counter(r["g"] for r in stratified_sample(df, "g", 10, "doc_id").collect())
+        assert c["rare"] == 2 and c["common"] == 10
+
+
+class TestShuffleShards:
+    def test_layout_properties(self, spark):
+        df = spark.range(4000).withColumnRenamed("id", "doc_id")
+        rows = shuffle_shards(df, "doc_id", 16).collect()
+        assert len(rows) == 4000  # nothing dropped
+        by_shard = Counter(r["shard"] for r in rows)
+        assert set(by_shard) == set(range(16))
+        # hash-uniform: every shard within 2x of the mean
+        assert max(by_shard.values()) < 2 * (4000 / 16)
+        # positions are contiguous 1..count within each shard
+        pos = {}
+        for r in rows:
+            pos.setdefault(r["shard"], []).append(r["shard_pos"])
+        for s, ps in pos.items():
+            assert sorted(ps) == list(range(1, by_shard[s] + 1))
+
+    def test_rerun_identical(self, spark):
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        a = sorted(map(tuple, shuffle_shards(df, "doc_id", 8).collect()))
+        b = sorted(map(tuple, shuffle_shards(df, "doc_id", 8).collect()))
+        assert a == b
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        df = _docs(spark, [(1, "a b a b c")])
+        r = repetition_stats(df, n=2).collect()[0]
+        # bigrams: "a b", "b a", "a b", "b c"
+        assert r["n_ngrams"] == 4
+        assert r["top_ngram_frac"] == 0.5
+        assert r["dup_ngram_frac"] == 0.5
+
+    def test_all_distinct_vs_degenerate(self, spark):
+        df = _docs(spark, [(1, "a b c d e f"), (2, "x x x x x x")])
+        out = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+        assert out[1]["dup_ngram_frac"] == 0.0
+        assert out[2]["top_ngram_frac"] == 1.0 and out[2]["dup_ngram_frac"] == 1.0

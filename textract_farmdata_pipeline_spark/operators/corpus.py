@@ -1,0 +1,171 @@
+"""Corpus-level training-data operations: decontamination, sampling, sharding.
+
+The reference pipeline (`lambda_function.py`) has no corpus-level
+surface; these are the north-star operations a pre-training data
+pipeline runs *after* per-document cleaning (see
+:mod:`..operators.preprocess`) and *before* writing training shards.
+
+Scale design (the part that matters at 100 TB):
+
+* **Decontamination** joins the corpus against the *eval set's* n-gram
+  universe.  Eval sets are tiny (thousands of documents), so their
+  distinct-shingle set broadcasts — the corpus side is scan → explode →
+  broadcast hash join with **zero shuffle of corpus bytes**; only the
+  per-document hit counts (one row per contaminated doc) shuffle.
+* **Sampling / splitting** is md5-hash-deterministic: no RNG state, no
+  `sample()` nondeterminism across retries/speculative tasks, identical
+  assignment in any engine and on any rerun.  A filter, not a shuffle.
+* **Shard shuffling** produces the (shard, position) layout training
+  jobs expect.  The global order is the md5 hash of the key — uniform,
+  so shards are balanced by construction — and the only shuffle is the
+  `repartition` on shard id that the subsequent write needs anyway.
+
+All expressions are built-in Column ops (whole-stage codegen); the
+n-gram explode uses `posexplode(sequence)` + `slice` rather than a
+higher-order `transform` lambda because interpreted HOF lambdas are
+~20× slower than codegen in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def md5_bucket(key: Column, mod: int, seed: str = "") -> Column:
+    """Deterministic uniform bucket in ``[0, mod)`` from an id column.
+
+    First 8 hex digits of ``md5(seed || key)`` as an integer, modulo
+    ``mod``.  Engine-portable: DuckDB's
+    ``CAST('0x' || substr(md5(...), 1, 8) AS BIGINT)`` computes the
+    identical value, which is what lets every sampling / split operator
+    here be oracle-checked exactly.
+    """
+    hexpart = F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, 8)
+    return F.conv(hexpart, 16, 10).cast("long") % mod
+
+
+def ngram_shingles(
+    docs: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per whitespace-token n-gram: ``(id, pos, shingle)``.
+
+    Documents shorter than ``n`` tokens yield their whole text as a
+    single (short) shingle, so every document is represented.  The
+    explode is a Generate over an integer ``sequence`` with the shingle
+    sliced in the projection — all codegen, no Python, no shuffle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_pos = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return (
+        docs.select(id_col, toks.alias("_toks"), F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"))
+        .select(id_col, "pos", F.array_join(F.slice("_toks", F.col("pos"), n), " ").alias("shingle"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag corpus documents sharing any token n-gram with an eval set.
+
+    The standard pre-training decontamination rule (n-gram overlap with
+    benchmark data, n=13 in GPT-3/PaLM practice).  Returns one row per
+    *contaminated* document: ``(id, n_hit_ngrams, n_hit_distinct)`` —
+    total overlapping shingle instances and distinct overlapping
+    shingles.  Anti-join the result against the corpus to drop them.
+
+    Plan shape: eval shingles are distinct-ed (tiny) and broadcast; the
+    corpus explode flows through the broadcast join map-side, then a
+    partial-aggregated count by document id.  No corpus-sized shuffle.
+    """
+    corpus_sh = ngram_shingles(docs, n, text_col, id_col)
+    eval_sh = (
+        ngram_shingles(eval_docs.select(text_col), n, text_col=text_col, id_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hit_ngrams"),
+            F.countDistinct("shingle").alias("n_hit_distinct"),
+        )
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep iff md5 bucket < fraction.
+
+    Unlike ``DataFrame.sample`` this is stable under task retries and
+    speculative execution (no partition-indexed RNG), reproducible
+    across engines, and consistent between runs — the properties that
+    matter when a sample defines a training corpus.  Pure filter: no
+    shuffle, pushes down past column pruning.
+    """
+    assert 0.0 <= fraction <= 1.0
+    return df.filter(md5_bucket(F.col(key_col), 1_000_000, seed) < int(fraction * 1_000_000))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Exactly ``n`` rows per stratum, chosen by deterministic hash order.
+
+    ``row_number`` over (stratum, md5(key)) — the hash order is uniform
+    and reproducible, so this is a seeded without-replacement sample
+    with an exact per-group size (what class-balanced training mixes
+    need).  One shuffle on the stratum key; heavily skewed strata
+    degrade gracefully because only rank ≤ n rows survive the window
+    (AQE coalesces the rest).
+    """
+    order = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Assign every row a deterministic (shard, shard_pos) for training.
+
+    The md5 hash of the key gives a uniform pseudo-random global order;
+    its low bits pick the shard and ``row_number`` within the shard
+    gives the position — the layout a data loader consumes
+    (``shard-00042.parquet``, records in ``shard_pos`` order).  Shards
+    are balanced by hash uniformity, the assignment is identical on
+    every rerun, and the only shuffle is on shard id — the same
+    exchange the partitioned write would do anyway.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("_h")
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", md5_bucket(F.col(key_col), num_shards, seed + "|shard"))
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("_h")
+    )

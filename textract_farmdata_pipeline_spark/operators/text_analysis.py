@@ -147,3 +147,32 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("term").alias("fingerprint"))
     )
+
+
+def repetition_stats(docs: DataFrame, n: int = 2, text_col: str = "text") -> DataFrame:
+    """Within-document n-gram repetition — the Gopher-style quality rule.
+
+    Per document: total n-grams, the fraction of n-gram instances taken
+    by the single most frequent n-gram (``top_ngram_frac``), and the
+    fraction of instances whose n-gram occurs more than once
+    (``dup_ngram_frac``).  High values mean boilerplate / degenerate
+    repetition; filter on them before training.
+
+    Two groupBys, both keyed by (doc_id[, shingle]) so partial
+    map-side aggregation applies — per-document state never exceeds
+    the document's distinct-n-gram count, independent of corpus size.
+    """
+    from .corpus import ngram_shingles
+
+    per_gram = (
+        ngram_shingles(docs, n, text_col=text_col)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_ngrams"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_ngram_frac"),
+        F.round(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))) / F.sum("cnt"), 6
+        ).alias("dup_ngram_frac"),
+    )

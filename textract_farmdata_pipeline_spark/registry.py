@@ -1261,6 +1261,122 @@ def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_tokens(_t(spark, sf_dir, "documents"), chunk_size=64, overlap=0)
 
 
+_DECONTAM_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id,
+  COUNT(*) AS n_hit_ngrams,
+  COUNT(DISTINCT s.shingle) AS n_hit_distinct
+FROM sh s JOIN ev USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+"""
+
+
+@register("doc_decontaminate", _DECONTAM_ORACLE)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set n-gram decontamination: corpus docs sharing any 3-gram
+    with the held-out set (doc_id % 97). Eval shingles broadcast —
+    zero corpus-sized shuffle."""
+    from .operators.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+    )
+
+
+_HASH_SAMPLE_ORACLE = """
+SELECT doc_id, n_chars FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000
+      < 100000
+"""
+
+
+@register("doc_hash_sample", _HASH_SAMPLE_ORACLE)
+def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample by md5 bucket — stable under
+    retries/reruns/engines, unlike RNG-based sample()."""
+    from .operators.corpus import hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return hash_sample(docs, 0.1, "doc_id")
+
+
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+    ) AS rk
+  FROM documents
+) s WHERE rk <= 20
+"""
+
+
+@register("doc_stratified_sample", _STRATIFIED_ORACLE)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language by deterministic hash order — a
+    seeded without-replacement class-balanced sample."""
+    from .operators.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "lang", 20, "doc_id")
+
+
+_SHARDS_ORACLE = """
+SELECT doc_id, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS INTEGER) AS shard_pos
+FROM (
+  SELECT doc_id,
+    CAST('0x' || substr(md5('|shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 8 AS shard,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+) s
+"""
+
+
+@register("doc_shuffle_shards", _SHARDS_ORACLE)
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout: uniform md5 shard pick +
+    in-shard position (the order a data loader replays)."""
+    from .operators.corpus import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, "doc_id", 8)
+
+
+_REPETITION_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+pg AS (SELECT doc_id, shingle, COUNT(*) AS cnt FROM sh GROUP BY doc_id, shingle)
+SELECT doc_id,
+  CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+  ROUND(MAX(cnt) / SUM(cnt), 6) AS top_ngram_frac,
+  ROUND(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / SUM(cnt), 6) AS dup_ngram_frac
+FROM pg GROUP BY doc_id
+"""
+
+
+@register("doc_repetition_stats", _REPETITION_ORACLE)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc bigram repetition fractions (boilerplate
+    / degenerate-text quality filter)."""
+    from .operators.text_analysis import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
 _TOPK_ORACLE = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
