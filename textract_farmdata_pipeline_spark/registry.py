@@ -782,6 +782,128 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     return joined.filter(cond).agg(F.sum(rev).cast("double").alias("revenue"))
 
 
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) g GROUP BY c_count
+"""
+
+
+@register("order_count_distribution", _Q13_ORACLE)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 pattern: left outer join with an extra non-key ON
+    predicate, per-customer count (nulls -> 0), then the distribution
+    of counts — two aggregations over one shuffle each."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ords = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = cust.join(
+        ords,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q17_ORACLE = """
+WITH brand AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'),
+li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN brand ON l_partkey = p_partkey
+),
+lim AS (
+  SELECT l_partkey,
+    (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 0.2
+      AS qty_limit
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) / 7.0 AS DOUBLE)
+  AS avg_yearly
+FROM li JOIN lim USING (l_partkey)
+WHERE l_quantity < qty_limit
+"""
+
+
+@register("small_quantity_part_revenue", _Q17_ORACLE)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + self-join; both the
+    brand dim and the per-part limits broadcast."""
+    brand = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    limits = li.groupBy("l_partkey").agg(
+        (
+            (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*"))
+            * 0.2
+        ).alias("qty_limit")
+    )
+    return (
+        li.join(F.broadcast(limits), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) / 7.0)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+_Q22_ORACLE = """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c, pos
+WHERE c.c_acctbal > pos.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+@register("idle_rich_customers", _Q22_ORACLE)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 pattern: uncorrelated scalar subquery (broadcast
+    1-row cross join) + NOT EXISTS (left-anti join) + group-aggregate,
+    DECIMAL sums for engine-exact totals."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count("*"))
+            .alias("avg_bal")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 _CUBE_ORACLE = """
 SELECT o_orderstatus, o_orderpriority,
   COUNT(*) AS n_orders,
