@@ -357,3 +357,58 @@ class TestStatefulStreaming:
                 final[r["user_id"]] = (r["n_events"], r["total_value"])
         assert final[10] == (3, 6.0)
         assert final[11] == (1, 5.0)
+
+    def test_transform_with_state_totals(self, spark, tmp_path):
+        """Same totals via the Spark-4 transformWithState operator
+        (RocksDB state store): state carried across micro-batches."""
+        import datetime as dt
+
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState's Python driver worker needs protobuf",
+        )
+
+        from textract_farmdata_pipeline_spark.streaming import (
+            user_running_totals_tws,
+        )
+
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            t0 = dt.datetime(2024, 1, 1)
+            batch1 = [(1, t0, 10, 1.0), (2, t0, 10, 2.0), (3, t0, 11, 5.0)]
+            batch2 = [(4, t0 + dt.timedelta(minutes=1), 10, 3.0)]
+            d = self._mk_events_files(spark, tmp_path, [batch1, batch2])
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            q = (
+                user_running_totals_tws(stream)
+                .writeStream.format("memory")
+                .queryName("tws_mem")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", str(tmp_path / "ckpt-tws"))
+                .start()
+            )
+            q.awaitTermination(120)
+            rows = spark.table("tws_mem").collect()
+            final = {}
+            for r in rows:
+                cur = final.get(r["user_id"])
+                if cur is None or r["n_events"] > cur[0]:
+                    final[r["user_id"]] = (r["n_events"], r["total_value"])
+            assert final[10] == (3, 6.0)
+            assert final[11] == (1, 5.0)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

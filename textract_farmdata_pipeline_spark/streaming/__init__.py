@@ -1,5 +1,9 @@
 from .census import stream_census_pipeline  # noqa: F401
-from .stateful import dedup_stream, user_running_totals_stream  # noqa: F401
+from .stateful import (  # noqa: F401
+    dedup_stream,
+    user_running_totals_stream,
+    user_running_totals_tws,
+)
 from .events import (  # noqa: F401
     hourly_windows,
     read_events_stream,

@@ -67,3 +67,63 @@ def user_running_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+class _RunningTotalsProcessor(StatefulProcessor):
+    """StatefulProcessor for per-user running totals (Spark 4
+    ``transformWithState`` API).
+
+    Same semantics as :func:`user_running_totals_stream`, expressed on
+    the newer operator: typed per-key ``ValueState`` backed by the
+    RocksDB state store (changelog-checkpointed, state scales to disk
+    rather than executor heap), optional per-state TTL instead of a
+    single per-operator timeout conf.  Defined at module level so
+    cloudpickle ships it by reference with the package, not by value.
+    """
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState(
+            "totals", _TOTALS_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        prev = self._totals.get()
+        n, total = prev if prev is not None else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            [(user_id, n, total)], columns=["user_id", "n_events", "total_value"]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_running_totals_tws(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Per-user running totals on ``transformWithStateInPandas``.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and the
+    ``protobuf`` Python package (the operator's driver-side worker
+    speaks protobuf to the JVM); state lives
+    off-heap and is changelog-checkpointed, so per-key state survives
+    arbitrarily long streams without growing the JVM heap — the 100 TB
+    streaming posture.  ``ttl_ms`` expires idle keys' state, bounding
+    it by *active* key cardinality.
+    """
+    proc = _RunningTotalsProcessor(ttl_ms)
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=_TOTALS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
