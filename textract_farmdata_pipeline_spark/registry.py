@@ -1617,3 +1617,494 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import attach_media, frame_sample
 
     return frame_sample(attach_media(_t(spark, sf_dir, "documents")), n_frames=4)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H plan-shape batch 2: the remaining classic query shapes that the
+# reference's surface (an ETL fold) never needed but a 100 TB analytics
+# engine must serve.  Each picks a distinct physical-plan pattern:
+# window-rank dedup (Q2), nation-pair fan-out joins (Q7), share-of-total
+# via window-over-aggregate (Q8), scalar-max equality join (Q15),
+# NOT-IN anti join + COUNT DISTINCT (Q16), HAVING-driven semi join
+# (Q18), top-k with star joins (Q10), single-scan scalar aggregate
+# (Q6), EXISTS with an inequality correlation (Q4 flavor), PIVOT,
+# RANGE window frames, GROUPING SETS, and UNPIVOT.
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      / SUM(l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), ranked AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+    ROW_NUMBER() OVER (PARTITION BY l_partkey
+                       ORDER BY unit_cost, l_suppkey) AS rn
+  FROM cost
+)
+SELECT p_partkey, p_name, s_name, n_name, unit_cost
+FROM ranked
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
+@register("min_cost_supplier_per_part", _Q2_ORACLE)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part.  The correlated MIN
+    subquery becomes one aggregate + one window rank — a single shuffle
+    on l_partkey reused by both (agg key prefix = window key), then
+    broadcast dimension joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.sum("l_quantity")
+        ).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        best.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+    )
+
+
+_Q7_ORACLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("volume_shipping_pairs", _Q7_ORACLE)
+def volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between (supplier nation, customer
+    nation) pairs by ship year.  The same dimension table joins twice
+    under different roles — both broadcast, so the only shuffle is the
+    lineitem/orders join and the final aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    nation = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+_Q8_ORACLE = """
+WITH reg_rev AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, r_name,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_year, r_name
+)
+SELECT o_year, r_name,
+  CAST(rev_dec AS DOUBLE) AS revenue,
+  CAST(rev_dec AS DOUBLE)
+    / CAST(SUM(rev_dec) OVER (PARTITION BY o_year) AS DOUBLE) AS region_share
+FROM reg_rev
+"""
+
+
+@register("market_share_by_year", _Q8_ORACLE)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: each supplier-region's share of yearly revenue.
+    Share-of-total computed as a window over the aggregate output
+    (25 rows) — no second scan, no self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    agg = (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"), F.col("r_name"))
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    w = Window.partitionBy("o_year")
+    return agg.select(
+        "o_year",
+        "r_name",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double")
+        ).alias("region_share"),
+    )
+
+
+_Q15_ORACLE = """
+WITH srev AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+      AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM srev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM srev)
+"""
+
+
+@register("top_supplier_by_revenue", _Q15_ORACLE)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the max quarterly
+    revenue.  The scalar MAX subquery is a 1-row broadcast cross join
+    against the (reused) aggregate — at 100 TB the quarter filter is
+    pushed to the parquet scan and the agg is ~#suppliers rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    srev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+    )
+    mx = F.broadcast(srev.agg(F.max("total_revenue").alias("max_revenue")))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        srev.join(mx, F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("supplier_count_by_part_attrs", _Q16_ORACLE)
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute,
+    excluding a denylist (NOT IN -> broadcast left-anti join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    bad = F.broadcast(
+        _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    return (
+        li.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+_Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey,
+  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+  SUM(l_quantity) AS sum_qty
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+HAVING SUM(l_quantity) > 300
+"""
+
+
+@register("large_order_customers", _Q18_ORACLE)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold.  The IN-(grouped HAVING) subquery is a pre-aggregation
+    on l_orderkey joined back — quantity sums are exact in doubles
+    (integer-valued), so no decimal detour is needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("returned_items_report", _Q10_ORACLE)
+def returned_items_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by returned-item revenue.  The
+    returnflag filter is pushed to the scan; top-20 is a TakeOrdered,
+    not a full sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_Q6_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+    AS revenue_delta,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("forecast_revenue_delta", _Q6_ORACLE)
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-scan scalar aggregate.  All predicates
+    push to the parquet reader; the whole query is one codegen stage +
+    a 1-row final combine — the minimal possible plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue_delta"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("late_shipment_priority", _Q4_ORACLE)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with an inequality correlation — a
+    left-semi join whose condition mixes the equi key with a
+    non-equi date predicate (stays a hash semi join on the equi part,
+    inequality evaluated as a residual filter)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT n_name,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent,
+  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS high,
+  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS medium,
+  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS not_specified,
+  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+        THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS low
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("nation_priority_pivot", _PIVOT_ORACLE)
+def nation_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order value by nation x priority.  Explicit pivot values
+    keep it one pass (no distinct-values pre-query); each output cell
+    is a map-side conditional aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = F.broadcast(_t(spark, sf_dir, "customer"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pv = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("o_orderpriority", prios)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+    return pv.toDF("n_name", "urgent", "high", "medium", "not_specified", "low")
+
+
+_RANGE_FRAME_ORACLE = """
+SELECT o_orderkey, o_custkey, epoch_day,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+       OVER (PARTITION BY o_custkey ORDER BY epoch_day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS spend_30d
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day
+  FROM orders
+) t
+"""
+
+
+@register("customer_trailing_30d_spend", _RANGE_FRAME_ORACLE)
+def customer_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: per-customer trailing-30-day spend.  A
+    value-range frame (not ROWS) — ties on the same day all see the
+    same frame, so the result is order-insensitive and exact."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "epoch_day", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("epoch_day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "epoch_day",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("orders_grouping_sets", _GROUPING_SETS_ORACLE)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with a grouping-id disambiguator — the general
+    form behind cube/rollup, expanded map-side in one pass (no
+    N-scans union)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+          CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+            AS gid
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+_UNPIVOT_ORACLE = """
+SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+FROM part
+"""
+
+
+@register("part_metrics_unpivot", _UNPIVOT_ORACLE)
+def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): each part row fans out to one row per
+    metric — a generate/expand node, no shuffle at all."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    ).unpivot(["p_partkey"], ["p_retailprice", "p_size"], "metric", "value")
