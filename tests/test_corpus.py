@@ -131,3 +131,93 @@ class TestRepetitionStats:
         out = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
         assert out[1]["dup_ngram_frac"] == 0.0
         assert out[2]["top_ngram_frac"] == 1.0 and out[2]["dup_ngram_frac"] == 1.0
+
+
+class TestMixture:
+    def test_weights_uniform_target(self, spark):
+        df = spark.createDataFrame(
+            [(i, "big" if i < 90 else "small") for i in range(100)],
+            "doc_id long, source string",
+        )
+        w = {r["source"]: r for r in __import__(
+            "textract_farmdata_pipeline_spark.operators.corpus", fromlist=["mixture_weights"]
+        ).mixture_weights(df, by="source").collect()}
+        assert w["big"]["target_n"] == 50.0 and w["small"]["target_n"] == 50.0
+        assert abs(w["big"]["sample_rate"] - 50 / 90) < 1e-12
+        assert w["small"]["sample_rate"] == 1.0  # never upsampled
+
+    def test_resample_balances_and_is_deterministic(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import mixture_resample
+
+        df = spark.createDataFrame(
+            [(i, "big" if i < 1800 else "small") for i in range(2000)],
+            "doc_id long, source string",
+        )
+        a = mixture_resample(df, by="source", key_col="doc_id").collect()
+        b = mixture_resample(df, by="source", key_col="doc_id").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        c = Counter(r["source"] for r in a)
+        assert c["small"] == 200  # rate 1.0 keeps everything
+        # "big" downsampled toward 1000 (hash-Bernoulli, so approximate)
+        assert 850 < c["big"] < 1150
+
+
+class TestTfidf:
+    def test_hand_computed_ratio_scores(self, spark):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            tfidf_top_terms,
+        )
+
+        df = _docs(spark, [(1, "a a b"), (2, "b c")])
+        out = {
+            (r["doc_id"], r["term"]): r
+            for r in tfidf_top_terms(df, k=5, use_log=False).collect()
+        }
+        # N=2; df(a)=1, df(b)=2, df(c)=1
+        assert out[(1, "a")]["score"] == 2 * 2 / 1
+        assert out[(1, "b")]["score"] == 1 * 2 / 2
+        assert out[(2, "c")]["score"] == 1 * 2 / 1
+        assert out[(1, "a")]["rank"] == 1
+
+    def test_log_and_ratio_agree_on_ranking(self, spark):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            tfidf_top_terms,
+        )
+
+        df = _docs(spark, [(1, "x x y z"), (2, "y z z w"), (3, "w w q x")])
+        def ranks(use_log):
+            return sorted(
+                (r["doc_id"], r["rank"], r["term"])
+                for r in tfidf_top_terms(df, k=2, use_log=use_log).collect()
+            )
+        # same tf/df profile => same order under any monotone-per-df score here
+        assert ranks(True) == ranks(False)
+
+
+class TestLengthHistogram:
+    def test_buckets(self, spark):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            length_histogram,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 50), (2, 99), (3, 100), (4, 250)], "doc_id long, n_chars long"
+        )
+        out = {r["bucket"]: r for r in length_histogram(df, 100).collect()}
+        assert out[0]["n_docs"] == 2 and out[0]["min_len"] == 50
+        assert out[1]["bucket_lo"] == 100
+        assert out[2]["max_len"] == 250
+
+
+class TestCorpusNgrams:
+    def test_top_counts(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            corpus_ngram_counts,
+        )
+
+        df = _docs(spark, [(1, "a b a b"), (2, "a b c")])
+        out = [(r["shingle"], r["n_occurrences"]) for r in
+               corpus_ngram_counts(df, n=2, top=2).collect()]
+        assert out[0] == ("a b", 3)
+        assert out[1] in [("b a", 1), ("b c", 1)]  # tie broken by string
+        assert out[1] == ("b a", 1)

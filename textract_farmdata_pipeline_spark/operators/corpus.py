@@ -169,3 +169,67 @@ def shuffle_shards(
         .withColumn("shard_pos", F.row_number().over(w))
         .drop("_h")
     )
+
+
+def mixture_weights(df: DataFrame, by: str = "source") -> DataFrame:
+    """Per-domain sampling rates targeting a uniform mixture.
+
+    One aggregate over the corpus plus a broadcast 1-row total — the
+    rate for domain *d* is ``min(1, (total/n_domains) / n_d)``, i.e.
+    downsample over-represented domains to the uniform share and keep
+    under-represented ones whole.  The output is #domains rows; feed it
+    to :func:`mixture_resample` (broadcast) to apply."""
+    counts = df.groupBy(by).agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("total"), F.count("*").alias("n_groups")
+    )
+    target = F.col("total").cast("double") / F.col("n_groups")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        by,
+        "n_docs",
+        target.alias("target_n"),
+        F.least(F.lit(1.0), target / F.col("n_docs")).alias("sample_rate"),
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    by: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic per-domain Bernoulli resample to a uniform mixture.
+
+    The per-domain rates broadcast onto the corpus (no corpus shuffle)
+    and each row keeps iff its md5 bucket clears the domain's rate —
+    the same retry-stable sampling contract as :func:`hash_sample`,
+    with the rate a *column*, not a literal.  Rows out ≈ uniform across
+    domains; assignment reproducible on any engine."""
+    rates = F.broadcast(mixture_weights(df, by).select(by, "sample_rate"))
+    kept = df.join(rates, by).filter(
+        md5_bucket(F.col(key_col), 1_000_000, seed)
+        < F.col("sample_rate") * 1_000_000
+    )
+    return kept.drop("sample_rate")
+
+
+def corpus_ngram_counts(
+    docs: DataFrame,
+    n: int = 2,
+    top: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level top-``top`` n-grams by occurrence count.
+
+    Explode to shingles (codegen Generate, no Python), aggregate with
+    map-side combine on the shingle key, then TakeOrdered for the
+    top slice — the full n-gram table is never sorted or collected.
+    Deterministic output: ties broken by the shingle string."""
+    sh = ngram_shingles(docs, n, text_col=text_col, id_col=id_col)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("shingle"))
+        .limit(top)
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Small English function-word list for the stopword heuristics.
 STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -175,4 +176,64 @@ def repetition_stats(docs: DataFrame, n: int = 2, text_col: str = "text") -> Dat
         F.round(
             F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))) / F.sum("cnt"), 6
         ).alias("dup_ngram_frac"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    use_log: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF.
+
+    Three stages, each with map-side partial aggregation: term
+    frequencies keyed (doc, term); document frequencies keyed (term);
+    a join back on term (left to AQE — the vocabulary table is tiny
+    relative to the posting list and usually broadcasts) and a
+    per-document top-k window.  Corpus size enters as a broadcast
+    1-row cross join, never a ``collect``.
+
+    ``use_log=False`` ranks by the raw ``tf * N / df`` ratio instead of
+    ``tf * ln(N/df)`` — rational arithmetic only, bit-identical across
+    engines (libm ``log`` is not), which is what the DuckDB oracle
+    checks.  Rankings agree between the two whenever df ties break the
+    same way; the log form is the production default.
+    """
+    tok = docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+    if use_log:
+        score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    else:
+        score = F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
+def length_histogram(
+    docs: DataFrame, bucket_width: int = 100, length_col: str = "n_chars"
+) -> DataFrame:
+    """Corpus length distribution in fixed-width buckets.
+
+    Integer bucket arithmetic + one aggregate: the whole histogram is
+    a map-side combine down to ~(max_len / width) rows regardless of
+    corpus size — the cheapest possible full-corpus profile."""
+    bucket = F.floor(F.col(length_col) / bucket_width).cast("long").alias("bucket")
+    return (
+        docs.groupBy(bucket)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(length_col).cast("long").alias("min_len"),
+            F.max(length_col).cast("long").alias("max_len"),
+        )
+        .withColumn("bucket_lo", (F.col("bucket") * bucket_width).cast("long"))
     )

@@ -2108,3 +2108,123 @@ def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").cast("double").alias("p_retailprice"),
         F.col("p_size").cast("double").alias("p_size"),
     ).unpivot(["p_partkey"], ["p_retailprice", "p_size"], "metric", "value")
+
+
+# ---------------------------------------------------------------------------
+# Corpus batch 2: TF-IDF, domain mixture balancing, corpus n-gram
+# counts, length histogram — the remaining profiling / re-weighting
+# stages of a training-data pipeline.
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+    CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / dfreq.df AS score,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY tf.doc_id
+      ORDER BY CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM n) / dfreq.df DESC,
+               tf.term
+    ) AS BIGINT) AS rank
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+) ranked
+WHERE rank <= 5
+"""
+
+
+@register("doc_tfidf_top_terms", _TFIDF_ORACLE)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (rational-score variant so the
+    ordering is bit-identical across engines; log form is the
+    production default)."""
+    from .operators.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5, use_log=False)
+
+
+_MIXTURE_WEIGHTS_ORACLE = """
+WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_groups FROM counts)
+SELECT source, n_docs,
+  CAST(total AS DOUBLE) / n_groups AS target_n,
+  LEAST(1.0, CAST(total AS DOUBLE) / n_groups / n_docs) AS sample_rate
+FROM counts, tot
+"""
+
+
+@register("doc_mixture_weights", _MIXTURE_WEIGHTS_ORACLE)
+def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling rates targeting a uniform domain mixture."""
+    from .operators.corpus import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"), by="source")
+
+
+_MIXTURE_RESAMPLE_ORACLE = """
+WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_groups FROM counts),
+rates AS (
+  SELECT source, LEAST(1.0, CAST(total AS DOUBLE) / n_groups / n_docs) AS rate
+  FROM counts, tot
+)
+SELECT doc_id, d.source AS source FROM documents d
+JOIN rates r ON d.source = r.source
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000
+      < r.rate * 1000000
+"""
+
+
+@register("doc_mixture_resample", _MIXTURE_RESAMPLE_ORACLE)
+def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain resample to a uniform mixture — rates
+    broadcast, md5-bucket Bernoulli keep, zero corpus shuffle."""
+    from .operators.corpus import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_resample(docs, by="source", key_col="doc_id")
+
+
+_CORPUS_NGRAM_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+)
+SELECT shingle, COUNT(*) AS n_occurrences
+FROM sh GROUP BY shingle
+ORDER BY n_occurrences DESC, shingle ASC
+LIMIT 100
+"""
+
+
+@register("corpus_top_bigrams", _CORPUS_NGRAM_ORACLE)
+def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-100 bigrams (vocabulary profiling before
+    tokenizer training)."""
+    from .operators.corpus import corpus_ngram_counts
+
+    return corpus_ngram_counts(_t(spark, sf_dir, "documents"), n=2, top=100)
+
+
+_LENGTH_HIST_ORACLE = """
+SELECT CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket,
+  COUNT(*) AS n_docs,
+  CAST(MIN(n_chars) AS BIGINT) AS min_len,
+  CAST(MAX(n_chars) AS BIGINT) AS max_len,
+  CAST(CAST(FLOOR(n_chars / 100) AS BIGINT) * 100 AS BIGINT) AS bucket_lo
+FROM documents
+GROUP BY bucket
+"""
+
+
+@register("doc_length_histogram", _LENGTH_HIST_ORACLE)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width corpus length histogram — one map-side combine."""
+    from .operators.text_analysis import length_histogram
+
+    return length_histogram(_t(spark, sf_dir, "documents"), bucket_width=100)
