@@ -1,0 +1,102 @@
+"""Plan-shape regression tests — the 100 TB guards.
+
+Each assertion pins a physical-plan property that is invisible in
+small-scale correctness tests but decides whether the query survives a
+1000-executor run: dimension joins stay broadcast (no fact-sized
+shuffle), filters reach the parquet scan, column pruning holds, pure
+filters never shuffle.  `plan_summary` reads the static Catalyst plan,
+so a regression fails here before anyone benches anything.
+"""
+
+from __future__ import annotations
+
+from textract_farmdata_pipeline_spark.plans.inspect import plan_summary
+from textract_farmdata_pipeline_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestJoinStrategies:
+    def test_star_schema_dims_all_broadcast(self, spark):
+        s = plan_summary(QUERIES["revenue_by_region"](spark, SF))
+        assert s["bhj"] == 4, "customer/nation/region/orders-side must broadcast"
+        assert s["smj"] == 0 and s["shj"] == 0, "no shuffle joins in a star rollup"
+        assert s["exchanges"] == 1, "only the final groupBy may shuffle"
+
+    def test_q7_double_dimension_role_joins_broadcast(self, spark):
+        s = plan_summary(QUERIES["volume_shipping_pairs"](spark, SF))
+        assert s["smj"] == 0, "nation joined twice must stay broadcast both times"
+        assert s["bhj"] >= 4
+
+    def test_anti_and_semi_joins_broadcast(self, spark):
+        for name in ("customers_without_orders", "customers_with_big_orders"):
+            s = plan_summary(QUERIES[name](spark, SF))
+            assert s["exchanges"] == 0, f"{name}: broadcast semi/anti join, no shuffle"
+
+    def test_q16_denylist_is_broadcast_anti(self, spark):
+        s = plan_summary(QUERIES["supplier_count_by_part_attrs"](spark, SF))
+        assert s["smj"] == 0
+        assert s["bhj"] >= 2  # denylist anti + part dimension
+
+
+class TestPushdownAndPruning:
+    def test_q6_all_predicates_reach_scan(self, spark):
+        s = plan_summary(QUERIES["forecast_revenue_delta"](spark, SF))
+        assert s["pushed_filters"]
+        assert s["exchanges"] == 1  # single-partition final combine only
+        assert set(s["read_columns"]) == {
+            "l_extendedprice",
+            "l_discount",
+            "l_quantity",
+            "l_shipdate",
+        }, "column pruning must reach the parquet ReadSchema"
+
+    def test_q1_prunes_to_needed_columns(self, spark):
+        s = plan_summary(QUERIES["tpch_q1_pricing_summary"](spark, SF))
+        assert s["pushed_filters"]
+        assert s["exchanges"] == 1
+        assert "l_orderkey" not in s["read_columns"], "unused key columns pruned"
+
+    def test_returnflag_filter_pushed(self, spark):
+        s = plan_summary(QUERIES["returned_items_report"](spark, SF))
+        assert s["pushed_filters"]
+        assert s["smj"] == 0
+
+
+class TestShuffleBudget:
+    def test_hash_sample_is_pure_filter(self, spark):
+        s = plan_summary(QUERIES["doc_hash_sample"](spark, SF))
+        assert s["exchanges"] == 0, "deterministic sampling must not shuffle"
+
+    def test_mixture_resample_no_corpus_shuffle(self, spark):
+        s = plan_summary(QUERIES["doc_mixture_resample"](spark, SF))
+        # rates (tiny) may shuffle to aggregate; the corpus side must
+        # join them via broadcast, never sort-merge.
+        assert s["smj"] == 0 and s["shj"] == 0
+        assert s["bhj"] >= 1
+
+    def test_unpivot_no_shuffle(self, spark):
+        s = plan_summary(QUERIES["part_metrics_unpivot"](spark, SF))
+        assert s["exchanges"] == 0, "wide->long is a Generate, not an exchange"
+
+    def test_q2_reuses_partkey_partitioning(self, spark):
+        # agg on (l_partkey, l_suppkey) then window on l_partkey: the
+        # window needs its own exchange (key prefix != same key), but
+        # the dimension joins must not add shuffles.
+        s = plan_summary(QUERIES["min_cost_supplier_per_part"](spark, SF))
+        assert s["smj"] == 0
+        assert s["exchanges"] <= 2
+
+
+class TestPythonBoundary:
+    def test_relational_queries_stay_jvm_side(self, spark):
+        for name in (
+            "tpch_q1_pricing_summary",
+            "revenue_by_region",
+            "large_order_customers",
+            "doc_token_stats",
+            "doc_tfidf_top_terms",
+            "corpus_top_bigrams",
+        ):
+            s = plan_summary(QUERIES[name](spark, SF))
+            assert s["python_eval"] == 0, f"{name} must not leave the JVM"
