@@ -412,3 +412,67 @@ class TestStatefulStreaming:
                 spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
             else:
                 spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+class TestStreamJoins:
+    def _stream(self, spark, tmp_path, name, rows, schema):
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+        return spark.readStream.schema(schema).parquet(d)
+
+    def test_enrich_stream_static_broadcast(self, spark, tmp_path):
+        import datetime as dt
+
+        from textract_farmdata_pipeline_spark.streaming import enrich_stream
+
+        t0 = dt.datetime(2024, 1, 1)
+        ev = self._stream(
+            spark, tmp_path, "ev",
+            [(1, t0, 10, 1.0), (2, t0, 11, 2.0), (3, t0, 99, 3.0)],
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+        dim = spark.createDataFrame(
+            [(10, "gold"), (11, "trial")], "user_id long, tier string"
+        )
+        q = (
+            enrich_stream(ev, dim)
+            .writeStream.format("memory").queryName("enriched_mem")
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt-enrich")).start()
+        )
+        q.awaitTermination(60)
+        got = {r["event_id"]: r["tier"] for r in spark.table("enriched_mem").collect()}
+        assert got == {1: "gold", 2: "trial", 3: None}  # left join keeps unmatched
+
+    def test_correlate_streams_time_bound(self, spark, tmp_path):
+        import datetime as dt
+
+        from textract_farmdata_pipeline_spark.streaming import correlate_streams
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0)
+        m = dt.timedelta(minutes=1)
+        clicks = self._stream(
+            spark, tmp_path, "clicks",
+            [(1, t0, 10), (2, t0 + 30 * m, 11)],
+            "click_id long, ts timestamp, user_id long",
+        )
+        buys = self._stream(
+            spark, tmp_path, "buys",
+            [
+                (100, t0 + 5 * m, 10),    # within 1h of click 1
+                (101, t0 + 90 * m, 10),   # outside 1h of click 1
+                (102, t0 - 5 * m, 11),    # before click 2 -> excluded
+            ],
+            "buy_id long, r_ts timestamp, r_user_id long",
+        )
+        q = (
+            correlate_streams(clicks, buys, key="user_id", within="1 hour")
+            .writeStream.format("memory").queryName("corr_mem")
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt-corr")).start()
+        )
+        q.awaitTermination(120)
+        pairs = sorted(
+            (r["click_id"], r["buy_id"]) for r in spark.table("corr_mem").collect()
+        )
+        assert pairs == [(1, 100)]

@@ -5,6 +5,8 @@ from .stateful import (  # noqa: F401
     user_running_totals_tws,
 )
 from .events import (  # noqa: F401
+    correlate_streams,
+    enrich_stream,
     hourly_windows,
     read_events_stream,
     session_windows,

@@ -113,3 +113,50 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumnRenamed("ts", "ts_ns").withColumn(
         "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
     )
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join.
+
+    The static side is broadcast to every task of every micro-batch —
+    no stream-side state, no watermark needed, and the static plan is
+    re-resolved per batch so a refreshed dimension table (e.g. a
+    reloaded Delta/parquet snapshot) is picked up without restarting
+    the query.  The 100 TB/day pattern for attaching user / document /
+    experiment metadata to an event firehose.
+    """
+    return events.join(F.broadcast(dim), on, how)
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = DEFAULT_WATERMARK,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    right events for the same key within ``within`` *after* it.
+
+    Both sides buffer state; the watermark plus the two-sided time
+    bound lets the engine evict rows once no future match is possible
+    — without the time bound the join state would grow forever, which
+    is the difference between a demo and a pipeline.  The right side's
+    columns must be pre-renamed (``r_``-prefixed) so the joined schema
+    is unambiguous.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[f"r_{key}"])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner")
