@@ -30,6 +30,10 @@ HEADLINE = (
     "top_customers_by_revenue",
     "revenue_by_region",
     "order_running_totals",
+    "min_cost_supplier_per_part",
+    "volume_shipping_pairs",
+    "late_shipment_priority",
+    "lineitem_stats_profile",
     "events_sessionize",
     "events_hourly",
     "events_asof_join",
@@ -39,6 +43,9 @@ HEADLINE = (
     "doc_token_stats",
     "doc_fingerprint",
     "doc_rolling_fingerprint",
+    "doc_tfidf_top_terms",
+    "doc_mixture_resample",
+    "corpus_top_bigrams",
     "skew_safe_count_distinct",
     "embedding_cosine_topk",
     "embedding_ann_lsh",

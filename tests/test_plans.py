@@ -100,3 +100,25 @@ class TestPythonBoundary:
         ):
             s = plan_summary(QUERIES[name](spark, SF))
             assert s["python_eval"] == 0, f"{name} must not leave the JVM"
+
+
+class TestPartitionPruning:
+    def test_partitioned_layout_prunes_at_scan(self, spark, tmp_path):
+        """Hive-partitioned writes are the 100 TB layout contract: a
+        filter on the partition column must become a PartitionFilter
+        (directories never listed), not a row filter."""
+        import re
+
+        from textract_farmdata_pipeline_spark.plans.inspect import plan_text
+
+        src = spark.range(1000).selectExpr(
+            "id", "CAST(id % 4 AS STRING) AS part_key", "id * 2 AS value"
+        )
+        path = str(tmp_path / "partitioned")
+        src.write.partitionBy("part_key").parquet(path)
+
+        pruned = spark.read.parquet(path).filter("part_key = '2'")
+        text = plan_text(pruned)
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", text)
+        assert m and "part_key" in m.group(1), "filter must prune partitions"
+        assert pruned.count() == 250

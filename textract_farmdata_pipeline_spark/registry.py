@@ -2228,3 +2228,60 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import length_histogram
 
     return length_histogram(_t(spark, sf_dir, "documents"), bucket_width=100)
+
+
+_STATS_PROFILE_ORACLE = """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.5) AS p50_qty,
+  quantile_cont(l_quantity, 0.9) AS p90_qty,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    AS mean_price,
+  sqrt(
+    (CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+    / (COUNT(*) - 1)
+  ) AS sd_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("lineitem_stats_profile", _STATS_PROFILE_ORACLE)
+def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics profile: exact percentiles + mean/stddev.
+
+    stddev is computed from decimal SUM/SUM-of-squares (order-exact
+    partials; the built-in ``stddev`` accumulates doubles and is
+    order-dependent) and one IEEE ``sqrt`` (correctly rounded by spec,
+    so bit-identical on any engine).  Exact ``percentile`` is a
+    per-group sort — fine for bounded groups; at 100 TB unbounded
+    cardinality switch to ``approx_percentile`` (t-digest, map-side
+    mergeable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    sq = F.sum(
+        (F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(28,4)")
+    ).cast("double")
+    n = F.count("*")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+            F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+            n.alias("n_items"),
+            s.alias("_s"),
+            sq.alias("_sq"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_qty",
+            "p90_qty",
+            "n_items",
+            (F.col("_s") / F.col("n_items")).alias("mean_price"),
+            F.sqrt(
+                (F.col("_sq") - F.col("_s") * F.col("_s") / F.col("n_items"))
+                / (F.col("n_items") - 1)
+            ).alias("sd_price"),
+        )
+    )
