@@ -318,3 +318,33 @@ class TestSaltedJoin:
         left = spark.range(1).select(F.col("id").alias("k"))
         with _pytest.raises(AssertionError):
             salted_join(left, left, on=("k",), how="full")
+
+
+class TestConnectedComponents:
+    def test_two_components_and_chain(self, spark):
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            connected_components,
+        )
+
+        # component {1,2,3,4} as a worst-case chain + component {10,11}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+        )
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_label_is_component_min_regardless_of_direction(self, spark):
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            connected_components,
+        )
+
+        # min id appears only on the right-hand side
+        pairs = spark.createDataFrame([(5, 1), (5, 9)], "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {1: 1, 5: 1, 9: 1}

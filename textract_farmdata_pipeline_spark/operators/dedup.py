@@ -286,3 +286,62 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         packed = term if packed is None else packed + term
     return agg.select("doc_id", packed.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Union near-dup pairs into clusters: ``(node, cluster_id)`` with
+    ``cluster_id`` = the minimum node id in the component.
+
+    The keep-one-per-cluster step every pair-generating dedup needs
+    (MinHash/SimHash/embedding pairs only say *who* matches, not *which
+    group* a document belongs to).
+
+    Distributed min-label propagation: each round joins current labels
+    onto the edge list and takes the per-node min over self + neighbor
+    labels; converges in O(component diameter) rounds, which for
+    near-dup graphs (dense clique-ish clusters) is small.  Each round
+    is `localCheckpoint`-ed: lineage stays O(1) so round N's plan does
+    not replay rounds 1..N-1 — the difference between O(iter) and
+    O(iter²) work.  Convergence is detected by a changed-label count
+    (one tiny action per round).  For graphs with giant-diameter
+    components switch to the large-star/small-star formulation
+    (Kiveris et al., "Connected Components in MapReduce"), which this
+    implementation's per-round shape extends to.
+    """
+    from pyspark.sql import functions as F
+
+    e = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.localCheckpoint(eager=False)
+    labels = (
+        edges.select("src").distinct().select(
+            F.col("src").alias("node"), F.col("src").alias("label")
+        )
+    ).localCheckpoint(eager=False)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

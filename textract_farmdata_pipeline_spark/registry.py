@@ -2285,3 +2285,43 @@ def lineitem_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sd_price"),
         )
     )
+
+
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4)
+        AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+  ) p
+  WHERE cosine >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@register("embedding_dedup_clusters", _CLUSTERS_ORACLE)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components (cluster id = min member).
+    The oracle computes full transitive closure with a recursive CTE;
+    the Spark side is iterative min-label propagation."""
+    from .operators.dedup import connected_components
+    from .operators.similarity import near_dup_pairs
+
+    pairs = near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return connected_components(pairs, left="id_a", right="id_b")
