@@ -348,3 +348,32 @@ class TestConnectedComponents:
             for r in connected_components(pairs).collect()
         }
         assert got == {1: 1, 5: 1, 9: 1}
+
+
+class TestSketchProfile:
+    def test_error_bounds_vs_exact(self, spark):
+        from textract_farmdata_pipeline_spark.registry import QUERIES
+
+        sf = "/root/testdata/sf0.01"
+        got = {r["event_type"]: r for r in
+               QUERIES["events_sketch_profile"](spark, sf).collect()}
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        from pyspark.sql import functions as F
+
+        exact = {
+            r["event_type"]: r
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.countDistinct("user_id").alias("users"),
+                F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("pcts"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for et, e in exact.items():
+            g = got[et]
+            # HLL++ at rsd=0.02: allow 3 sigma
+            assert abs(g["approx_users"] - e["users"]) <= max(3, 0.06 * e["users"])
+            for approx_p, exact_p in zip(g["value_pcts"], e["pcts"]):
+                # t-digest with 10k accuracy on ~20k rows/group: tight
+                assert abs(approx_p - exact_p) <= max(0.05 * abs(exact_p), 0.05)

@@ -108,3 +108,57 @@ def range_join(
     )
     cond = (rt >= F.col(on) - lower) & (rt <= F.col(on) + upper)
     return l.join(r, [*by, "_bucket"]).filter(cond).drop("_bucket")
+
+
+def gap_fill_forward(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid with
+    forward-fill.
+
+    Per key: bucket events to the grid (one aggregate), build the
+    key's dense spine with ``sequence``-``explode`` (a Generate off a
+    2-column aggregate — the spine is never materialized driver-side),
+    left-join observations onto it, and forward-fill with a running
+    ``last(..., ignorenulls=True)`` window.  Two shuffles total (bucket
+    agg, spine join+window share the key partitioning).  The standard
+    prep for ML feature frames / downsampled dashboards over sparse
+    telemetry.
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else F.date_trunc(
+        "day", F.col(ts_col)
+    )
+    hourly = (
+        events.groupBy(F.col(key_col), bucket.alias("bucket_ts"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("bucket_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    spine = (
+        hourly.groupBy(key_col)
+        .agg(F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+            ).alias("bucket_ts"),
+        )
+    )
+    filled = spine.join(hourly, [key_col, "bucket_ts"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        key_col,
+        "bucket_ts",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.last("bucket_value", ignorenulls=True).over(w).alias("value_ff"),
+        F.col("bucket_value").isNull().alias("is_gap"),
+    )

@@ -2325,3 +2325,60 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
     return connected_components(pairs, left="id_a", right="id_b")
+
+
+_GAP_FILL_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value,
+    COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(MIN(h), MAX(h))) AS h
+  FROM hourly GROUP BY user_id
+)
+SELECT s.user_id AS user_id, s.h * 3600000000 AS bucket_us,
+  COALESCE(hh.n_events, 0) AS n_events,
+  last_value(hh.bucket_value IGNORE NULLS) OVER (
+    PARTITION BY s.user_id ORDER BY s.h
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+  hh.bucket_value IS NULL AS is_gap
+FROM spine s LEFT JOIN hourly hh ON s.user_id = hh.user_id AND s.h = hh.h
+"""
+
+
+@register("events_gap_fill", _GAP_FILL_ORACLE)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly grid with forward-filled values: dense spine via
+    sequence-explode (never driver-side), running last(ignorenulls)
+    fill.  The ML-feature-frame regularization op."""
+    from .operators.temporal import gap_fill_forward
+
+    ev = _events(spark, sf_dir)
+    out = gap_fill_forward(ev, key_col="user_id", ts_col="ts", value_col="value")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("bucket_ts")).alias("bucket_us"),
+        "n_events",
+        "value_ff",
+        "is_gap",
+    )
+
+
+@register("events_sketch_profile")  # no oracle: HLL / t-digest estimates
+def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per event type: HyperLogLog++ distinct users
+    and t-digest value percentiles (rows-only; error bounds vs exact
+    pinned in tests/test_northstar_ops.py).
+
+    The 100 TB shapes: both sketches are fixed-size, map-side-mergeable
+    partials — a distinct-user count or p99 over any corpus costs one
+    combine of KB-sized states, no (key, value) re-shuffle, no sort.
+    """
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
+        F.count("*").alias("n_events"),
+    )
