@@ -162,3 +162,71 @@ def gap_fill_forward(
         F.last("bucket_value", ignorenulls=True).over(w).alias("value_ff"),
         F.col("bucket_value").isNull().alias("is_gap"),
     )
+
+
+def cogroup_conversion_stats(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel stats via ``cogroup().applyInPandas``.
+
+    Demonstrates the co-grouped custom-op shape: both inputs hash to
+    the same key partitioning and each key's two groups arrive as a
+    pandas pair — the escape hatch when per-key logic needs both sides
+    at once and isn't a join (sequence alignment, per-entity model
+    scoring, custom sessionization).  Here the logic is deliberately
+    SQL-expressible (counts, first times, converted flag) so the
+    DuckDB oracle can hash-check the plumbing end-to-end.
+
+    One shuffle per side (same key), Arrow-batched transfer, no
+    driver involvement.
+    """
+    import pandas as pd
+
+    def stats(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        (user_id,) = key
+        first_click = int(left["ts_us"].min()) if len(left) else None
+        first_buy = int(right["ts_us"].min()) if len(right) else None
+        converted = (
+            first_click is not None
+            and first_buy is not None
+            and first_buy >= first_click
+        )
+        return pd.DataFrame(
+            [
+                (
+                    user_id,
+                    len(left),
+                    len(right),
+                    first_click,
+                    first_buy,
+                    converted,
+                )
+            ],
+            columns=[
+                "user_id",
+                "n_clicks",
+                "n_purchases",
+                "first_click_us",
+                "first_purchase_us",
+                "converted",
+            ],
+        )
+
+    lc = clicks.select(
+        F.col(key_col), F.unix_micros(F.col(ts_col)).alias("ts_us")
+    )
+    rc = purchases.select(
+        F.col(key_col), F.unix_micros(F.col(ts_col)).alias("ts_us")
+    )
+    return (
+        lc.groupBy(key_col)
+        .cogroup(rc.groupBy(key_col))
+        .applyInPandas(
+            stats,
+            "user_id long, n_clicks long, n_purchases long, "
+            "first_click_us long, first_purchase_us long, converted boolean",
+        )
+    )

@@ -2382,3 +2382,102 @@ def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
         F.count("*").alias("n_events"),
     )
+
+
+_DECILE_ORACLE = """
+SELECT event_type, decile,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS decile_value
+FROM (
+  SELECT event_type, value,
+    CAST(NTILE(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS BIGINT) AS decile
+  FROM events
+) t
+GROUP BY event_type, decile
+"""
+
+
+@register("events_value_deciles", _DECILE_ORACLE)
+def events_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth value deciles per event type (NTILE window + rollup;
+    the event_id tiebreak makes bucket assignment total-order
+    deterministic across engines)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.ntile(10).over(w).cast("long").alias("decile"),
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("decile_value"),
+        )
+    )
+
+
+_COGROUP_ORACLE = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'
+),
+keys AS (
+  SELECT user_id FROM c UNION SELECT user_id FROM p
+)
+SELECT k.user_id AS user_id,
+  (SELECT COUNT(*) FROM c WHERE c.user_id = k.user_id) AS n_clicks,
+  (SELECT COUNT(*) FROM p WHERE p.user_id = k.user_id) AS n_purchases,
+  (SELECT MIN(ts_us) FROM c WHERE c.user_id = k.user_id) AS first_click_us,
+  (SELECT MIN(ts_us) FROM p WHERE p.user_id = k.user_id) AS first_purchase_us,
+  COALESCE(
+    (SELECT MIN(ts_us) FROM p WHERE p.user_id = k.user_id)
+      >= (SELECT MIN(ts_us) FROM c WHERE c.user_id = k.user_id),
+    FALSE) AS converted
+FROM keys k
+"""
+
+
+@register("events_cogroup_funnel", _COGROUP_ORACLE)
+def events_cogroup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user click/purchase funnel via cogrouped applyInPandas —
+    the custom two-sided per-key operator shape, oracle-checked."""
+    from .operators.temporal import cogroup_conversion_stats
+
+    ev = _events(spark, sf_dir)
+    return cogroup_conversion_stats(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+def _zorder_oracle() -> str:
+    from .operators.zorder import zorder_sql
+
+    expr = zorder_sql(["p_size", "CAST(FLOOR(p_retailprice / 10) AS BIGINT)"], bits=8)
+    return f"""
+SELECT p_partkey, p_size,
+  CAST(FLOOR(p_retailprice / 10) AS BIGINT) AS price_bucket,
+  CAST({expr} AS BIGINT) AS zkey
+FROM part
+"""
+
+
+@register("part_zorder_key", _zorder_oracle())
+def part_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-interleaved (size, price-bucket) layout key — pure
+    codegen integer arithmetic, oracle-checked bit for bit."""
+    from .operators.zorder import zorder_key
+
+    part = _t(spark, sf_dir, "part")
+    price_bucket = F.floor(F.col("p_retailprice") / 10).cast("long")
+    return part.select(
+        "p_partkey",
+        "p_size",
+        price_bucket.alias("price_bucket"),
+        zorder_key([F.col("p_size"), price_bucket], bits=8).cast("long").alias("zkey"),
+    )
