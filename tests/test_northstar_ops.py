@@ -377,3 +377,46 @@ class TestSketchProfile:
             for approx_p, exact_p in zip(g["value_pcts"], e["pcts"]):
                 # t-digest with 10k accuracy on ~20k rows/group: tight
                 assert abs(approx_p - exact_p) <= max(0.05 * abs(exact_p), 0.05)
+
+
+class TestScd2Merge:
+    def test_all_transition_kinds(self, spark):
+        from textract_farmdata_pipeline_spark.operators.scd import scd2_merge
+
+        current = spark.createDataFrame(
+            [
+                (1, "A", 0, 500),   # closed history row: untouched
+                (1, "B", 500, None),  # open, update changes -> close + reopen
+                (2, "X", 0, None),  # open, identical update -> stays open
+                (3, "Y", 0, None),  # open, no update -> stays open
+            ],
+            "k long, attr string, valid_from long, valid_to long",
+        )
+        updates = spark.createDataFrame(
+            [(1, "C", 900), (2, "X", 900), (4, "NEW", 900)],
+            "k long, attr string, ts long",
+        )
+        got = sorted(
+            map(tuple, scd2_merge(current, updates, "k", ["attr"]).collect())
+        )
+        assert got == sorted(
+            [
+                (1, "A", 0, 500),
+                (1, "B", 500, 900),
+                (1, "C", 900, None),
+                (2, "X", 0, None),
+                (3, "Y", 0, None),
+                (4, "NEW", 900, None),
+            ]
+        )
+
+    def test_null_safe_attr_compare(self, spark):
+        from textract_farmdata_pipeline_spark.operators.scd import scd2_merge
+
+        current = spark.createDataFrame(
+            [(1, None, 0, None)], "k long, attr string, valid_from long, valid_to long"
+        )
+        updates = spark.createDataFrame([(1, None, 50)], "k long, attr string, ts long")
+        got = scd2_merge(current, updates, "k", ["attr"]).collect()
+        # NULL <=> NULL is a match: nothing closes, nothing opens
+        assert [tuple(r) for r in got] == [(1, None, 0, None)]

@@ -2481,3 +2481,139 @@ def part_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         price_bucket.alias("price_bucket"),
         zorder_key([F.col("p_size"), price_bucket], bits=8).cast("long").alias("zkey"),
     )
+
+
+_DQ_AUDIT_ORACLE = """
+SELECT 'orders_orphan_custkey' AS check_name,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    AS n_violations
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+  (SELECT COUNT(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem_dup_line_ids',
+  (SELECT COUNT(*) FROM (
+     SELECT l_orderkey, l_linenumber FROM lineitem
+     GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+UNION ALL
+SELECT 'orders_null_priority',
+  (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL)
+UNION ALL
+SELECT 'lineitem_nonpositive_price',
+  (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0)
+UNION ALL
+SELECT 'lineitem_discount_out_of_range',
+  (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+"""
+
+
+@register("data_quality_audit", _DQ_AUDIT_ORACLE)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit as data: FK orphans (broadcast anti joins),
+    duplicate natural keys, null/range violations — one long-format
+    row per check.  Every check is a scan-plus-aggregate; the unions
+    execute as independent stages, so the audit parallelizes across
+    the cluster instead of serializing per check.
+
+    (The synthetic lineitem intentionally carries duplicate
+    (l_orderkey, l_linenumber) pairs — the audit *finding* that, with
+    both engines agreeing on the count, is the test.)"""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("long").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    orphans_o = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    orphans_l = li.join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    )
+    dup_lines = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    return (
+        one("orders_orphan_custkey", orphans_o)
+        .unionAll(one("lineitem_orphan_orderkey", orphans_l))
+        .unionAll(one("lineitem_dup_line_ids", dup_lines))
+        .unionAll(one("orders_null_priority", orders.filter(F.col("o_orderpriority").isNull())))
+        .unionAll(one("lineitem_nonpositive_price", li.filter(F.col("l_extendedprice") <= 0)))
+        .unionAll(
+            one(
+                "lineitem_discount_out_of_range",
+                li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+            )
+        )
+    )
+
+
+_SCD2_ORACLE = """
+WITH current AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+    CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+  FROM customer
+),
+updates AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 3 = 0 THEN 'AUTOMOBILE' ELSE c_mktsegment END
+      AS c_mktsegment,
+    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+      AS c_acctbal,
+    CAST(1000 AS BIGINT) AS ts
+  FROM customer
+),
+changed AS (
+  SELECT u.* FROM updates u JOIN current c ON u.c_custkey = c.c_custkey
+  WHERE NOT (u.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
+             AND u.c_acctbal IS NOT DISTINCT FROM c.c_acctbal)
+)
+SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, c.valid_from,
+  CASE WHEN ch.c_custkey IS NOT NULL THEN CAST(1000 AS BIGINT) END AS valid_to
+FROM current c LEFT JOIN changed ch ON c.c_custkey = ch.c_custkey
+UNION ALL
+SELECT c_custkey, c_mktsegment, c_acctbal, ts AS valid_from,
+  CAST(NULL AS BIGINT) AS valid_to
+FROM changed
+"""
+
+
+@register("customer_scd2_merge", _SCD2_ORACLE)
+def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 upsert-with-history: a deterministic update batch (segment
+    and balance changes for key subsets) applied to the customer
+    snapshot — closed versions keep their span, changed keys close at
+    the batch ts and reopen.  MERGE-INTO semantics as one keyed join
+    pass."""
+    from .operators.scd import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    updates = cust.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("AUTOMOBILE"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.lit(1000).cast("long").alias("ts"),
+    )
+    return scd2_merge(
+        current, updates, key="c_custkey", attrs=["c_mktsegment", "c_acctbal"]
+    )
