@@ -233,3 +233,42 @@ def corpus_ngram_counts(
         .orderBy(F.desc("n_occurrences"), F.asc("shingle"))
         .limit(top)
     )
+
+
+def build_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    num_shards: int = 16,
+    decontam_n: int = 3,
+    by: str = "source",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end corpus build: exact dedup → eval-set
+    decontamination → uniform domain-mixture resample → training-shard
+    layout, composed from this module's operators into one lazy plan.
+
+    Stage plan shapes (nothing here is new — the composition is the
+    point): dedup shuffles md5 digests only; decontamination is a
+    broadcast semi-filter (no corpus shuffle); the mixture join
+    broadcasts #domains rows; sharding shuffles once on shard id.
+    Catalyst fuses the narrow stages, so the corpus body is scanned
+    once end-to-end.  Returns ``(key, domain, shard, shard_pos)`` —
+    the manifest a loader consumes.
+    """
+    from .dedup import exact_dedup_by_hash
+
+    keep = exact_dedup_by_hash(docs, text_col=text_col).select(
+        F.col("keep_doc_id").alias(key_col)
+    )
+    base = docs.join(keep, key_col)
+    contaminated = decontaminate(
+        base, eval_docs, n=decontam_n, text_col=text_col, id_col=key_col
+    ).select(key_col)
+    clean = base.join(F.broadcast(contaminated), key_col, "left_anti")
+    sampled = mixture_resample(
+        clean.select(key_col, by), by=by, key_col=key_col
+    )
+    return shuffle_shards(sampled, key_col, num_shards).select(
+        key_col, by, "shard", "shard_pos"
+    )

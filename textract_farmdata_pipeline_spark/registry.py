@@ -2617,3 +2617,64 @@ def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_merge(
         current, updates, key="c_custkey", attrs=["c_mktsegment", "c_acctbal"]
     )
+
+
+_CORPUS_BUILD_ORACLE = """
+WITH dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+base AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d JOIN dedup USING (doc_id)
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+sh AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+),
+evtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0
+),
+evsh AS (
+  SELECT DISTINCT array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM evtoks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+),
+contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN evsh USING (shingle)),
+clean AS (
+  SELECT b.doc_id, b.source FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = b.doc_id)
+),
+counts AS (SELECT source, COUNT(*) AS n_docs FROM clean GROUP BY source),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_groups FROM counts),
+rates AS (
+  SELECT source, LEAST(1.0, CAST(total AS DOUBLE) / n_groups / n_docs) AS rate
+  FROM counts, tot
+),
+sampled AS (
+  SELECT c.doc_id, c.source FROM clean c JOIN rates r USING (source)
+  WHERE CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 1000000 < r.rate * 1000000
+)
+SELECT doc_id, source, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS INTEGER) AS shard_pos
+FROM (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5('|shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 16 AS shard,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM sampled
+) s
+"""
+
+
+@register("corpus_build_pipeline", _CORPUS_BUILD_ORACLE)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus build: exact dedup → 3-gram decontamination
+    against the doc_id%97 holdout → uniform source mixture → 16-shard
+    training layout, one lazy plan end-to-end, hash-checked against
+    the equivalent five-CTE SQL."""
+    from .operators.corpus import build_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_corpus(
+        docs, docs.filter(F.col("doc_id") % 97 == 0), num_shards=16, decontam_n=3
+    )
