@@ -2678,3 +2678,43 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_corpus(
         docs, docs.filter(F.col("doc_id") % 97 == 0), num_shards=16, decontam_n=3
     )
+
+
+_SEQ_ORACLE = """
+SELECT user_id,
+  COUNT(*) AS n_events,
+  CAST(len(list_distinct(list(event_type))) AS BIGINT) AS n_distinct_types,
+  array_to_string(
+    list(event_type ORDER BY epoch_us(ts), event_id)[1:10], '>') AS seq_head,
+  list(event_type ORDER BY epoch_us(ts), event_id)[1] AS first_type,
+  list(event_type ORDER BY epoch_us(ts), event_id)[-1] AS last_type
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("user_event_sequences", _SEQ_ORACLE)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type sequences via array aggregation +
+    higher-order functions: collect structs, ``array_sort`` on the
+    (ts, event_id) prefix, ``transform`` down to types.  The
+    behavioral-sequence shape (session path mining, next-event
+    models); per-user state is one array, assembled in a single
+    shuffle."""
+    ev = _events(spark, sf_dir)
+    seq = F.array_sort(
+        F.collect_list(F.struct("ts_us", "event_id", "event_type"))
+    )
+    types = F.expr("transform(_seq, x -> x.event_type)")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), seq.alias("_seq"))
+        .select(
+            "user_id",
+            "n_events",
+            F.size(F.array_distinct(types)).cast("long").alias("n_distinct_types"),
+            F.array_join(F.slice(types, 1, 10), ">").alias("seq_head"),
+            F.element_at(types, 1).alias("first_type"),
+            F.element_at(types, -1).alias("last_type"),
+        )
+    )
