@@ -157,3 +157,35 @@ def merge_positional(base: list[str], continuation: list[str]) -> list[str]:
                 merged[i] = value
             cursor += 1
     return merged
+
+
+def make_chunk_udtf():
+    """A Python UDTF (Spark 4 table function) for overlapping token
+    chunking: one input row fans out to ceil(n/stride) chunk rows.
+
+    The UDTF form exists for the API surface (LATERAL-joinable,
+    SQL-registerable, arbitrary Python per row); the codegen
+    formulation of the same op (``operators/preprocess.chunk_tokens``)
+    is the hot-path default — a UDTF is a row-at-a-time Python
+    boundary and should wrap logic Spark expressions cannot state.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk_text string, n_chunk_tokens int")
+    class ChunkTokens:
+        def eval(self, doc_id: int, text: str, size: int, overlap: int):
+            toks = text.split(" ")
+            stride = max(size - overlap, 1)
+            idx = 0
+            pos = 0
+            while True:
+                chunk = toks[pos : pos + size]
+                if not chunk and idx > 0:
+                    break
+                yield doc_id, idx, " ".join(chunk), len(chunk)
+                if pos + size >= len(toks):
+                    break
+                idx += 1
+                pos += stride
+
+    return ChunkTokens

@@ -2718,3 +2718,66 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(types, -1).alias("last_type"),
         )
     )
+
+
+_VARIANT_ORACLE = """
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT)
+    AS k_bucket,
+  COUNT(*) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY k_bucket
+"""
+
+
+@register("events_variant_extract", _VARIANT_ORACLE)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads via the Spark 4 VARIANT type:
+    ``parse_json`` once, typed ``try_variant_get`` paths after —
+    binary-encoded traversal instead of per-access string re-parsing
+    (the shredded-JSON answer to wide telemetry payloads at scale)."""
+    ev = _events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select(k.alias("_k"), "user_id", "value")
+        .groupBy(F.floor(F.col("_k") / 10).cast("long").alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+_CHUNK_UDTF_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+n AS (
+  SELECT doc_id, toks, len(toks) AS L,
+    greatest(CAST(ceil((len(toks) - 64) / 56.0) AS BIGINT) + 1, 1) AS nc
+  FROM d
+)
+SELECT doc_id,
+  CAST(i - 1 AS INTEGER) AS chunk_idx,
+  array_to_string(toks[(i-1)*56 + 1 : (i-1)*56 + 64], ' ') AS chunk_text,
+  CAST(least(64, L - (i-1)*56) AS INTEGER) AS n_chunk_tokens
+FROM n, LATERAL unnest(generate_series(1, nc)) AS t(i)
+"""
+
+
+@register("doc_chunk_udtf", _CHUNK_UDTF_ORACLE)
+def doc_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token chunks (stride 56) via a Python UDTF in a
+    LATERAL join — the Spark-4 table-function surface, hash-checked
+    against the pure-SQL stride formulation."""
+    from .functions.parsing import make_chunk_udtf
+
+    spark.udtf.register("chunk_tokens_udtf", make_chunk_udtf())
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.n_chunk_tokens
+        FROM docs_for_udtf d,
+             LATERAL chunk_tokens_udtf(d.doc_id, d.text, 64, 8) c
+        """
+    )
