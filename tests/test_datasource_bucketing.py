@@ -94,3 +94,51 @@ class TestBucketedJoin:
         assert n_plain >= 2, "sanity: the unbucketed SMJ shuffles both sides"
         # and it still returns the right rows
         assert joined.count() == plain.count()
+
+
+class TestStreamingDataSource:
+    @pytest.fixture(scope="class")
+    def registered(self, spark):
+        from textract_farmdata_pipeline_spark.sources.datasource import (
+            TextractDataSource,
+        )
+
+        spark.dataSource.register(TextractDataSource)
+        return spark
+
+    def test_stream_matches_batch_and_batches_by_offset(self, registered, tmp_path):
+        """readStream through the same DataSource: one file per
+        micro-batch (offset advance = files_per_trigger), total rows
+        identical to the batch read."""
+        keys = ",".join(f"raw/doc-{i}.pdf" for i in range(3))
+        batch = (
+            registered.read.format("textract_ocr")
+            .option("bucket", "b").option("keys", keys)
+            .option("backend", "fake").load()
+        )
+        stream = (
+            registered.readStream.format("textract_ocr")
+            .option("bucket", "b").option("keys", keys)
+            .option("backend", "fake").option("files_per_trigger", "1")
+            .load()
+        )
+        want = sorted(map(tuple, batch.collect()))
+        q = (
+            stream.writeStream.format("memory").queryName("ocr_stream_mem")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt-ds"))
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if registered.table("ocr_stream_mem").count() >= len(want):
+                break
+            time.sleep(1)
+        q.stop()
+        got = sorted(map(tuple, registered.table("ocr_stream_mem").collect()))
+        assert got == want
+        # offset pacing: three non-empty micro-batches, one per file
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        assert n_batches == 3
