@@ -2781,3 +2781,42 @@ def doc_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL chunk_tokens_udtf(d.doc_id, d.text, 64, 8) c
         """
     )
+
+
+_RECURSIVE_SQL_BODY = """
+WITH RECURSIVE inst AS (
+  SELECT o_orderkey,
+    CAST(0 AS BIGINT) AS level,
+    CAST(0 AS BIGINT) AS payment_cents,
+    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS remaining_cents
+  FROM {orders} WHERE o_totalprice > 400000
+  UNION ALL
+  SELECT o_orderkey,
+    level + 1,
+    remaining_cents / 4,
+    remaining_cents - remaining_cents / 4
+  FROM inst
+  WHERE level < 6 AND remaining_cents > 100000
+)
+SELECT o_orderkey, level, payment_cents, remaining_cents FROM inst
+"""
+
+
+@register(
+    "order_installment_recursion",
+    _RECURSIVE_SQL_BODY.format(orders="orders").replace(
+        "remaining_cents / 4", "remaining_cents // 4"
+    ),
+)
+def order_installment_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4): bounded installment expansion — each
+    big order unrolls into a payment schedule (25% of remaining per
+    level, integer-cents arithmetic so both engines recurse
+    identically).  The anchor is a pushed-down filtered scan; each
+    recursion level is one narrow self-step, no Python."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec")
+    return spark.sql(
+        _RECURSIVE_SQL_BODY.format(orders="orders_rec").replace(
+            "remaining_cents / 4", "CAST(remaining_cents / 4 AS BIGINT)"
+        )
+    )
