@@ -243,6 +243,7 @@ def build_corpus(
     by: str = "source",
     key_col: str = "doc_id",
     text_col: str = "text",
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """The end-to-end corpus build: exact dedup → eval-set
     decontamination → uniform domain-mixture resample → training-shard
@@ -261,14 +262,25 @@ def build_corpus(
     keep = exact_dedup_by_hash(docs, text_col=text_col).select(
         F.col("keep_doc_id").alias(key_col)
     )
+    # base feeds the decontamination shingle explode AND the anti join;
+    # clean feeds the mixture-rate aggregate AND the resample join.
+    # persist_intermediate materializes both so each corpus pass runs
+    # once instead of per consumer — a loss at test scale (cache cost
+    # exceeds the cheap recompute), the right call when a pass means
+    # re-scanning 100 TB; at that size prefer staging-table writes,
+    # which also survive executor loss.
     base = docs.join(keep, key_col)
+    if persist_intermediate:
+        base = base.persist()
     contaminated = decontaminate(
         base, eval_docs, n=decontam_n, text_col=text_col, id_col=key_col
     ).select(key_col)
-    clean = base.join(F.broadcast(contaminated), key_col, "left_anti")
-    sampled = mixture_resample(
-        clean.select(key_col, by), by=by, key_col=key_col
+    clean = base.join(F.broadcast(contaminated), key_col, "left_anti").select(
+        key_col, by
     )
+    if persist_intermediate:
+        clean = clean.persist()
+    sampled = mixture_resample(clean, by=by, key_col=key_col)
     return shuffle_shards(sampled, key_col, num_shards).select(
         key_col, by, "shard", "shard_pos"
     )

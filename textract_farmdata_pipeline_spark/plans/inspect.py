@@ -49,6 +49,17 @@ def plan_summary(df: DataFrame) -> dict:
     s["smj"] = ops.get("SortMergeJoin", 0)
     s["shj"] = ops.get("ShuffledHashJoin", 0)
     s["bnlj"] = ops.get("BroadcastNestedLoopJoin", 0)
+    s["python_eval"] = sum(
+        ops.get(n, 0)
+        for n in (
+            "ArrowEvalPython",
+            "BatchEvalPython",
+            "FlatMapGroupsInPandas",
+            "MapInPandas",
+            "FlatMapCoGroupsInPandas",
+            "PythonDataSource",
+        )
+    )
     s["pushed_filters"] = bool(re.search(r"PushedFilters: \[[^\]]", text))
     s["read_columns"] = sorted(
         set(
