@@ -1005,7 +1005,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_ORACLE = """
 SELECT event_type,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
   COUNT(*) AS n_events
 FROM events
 GROUP BY event_type
@@ -1229,7 +1229,7 @@ def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FINGERPRINT_ORACLE = """
 SELECT doc_id,
-  SUM(i * CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)) AS fingerprint
+  CAST(SUM(i * CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)) AS BIGINT) AS fingerprint
 FROM (
   SELECT doc_id,
     unnest(string_split(text, ' ')) AS tok,

@@ -114,6 +114,35 @@ def main() -> int:
             continue
 
         problems = []
+        # Portability audit: DuckDB HUGEINT (SUM over BIGINT) degrades to
+        # float64/object under pandas materialization on the driver side and
+        # hash-mismatches Spark's int64 even when numerically equal.  Catch it
+        # here: DESCRIBE the oracle and fail on HUGEINT-kind outputs, and on
+        # int-vs-float kind drift against the Spark schema.
+        try:
+            desc = con.execute("DESCRIBE " + oracles[name]).fetchall()
+            d_types = {r[0]: r[1] for r in desc}
+            s_types = dict(sdf.dtypes)
+
+            def kind(t: str) -> str:
+                t = t.upper()
+                if "HUGEINT" in t:
+                    return "hugeint"
+                if any(k in t.replace("BIGINT", "INT") for k in ("INT", "LONG", "SHORT", "BYTE")):
+                    return "int"
+                if any(k in t for k in ("DOUBLE", "FLOAT", "REAL")):
+                    return "float"
+                if "DECIMAL" in t:
+                    return "decimal"
+                return "other"
+
+            for c, dt in d_types.items():
+                if kind(dt) == "hugeint":
+                    problems.append(f"oracle col {c} is HUGEINT ({dt}): cast to BIGINT/DOUBLE for driver portability")
+                elif c in s_types and {kind(dt), kind(s_types[c])} == {"int", "float"}:
+                    problems.append(f"type-kind drift on {c}: spark={s_types[c]} duck={dt}")
+        except Exception:  # noqa: BLE001  pragma: no cover - DESCRIBE unsupported for some stmts
+            pass
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
