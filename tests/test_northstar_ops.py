@@ -282,6 +282,30 @@ class TestSimhashPairs:
         assert got == want
 
 
+class TestTwoPhaseCountDistinct:
+    def test_null_values_excluded_like_count_distinct(self, spark):
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            count_distinct_two_phase,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "x"), ("a", "x"), ("a", None), ("a", "y"),
+             ("b", None), ("b", None), ("c", "z")],
+            "k string, v string",
+        )
+        got = {
+            r["k"]: r["n"]
+            for r in count_distinct_two_phase(df, key="k", value_cols={"v": "n"}).collect()
+        }
+        want = {
+            r["k"]: r["n"]
+            for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+        }
+        # NULLs don't count as a value, and an all-NULL key still
+        # appears with count 0 — exactly countDistinct's semantics.
+        assert got == want == {"a": 2, "b": 0, "c": 1}
+
+
 class TestSaltedJoin:
     def test_matches_plain_join_on_skewed_data(self, spark):
         from textract_farmdata_pipeline_spark.operators.skew import salted_join

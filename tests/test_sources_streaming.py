@@ -157,6 +157,67 @@ class TestTextractConnector:
                 listing, client_factory=lambda b: cls(), poll_delay=0, fail_fast=True
             ).collect()
 
+    def test_failed_job_raises_not_empty(self):
+        """A FAILED terminal job must raise (reference
+        lambda_function.py:802-803), never silently yield zero blocks —
+        an empty result is indistinguishable from an empty document."""
+        from textract_farmdata_pipeline_spark.sources.textract import _ocr_one
+
+        class FailingJob:
+            def start_document_text_detection(self, **kw):
+                return {"JobId": "j1"}
+
+            def get_document_text_detection(self, **kw):
+                return {"JobStatus": "FAILED", "Blocks": []}
+
+        with pytest.raises(RuntimeError, match="FAILED"):
+            list(_ocr_one(FailingJob(), "bkt", "k.pdf", poll_delay=0, max_wait=1))
+
+    def test_failed_job_isolated_by_listing(self, spark):
+        """fail_fast=False: the FAILED document contributes no rows but
+        healthy documents still flow (S11 fault isolation)."""
+        from textract_farmdata_pipeline_spark.sources import ocr_listing
+
+        good_block = _block("John Smith, 10", 0.1, 0.1)
+
+        def make_client(fail_key):
+            # local class + pre-captured plain dict: cloudpickle ships
+            # everything by value (test modules don't exist on executors)
+            class Client:
+                def start_document_text_detection(self, DocumentLocation):
+                    key = DocumentLocation["S3Object"]["Name"]
+                    return {"JobId": f"job-{key}"}
+
+                def get_document_text_detection(self, JobId, NextToken=None):
+                    if JobId == f"job-{fail_key}":
+                        return {"JobStatus": "FAILED", "Blocks": []}
+                    return {"JobStatus": "SUCCEEDED", "Blocks": [good_block]}
+
+            return Client
+
+        cls = make_client("raw/bad.pdf")
+        listing = spark.createDataFrame(
+            [("bkt", "raw/good.pdf"), ("bkt", "raw/bad.pdf")],
+            "bucket string, key string",
+        )
+        rows = ocr_listing(listing, client_factory=lambda b: cls(), poll_delay=0).collect()
+        assert {r["doc_id"] for r in rows} == {"good"}
+
+    def test_nonterminal_job_hits_wall_clock_timeout(self):
+        """poll_delay=0 must not busy-spin forever: max_wait is a
+        wall-clock deadline, not a sum of sleeps."""
+        from textract_farmdata_pipeline_spark.sources.textract import _ocr_one
+
+        class NeverDone:
+            def start_document_text_detection(self, **kw):
+                return {"JobId": "j1"}
+
+            def get_document_text_detection(self, **kw):
+                return {"JobStatus": "IN_PROGRESS"}
+
+        with pytest.raises(TimeoutError):
+            list(_ocr_one(NeverDone(), "bkt", "k.pdf", poll_delay=0, max_wait=0.05))
+
 
 class TestCsvSink:
     def test_per_document_layout(self, spark, tmp_path):

@@ -20,9 +20,12 @@ F6 note: the reference scans tokens of the pre-comma head, skipping
 leading junk tokens (only ``_``/``-``), then either matches
 initial/proper-name patterns (which all require an ASCII-uppercase first
 letter) or falls back to "first char of the first non-junk token is
-uppercase".  Every accepting path therefore reduces to: *the first
-non-junk whitespace token of the head starts with ``[A-Z]``* — one
-anchored regex, verified against goldens generated from the reference.
+uppercase (Unicode) AND that token contains an ASCII letter"
+(lambda_function.py:212, 216).  Every accepting path therefore reduces
+to: *the first non-junk whitespace token of the head starts with an
+uppercase letter and contains ``[A-Za-z]``* — one anchored regex
+(lookahead-free for RE2), verified against goldens generated from the
+reference.
 """
 
 from __future__ import annotations
@@ -71,8 +74,13 @@ HEADER_REGEX = _HEADER_RE
 # runs of junk tokens (only _/-) then an uppercase first letter.
 # \p{Lu} (not [A-Z]) because the reference's fallback uses Python
 # ``str.isupper()``, which accepts Unicode uppercase; Java regex and
-# DuckDB's RE2 agree on the Lu category.
-_NAME_START_RE = r"^([_\-]+\s+)*\p{Lu}"
+# DuckDB's RE2 agree on the Lu category.  The reference's fallback
+# additionally requires an ASCII letter somewhere in the first token
+# (lambda_function.py:216) — RE2 has no lookahead, so encode it as an
+# alternation: ASCII-uppercase first char, or Unicode-uppercase first
+# char with an ASCII letter later in the same token (\S cannot cross
+# the token's trailing whitespace).
+_NAME_START_RE = r"^([_\-]+\s+)*([A-Z]|\p{Lu}\S*[A-Za-z])"
 NAME_START_REGEX = _NAME_START_RE
 
 
@@ -151,7 +159,12 @@ def py_starts_with_name(text: str) -> bool:
         return False
     head = text.split(",", 1)[0].strip()
     rest = head[_JUNK_PREFIX.match(head).end() :]
-    return bool(rest) and rest[0].isupper()
+    if not rest or not rest[0].isupper():
+        return False
+    # Reference fallback also demands an ASCII letter in the first
+    # token (lambda_function.py:216): "ÉÀ" is not a name head.
+    first_token = rest.split(None, 1)[0]
+    return re.search(r"[A-Za-z]", first_token) is not None
 
 
 def py_is_continuation_line(text: str) -> bool:

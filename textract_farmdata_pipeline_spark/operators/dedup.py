@@ -52,11 +52,15 @@ def count_distinct_two_phase(
     out: DataFrame | None = None
     for col, alias in value_cols.items():
         branch = (
+            # Phase 2 uses count(col), not count(*): the NULL-value
+            # group survives phase 1 (keeping every key present, even
+            # all-NULL ones, at count 0) but must not count as a
+            # distinct value — SQL COUNT(DISTINCT x) excludes NULLs.
             df.select(key, col)
             .groupBy(key, col)
             .agg(F.lit(1))
             .groupBy(key)
-            .agg(F.count("*").alias(alias))
+            .agg(F.count(col).alias(alias))
         )
         out = branch if out is None else out.join(branch, key)
     return out
@@ -257,7 +261,7 @@ def simhash_near_dup_pairs(
     )
 
 
-SIMHASH_BITS = 48  # md5[:12] hex chars → 48 bits, positive in BIGINT
+SIMHASH_BITS = 48  # xxhash64 masked to its low 48 bits, positive in BIGINT
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:

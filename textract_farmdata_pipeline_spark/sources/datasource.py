@@ -123,7 +123,12 @@ class TextractStreamReader(SimpleDataSourceStreamReader):
         self.bucket = options.get("bucket", "")
         self.keys = [k for k in options.get("keys", "").split(",") if k]
         self.backend = options.get("backend", "fake")
-        self.poll_delay = float(options.get("poll_delay", "0"))
+        # Match the batch reader's 2 s reference default for real
+        # backends; the fake backend resolves jobs instantly, so polling
+        # never sleeps there.  (_ocr_one's max_wait is wall-clock, so
+        # even poll_delay=0 cannot busy-spin past the deadline.)
+        default_delay = "0" if self.backend == "fake" else "2"
+        self.poll_delay = float(options.get("poll_delay", default_delay))
         self.max_wait = float(options.get("max_wait", "900"))
         self.per_trigger = int(options.get("files_per_trigger", "1"))
 

@@ -75,15 +75,24 @@ def _ocr_one(
         DocumentLocation={"S3Object": {"Bucket": bucket, "Name": key}}
     )
     job_id = job["JobId"]
-    waited = 0.0
+    deadline = time.monotonic() + max_wait
     while True:
         resp = client.get_document_text_detection(JobId=job_id)
         if resp["JobStatus"] in TERMINAL_STATES:
             break
-        time.sleep(poll_delay)
-        waited += poll_delay
-        if waited >= max_wait:
+        # Wall-clock deadline (not summed poll_delay): with poll_delay=0
+        # a never-terminal job must still hit max_wait instead of
+        # busy-spinning forever.
+        if time.monotonic() >= deadline:
             raise TimeoutError(f"Textract job {job_id} timed out")
+        time.sleep(poll_delay)
+    # The reference raises on any non-SUCCEEDED terminal state
+    # (lambda_function.py:802-803); silently yielding zero blocks for a
+    # FAILED job would be indistinguishable from an empty document.
+    # ocr_listing's fault-isolation path (fail_fast=False) catches this
+    # per file, matching the reference's log-and-continue handler loop.
+    if resp["JobStatus"] != "SUCCEEDED":
+        raise RuntimeError(f"Textract job {job_id} failed: {resp['JobStatus']}")
     while True:
         yield from resp.get("Blocks", [])
         token = resp.get("NextToken")
