@@ -70,6 +70,15 @@ def main() -> None:
         timings: dict[str, float] = {}
         for name in HEADLINE:
             fn = QUERIES[name]
+            # Release the previous query's broadcast/shuffle debt before
+            # timing, not during: Spark's ContextCleaner frees broadcast
+            # blocks only after the corresponding Python/JVM objects are
+            # GC'd, and an unlucky full GC mid-query otherwise lands in
+            # that query's wall time.
+            import gc
+
+            gc.collect()
+            spark._jvm.System.gc()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)

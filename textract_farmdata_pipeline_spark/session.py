@@ -32,7 +32,10 @@ def get_spark(
         # so read raw nanos (registry._events derives µs views).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM hosts all executor threads, so the
+        # heap serves 32-way shuffles AND broadcast rebuild debt; 16g
+        # keeps mid-bench full-GC stalls out of query timings.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
     )
     return builder.getOrCreate()
