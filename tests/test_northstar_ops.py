@@ -444,3 +444,152 @@ class TestScd2Merge:
         got = scd2_merge(current, updates, "k", ["attr"]).collect()
         # NULL <=> NULL is a match: nothing closes, nothing opens
         assert [tuple(r) for r in got] == [(1, None, 0, None)]
+
+
+class TestSequencePacking:
+    BUDGET = 128
+
+    def test_span_packing_partitions_token_stream(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.packing import (
+            pack_token_spans,
+        )
+
+        spans = pack_token_spans(docs, budget=self.BUDGET, bucket_docs=64)
+        rows = spans.collect()
+        total_tokens = sum(r["n_tokens"] for r in rows)
+        n_docs = docs.count()
+        want_tokens = docs.select(
+            F.sum(F.size(F.split("text", " "))).alias("t")
+        ).collect()[0]["t"]
+        # every token lands in exactly one span
+        assert total_tokens == want_tokens
+        # each sequence holds exactly budget tokens except the last
+        per_seq = {}
+        for r in rows:
+            per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_tokens"]
+        last = max(per_seq)
+        assert set(per_seq) == set(range(last + 1))
+        assert all(v == self.BUDGET for s, v in per_seq.items() if s != last)
+        assert 0 < per_seq[last] <= self.BUDGET
+        # spans of one doc are contiguous from offset 0
+        by_doc = {}
+        for r in sorted(rows, key=lambda r: (r["doc_id"], r["tok_start"])):
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(by_doc) == n_docs
+        for doc_rows in by_doc.values():
+            assert doc_rows[0]["tok_start"] == 0
+            for a, b in zip(doc_rows, doc_rows[1:]):
+                assert b["tok_start"] == a["tok_start"] + a["n_tokens"]
+
+    def test_span_packing_bucket_size_invariant(self, spark, docs):
+        """The two-level prefix sum must give identical placement for
+        any bucket size (the oracle is the single-cumsum semantics)."""
+        from textract_farmdata_pipeline_spark.operators.packing import (
+            pack_token_spans,
+        )
+
+        a = sorted(map(tuple, pack_token_spans(docs, 128, bucket_docs=7).collect()))
+        b = sorted(map(tuple, pack_token_spans(docs, 128, bucket_docs=10**6).collect()))
+        assert a == b
+
+    def test_greedy_packs_respect_budget(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.packing import pack_greedy
+
+        out = pack_greedy(docs, budget=self.BUDGET, n_shards=8).collect()
+        assert len(out) == docs.count()  # every doc assigned exactly once
+        packs = {}
+        for r in out:
+            packs.setdefault((r["shard"], r["pack_id"]), []).append(r["n_tokens"])
+        for sizes in packs.values():
+            # a pack either fits the budget or is a single oversized doc
+            assert sum(sizes) <= self.BUDGET or len(sizes) == 1
+
+    def test_greedy_is_deterministic_and_dense(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.packing import pack_greedy
+
+        a = sorted(map(tuple, pack_greedy(docs, 128, n_shards=8).collect()))
+        b = sorted(map(tuple, pack_greedy(docs, 128, n_shards=8).collect()))
+        assert a == b
+        # pack ids are dense per shard starting at 0
+        per_shard = {}
+        for (doc_id, shard, pack_id, n) in a:
+            per_shard.setdefault(shard, set()).add(pack_id)
+        for ids in per_shard.values():
+            assert ids == set(range(max(ids) + 1))
+
+
+class TestParquetMergeTable:
+    def _make(self, spark, tmp_path):
+        from textract_farmdata_pipeline_spark.operators.merge import ParquetMergeTable
+
+        base = (
+            spark.range(0, 1000)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).cast("double").alias("price"),
+            )
+            .repartition(8)  # several files → pruning is observable
+        )
+        tbl = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        assert tbl.create(base) == 1
+        return tbl, base
+
+    def test_merge_upsert_delete_and_time_travel(self, spark, tmp_path):
+        tbl, base = self._make(spark, tmp_path)
+        src = spark.createDataFrame(
+            [(3, 999.0), (5, -1.0), (2000, 7.0)], "k long, price double"
+        )
+        v = tbl.merge(src, key="k", delete_condition=F.col("s.price") < 0)
+        assert v == 2
+        now = {r["k"]: r["price"] for r in tbl.read().collect()}
+        assert now[3] == 999.0          # update applied
+        assert 5 not in now             # delete applied
+        assert now[2000] == 7.0         # insert applied
+        assert len(now) == 1000         # 1000 - 1 delete + 1 insert
+        assert now[7] == 70.0           # untouched row intact
+        # time travel: v1 still readable and unmodified
+        v1 = {r["k"]: r["price"] for r in tbl.read(version=1).collect()}
+        assert v1[3] == 30.0 and 5 in v1 and 2000 not in v1
+
+    def test_merge_rewrites_only_touched_files(self, spark, tmp_path):
+        tbl, _ = self._make(spark, tmp_path)
+        m1 = set(tbl._read_manifest(1)["files"])
+        tbl.merge(
+            spark.createDataFrame([(3, 999.0)], "k long, price double"), key="k"
+        )
+        m2 = set(tbl._read_manifest(2)["files"])
+        carried = m1 & m2
+        rewritten = m1 - m2
+        # with 8 files and one touched key, most files carry forward
+        assert len(rewritten) == 1
+        assert len(carried) == len(m1) - 1
+
+    def test_read_changes_feed(self, spark, tmp_path):
+        tbl, _ = self._make(spark, tmp_path)
+        tbl.merge(
+            spark.createDataFrame(
+                [(3, 999.0), (5, -1.0), (2000, 7.0)], "k long, price double"
+            ),
+            key="k",
+            delete_condition=F.col("s.price") < 0,
+        )
+        tbl.merge(
+            spark.createDataFrame([(2000, 8.0)], "k long, price double"), key="k"
+        )
+        ch = tbl.read_changes(from_version=2).collect()
+        by_type = {}
+        for r in ch:
+            by_type.setdefault(r["_change_type"], []).append((r["k"], r["_commit_version"]))
+        assert by_type["insert"] == [(2000, 2)]
+        assert by_type["delete"] == [(5, 2)]
+        assert sorted(by_type["update_postimage"]) == [(3, 2), (2000, 3)]
+
+    def test_pure_insert_touches_nothing(self, spark, tmp_path):
+        tbl, _ = self._make(spark, tmp_path)
+        m1 = set(tbl._read_manifest(1)["files"])
+        tbl.merge(
+            spark.createDataFrame([(5000, 1.0)], "k long, price double"), key="k"
+        )
+        m2 = set(tbl._read_manifest(2)["files"])
+        assert m1 <= m2                 # every old file carried forward
+        assert tbl.read().count() == 1001

@@ -1,0 +1,241 @@
+"""MERGE INTO + change-data-capture over plain parquet files.
+
+Two layers:
+
+* :func:`merge_changes` — the relational core: target ⟗ source on the
+  key, every row classified as ``unchanged | insert | update | delete``.
+  Returns the post-merge snapshot and a Delta-CDF-style changelog
+  (``insert`` / ``update_preimage`` / ``update_postimage`` /
+  ``delete``).  Pure DataFrame logic — one full-outer join, no UDFs —
+  so it is oracle-checkable and scales like any equi-join.
+
+* :class:`ParquetMergeTable` — copy-on-write table layout with
+  manifest-based snapshots: ``files/`` holds immutable parquet files,
+  ``_manifests/v{N}.json`` lists the files of snapshot N, and
+  ``_changes/v{N}/`` holds that commit's changelog.  A merge rewrites
+  ONLY the files that contain matched keys (file pruning via a semi
+  join on ``_metadata.file_path``); untouched files are carried into
+  the new manifest by reference.  At 100 TB, a merge touching 0.1% of
+  keys rewrites ~0.1% of the data — the same economics as Delta/
+  Iceberg copy-on-write, built from parquet + JSON.
+
+The reference has no notion of mutation (it only ever writes fresh
+CSVs, lambda_function.py:769-774); this operator covers the north-star
+"keep a 100 TB corpus current" path: upsert new document versions,
+delete takedowns, and feed incremental consumers from the changelog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHANGE_COL = "_change_type"
+
+
+def _nullsafe_ne(a: str, b: str, cols: list[str]) -> F.Column:
+    out = F.lit(False)
+    for c in cols:
+        out = out | ~F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}"))
+    return out
+
+
+def merge_changes(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    delete_condition: F.Column | None = None,
+    only_if_changed: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Classify a MERGE and return ``(snapshot, changelog)``.
+
+    Semantics (Delta's ``MERGE INTO`` defaults):
+
+    * key in both & ``delete_condition`` (evaluated on the source row)
+      → row deleted;
+    * key in both otherwise → source row wins (an update); with
+      ``only_if_changed`` the update is suppressed when every non-key
+      column is null-safe-equal, keeping the changelog minimal;
+    * key only in source → insert;
+    * key only in target → unchanged.
+
+    Both outputs derive from ONE full-outer join; columns are the
+    target's schema.  The changelog carries ``_change_type`` with
+    Delta-CDF naming so downstream incremental consumers are portable.
+    """
+    cols = target.columns
+    assert cols == source.columns, "target/source schemas must align"
+    data_cols = [c for c in cols if c != key]
+
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{key}").eqNullSafe(F.col(f"s.{key}")), "full_outer")
+
+    in_t = F.col(f"t.{key}").isNotNull()
+    in_s = F.col(f"s.{key}").isNotNull()
+    differs = _nullsafe_ne("t", "s", data_cols) if only_if_changed else F.lit(True)
+    is_delete = (
+        (in_t & in_s & delete_condition) if delete_condition is not None else F.lit(False)
+    )
+    action = (
+        F.when(is_delete, F.lit("delete"))
+        .when(in_t & in_s & differs, F.lit("update"))
+        .when(in_t & in_s, F.lit("unchanged"))
+        .when(in_s, F.lit("insert"))
+        .otherwise(F.lit("unchanged"))
+    )
+
+    t_row = [F.col(f"t.{c}").alias(f"__t_{c}") for c in cols]
+    s_row = [F.col(f"s.{c}").alias(f"__s_{c}") for c in cols]
+    annotated = joined.select(action.alias("__action"), *t_row, *s_row)
+
+    def pick(side: str) -> list[F.Column]:
+        return [F.col(f"__{side}_{c}").alias(c) for c in cols]
+
+    snapshot = annotated.filter(F.col("__action") != "delete").select(
+        *[
+            F.when(F.col("__action").isin("insert", "update"), F.col(f"__s_{c}"))
+            .otherwise(F.col(f"__t_{c}"))
+            .alias(c)
+            for c in cols
+        ]
+    )
+
+    inserts = annotated.filter(F.col("__action") == "insert").select(
+        *pick("s"), F.lit("insert").alias(CHANGE_COL)
+    )
+    deletes = annotated.filter(F.col("__action") == "delete").select(
+        *pick("t"), F.lit("delete").alias(CHANGE_COL)
+    )
+    pre = annotated.filter(F.col("__action") == "update").select(
+        *pick("t"), F.lit("update_preimage").alias(CHANGE_COL)
+    )
+    post = annotated.filter(F.col("__action") == "update").select(
+        *pick("s"), F.lit("update_postimage").alias(CHANGE_COL)
+    )
+    changelog = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+    return snapshot, changelog
+
+
+class ParquetMergeTable:
+    """Copy-on-write parquet table with manifest snapshots and CDF.
+
+    Layout::
+
+        <path>/files/<uuid>.parquet      immutable data files
+        <path>/_manifests/v{N}.json      {"version": N, "files": [...]}
+        <path>/_changes/v{N}/            changelog of commit N (parquet)
+
+    Readers pin a manifest, so concurrent reads never see a partial
+    commit; the manifest write is the atomic commit point (a rename on
+    real object stores).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- manifest bookkeeping -------------------------------------------------
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifests")
+
+    def latest_version(self) -> int:
+        d = self._manifest_dir()
+        if not os.path.isdir(d):
+            return 0
+        versions = [
+            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def _read_manifest(self, version: int) -> dict:
+        with open(os.path.join(self._manifest_dir(), f"v{version}.json")) as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, version: int, files: list[str]) -> None:
+        os.makedirs(self._manifest_dir(), exist_ok=True)
+        tmp = os.path.join(self._manifest_dir(), f".v{version}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": files, "ts": time.time()}, fh)
+        os.replace(tmp, os.path.join(self._manifest_dir(), f"v{version}.json"))
+
+    def _new_data_files(self, df: DataFrame) -> list[str]:
+        """Write df into files/ under a fresh subdirectory; return the
+        parquet part files it produced."""
+        sub = os.path.join(self.path, "files", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(sub)
+        return [
+            os.path.join(sub, f)
+            for f in os.listdir(sub)
+            if f.endswith(".parquet")
+        ]
+
+    # -- public surface -------------------------------------------------------
+    def create(self, df: DataFrame) -> int:
+        assert self.latest_version() == 0, "table already exists"
+        files = self._new_data_files(df)
+        self._write_manifest(1, files)
+        return 1
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = version or self.latest_version()
+        files = self._read_manifest(v)["files"]
+        return self.spark.read.parquet(*files)
+
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        to_v = to_version or self.latest_version()
+        out: DataFrame | None = None
+        for v in range(from_version, to_v + 1):
+            d = os.path.join(self.path, "_changes", f"v{v}")
+            if not os.path.isdir(d):
+                continue
+            part = self.spark.read.parquet(d).withColumn("_commit_version", F.lit(v))
+            out = part if out is None else out.unionByName(part)
+        assert out is not None, "no changes in range"
+        return out
+
+    def merge(
+        self,
+        source: DataFrame,
+        key: str,
+        delete_condition: F.Column | None = None,
+    ) -> int:
+        """MERGE ``source`` in; rewrite only files containing matched
+        keys.  Returns the new version number."""
+        version = self.latest_version()
+        assert version > 0, "create() first"
+        old_files = self._read_manifest(version)["files"]
+
+        target = self.spark.read.parquet(*old_files).withColumn(
+            "_file", F.col("_metadata.file_path")
+        )
+        keys = source.select(key).distinct()
+        # File pruning: a file is "touched" iff it holds a matched key.
+        # _metadata.file_path is a URI (file:///...); compare on the
+        # normalized local path.
+        touched_uris = [
+            r["_file"]
+            for r in target.join(keys, key, "left_semi").select("_file").distinct().collect()
+        ]
+        from urllib.parse import urlparse
+
+        # Hadoop renders the scheme as file:/p, file://p or file:///p
+        # depending on path depth; urlparse().path normalizes them all.
+        touched_paths = {urlparse(u).path for u in touched_uris}
+        kept_files = [f for f in old_files if os.path.abspath(f) not in touched_paths]
+
+        touched_target = target.filter(F.col("_file").isin(touched_uris)).drop("_file")
+        snapshot_part, changelog = merge_changes(
+            touched_target, source, key, delete_condition=delete_condition
+        )
+
+        new_files = self._new_data_files(snapshot_part)
+        changes_dir = os.path.join(self.path, "_changes", f"v{version + 1}")
+        changelog.write.mode("overwrite").parquet(changes_dir)
+        self._write_manifest(version + 1, kept_files + new_files)
+        return version + 1

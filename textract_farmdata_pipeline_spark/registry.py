@@ -2820,3 +2820,169 @@ def order_installment_recursion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "remaining_cents / 4", "CAST(remaining_cents / 4 AS BIGINT)"
         )
     )
+
+
+_PACK_SPANS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+  FROM toks
+), spans AS (
+  SELECT doc_id, n_tokens, start,
+    unnest(generate_series(start // 512, (start + n_tokens - 1) // 512)) AS seq_id
+  FROM cum
+)
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+  CAST(greatest(seq_id * 512, start) - start AS BIGINT) AS tok_start,
+  CAST(least((seq_id + 1) * 512, start + n_tokens)
+       - greatest(seq_id * 512, start) AS BIGINT) AS n_tokens
+FROM spans
+"""
+
+
+@register("doc_pack_sequences", _PACK_SPANS_ORACLE)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (512-token budget): each doc
+    contributes spans to every training sequence its token range
+    crosses.  The global offset is a two-level distributed prefix sum —
+    per-bucket window cumsum plus broadcast bucket offsets — so no
+    single-partition sort exists anywhere in the plan."""
+    from .operators.packing import pack_token_spans
+
+    # bucket_docs=64 exercises multi-bucket prefix-sum even at sf0.01
+    # (500 docs → 8 buckets); production default is 100k docs/bucket.
+    return pack_token_spans(_t(spark, sf_dir, "documents"), budget=512, bucket_docs=64)
+
+
+@register("doc_pack_greedy")
+def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit no-split packing, 512-token budget, 8 shards: the
+    sequential fold runs per shard inside applyInPandas (state = one
+    integer), shards are the parallelism axis.  Greedy close-on-
+    overflow is order-dependent fold state, not SQL-expressible —
+    rows-only check; invariants pinned in test_northstar_ops.py."""
+    from .operators.packing import pack_greedy
+
+    return pack_greedy(_t(spark, sf_dir, "documents"), budget=512, n_shards=8)
+
+
+_SALTED_ENRICH_ORACLE = """
+WITH dim AS (
+  SELECT user_id, COUNT(*) AS user_n_events FROM events GROUP BY user_id
+)
+SELECT event_id, e.user_id AS user_id, event_type, user_n_events
+FROM events e JOIN dim USING (user_id)
+"""
+
+
+@register("events_salted_enrich", _SALTED_ENRICH_ORACLE)
+def events_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof enrichment join as a driver-checked query: the fact
+    side is salted across 8 sub-keys and the per-user dimension
+    replicated, so a hot user's rows land on 8 reducers instead of one.
+    Result is bit-identical to the plain join (the oracle)."""
+    from .operators.skew import salted_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("user_n_events"))
+    return salted_join(ev, dim, on=("user_id",), salt=8)
+
+
+# MERGE INTO fixtures: a deterministic source derived from orders —
+# keys ending in 3 arrive as updates (price uplift), keys ending in 7
+# re-arrive under a shifted key (inserts); updated rows above 300k are
+# takedowns (delete_condition).  Engine-portable: integer key
+# arithmetic plus one per-row IEEE double multiply.
+_MERGE_SRC_SQL = """
+  SELECT o_orderkey, o_orderpriority, o_totalprice * 1.1 AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 7
+"""
+
+_MERGE_SNAPSHOT_ORACLE = f"""
+WITH tgt AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+src AS ({_MERGE_SRC_SQL})
+SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority
+       ELSE t.o_orderpriority END AS o_orderpriority,
+  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+       ELSE t.o_totalprice END AS o_totalprice
+FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+           AND s.o_totalprice > 300000)
+"""
+
+
+def _merge_inputs(spark: SparkSession, sf_dir: str):
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 == 3).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 7).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100_000_000
+    )
+    return orders, updates.unionByName(inserts)
+
+
+@register("orders_merge_snapshot", _MERGE_SNAPSHOT_ORACLE)
+def orders_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert + conditional delete) post-image: one
+    full-outer join classifies every row; no UDFs, no second scan.
+    The file-backed copy-on-write form (ParquetMergeTable) reuses this
+    exact relational core on only the touched files."""
+    from .operators.merge import merge_changes
+
+    target, source = _merge_inputs(spark, sf_dir)
+    snapshot, _ = merge_changes(
+        target, source, key="o_orderkey",
+        delete_condition=F.col("s.o_totalprice") > 300_000,
+    )
+    return snapshot
+
+
+_MERGE_CHANGELOG_ORACLE = f"""
+WITH tgt AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+src AS ({_MERGE_SRC_SQL}),
+j AS (
+  SELECT t.o_orderkey AS t_key, t.o_orderpriority AS t_prio,
+         t.o_totalprice AS t_price,
+         s.o_orderkey AS s_key, s.o_orderpriority AS s_prio,
+         s.o_totalprice AS s_price
+  FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+)
+SELECT s_key AS o_orderkey, s_prio AS o_orderpriority, s_price AS o_totalprice,
+       'insert' AS _change_type
+FROM j WHERE t_key IS NULL
+UNION ALL
+SELECT t_key, t_prio, t_price, 'delete'
+FROM j WHERE t_key IS NOT NULL AND s_key IS NOT NULL AND s_price > 300000
+UNION ALL
+SELECT t_key, t_prio, t_price, 'update_preimage'
+FROM j WHERE t_key IS NOT NULL AND s_key IS NOT NULL AND s_price <= 300000
+UNION ALL
+SELECT s_key, s_prio, s_price, 'update_postimage'
+FROM j WHERE t_key IS NOT NULL AND s_key IS NOT NULL AND s_price <= 300000
+"""
+
+
+@register("orders_merge_changelog", _MERGE_CHANGELOG_ORACLE)
+def orders_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge's change-data feed (Delta-CDF row types): inserts,
+    deletes, and update pre/post images — the contract incremental
+    consumers read via ParquetMergeTable.read_changes."""
+    from .operators.merge import merge_changes
+
+    target, source = _merge_inputs(spark, sf_dir)
+    _, changelog = merge_changes(
+        target, source, key="o_orderkey",
+        delete_condition=F.col("s.o_totalprice") > 300_000,
+    )
+    return changelog
