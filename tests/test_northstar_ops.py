@@ -593,3 +593,214 @@ class TestParquetMergeTable:
         m2 = set(tbl._read_manifest(2)["files"])
         assert m1 <= m2                 # every old file carried forward
         assert tbl.read().count() == 1001
+
+
+class TestMergeTableMaintenance:
+    def _make(self, spark, tmp_path):
+        from textract_farmdata_pipeline_spark.operators.merge import ParquetMergeTable
+
+        base = (
+            spark.range(0, 1000)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).cast("double").alias("price"),
+            )
+            .repartition(8)
+        )
+        tbl = ParquetMergeTable(spark, str(tmp_path / "tbl"))
+        tbl.create(base)
+        return tbl
+
+    def test_compact_bins_small_files_data_identical(self, spark, tmp_path):
+        tbl = self._make(spark, tmp_path)
+        before = {(r["k"], r["price"]) for r in tbl.read().collect()}
+        v0 = tbl.latest_version()
+        n_before = len(tbl._read_manifest(v0)["files"])
+        v = tbl.compact(target_file_bytes=64 * 1024 * 1024)
+        assert v == v0 + 1
+        m = tbl._read_manifest(v)["files"]
+        assert len(m) < n_before                       # fewer files
+        after = {(r["k"], r["price"]) for r in tbl.read().collect()}
+        assert after == before                         # byte-identical data
+        # OPTIMIZE-style commit: no changelog for this version
+        import os as _os
+
+        assert not _os.path.isdir(str(tmp_path / "tbl" / "_changes" / f"v{v}"))
+        # previous snapshot still time-travels
+        assert tbl.read(version=v0).count() == 1000
+
+    def test_compact_noop_when_single_small_file(self, spark, tmp_path):
+        from textract_farmdata_pipeline_spark.operators.merge import ParquetMergeTable
+
+        tbl = ParquetMergeTable(spark, str(tmp_path / "one"))
+        tbl.create(spark.range(5).coalesce(1))
+        assert tbl.compact() == 1                      # nothing to do
+
+    def test_vacuum_removes_expired_files_keeps_retained(self, spark, tmp_path):
+        import os as _os
+
+        tbl = self._make(spark, tmp_path)
+        tbl.merge(
+            spark.createDataFrame([(3, 999.0)], "k long, price double"), key="k"
+        )
+        tbl.compact(target_file_bytes=64 * 1024 * 1024)
+        latest = tbl.latest_version()
+        all_files = lambda: sum(  # noqa: E731
+            len([f for f in _os.listdir(_os.path.join(str(tmp_path / "tbl"), "files", d))
+                 if f.endswith(".parquet")])
+            for d in _os.listdir(_os.path.join(str(tmp_path / "tbl"), "files"))
+        )
+        n_before = all_files()
+        deleted = tbl.vacuum(retain_last=1)
+        assert deleted > 0
+        assert all_files() == n_before - deleted
+        # latest still fully readable; expired versions fail fast
+        assert tbl.read().count() == 1000
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            tbl._read_manifest(1)
+        # CDC history survives vacuum
+        assert tbl.read_changes(from_version=2, to_version=2).count() > 0
+        assert tbl.latest_version() == latest
+
+    def test_stream_upsert_applies_cdc_per_batch(self, spark, tmp_path):
+        import os as _os
+
+        tbl = self._make(spark, tmp_path)
+        d = str(tmp_path / "cdc")
+        # two files → two micro-batches; batch 2 replays key 3 with a
+        # newer seq plus an out-of-order older seq that must LOSE
+        spark.createDataFrame(
+            [(3, 111.0, 1), (2000, 7.0, 1)], "k long, price double, seq long"
+        ).coalesce(1).write.mode("append").parquet(d)
+        spark.createDataFrame(
+            [(3, 222.0, 3), (3, 555.0, 2), (5, -1.0, 3)],
+            "k long, price double, seq long",
+        ).coalesce(1).write.mode("append").parquet(d)
+
+        stream = (
+            spark.readStream.schema("k long, price double, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            tbl.stream_upsert(
+                stream,
+                key="k",
+                order_by="seq",
+                delete_condition=F.col("s.price") < 0,
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt-up"))
+            .start()
+        )
+        q.awaitTermination(120)
+        now = {r["k"]: r["price"] for r in tbl.read().collect()}
+        assert now[3] == 222.0      # newest seq won, replay updated in place
+        assert now[2000] == 7.0     # insert from batch 1
+        assert 5 not in now         # delete condition applied
+        assert len(now) == 1000     # 1000 - 1 delete + 1 insert
+        assert tbl.latest_version() >= 3  # one commit per non-empty batch
+
+
+class TestIncrementalDedup:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_batch_vs_corpus_and_within_batch(self, spark):
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again " * 6
+        novel = "completely different content about spark physical plans " * 6
+        corpus = self._docs(spark, [(1, base), (2, novel)])
+        new = self._docs(
+            spark,
+            [
+                (10, base + "extra tail"),      # near-dup of corpus doc 1
+                (11, "unique fresh text nothing shares these tokens " * 6),
+                (12, novel + "slight change"),  # near-dup of corpus doc 2
+                (13, novel + "slight change"),  # within-batch dup of 12
+            ],
+        )
+        got = {
+            r["doc_id"]: r["dup_of"]
+            for r in incremental_minhash_dedup(corpus, new, threshold=0.5).collect()
+        }
+        assert got == {10: 1, 11: None, 12: 2, 13: 2}
+
+    def test_recall_matches_full_lsh_on_fixture(self, spark, docs):
+        """Splitting the fixture into corpus/new must reproduce exactly
+        the cross-split pairs the full self-join LSH finds."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            minhash_lsh_pairs,
+        )
+
+        new = docs.filter(F.col("doc_id") % 5 == 0)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        full = minhash_lsh_pairs(docs, n_hashes=32, bands=8, threshold=0.5)
+        # pairs with exactly one side in the new batch, keyed by new doc
+        want_new_docs = {
+            (r["doc_b"] if r["doc_b"] % 5 == 0 else r["doc_a"])
+            for r in full.collect()
+            if (r["doc_a"] % 5 == 0) != (r["doc_b"] % 5 == 0)
+        } | {
+            max(r["doc_a"], r["doc_b"])
+            for r in full.collect()
+            if r["doc_a"] % 5 == 0 and r["doc_b"] % 5 == 0
+        }
+        got = {
+            r["doc_id"]
+            for r in incremental_minhash_dedup(corpus, new, threshold=0.5).collect()
+            if r["dup_of"] is not None
+        }
+        assert got == want_new_docs
+
+
+class TestNearDupClusters:
+    def test_linear_output_and_exact_dup_collapse(self, spark):
+        from textract_farmdata_pipeline_spark.operators.dedup import near_dup_clusters
+
+        base = "the quick brown fox jumps over the lazy dog again " * 8
+        other = "totally unrelated prose about catalyst plan rewrites " * 8
+        rows = (
+            [(i, base) for i in range(1, 6)]            # 5 identical copies
+            + [(10, base + " tiny tail")]               # near-dup of the group
+            + [(20, other), (21, other + " v2 tail")]   # second cluster
+            + [(30, "a one-off snowflake document with no twin anywhere " * 8)]
+        )
+        out = near_dup_clusters(
+            spark.createDataFrame(rows, "doc_id long, text string"), threshold=0.5
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+        assert len(got) == len(rows)                    # one row per doc
+        assert {got[i] for i in (1, 2, 3, 4, 5, 10)} == {1}
+        assert got[20] == got[21] == 20
+        assert got[30] == 30
+
+    def test_matches_pair_based_components_on_fixture(self, spark, docs):
+        """Cluster labels from the linear path must equal min-label
+        connected components over the quadratic pair path (exact dups
+        pair at Jaccard 1.0, so both partitions merge identically)."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            connected_components,
+            minhash_lsh_pairs,
+            near_dup_clusters,
+        )
+
+        pairs = minhash_lsh_pairs(docs, n_hashes=32, bands=8, threshold=0.5)
+        cc = {
+            r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+        }
+        want = {
+            r["doc_id"]: cc.get(r["doc_id"], r["doc_id"])
+            for r in docs.select("doc_id").collect()
+        }
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in near_dup_clusters(docs, threshold=0.5).collect()
+        }
+        assert got == want

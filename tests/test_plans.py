@@ -194,3 +194,29 @@ class TestZorderLayout:
         z_files = files_containing(zp, "y = 3")
         l_files = files_containing(lp, "y = 3")
         assert z_files < l_files, (z_files, l_files)
+
+
+class TestRound2PlanShapes:
+    def test_pack_spans_two_level_prefix_sum(self, spark):
+        """The packing plan must keep the corpus-sized window keyed by
+        bucket (parallel) and push only the tiny bucket-totals table
+        through the single-partition window; the offsets re-enter via
+        broadcast, never a corpus shuffle."""
+        s = plan_summary(QUERIES["doc_pack_sequences"](spark, SF))
+        assert s["bhj"] >= 1, "bucket offsets must broadcast back"
+        assert s["smj"] == 0 and s["shj"] == 0
+        # bucket window shuffle + bucket-totals aggregate only
+        assert s["exchanges"] <= 3
+
+    def test_merge_is_one_join_no_python(self, spark):
+        s = plan_summary(QUERIES["orders_merge_snapshot"](spark, SF))
+        assert s["python_eval"] == 0, "MERGE core must stay JVM-side"
+        n_joins = s["bhj"] + s["smj"] + s["shj"] + s["bnlj"]
+        assert n_joins == 1, "exactly one full-outer join classifies all rows"
+
+    def test_salted_enrich_spreads_hot_keys(self, spark):
+        s = plan_summary(QUERIES["events_salted_enrich"](spark, SF))
+        # dim replicated ×salt then broadcast: the fact side never
+        # shuffles on the (skewable) raw key
+        assert s["bhj"] >= 1
+        assert s["smj"] == 0

@@ -537,3 +537,54 @@ class TestStreamJoins:
             (r["click_id"], r["buy_id"]) for r in spark.table("corr_mem").collect()
         )
         assert pairs == [(1, 100)]
+
+
+class TestRefreshingDimEnrichment:
+    def test_each_batch_sees_fresh_dim(self, spark, tmp_path):
+        """Broadcast-state pattern: the dim_loader runs once per
+        micro-batch, so batch N joins against dim version N."""
+        import datetime as dt
+
+        from textract_farmdata_pipeline_spark.streaming.events import (
+            enrich_with_refreshing_dim,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        d = str(tmp_path / "ev")
+        for i in range(2):  # two files → two micro-batches
+            spark.createDataFrame(
+                [(i, t0, 10, 1.0)],
+                "event_id long, ts timestamp, user_id long, value double",
+            ).coalesce(1).write.mode("append").parquet(d)
+
+        versions = []
+
+        def dim_loader():
+            v = len(versions)
+            versions.append(v)
+            return spark.createDataFrame([(10, v)], "user_id long, dim_version long")
+
+        seen = []
+
+        def sink(batch_df, batch_id):
+            seen.extend(
+                (r["event_id"], r["dim_version"]) for r in batch_df.collect()
+            )
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            enrich_with_refreshing_dim(stream, dim_loader, sink=sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt-dim"))
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(versions) == 2  # loader invoked once per batch
+        # each event saw the dim version of its own batch
+        assert sorted(seen) == [(0, 0), (1, 1)]

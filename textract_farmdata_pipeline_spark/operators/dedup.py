@@ -2,14 +2,16 @@
 
 Exact dedup is a hash groupBy (map-side combinable, one shuffle on the
 key — scales to any size).  Near-dup families (MinHash+LSH, SimHash,
-n-gram Jaccard) build on deterministic md5-derived hashes so results
-are reproducible across engines and runs.
+n-gram Jaccard) build on deterministic xxhash64-derived hash families
+(md5 only where an engine-portable oracle needs it) so results are
+reproducible across engines and runs.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def exact_dedup(docs: DataFrame, key: Column | None = None) -> DataFrame:
@@ -141,6 +143,23 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32, shingle_n: int = 3) 
     )
 
 
+def band_buckets(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) rows from signature arrays: the LSH index
+    shape both the self-join and the incremental corpus join key on."""
+    rows_per_band = n_hashes // bands
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.hash(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = 32,
@@ -156,17 +175,8 @@ def minhash_lsh_pairs(
     signature bytes, the verify step re-checks true shingle Jaccard on
     the candidates only.
     """
-    rows_per_band = n_hashes // bands
     sigs = minhash_signatures(docs, n_hashes, shingle_n)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = band_buckets(sigs, n_hashes, bands)
     cand = (
         banded.alias("x")
         .join(
@@ -349,3 +359,156 @@ def connected_components(
         if n_changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup an incoming batch against an existing corpus — the daily
+    shape of a crawl pipeline: the corpus NEVER self-joins.
+
+    Candidate generation is (new × corpus) ∪ (new × new) on LSH band
+    buckets; corpus-side work is linear (signatures + bucket index,
+    both incrementally maintainable as a stored table).  Verification
+    re-checks true hashed-shingle Jaccard on candidates only.
+
+    Returns every new doc annotated: ``doc_id, dup_of`` — the smallest
+    matching corpus doc_id, else the smallest matching *earlier* new
+    doc_id (so within-batch groups keep their first member), else NULL
+    (the doc is novel).  ``dup_of IS NULL`` is the admission filter.
+    """
+    new_sigs = band_buckets(minhash_signatures(new_docs, n_hashes, shingle_n), n_hashes, bands)
+    corp_sigs = band_buckets(minhash_signatures(corpus, n_hashes, shingle_n), n_hashes, bands)
+
+    vs_corpus = (
+        new_sigs.alias("x")
+        .join(
+            corp_sigs.alias("y"),
+            (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
+    )
+    vs_batch = (
+        new_sigs.alias("x")
+        .join(
+            new_sigs.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") > F.col("y.doc_id")),  # earlier doc wins
+        )
+        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
+    )
+
+    hashed_sh = F.array_distinct(
+        F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
+    )
+    new_sh = new_docs.select("doc_id", hashed_sh.alias("sa")).withColumn("sza", F.size("sa"))
+    # candidate side may come from either table; union their shingle sets
+    cand_sh = (
+        corpus.select("doc_id", hashed_sh.alias("sb"))
+        .unionByName(new_docs.select("doc_id", hashed_sh.alias("sb")))
+        .withColumn("szb", F.size("sb"))
+        .withColumnRenamed("doc_id", "cand")
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jaccard = inter.cast("double") / (F.col("sza") + F.col("szb") - inter).cast("double")
+    matches = (
+        vs_corpus.unionByName(vs_batch)
+        .distinct()
+        .join(new_sh, "doc_id")
+        .join(cand_sh, "cand")
+        .filter(jaccard >= threshold)
+        .groupBy("doc_id")
+        .agg(F.min("cand").alias("dup_of"))
+    )
+    return new_docs.select("doc_id").join(matches, "doc_id", "left")
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Full near-dup clustering with LINEAR output: ``(doc_id,
+    cluster_id)`` for every document.
+
+    The 10× scale probe exposed why raw ``minhash_lsh_pairs`` cannot be
+    the at-scale product: identical boilerplate repeated d times puts d
+    members in every one of its LSH buckets — candidate PAIRS (and the
+    true ≥-threshold pair set itself) grow O(d²).  This operator keeps
+    everything linear:
+
+    1. exact-collapse — md5 groupBy maps each distinct text to its min
+       doc_id representative (identical docs never reach LSH);
+    2. LSH pair generation over REPRESENTATIVES only, with an optional
+       ``max_bucket_size`` backstop that drops degenerate buckets (a
+       bucket that large means near-identical boilerplate, which step 1
+       already clustered — and any true near-dup pair in it still
+       shares the other ``bands-1`` healthier buckets);
+    3. min-label connected components over the near-dup edges;
+    4. map every doc back through its representative.
+
+    Output rows = input docs; no stage materializes a quadratic
+    intermediate.
+    """
+    rep = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("_h"), F.col("text")
+    ).withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("_h")))
+
+    reps = rep.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
+
+    sigs = minhash_signatures(reps, n_hashes, shingle_n)
+    banded = band_buckets(sigs, n_hashes, bands)
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+        banded = banded.join(
+            sizes.filter(F.col("_n") <= max_bucket_size), ["band", "bucket"]
+        ).drop("_n")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    hashed_sh = F.array_distinct(
+        F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
+    )
+    with_sh = reps.select("doc_id", hashed_sh.alias("sh")).withColumn("sz", F.size("sh"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jaccard = inter.cast("double") / (F.col("sza") + F.col("szb") - inter).cast("double")
+    edges = (
+        cand.join(
+            with_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"), F.col("sz").alias("sza")),
+            "doc_a",
+        )
+        .join(
+            with_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"), F.col("sz").alias("szb")),
+            "doc_b",
+        )
+        .filter(jaccard >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    rep_clusters = connected_components(edges)  # (node, cluster_id), reps w/ edges only
+    return (
+        rep.select("doc_id", "rep_id")
+        .join(
+            rep_clusters.withColumnRenamed("node", "rep_id"), "rep_id", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("rep_id")).alias("cluster_id"),
+        )
+    )

@@ -239,3 +239,131 @@ class ParquetMergeTable:
         changelog.write.mode("overwrite").parquet(changes_dir)
         self._write_manifest(version + 1, kept_files + new_files)
         return version + 1
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Bin-pack small files into ~``target_file_bytes`` files.
+
+        Every copy-on-write merge that touches few keys emits small
+        files; left alone, a 100 TB table degrades into millions of
+        them and scan planning (plus S3 LIST/GET overhead) dominates
+        query time.  Compaction is a metadata-plus-rewrite operation:
+        files at or above half the target are carried by reference,
+        smaller ones are greedily binned first-fit-decreasing to the
+        byte budget and each bin is rewritten as one file.  Data is
+        byte-identical, so the commit writes NO changelog — CDC
+        consumers see nothing, exactly like Delta's OPTIMIZE.
+
+        Returns the new version (or the current one if there was
+        nothing to compact).
+        """
+        version = self.latest_version()
+        assert version > 0, "create() first"
+        files = self._read_manifest(version)["files"]
+        sized = [(f, os.path.getsize(f)) for f in files]
+        keep = [f for f, sz in sized if sz >= target_file_bytes // 2]
+        small = sorted(
+            ((f, sz) for f, sz in sized if sz < target_file_bytes // 2),
+            key=lambda x: -x[1],
+        )
+        if len(small) <= 1:
+            return version
+
+        bins: list[tuple[list[str], int]] = []
+        for f, sz in small:  # first-fit decreasing
+            for b in bins:
+                if b[1] + sz <= target_file_bytes:
+                    b[0].append(f)
+                    bins[bins.index(b)] = (b[0], b[1] + sz)
+                    break
+            else:
+                bins.append(([f], sz))
+
+        new_files: list[str] = []
+        for members, _ in bins:
+            if len(members) == 1:  # nothing gained by rewriting a lone file
+                keep.extend(members)
+                continue
+            df = self.spark.read.parquet(*members).coalesce(1)
+            new_files.extend(self._new_data_files(df))
+        if not new_files:
+            return version
+        self._write_manifest(version + 1, keep + new_files)
+        return version + 1
+
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Delete data files referenced only by expired snapshots.
+
+        Keeps the newest ``retain_last`` manifests readable (time
+        travel inside the retention window still works); every parquet
+        file under ``files/`` that none of them references is deleted,
+        and the expired manifests are removed so ``read(version=old)``
+        fails fast instead of resolving to missing files.  Changelogs
+        are NOT touched — CDC history stays replayable.
+
+        Returns the number of data files deleted.
+        """
+        latest = self.latest_version()
+        assert latest > 0, "create() first"
+        retained = range(max(1, latest - retain_last + 1), latest + 1)
+        referenced = set()
+        for v in retained:
+            referenced.update(os.path.abspath(f) for f in self._read_manifest(v)["files"])
+
+        deleted = 0
+        files_root = os.path.join(self.path, "files")
+        for sub in os.listdir(files_root):
+            d = os.path.join(files_root, sub)
+            for f in os.listdir(d):
+                p = os.path.join(d, f)
+                if f.endswith(".parquet") and os.path.abspath(p) not in referenced:
+                    os.remove(p)
+                    deleted += 1
+            if not any(f.endswith(".parquet") for f in os.listdir(d)):
+                for f in os.listdir(d):  # _SUCCESS, .crc leftovers
+                    os.remove(os.path.join(d, f))
+                os.rmdir(d)
+        for v in range(1, retained.start):
+            m = os.path.join(self._manifest_dir(), f"v{v}.json")
+            if os.path.exists(m):
+                os.remove(m)
+        return deleted
+
+    def stream_upsert(
+        self,
+        stream: DataFrame,
+        key: str,
+        order_by: str | None = None,
+        delete_condition: F.Column | None = None,
+    ):
+        """CDC-apply a stream: each micro-batch is MERGEd into the
+        table, so replayed keys UPDATE in place instead of appending —
+        the standard "apply Debezium/CDC feed to the lake" pattern,
+        with the micro-batch boundary as the transaction.
+
+        A batch may carry several versions of one key; ``order_by``
+        names the column whose per-key maximum wins (arrival order is
+        meaningless after a shuffle).  Without it the batch must be
+        unique per key.  Stream columns beyond the table's schema
+        (sequence numbers, CDC metadata) are dropped after the winner
+        is picked.  Returns the ``DataStreamWriter`` — caller adds
+        trigger/checkpoint and starts it.
+        """
+        table_cols = self.read().columns
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            src = batch_df
+            if order_by is not None:
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy(key).orderBy(F.col(order_by).desc())
+                src = (
+                    batch_df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+            src = src.select(*table_cols)
+            if src.isEmpty():
+                return
+            self.merge(src, key, delete_condition=delete_condition)
+
+        return stream.writeStream.foreachBatch(process)

@@ -2986,3 +2986,35 @@ def orders_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_condition=F.col("s.o_totalprice") > 300_000,
     )
     return changelog
+
+
+@register("dedup_incremental")
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus MinHash dedup: docs with
+    doc_id % 5 == 0 arrive as the new batch and are checked against the
+    rest (the corpus) and each other.  Corpus-side cost is linear —
+    signatures + band buckets, no corpus self-join — the daily-crawl
+    admission filter at 100 TB.  LSH banding is not SQL-expressible:
+    rows-only here; recall/correctness pinned in test_northstar_ops."""
+    from .operators.dedup import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_minhash_dedup(corpus, new)
+
+
+@register("dedup_near_clusters")
+def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-output near-dup clustering: exact-collapse first (identical
+    texts never reach LSH — the fix for the O(d²) bucket blow-up the 10×
+    scale probe exposed in raw pair generation), LSH + Jaccard verify
+    over representatives only, min-label connected components, then map
+    every doc back through its representative.  Output rows == input
+    docs at any duplication rate.  Banding + iterative CC are not
+    SQL-expressible: rows-only here; cluster equivalence vs the
+    pair-based path is pinned in test_northstar_ops."""
+    from .operators.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_clusters(docs, n_hashes=32, bands=8, threshold=0.5, shingle_n=3)

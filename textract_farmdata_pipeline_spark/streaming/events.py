@@ -160,3 +160,36 @@ def correlate_streams(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def enrich_with_refreshing_dim(
+    events: DataFrame,
+    dim_loader,
+    on: str = "user_id",
+    how: str = "left",
+    sink=None,
+):
+    """Broadcast-state enrichment with a per-batch-refreshed dimension.
+
+    ``enrich_stream`` re-resolves a *static DataFrame's* files each
+    batch, which covers append-only dims; this variant goes further:
+    ``dim_loader()`` is invoked inside ``foreachBatch`` at the start of
+    every micro-batch, so the dimension can be recomputed, re-read from
+    a versioned snapshot (e.g. ``ParquetMergeTable.read()``), or pulled
+    from a service — the streaming twin of Flink's broadcast-state
+    pattern, done the Spark-idiomatic way (micro-batch boundaries are
+    the consistency points; each batch sees exactly one dim version).
+
+    ``sink(batch_out, batch_id)`` receives the enriched batch; pass
+    e.g. a writer into a downstream table.  Returns the
+    ``DataStreamWriter`` (caller starts it, so tests can use
+    ``trigger(availableNow=True)``).
+    """
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        dim = dim_loader()
+        out = batch_df.join(F.broadcast(dim), on, how)
+        sink(out, batch_id)
+
+    return events.writeStream.foreachBatch(process)

