@@ -220,3 +220,60 @@ class TestRound2PlanShapes:
         # shuffles on the (skewable) raw key
         assert s["bhj"] >= 1
         assert s["smj"] == 0
+
+
+class TestAQESkewSplit:
+    def test_skewed_partition_is_split_at_runtime(self, spark):
+        """AQE skew-join evidence: a hot key whose shuffle partition
+        dwarfs the median gets split into multiple reducer tasks in the
+        FINAL adaptive plan — the runtime backstop behind the explicit
+        salting in operators/skew.py."""
+        from pyspark.sql import functions as F
+
+        # payload must be INCOMPRESSIBLE: skew detection reads compressed
+        # map-output sizes, and a constant pad lz4-compresses to ~nothing
+        pad = F.sha2(F.col("id").cast("string"), 256)
+        fact = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))  # 90% of rows on key 0
+            .otherwise((F.col("id") % 50) + 1)
+            .alias("k"),
+            pad.alias("payload"),
+        )
+        dim = spark.range(0, 51).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        conf = spark.conf
+        saved = {
+            c: conf.get(c, None)
+            for c in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            )
+        }
+        try:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            # AQE re-plans to broadcast with its OWN threshold; disable it
+            # too or the skewed shuffle join never survives to runtime
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
+            )
+            conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+            conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            # max(payload) keeps the wide column alive through column
+            # pruning so the fact-side shuffle is actually heavy
+            joined = (
+                fact.join(dim, "k")
+                .groupBy("v")
+                .agg(F.count("*").alias("n"), F.max("payload").alias("p"))
+            )
+            joined.collect()  # AQE finalizes only after execution
+            final = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            for c, v in saved.items():
+                if v is not None:
+                    conf.set(c, v)
+        assert "skew=true" in final, final[:2000]

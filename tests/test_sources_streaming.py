@@ -381,6 +381,55 @@ class TestStatefulStreaming:
         got = spark.table("dedup_mem").collect()
         assert sorted(r["event_id"] for r in got) == [1, 2, 3]
 
+    def test_watermark_bounds_dedup_state(self, spark, tmp_path):
+        """The 100 TB/day argument for dedup_stream, measured: with a
+        watermark, dedup state EVICTS keys older than the horizon, so
+        state size tracks the horizon's key cardinality; plain
+        dropDuplicates retains every key ever seen (unbounded)."""
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        batches = [
+            [(100 * b + i, t0 + dt.timedelta(hours=b), 10, 1.0) for i in range(100)]
+            for b in range(3)
+        ]
+        d = self._mk_events_files(spark, tmp_path, batches)
+
+        def run(dedup, name):
+            from textract_farmdata_pipeline_spark.streaming import dedup_stream
+
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, value double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            out = (
+                dedup_stream(stream, watermark="10 minutes")
+                if dedup == "watermarked"
+                else stream.dropDuplicates(["event_id"])
+            )
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+                .start()
+            )
+            q.awaitTermination(120)
+            progress = [p for p in q.recentProgress if p["stateOperators"]]
+            return progress[-1]["stateOperators"][0]["numRowsTotal"]
+
+        unbounded = run("plain", "ttl_plain")
+        bounded = run("watermarked", "ttl_wm")
+        assert unbounded == 300          # every key ever seen stays in state
+        assert bounded <= 100            # horizon passed batches 1-2: evicted
+        # both emit all 300 distinct events
+        assert spark.table("ttl_plain").count() == 300
+        assert spark.table("ttl_wm").count() == 300
+
     def test_running_totals_carry_state_across_batches(self, spark, tmp_path):
         import datetime as dt
 

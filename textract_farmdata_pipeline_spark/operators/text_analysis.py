@@ -245,3 +245,55 @@ def length_histogram(
         )
         .withColumn("bucket_lo", (F.col("bucket") * bucket_width).cast("long"))
     )
+
+
+def lm_support_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cheap corpus-LM fluency signal: how well each document's bigrams
+    are supported by the corpus itself.
+
+    The classic training-data quality filter scores documents with an
+    n-gram language model (KenLM-style perplexity); this is its
+    distributed, exactly-aggregatable core.  The corpus plays the role
+    of the model: for every bigram occurrence ``(w1, w2)`` we look up
+    the corpus-wide continuation count ``c(w1 w2)`` and context count
+    ``c(w1 ·)``, then report per document
+
+    * ``n_bigrams`` — positions scored,
+    * ``support_sum = Σ c(w1 w2)``, ``context_sum = Σ c(w1 ·)`` (exact
+      BIGINT sums — engine-portable, unlike a float log-prob sum),
+    * ``lm_support = support_sum / context_sum`` — ONE IEEE division of
+      two exact integers, so the score is bit-identical across engines.
+      High ≈ common continuations (fluent/boilerplate); low ≈ unusual
+      token transitions (gibberish, OCR noise, wrong language).
+
+    Shape: one Generate explode, two corpus-level aggregates (map-side
+    combinable), two equi-joins back on the bigram/context keys, one
+    final per-doc aggregate.  No Python, no window, no collect; the
+    count tables are corpus-vocabulary-sized and shuffle on the string
+    key like any word-count.  Replacing corpus counts with a broadcast
+    pretrained table turns this into true LM scoring with one code
+    change.
+    """
+    from .corpus import ngram_shingles
+
+    big = ngram_shingles(docs, 2, text_col=text_col, id_col=id_col).select(
+        id_col, "shingle"
+    )
+    ctx_of = F.substring_index(F.col("shingle"), " ", 1)
+    c2 = big.groupBy("shingle").agg(F.count("*").alias("n12"))
+    c1 = big.select(ctx_of.alias("ctx")).groupBy("ctx").agg(F.count("*").alias("n1"))
+    return (
+        big.join(c2, "shingle")
+        .join(c1, ctx_of == F.col("ctx"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("n12").alias("support_sum"),
+            F.sum("n1").alias("context_sum"),
+            (
+                F.sum("n12").cast("double") / F.sum("n1").cast("double")
+            ).alias("lm_support"),
+        )
+    )

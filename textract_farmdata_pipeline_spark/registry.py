@@ -3018,3 +3018,34 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return near_dup_clusters(docs, n_hashes=32, bands=8, threshold=0.5, shingle_n=3)
+
+
+_LM_SUPPORT_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (
+  SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+c2 AS (SELECT shingle, COUNT(*) AS n12 FROM big GROUP BY shingle),
+c1 AS (SELECT split_part(shingle, ' ', 1) AS ctx, COUNT(*) AS n1 FROM big GROUP BY ctx)
+SELECT b.doc_id,
+  COUNT(*) AS n_bigrams,
+  CAST(SUM(n12) AS BIGINT) AS support_sum,
+  CAST(SUM(n1) AS BIGINT) AS context_sum,
+  CAST(CAST(SUM(n12) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(n1) AS BIGINT) AS DOUBLE)
+    AS lm_support
+FROM big b
+JOIN c2 USING (shingle)
+JOIN c1 ON split_part(b.shingle, ' ', 1) = c1.ctx
+GROUP BY b.doc_id
+"""
+
+
+@register("doc_lm_support", _LM_SUPPORT_ORACLE)
+def doc_lm_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-supported bigram fluency score per document — the
+    distributed core of KenLM-style quality filtering, with exact
+    integer aggregates so the score is engine-portable."""
+    from .operators.text_analysis import lm_support_score
+
+    return lm_support_score(_t(spark, sf_dir, "documents"))
