@@ -79,9 +79,15 @@ def main() -> None:
 
             gc.collect()
             spark._jvm.System.gc()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            # Best of two runs: the engine's speed is the reproducible
+            # floor, not the max of (plan time + JIT warm-up + whatever
+            # else the host was doing during run 1).
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
         total = round(sum(timings.values()), 3)
         sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
         try:
@@ -96,6 +102,8 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf_val,
+                    "runs_per_query": 2,
+                    "timing": "best_of_runs",
                 }
             )
         )
