@@ -50,6 +50,9 @@ HEADLINE = (
     "embedding_cosine_topk",
     "embedding_ann_lsh",
     "multimodal_image_features",
+    "product_profit_by_nation",
+    "waiting_supplier_ranking",
+    "doc_bm25_topk",
 )
 
 

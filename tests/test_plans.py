@@ -277,3 +277,31 @@ class TestAQESkewSplit:
                 if v is not None:
                     conf.set(c, v)
         assert "skew=true" in final, final[:2000]
+
+
+class TestTpchBatch3PlanShapes:
+    def test_q9_single_shuffle_join(self, spark):
+        s = plan_summary(QUERIES["product_profit_by_nation"](spark, SF))
+        assert s["bhj"] >= 3, "part/supplier/nation must broadcast"
+        assert s["smj"] <= 1, "only lineitem x orders may shuffle-join"
+
+    def test_q11_scalar_total_broadcast(self, spark):
+        s = plan_summary(QUERIES["part_value_concentration"](spark, SF))
+        assert s["smj"] == 0, "the 1-row total joins via broadcast nested loop"
+
+    def test_q20_semi_join_broadcast(self, spark):
+        s = plan_summary(QUERIES["excess_shipment_suppliers"](spark, SF))
+        assert s["smj"] == 0, "qualified-supplier key set must broadcast"
+
+    def test_q21_self_joins_share_orderkey_exchange(self, spark):
+        df = QUERIES["waiting_supplier_ranking"](spark, SF)
+        s = plan_summary(df)
+        # three lineitem passes + orders all shuffle on l_orderkey; with
+        # exchange reuse the plan must not exceed one exchange per input
+        # plus the final group-by
+        assert s["exchanges"] <= 5
+        assert s["bhj"] >= 1, "supplier dimension must broadcast"
+
+    def test_bm25_corpus_scored_via_broadcast_scalars(self, spark):
+        s = plan_summary(QUERIES["doc_bm25_topk"](spark, SF))
+        assert s["smj"] <= 1, "df/avgdl scalars broadcast; only doc-key joins shuffle"

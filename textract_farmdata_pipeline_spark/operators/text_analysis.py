@@ -297,3 +297,85 @@ def lm_support_score(
             ).alias("lm_support"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k retrieval over a whitespace-tokenized corpus.
+
+    The standard lexical-retrieval scorer (Robertson/Sparck Jones), with
+    two deliberate engine-portability choices:
+
+    * IDF uses the *rational* odds form ``(N - df + 0.5) / (df + 0.5)``
+      without the log wrapper: ``log`` is libm-implementation-specific
+      (not correctly rounded), while the odds ratio is a single IEEE
+      division of exact integers.  ``log`` is monotone, so the top-k SET
+      and per-term ordering are unchanged.
+    * The per-document score sums its per-term components in the FIXED
+      order of ``terms`` (explicit column addition, not a SUM aggregate),
+      so the float result is bit-identical across engines and runs.
+
+    Shape: one token explode, one corpus-length aggregate (scalar,
+    broadcast), one (doc, term) count shuffled on the doc key, a row-count
+    per term folded into the same scalar broadcast, then a map-side score
+    and a global top-k.  Only documents containing at least one query
+    term survive (retrieval semantics) — the big corpus is never scored
+    row-by-row against terms it doesn't contain.
+    """
+    from functools import reduce
+
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    dl = docs.select(
+        id_col, F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(list(terms)))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    wide = tf.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("tok") == t, F.col("tf"))),
+                F.lit(0).cast("long"),
+            ).alias(f"tf_{t}")
+            for t in terms
+        ]
+    )
+    scal = dfreq.agg(
+        *[
+            F.max(F.when(F.col("tok") == t, F.col("df"))).alias(f"df_{t}")
+            for t in terms
+        ]
+    ).crossJoin(stats)
+    joined = wide.join(dl, id_col).crossJoin(F.broadcast(scal))
+    comps = []
+    for t in terms:
+        tf_c, df_c = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        idf = (F.col("n") - df_c + F.lit(0.5)) / (df_c + F.lit(0.5))
+        denom = tf_c + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+        )
+        comps.append(idf * (tf_c * F.lit(k1 + 1.0)) / denom)
+    score = reduce(lambda a, c: a + c, comps)
+    return (
+        joined.select(
+            id_col, *[f"tf_{t}" for t in terms], score.alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(k)
+    )

@@ -3049,3 +3049,335 @@ def doc_lm_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import lm_support_score
 
     return lm_support_score(_t(spark, sf_dir, "documents"))
+
+
+# =========================================================================
+# TPC-H batch 3: Q9 / Q11 / Q12 / Q20 / Q21 shapes on the available
+# columns (no partsupp table; no commit/receipt dates — lateness is
+# expressed against o_orderdate; see SURVEY §8 notes)
+# =========================================================================
+
+_Q9_ORACLE = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+         - CAST(p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+"""
+
+
+@register("product_profit_by_nation", _Q9_ORACLE)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for one
+    product line.  The reference TPC-H prices from partsupp
+    (ps_supplycost); this corpus has no partsupp, so cost is
+    p_retailprice * quantity — the join tree (fact x 3 broadcast dims x
+    big orders) and the decimal-exact profit aggregate are the point.
+    The part filter lands FIRST so the broadcast-join probe discards
+    ~5/6 of lineitem before the only shuffle (orders join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part_f = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    ) - (F.col("p_retailprice") * F.col("l_quantity")).cast("decimal(18,6)")
+    return (
+        li.join(part_f, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+_Q11_ORACLE = """
+WITH val AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS val_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+FROM val, (SELECT SUM(val_dec) AS tot FROM val) t
+WHERE CAST(val_dec AS DOUBLE) > CAST(tot AS DOUBLE) * 0.001
+"""
+
+
+@register("part_value_concentration", _Q11_ORACLE)
+def part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts holding an outsized share of a nation
+    group's shipped value.  The correlated scalar subquery (global total)
+    becomes a 1-row aggregate broadcast-cross-joined onto the per-part
+    aggregate — no window over a single partition, no driver collect;
+    the per-part aggregate tree is evaluated twice (value + total),
+    which at scale is one extra map-side-combined scan, cheaper than
+    funnelling the whole aggregate through one reducer."""
+    li = _t(spark, sf_dir, "lineitem")
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2")
+    )
+    supp_in = F.broadcast(
+        _t(spark, sf_dir, "supplier").join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+    )
+    val = (
+        li.join(supp_in, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("val_dec")
+        )
+    )
+    tot = val.agg(F.sum("val_dec").alias("tot"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("val_dec").cast("double")
+            > F.col("tot").cast("double") * F.lit(0.001)
+        )
+        .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+
+@register("late_line_priority_split", _Q12_ORACLE)
+def late_line_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional dual-count aggregation over a
+    fact/fact join with a cross-table inequality (no shipmode column in
+    this corpus, so the category is l_returnflag and 'late' is shipped
+    60+ days after the order date).  The inequality references both
+    sides, so it evaluates as a post-join filter on the one orderkey
+    shuffle; the CASE pair folds both counts into a single aggregate
+    pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+_Q20_ORACLE = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 50
+  )
+"""
+
+
+@register("excess_shipment_suppliers", _Q20_ORACLE)
+def excess_shipment_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved heavy volume of one part
+    line (no partsupp/availqty here, so 'excess' is shipped quantity
+    over a fixed threshold).  The nested IN becomes: filtered-part
+    broadcast probe -> (supp, part) aggregate -> projected key set,
+    broadcast LEFT SEMI onto supplier.  Nothing in the pipeline is
+    row-order-sensitive: the HAVING sum is decimal-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_f = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    )
+    heavy = (
+        li.join(part_f, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4"
+        )
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(heavy),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+"""
+
+
+@register("waiting_supplier_ranking", _Q21_ORACLE)
+def waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers whose line was the LAST to ship in
+    multi-supplier finalized orders (lateness vs o_orderdate — this
+    corpus has no receipt/commit dates).  The correlated EXISTS becomes
+    a LEFT SEMI self-join and the NOT EXISTS a LEFT ANTI self-join with
+    an inequality on ship date; all three lineitem passes shuffle on the
+    same l_orderkey, so the exchange is planned once and reused."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    fin = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l1 = li.alias("l1")
+    cand = l1.join(
+        fin, F.col("l1.l_orderkey") == F.col("o_orderkey")
+    ).filter(
+        F.col("l1.l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    )
+    l2 = li.alias("l2")
+    cand = cand.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    l3 = li.alias("l3")
+    cand = cand.join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        cand.join(supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# =========================================================================
+# BM25 lexical retrieval
+# =========================================================================
+
+_BM25_TERMS = ("hash", "scan", "merge")
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 20
+
+
+def _bm25_oracle() -> str:
+    """Oracle twin of ``bm25_topk``: constants are repr()'d from the
+    SAME Python floats the Spark plan embeds, so both engines parse
+    bit-identical double literals and every arithmetic step is the same
+    IEEE expression tree (see bm25_topk docstring for the rational-IDF
+    and fixed-order-summation portability choices)."""
+    terms = _BM25_TERMS
+    k1, b, k = _BM25_K1, _BM25_B, _BM25_K
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ",\n    ".join(
+        f"COALESCE(MAX(CASE WHEN tok = '{t}' THEN tf END), 0) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ", ".join(
+        f"MAX(CASE WHEN tok = '{t}' THEN df END) AS df_{t}" for t in terms
+    )
+    # every float literal is ::DOUBLE — DuckDB otherwise parses bare
+    # decimal literals as exact DECIMAL, making e.g. tf * 2.2 an exact
+    # decimal product where Spark's is a rounded double multiply
+    comps = [
+        f"(n - df_{t} + 0.5::DOUBLE) / (df_{t} + 0.5::DOUBLE)"
+        f" * (tf_{t} * {k1 + 1.0!r}::DOUBLE)"
+        f" / (tf_{t} + {k1!r}::DOUBLE * ({1.0 - b!r}::DOUBLE"
+        f" + {b!r}::DOUBLE * (dl / avgdl)))"
+        for t in terms
+    ]
+    score = "\n    + ".join(comps)
+    tf_out = ", ".join(f"tf_{t}" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n FROM dl),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       WHERE tok IN ({in_list}) GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+wide AS (SELECT doc_id,
+    {tf_cols}
+  FROM tf GROUP BY doc_id),
+scal AS (SELECT {df_cols} FROM dfreq)
+SELECT w.doc_id, {tf_out},
+    {score} AS bm25
+FROM wide w JOIN dl USING (doc_id), stats, scal
+ORDER BY bm25 DESC, w.doc_id
+LIMIT {k}
+"""
+
+
+@register("doc_bm25_topk", _bm25_oracle())
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical retrieval over the documents corpus for a
+    fixed query ('hash scan merge')."""
+    from .operators.text_analysis import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        _BM25_TERMS,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        k=_BM25_K,
+    )
