@@ -305,3 +305,46 @@ class TestTpchBatch3PlanShapes:
     def test_bm25_corpus_scored_via_broadcast_scalars(self, spark):
         s = plan_summary(QUERIES["doc_bm25_topk"](spark, SF))
         assert s["smj"] <= 1, "df/avgdl scalars broadcast; only doc-key joins shuffle"
+
+
+class TestRound2Batch2PlanShapes:
+    def test_retention_reuses_user_partitioning(self, spark):
+        """distinct → min-agg → join all key on user_id: the cohort
+        join must broadcast (cohorts ≤ users) and the whole matrix
+        build stays within three exchanges."""
+        s = plan_summary(QUERIES["user_retention_cohorts"](spark, SF))
+        assert s["bhj"] == 1 and s["smj"] == 0
+        assert s["exchanges"] <= 3
+        assert set(s["read_columns"]) == {"ts", "user_id"}, "column pruning"
+
+    def test_cube_is_one_expand_pass(self, spark):
+        s = plan_summary(QUERIES["orders_cube_summary"](spark, SF))
+        assert s["exchanges"] == 1, "CUBE expands map-side; one shuffle only"
+        assert s["python_eval"] == 0
+
+    def test_pareto_windows_run_on_aggregate_output(self, spark):
+        """Supplier agg shuffles once; both windows (cumulative + grand
+        total) run on the supplier-count-sized output, not the fact."""
+        s = plan_summary(QUERIES["supplier_pareto_share"](spark, SF))
+        assert s["exchanges"] <= 3
+        assert s["smj"] == 0 and s["python_eval"] == 0
+
+    def test_cum_distinct_parts_single_fact_join(self, spark):
+        s = plan_summary(QUERIES["customer_cum_distinct_parts"](spark, SF))
+        assert s["python_eval"] == 0
+        assert s["bhj"] + s["smj"] + s["shj"] == 1, "one orders x lineitem join"
+        assert s["exchanges"] <= 4
+
+    def test_pmi_single_corpus_shuffle(self, spark):
+        """Vocabulary is materialized to a local table (≤24 rows), so
+        the corpus is scanned at pair-build time exactly once and pairs
+        expand in-array — no self-join, no second corpus exchange."""
+        s = plan_summary(QUERIES["corpus_word_pmi"](spark, SF))
+        assert s["smj"] == 0 and s["shj"] == 0, "vocab joins must broadcast"
+        assert s["exchanges"] <= 4
+        assert s["python_eval"] == 0
+
+    def test_normalize_dedup_stays_jvm(self, spark):
+        s = plan_summary(QUERIES["doc_normalize_dedup"](spark, SF))
+        assert s["python_eval"] == 0
+        assert s["exchanges"] <= 2, "two distincts share the source key"

@@ -3381,3 +3381,342 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         b=_BM25_B,
         k=_BM25_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 batch: cohort retention, CUBE, Pareto concentration, windowed
+# cumulative-distinct, PMI co-occurrence, normalization-aware dedup.
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 604_800_000_000  # 7 * 24 * 3600 * 1e6
+
+_RETENTION_ORACLE = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events
+),
+coh AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT cohort_week * {_WEEK_US} AS cohort_week_us,
+  week - cohort_week AS week_offset,
+  COUNT(*) AS n_users
+FROM uw JOIN coh USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("user_retention_cohorts", _RETENTION_ORACLE)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users bucketed by first-active
+    week, counted at each later week offset.
+
+    Pure integer week arithmetic (epoch-µs floor-div), so the matrix is
+    engine-portable bit-for-bit.  Scale shape: the distinct + min-agg
+    + join all key on ``user_id`` — one shuffle partitioning reused
+    three times; the output matrix is (weeks × offsets), tiny at any
+    corpus size.
+    """
+    ev = _events(spark, sf_dir)
+    uw = (
+        ev.select("user_id", F.expr(f"ts_us div {_WEEK_US}").alias("week"))
+        .distinct()
+    )
+    coh = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(coh, "user_id")
+        .groupBy(
+            (F.col("cohort_week") * _WEEK_US).alias("cohort_week_us"),
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_CUBE_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         o_totalprice
+  FROM orders
+)
+SELECT o_orderpriority, o_year,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_year) AS BIGINT) AS gid
+FROM o
+GROUP BY CUBE (o_orderpriority, o_year)
+"""
+
+
+@register("orders_cube_summary", _CUBE_ORACLE)
+def orders_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, order year): all four grouping combinations
+    in one Expand pass (map-side, no N-scan union), disambiguated by a
+    grouping id so aggregate NULLs are distinguishable from data NULLs."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_cube")
+    return spark.sql(
+        """
+        WITH o AS (
+          SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 o_totalprice
+          FROM orders_cube
+        )
+        SELECT o_orderpriority, o_year,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+          CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_year) AS BIGINT) AS gid
+        FROM o
+        GROUP BY CUBE (o_orderpriority, o_year)
+        """
+    )
+
+
+_PARETO_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev_dec
+  FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT l_suppkey, rev_dec,
+    SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_suppkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum_dec,
+    SUM(rev_dec) OVER () AS total_dec
+  FROM rev
+)
+SELECT l_suppkey,
+  CAST(rev_dec AS DOUBLE) AS revenue,
+  CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS cum_share,
+  CASE WHEN CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) <= 0.8
+       THEN 'top80' ELSE 'tail' END AS pareto_bucket
+FROM ranked
+"""
+
+
+@register("supplier_pareto_share", _PARETO_ORACLE)
+def supplier_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto revenue-concentration: each supplier's cumulative share of
+    total revenue in descending-revenue order, flagged top80/tail.
+
+    Cumulative and grand-total sums stay DECIMAL (order-insensitive,
+    exact) until the final double division — the one float expression
+    is identical on both engines.  Scale shape: one shuffle for the
+    per-supplier aggregate; the two windows run on the aggregate output
+    (suppliers ≪ lineitems).  The empty-frame grand-total window is a
+    single-partition pass over that small aggregate only.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    rev_dec = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    ).alias("rev_dec")
+    rev = li.groupBy("l_suppkey").agg(rev_dec)
+    w_cum = (
+        Window.orderBy(F.col("rev_dec").desc(), "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum_share = (
+        F.sum("rev_dec").over(w_cum).cast("double")
+        / F.sum("rev_dec").over(w_all).cast("double")
+    )
+    return rev.select(
+        "l_suppkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        cum_share.alias("cum_share"),
+        F.when(cum_share <= 0.8, F.lit("top80")).otherwise("tail").alias("pareto_bucket"),
+    )
+
+
+_CUM_DISTINCT_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey,
+    MIN(CAST(year(o_orderdate) AS BIGINT) * 100
+        + CAST(month(o_orderdate) AS BIGINT)) AS first_month
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_custkey, l_partkey
+),
+per_month AS (
+  SELECT o_custkey, first_month AS ym, COUNT(*) AS new_parts
+  FROM firsts GROUP BY o_custkey, first_month
+)
+SELECT o_custkey, ym, new_parts,
+  CAST(SUM(new_parts) OVER (PARTITION BY o_custkey ORDER BY ym
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS cum_distinct_parts
+FROM per_month
+"""
+
+
+@register("customer_cum_distinct_parts", _CUM_DISTINCT_ORACLE)
+def customer_cum_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative COUNT(DISTINCT) over a window — an operator SQL
+    windows cannot express directly — via the first-occurrence trick:
+    a part counts in the month it first appears for the customer, and a
+    running integer sum over months yields the cumulative distinct
+    count.
+
+    Scale shape: the heavy dedup keys on (custkey, partkey) — high
+    cardinality, evenly spread, partial-aggregated map-side; windows
+    then run per customer on month-level rows (≤ months-active per
+    customer, bounded state).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ym = (
+        F.year("o_orderdate").cast("long") * 100
+        + F.month("o_orderdate").cast("long")
+    )
+    firsts = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.min(ym).alias("first_month"))
+    )
+    per_month = firsts.groupBy(
+        "o_custkey", F.col("first_month").alias("ym")
+    ).agg(F.count("*").alias("new_parts"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ym")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_month.select(
+        "o_custkey",
+        "ym",
+        "new_parts",
+        F.sum("new_parts").over(w).alias("cum_distinct_parts"),
+    )
+
+
+_PMI_VOCAB_K = 24  # top-k global tokens form the co-occurrence vocabulary
+_PMI_TOP_K = 50
+
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+  ORDER BY df DESC, tok LIMIT {_PMI_VOCAB_K}
+),
+dt AS (
+  SELECT DISTINCT doc_id, tok FROM toks
+  WHERE tok IN (SELECT tok FROM vocab)
+),
+n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS joint_df
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY a.tok, b.tok
+)
+SELECT tok_a, tok_b, joint_df,
+  CAST(joint_df * n.n AS DOUBLE) / (va.df * vb.df) AS lift
+FROM pairs
+JOIN vocab va ON tok_a = va.tok
+JOIN vocab vb ON tok_b = vb.tok
+CROSS JOIN n_docs n
+ORDER BY lift DESC, tok_a, tok_b
+LIMIT {_PMI_TOP_K}
+"""
+
+
+@register("corpus_word_pmi", _PMI_ORACLE)
+def corpus_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence lift (exp-PMI without the log — a rational
+    score, so no libm portability hazard): document-frequency lift of
+    token pairs within the top-``{_PMI_VOCAB_K}`` vocabulary.
+
+    Scale shape: pair expansion is quadratic in *document* token count,
+    so it runs only after the vocabulary restriction (≤ vocab²
+    candidate pairs per doc, constant-bounded) — the pattern that keeps
+    co-occurrence mining feasible on a 100 TB corpus.  One corpus-sized
+    shuffle total: tokens collapse to a per-doc vocab set (collect_set
+    dedupes in the aggregate, map-side partial), pairs expand from that
+    ≤``{_PMI_VOCAB_K}``-element array in place (no self-join, no second
+    corpus scan), and the pair counts partial-aggregate before their
+    tiny (vocab²/2-key) shuffle.  Vocab and doc-count are broadcast.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # The vocabulary is ≤ _PMI_VOCAB_K rows: materialize it once and
+    # re-inject as a local table, otherwise each of its three uses
+    # (doc filter, df_a, df_b) re-runs the corpus-wide df aggregate.
+    vocab_rows = (
+        toks.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(_PMI_VOCAB_K)
+        .collect()
+    )
+    vocab = spark.createDataFrame(
+        [(r["tok"], r["df"]) for r in vocab_rows], "tok string, df bigint"
+    )
+    doc_sets = (
+        toks.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("doc_id")
+        .agg(F.collect_set("tok").alias("toks"))
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n"))
+    pairs = (
+        doc_sets.select(F.explode("toks").alias("tok_a"), "toks")
+        .select(
+            "tok_a",
+            F.explode(F.filter("toks", lambda t: t > F.col("tok_a"))).alias("tok_b"),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("joint_df"))
+    )
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "joint_df",
+            (
+                (F.col("joint_df") * F.col("n")).cast("double")
+                / (F.col("df_a") * F.col("df_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "tok_a", "tok_b")
+        .limit(_PMI_TOP_K)
+    )
+
+
+_NORM_DEDUP_ORACLE = """
+SELECT source,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT text) AS n_distinct_raw,
+  COUNT(DISTINCT trim(regexp_replace(regexp_replace(lower(text),
+      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS n_distinct_norm
+FROM documents
+GROUP BY source
+"""
+
+
+@register("doc_normalize_dedup", _NORM_DEDUP_ORACLE)
+def doc_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware dedup audit per source: distinct counts on
+    raw text vs canonical text (lowercase, punctuation stripped,
+    whitespace collapsed) — the gap is the near-dup mass that exact
+    dedup misses without normalization.
+
+    Scale shape: COUNT(DISTINCT) expands per distinct expression, but
+    both distincts share the ``source`` grouping key and collapse
+    map-side first; at corpus scale swap the raw text for its xxhash64
+    (same counts, fixed-width shuffle rows).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_raw"),
+        F.countDistinct(norm).alias("n_distinct_norm"),
+    )
