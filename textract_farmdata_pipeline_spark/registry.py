@@ -3720,3 +3720,36 @@ def doc_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("text").alias("n_distinct_raw"),
         F.countDistinct(norm).alias("n_distinct_norm"),
     )
+
+
+_TOPK2_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+  FROM orders
+) t
+WHERE rnk <= 5
+"""
+
+
+@register("orders_topk_two_phase", _TOPK2_ORACLE)
+def orders_topk_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 orders per priority via the two-phase top-k operator:
+    each input partition trims itself to its local top-5 per group
+    BEFORE the shuffle (Arrow-batched running heap), so the exchange
+    moves partitions x groups x k rows, not the whole orders table —
+    the map-side-combine shape that makes per-group top-k viable at
+    100 TB.  Reference analogue: the per-page "best line" selections in
+    lambda_function.py's record assembly keep only the winning candidate
+    per cursor the same way.  Exact: equals the one-phase window rank
+    (tie broken on o_orderkey)."""
+    from .operators.topk import topk_per_group
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return topk_per_group(
+        orders, ["o_orderpriority"], "o_totalprice", 5, tie_cols=["o_orderkey"]
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
