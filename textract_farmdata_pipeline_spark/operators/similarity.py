@@ -325,3 +325,72 @@ def ann_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    extra_block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``k`` — self-join with
+    sound length-band blocking.
+
+    ``lev(a, b) <= k`` implies ``|len(a) - len(b)| <= k``, so strings
+    are bucketed by ``length // (k+1)`` and any qualifying pair sits in
+    the same or adjacent buckets.  The left side keeps its own bucket
+    (single key); the right side replicates into {b-1, b, b+1}; each
+    ordered pair then matches exactly once, and ``id_a < id_b`` keeps
+    one orientation — no post-join distinct.  Replication factor is a
+    constant 3, and the equi-join shuffles on the bucket key instead of
+    exploding a cross join.
+
+    At corpus scale a single length band can still be hot (most web
+    text clusters in a narrow length range) — pass ``extra_block_cols``
+    (e.g. a language or first-character column) to refine the band into
+    an exact composite key; candidates must then agree on those columns
+    too, which is only sound if the caller knows near-duplicates never
+    differ there.
+
+    Output: (id_a, id_b, dist) with ``dist = levenshtein(text_a,
+    text_b) <= k``.  The distance filter itself is JVM codegen
+    (``F.levenshtein``), O(len^2) per candidate — keep ``text_col``
+    short (a normalized prefix) for corpus-scale runs.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    width = k + 1
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+        *[F.col(c).alias(f"_blk_{c}") for c in extra_block_cols],
+    ).withColumn("_bucket", (F.length("_txt") / width).cast("long"))
+    left = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_txt").alias("_txt_a"),
+        F.col("_bucket").alias("_key"),
+        *[F.col(f"_blk_{c}").alias(f"_blka_{c}") for c in extra_block_cols],
+    )
+    right = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_txt").alias("_txt_b"),
+        F.explode(
+            F.array(F.col("_bucket") - 1, F.col("_bucket"), F.col("_bucket") + 1)
+        ).alias("_key"),
+        *[F.col(f"_blk_{c}").alias(f"_blkb_{c}") for c in extra_block_cols],
+    )
+    cond = [left["_key"] == right["_key"]]
+    cond += [
+        left[f"_blka_{c}"] == right[f"_blkb_{c}"] for c in extra_block_cols
+    ]
+    pairs = (
+        left.join(right, cond)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("_txt_a") - F.length("_txt_b")) <= k
+        )
+        .withColumn("dist", F.levenshtein("_txt_a", "_txt_b").cast("long"))
+        .filter(F.col("dist") <= k)
+    )
+    return pairs.select("id_a", "id_b", "dist")

@@ -3753,3 +3753,38 @@ def orders_topk_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         orders, ["o_orderpriority"], "o_totalprice", 5, tie_cols=["o_orderkey"]
     ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+
+
+_EDIT_JOIN_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 24) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 3
+"""
+
+
+@register("doc_edit_distance_join", _EDIT_JOIN_ORACLE)
+def doc_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity self-join: all document pairs whose normalized
+    24-char prefixes are within Levenshtein distance 3.
+
+    The oracle brute-forces the O(n^2) pair space; the Spark side goes
+    through ``edit_distance_join``'s length-band blocking (sound:
+    lev <= k bounds the length gap by k), so the join is an equi-join
+    on the band key with constant x3 replication — the shape that holds
+    at corpus scale where a cross join cannot.
+    """
+    from .operators.similarity import edit_distance_join
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), 1, 24
+        ).alias("s"),
+    )
+    return edit_distance_join(docs, "doc_id", "s", k=3)
