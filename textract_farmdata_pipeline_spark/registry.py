@@ -3788,3 +3788,45 @@ def doc_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     return edit_distance_join(docs, "doc_id", "s", k=3)
+
+
+_FOOTER_STATS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_orderkey
+FROM lineitem
+"""
+
+
+@register("lineitem_footer_stats", _FOOTER_STATS_ORACLE)
+def lineitem_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX answered from parquet footer statistics — no row
+    data decoded at all.
+
+    Routes this one scan through DSv2 (``useV1SourceList`` minus
+    parquet, restored immediately after relation resolution) with
+    ``spark.sql.parquet.aggregatePushdown`` on, so the scan node emits
+    pre-aggregated ``min/max/count`` per row group and Spark merely
+    merges them: at 100 TB this is a metadata read of a few KB per
+    file instead of a full-table decode.  Pushdown only engages for
+    filterless, non-nested MIN/MAX/COUNT — exactly this query shape.
+    """
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    v1_minus_parquet = ",".join(
+        s for s in old.split(",") if s.strip() and s.strip() != "parquet"
+    )
+    spark.conf.set("spark.sql.sources.useV1SourceList", v1_minus_parquet)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+    )
