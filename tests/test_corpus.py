@@ -221,3 +221,42 @@ class TestCorpusNgrams:
         assert out[0] == ("a b", 3)
         assert out[1] in [("b a", 1), ("b c", 1)]  # tie broken by string
         assert out[1] == ("b a", 1)
+
+
+class TestSpanDedup:
+    def test_shared_span_removed_from_all_docs(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import span_dedup
+
+        # span size 2: doc1 = [a b][c d], doc2 = [a b][x y], doc3 = [p q]
+        df = _docs(spark, [(1, "a b c d"), (2, "a b x y"), (3, "p q")])
+        out = {r["doc_id"]: r for r in span_dedup(df, span_words=2).collect()}
+        assert out[1]["clean_text"] == "c d"
+        assert out[2]["clean_text"] == "x y"
+        assert out[3]["clean_text"] == "p q"
+        assert out[1]["n_spans_dropped"] == 1 and out[1]["n_spans_kept"] == 1
+        assert out[3]["n_spans_dropped"] == 0
+
+    def test_intra_doc_repeat_is_kept(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import span_dedup
+
+        # "a b" occurs twice but only inside doc 1 -> min_docs=2 keeps it
+        df = _docs(spark, [(1, "a b a b"), (2, "z z z z")])
+        out = {r["doc_id"]: r for r in span_dedup(df, span_words=2).collect()}
+        assert out[1]["clean_text"] == "a b a b"
+
+    def test_fully_shared_doc_empties(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import span_dedup
+
+        df = _docs(spark, [(1, "a b"), (2, "a b")])
+        out = {r["doc_id"]: r for r in span_dedup(df, span_words=2).collect()}
+        assert out[1]["clean_text"] == "" and out[1]["n_spans_kept"] == 0
+        assert out[2]["n_spans_dropped"] == 1
+
+    def test_tail_span_and_order(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import span_dedup
+
+        # 5 words, span 2 -> spans [a b][c d][e]; [c d] shared with doc 2
+        df = _docs(spark, [(1, "a b c d e"), (2, "c d")])
+        out = {r["doc_id"]: r for r in span_dedup(df, span_words=2).collect()}
+        assert out[1]["clean_text"] == "a b e"
+        assert out[1]["n_spans_kept"] == 2 and out[1]["n_spans_dropped"] == 1

@@ -284,3 +284,80 @@ def build_corpus(
     return shuffle_shards(sampled, key_col, num_shards).select(
         key_col, by, "shard", "shard_pos"
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_words: int = 10,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style cross-document span deduplication.
+
+    The C4 recipe (Raffel et al. 2020, §2.2) drops any three-sentence
+    span that occurs more than once in the corpus.  This corpus has no
+    sentence structure, so the dedup unit is a fixed ``span_words``-word
+    window (non-overlapping, last span keeps the tail): every span whose
+    text appears in at least ``min_docs`` *distinct* documents is
+    removed from **all** of them (C4 keeps no canonical copy either),
+    and each document is reassembled from its surviving spans in order.
+
+    Returns ``(id, clean_text, n_spans_kept, n_spans_dropped)`` with
+    ``clean_text = ''`` when every span of a document was shared.
+
+    Scale shape (100 TB corpus):
+
+    * Segmentation is :func:`..operators.preprocess.chunk_tokens` — a
+      per-row codegen'd slice + explode, **no shuffle**.
+    * Duplicate detection groups on ``xxhash64(span)`` — an 8-byte key
+      with map-side partial aggregation, never the span text itself, so
+      the count shuffle moves ~16 bytes per span, not the corpus.
+    * The anti join keys on the same 8-byte hash; AQE broadcasts the
+      duplicate-hash set when it is small and falls back to a shuffled
+      hash join when a crawl-scale corpus makes it large — both plans
+      are correct, neither is quadratic.
+    * Reassembly is the one unavoidable corpus-byte shuffle (surviving
+      spans group back to their document); its key is the id column, so
+      skew is bounded by document length, not corpus popularity.
+    """
+    from .preprocess import chunk_tokens
+
+    seg = chunk_tokens(
+        docs.select(F.col(id_col).alias("doc_id"), text_col),
+        chunk_size=span_words,
+        overlap=0,
+    ).select("doc_id", "chunk_idx", "chunk_text", F.xxhash64("chunk_text").alias("_h"))
+    dup = (
+        seg.groupBy("_h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    kept = seg.join(dup, "_h", "left_anti")
+    reassembled = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))).alias("_a")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("_a.chunk_text")).alias("clean_text"),
+            F.size("_a").alias("n_spans_kept"),
+        )
+    )
+    toks = F.split(F.col(text_col), " ")
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.ceil(F.size(toks) / F.lit(span_words)), F.lit(1))
+        .cast("int")
+        .alias("_n_spans"),
+    )
+    return totals.join(reassembled, "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+        (F.col("_n_spans") - F.coalesce("n_spans_kept", F.lit(0))).alias(
+            "n_spans_dropped"
+        ),
+    )

@@ -3830,3 +3830,51 @@ def lineitem_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_orderkey"),
         F.max("l_orderkey").alias("max_orderkey"),
     )
+
+
+_SPAN_DEDUP_ORACLE = """
+WITH seg AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS ci,
+    array_to_string(toks[(i-1)*10 + 1 : (i-1)*10 + 10], ' ') AS seg
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+      greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT), 1) AS nc
+    FROM documents
+  ) d, LATERAL unnest(generate_series(1, nc)) AS t(i)
+),
+dup AS (
+  SELECT seg FROM seg GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT s.doc_id, s.ci, s.seg
+  FROM seg s LEFT JOIN dup d ON s.seg = d.seg
+  WHERE d.seg IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY ci) AS clean_text,
+         CAST(COUNT(*) AS INTEGER) AS n_spans_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id,
+    CAST(greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT), 1)
+         AS INTEGER) AS n_spans
+  FROM documents
+)
+SELECT t.doc_id,
+  COALESCE(a.clean_text, '') AS clean_text,
+  COALESCE(a.n_spans_kept, 0) AS n_spans_kept,
+  t.n_spans - COALESCE(a.n_spans_kept, 0) AS n_spans_dropped
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("corpus_span_dedup", _SPAN_DEDUP_ORACLE)
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document span dedup: every 10-word span shared by
+    >=2 distinct documents is removed from all of them and documents are
+    reassembled from the survivors (duplicate counting on an 8-byte
+    xxhash64 key, one corpus-byte shuffle total)."""
+    from .operators.corpus import span_dedup
+
+    return span_dedup(_t(spark, sf_dir, "documents"), span_words=10, min_docs=2)
