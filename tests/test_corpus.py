@@ -260,3 +260,48 @@ class TestSpanDedup:
         out = {r["doc_id"]: r for r in span_dedup(df, span_words=2).collect()}
         assert out[1]["clean_text"] == "a b e"
         assert out[1]["n_spans_kept"] == 2 and out[1]["n_spans_dropped"] == 1
+
+
+class TestGopherFilter:
+    def _run(self, spark, rows):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            gopher_quality_filter,
+        )
+
+        df = _docs(spark, rows)
+        return {
+            r["doc_id"]: r
+            for r in gopher_quality_filter(df, min_words=3, max_words=8).collect()
+        }
+
+    def test_clean_doc_keeps(self, spark):
+        out = self._run(spark, [(1, "the crane lifted onto a barge")])
+        assert out[1]["keep"] and out[1]["failed_rules"] == ""
+
+    def test_length_rules(self, spark):
+        out = self._run(
+            spark,
+            [(1, "the a"), (2, "the cat sat on a mat with the big red dog now")],
+        )
+        assert "too_short" in out[1]["failed_rules"]
+        assert "too_long" in out[2]["failed_rules"]
+        assert not out[2]["keep"]
+
+    def test_word_len_rule(self, spark):
+        # mean word length < 3 -> fails; stopwords present so only that rule
+        out = self._run(spark, [(1, "a a is to on a")])
+        assert "word_len_out_of_range" in out[1]["failed_rules"]
+
+    def test_repetition_rules(self, spark):
+        # "zap zap zap zap zap zap" -> one bigram repeated 5x: top + dup fire
+        out = self._run(spark, [(1, "the zap zap zap zap is")])
+        assert "top_bigram_repetition" in out[1]["failed_rules"]
+        assert "dup_bigram_repetition" in out[1]["failed_rules"]
+
+    def test_stopword_diversity(self, spark):
+        out = self._run(spark, [(1, "grape melon banana kiwi")])
+        assert "low_stopword_diversity" in out[1]["failed_rules"]
+
+    def test_rule_order_deterministic(self, spark):
+        out = self._run(spark, [(1, "xx yy")])
+        assert out[1]["failed_rules"].startswith("too_short")

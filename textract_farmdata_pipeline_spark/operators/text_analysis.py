@@ -379,3 +379,102 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), id_col)
         .limit(k)
     )
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    min_distinct_stopwords: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style composite document-quality gate (Rae et al. 2021,
+    appendix A1.1), adapted to this corpus's flat word streams.
+
+    Six rules, each evaluated from *integer* quantities so the verdict
+    is bit-identical in any engine (no float-threshold edge cases):
+
+    * ``too_short`` / ``too_long`` — word count outside
+      ``[min_words, max_words]``.
+    * ``word_len_out_of_range`` — mean word length outside
+      ``[min_mean_word_len, max_mean_word_len]`` (compared as
+      ``total_word_chars vs bound * n_tokens``, no division).
+    * ``low_stopword_diversity`` — fewer than
+      ``min_distinct_stopwords`` distinct function words (the Gopher
+      "stop word" rule).
+    * ``top_bigram_repetition`` — the single most frequent bigram
+      takes > 1/5 of all bigram instances (``top_cnt * 5 > total``).
+    * ``dup_bigram_repetition`` — bigrams occurring more than once
+      take > 1/2 of all instances (``dup_cnt * 2 > total``).
+
+    Output: one row per document with the integer evidence columns, a
+    deterministic comma-joined ``failed_rules`` string (fixed rule
+    order), and ``keep = (failed_rules = '')``.
+
+    Scale shape: the token-level signals are a single codegen'd
+    projection (no shuffle); the bigram signals reuse the
+    :func:`repetition_stats` plan — two map-side-combinable groupBys
+    keyed by (doc, shingle) then (doc) — and join back on doc_id.
+    Nothing in the plan holds more than one document's distinct bigrams
+    in an aggregation state, so the filter runs at crawl scale.
+    """
+    from .corpus import ngram_shingles
+
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks).cast("long")
+    base = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.length(F.col(text_col)).cast("long") - (n - F.lit(1))).alias("n_word_chars"),
+        F.size(
+            F.array_distinct(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        ).cast("long").alias("n_distinct_stopwords"),
+    )
+    grams = (
+        ngram_shingles(docs, 2, text_col=text_col)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_bigram_cnt"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+                "dup_bigram_cnt"
+            ),
+        )
+    )
+    j = base.join(grams, "doc_id", "left")
+    too_short = F.col("n_tokens") < min_words
+    too_long = F.col("n_tokens") > max_words
+    word_len_bad = (
+        F.col("n_word_chars") < F.lit(min_mean_word_len) * F.col("n_tokens")
+    ) | (F.col("n_word_chars") > F.lit(max_mean_word_len) * F.col("n_tokens"))
+    low_stop = F.col("n_distinct_stopwords") < min_distinct_stopwords
+    top_rep = F.coalesce(
+        F.col("top_bigram_cnt") * 5 > F.col("n_bigrams"), F.lit(False)
+    )
+    dup_rep = F.coalesce(
+        F.col("dup_bigram_cnt") * 2 > F.col("n_bigrams"), F.lit(False)
+    )
+    failed = F.concat_ws(
+        ",",
+        F.when(too_short, F.lit("too_short")),
+        F.when(too_long, F.lit("too_long")),
+        F.when(word_len_bad, F.lit("word_len_out_of_range")),
+        F.when(low_stop, F.lit("low_stopword_diversity")),
+        F.when(top_rep, F.lit("top_bigram_repetition")),
+        F.when(dup_rep, F.lit("dup_bigram_repetition")),
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "n_word_chars",
+        "n_distinct_stopwords",
+        "n_bigrams",
+        "top_bigram_cnt",
+        "dup_bigram_cnt",
+        failed.alias("failed_rules"),
+        (failed == F.lit("")).alias("keep"),
+    )

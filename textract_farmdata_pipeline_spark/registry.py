@@ -3878,3 +3878,72 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.corpus import span_dedup
 
     return span_dedup(_t(spark, sf_dir, "documents"), span_words=10, min_docs=2)
+
+
+_GOPHER_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nch FROM documents
+),
+base AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(nch - (len(t) - 1) AS BIGINT) AS n_word_chars,
+    CAST(len(list_distinct(list_filter(t,
+      w -> w IN ('the','a','of','and','to','in','is','on','for','with')
+    ))) AS BIGINT) AS n_distinct_stopwords
+  FROM tok
+),
+sh AS (
+  SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS shingle
+  FROM tok, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+per AS (
+  SELECT doc_id, shingle, COUNT(*) AS cnt FROM sh GROUP BY doc_id, shingle
+),
+grams AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+    CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt,
+    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_bigram_cnt
+  FROM per GROUP BY doc_id
+),
+j AS (
+  SELECT b.*, g.n_bigrams, g.top_bigram_cnt, g.dup_bigram_cnt
+  FROM base b LEFT JOIN grams g USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_word_chars, n_distinct_stopwords,
+  n_bigrams, top_bigram_cnt, dup_bigram_cnt,
+  concat_ws(',',
+    CASE WHEN n_tokens < 30 THEN 'too_short' END,
+    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+    CASE WHEN n_word_chars < 3 * n_tokens OR n_word_chars > 10 * n_tokens
+         THEN 'word_len_out_of_range' END,
+    CASE WHEN n_distinct_stopwords < 2 THEN 'low_stopword_diversity' END,
+    CASE WHEN COALESCE(top_bigram_cnt * 5 > n_bigrams, FALSE)
+         THEN 'top_bigram_repetition' END,
+    CASE WHEN COALESCE(dup_bigram_cnt * 2 > n_bigrams, FALSE)
+         THEN 'dup_bigram_repetition' END
+  ) AS failed_rules,
+  concat_ws(',',
+    CASE WHEN n_tokens < 30 THEN 'too_short' END,
+    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+    CASE WHEN n_word_chars < 3 * n_tokens OR n_word_chars > 10 * n_tokens
+         THEN 'word_len_out_of_range' END,
+    CASE WHEN n_distinct_stopwords < 2 THEN 'low_stopword_diversity' END,
+    CASE WHEN COALESCE(top_bigram_cnt * 5 > n_bigrams, FALSE)
+         THEN 'top_bigram_repetition' END,
+    CASE WHEN COALESCE(dup_bigram_cnt * 2 > n_bigrams, FALSE)
+         THEN 'dup_bigram_repetition' END
+  ) = '' AS keep
+FROM j
+"""
+
+
+@register("doc_gopher_filter", _GOPHER_ORACLE)
+def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher composite quality gate: six integer-evaluated rules
+    (length, mean word length, stopword diversity, bigram repetition)
+    with a deterministic failed-rules string per document."""
+    from .operators.text_analysis import gopher_quality_filter
+
+    return gopher_quality_filter(_t(spark, sf_dir, "documents"))
