@@ -804,3 +804,70 @@ class TestNearDupClusters:
             for r in near_dup_clusters(docs, threshold=0.5).collect()
         }
         assert got == want
+
+
+class TestKmeansIvf:
+    @pytest.fixture(scope="class")
+    def trained(self, spark, emb):
+        from textract_farmdata_pipeline_spark.operators.similarity import kmeans_train
+
+        return kmeans_train(emb, k=16, max_iter=5, persist=False)
+
+    def test_objective_monotone_nondecreasing(self, trained):
+        """Spherical Lloyd: summed best-dot objective never decreases."""
+        _, history = trained
+        assert len(history) >= 2
+        assert all(b >= a - 1e-9 for a, b in zip(history, history[1:]))
+
+    def test_centroids_unit_norm_and_deterministic(self, spark, emb, trained):
+        from textract_farmdata_pipeline_spark.operators.similarity import kmeans_train
+
+        cents, _ = trained
+        for c in cents:
+            assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+        again, _ = kmeans_train(emb, k=16, max_iter=5, persist=False)
+        assert cents == again  # no RNG anywhere
+
+    def test_partition_count_invariance(self, spark, emb, trained):
+        """Driver-side reduce of per-partition partials must not depend
+        on how rows are split across partitions (counts are exact;
+        float sums agree to addition-reorder tolerance)."""
+        from textract_farmdata_pipeline_spark.operators.similarity import kmeans_train
+
+        cents, _ = trained
+        other, _ = kmeans_train(
+            emb.repartition(7), k=16, max_iter=5, persist=False
+        )
+        flat = [x for c in cents for x in c]
+        oflat = [x for c in other for x in c]
+        assert max(abs(a - b) for a, b in zip(flat, oflat)) < 1e-8
+
+    def test_trained_centroids_balance_and_recall(self, spark, emb):
+        """A fitted codebook must (a) yield inverted lists no worse
+        balanced than the sampled one, and (b) keep the probe-recall
+        mechanism intact when plugged into ann_topk_ivf."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            ann_topk_ivf,
+            cosine_topk,
+            ivf_cluster_profile,
+            kmeans_train,
+        )
+
+        cents, _ = kmeans_train(emb, k=16, max_iter=5, persist=False)
+        sizes = [
+            r["n_members"] for r in ivf_cluster_profile(emb, cents).collect()
+        ]
+        n = emb.count()
+        assert sum(sizes) == n
+        assert max(sizes) <= n // 2  # no degenerate mega-cluster
+
+        q = emb.filter(F.col("vec_id") < 20)
+        exact: dict[int, set[int]] = {}
+        for r in cosine_topk(emb, q, k=5).collect():
+            exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rows = ann_topk_ivf(emb, q, k=5, n_probe=8, centroids=cents).collect()
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(k_, set()) & t) for k_, t in exact.items())
+        assert hits / sum(len(t) for t in exact.values()) >= 0.6

@@ -3947,3 +3947,17 @@ def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import gopher_quality_filter
 
     return gopher_quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@register("embedding_kmeans_ivf")  # no oracle: iterative float training
+def embedding_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a trained coarse quantizer: spherical Lloyd k-means over
+    the embedding corpus (centroids as broadcast literals, element-wise
+    SUM aggregates — no row inflation), then the cluster-balance profile
+    that gates codebook acceptance.  Recall-vs-brute-force and monotone
+    objective pinned in tests/test_northstar_ops.py."""
+    from .operators.similarity import ivf_cluster_profile, kmeans_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_train(emb, k=16, max_iter=5, persist=False)
+    return ivf_cluster_profile(emb, cents)
