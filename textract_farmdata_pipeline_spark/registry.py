@@ -3961,3 +3961,64 @@ def embedding_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cents, _ = kmeans_train(emb, k=16, max_iter=5, persist=False)
     return ivf_cluster_profile(emb, cents)
+
+
+_SESSION_WINDOW_ORACLE = """
+WITH lagged AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us,
+    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+),
+sessioned AS (
+  SELECT *,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+  MIN(ts_us) AS session_start_us,
+  MAX(ts_us) + 1800000000 AS session_end_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessioned
+GROUP BY user_id, sid
+"""
+
+
+@register("events_session_window_fn", _SESSION_WINDOW_ORACLE)
+def events_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's native ``session_window`` operator
+    (the one the streaming engine merges incrementally) run in batch
+    mode: one MergingSessionsExec pass instead of the two-window
+    gaps-and-islands plan of ``events_sessionize``.  Spark's session
+    end is exclusive — a gap of exactly the window length starts a new
+    session — so the oracle flags ``gap >= 30min`` where the manual
+    twin uses ``>``; ``window.end`` is last event + gap by definition.
+    """
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("t"), "value"
+    )
+    return (
+        base.groupBy("user_id", F.session_window("t", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
