@@ -53,6 +53,11 @@ HEADLINE = (
     "product_profit_by_nation",
     "waiting_supplier_ranking",
     "doc_bm25_topk",
+    "corpus_span_dedup",
+    "doc_gopher_filter",
+    "orders_topk_two_phase",
+    "events_session_window_fn",
+    "lineitem_footer_stats",
 )
 
 
