@@ -69,3 +69,46 @@ class TestDynamicPartitionPruning:
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan
         assert "1-URGENT" in plan
+
+
+class TestBloomFilterRuntimeJoin:
+    def test_selective_dim_injects_bloom_probe(self, spark, sf_dir):
+        """Shuffle join with a selective build side: Spark should inject
+        a bloom_filter_agg on the dim keys and a might_contain probe on
+        the fact scan side — the runtime row-pruning that matters when
+        the fact side is 100 TB (the size thresholds that gate it are
+        lowered here because test data is tiny; at real scale the
+        defaults fire on their own)."""
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+                F.count("*").alias("n")
+            )
+            plan = j._jdf.queryExecution().optimizedPlan().toString()
+            assert "bloom_filter_agg" in plan
+            assert "might_contain" in plan
+            got = j.collect()[0]["n"]
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        # bloom pruning is advisory: result identical to the plain join
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert got == want

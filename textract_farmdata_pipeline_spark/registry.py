@@ -4022,3 +4022,34 @@ def events_session_window_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+_SAMPLE_K_ORACLE = """
+SELECT source, doc_id, rnk FROM (
+  SELECT source, doc_id,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5('samp' || CAST(doc_id AS VARCHAR)), doc_id
+    ) AS BIGINT) AS rnk
+  FROM documents
+) WHERE rnk <= 20
+"""
+
+
+@register("doc_sample_k_per_source", _SAMPLE_K_ORACLE)
+def doc_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample per domain — reservoir-equivalent but
+    deterministic (rank on a seeded md5 of the key, so every engine,
+    retry, and speculative task draws the same sample) and
+    shuffle-reduced via the two-phase grouped top-k (each partition
+    ships at most groups x k candidate rows, never the corpus)."""
+    from .operators.topk import topk_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.md5(F.concat(F.lit("samp"), F.col("doc_id").cast("string"))).alias("_h"),
+    )
+    return topk_per_group(
+        docs, ["source"], "_h", k=20, ascending=True, tie_cols=["doc_id"]
+    ).select("source", "doc_id", F.col("rnk"))
