@@ -871,3 +871,64 @@ class TestKmeansIvf:
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         hits = sum(len(got.get(k_, set()) & t) for k_, t in exact.items())
         assert hits / sum(len(t) for t in exact.values()) >= 0.6
+
+
+class TestMultimodalResizeAudio:
+    def test_resize_payload_tracks_target_and_meta(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            resize_image,
+        )
+
+        media = attach_media(docs.limit(30))
+        out = resize_image(media, target_w=16, target_h=8)
+        rows = out.collect()
+        assert len(rows) == 30
+        for r in rows:
+            assert len(r["media"]) == 16 * 8
+            assert r["media_meta"]["width"] == 16
+            assert r["media_meta"]["height"] == 8
+            assert r["media_meta"]["n_bytes"] == 16 * 8
+
+    def test_resize_deterministic_and_content_derived(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            resize_image,
+        )
+
+        media = attach_media(docs.limit(20))
+        a = {r["doc_id"]: bytes(r["media"]) for r in resize_image(media, 8, 8).collect()}
+        b = {r["doc_id"]: bytes(r["media"]) for r in resize_image(media, 8, 8).collect()}
+        assert a == b
+        # strided take preserves source bytes (first output byte = first source byte)
+        src = {r["doc_id"]: bytes(r["media"]) for r in media.collect()}
+        for did, payload in a.items():
+            assert payload[0] == src[did][0]
+
+    def test_audio_windows_energy_golden(self, spark):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            audio_windows,
+        )
+
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        out = audio_windows(attach_media(docs), window_bytes=2).collect()
+        by_idx = {r["window_idx"]: r for r in out}
+        assert by_idx[0]["energy"] == 97 * 97 + 98 * 98  # 'a','b'
+        assert by_idx[0]["peak"] == 98 and by_idx[0]["n_samples"] == 2
+        assert by_idx[1]["energy"] == 99 * 99 and by_idx[1]["n_samples"] == 1
+
+    def test_audio_window_fanout_count(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            audio_windows,
+        )
+
+        media = attach_media(docs.limit(40))
+        got = audio_windows(media, window_bytes=100).groupBy("doc_id").count()
+        want = media.select(
+            "doc_id",
+            F.greatest(F.ceil(F.length("media") / 100), F.lit(1)).alias("w"),
+        )
+        j = got.join(want, "doc_id").filter(F.col("count") != F.col("w"))
+        assert j.count() == 0

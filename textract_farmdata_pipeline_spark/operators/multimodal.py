@@ -142,3 +142,105 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
 
     return media.select("doc_id", "media").mapInPandas(run, schema=_FRAMES_SCHEMA)
+
+
+_RESIZE_SCHEMA = (
+    "doc_id long, media binary, "
+    "media_meta struct<n_bytes: long, width: long, height: long, format: string>"
+)
+
+
+def resize_image(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Image resize plumbing: same-shape output column + updated
+    metadata, payload transformed executor-side.
+
+    The real implementation decodes via :func:`decode_image_stub`,
+    resamples, re-encodes.  Without codecs in the container the
+    "resample" is a deterministic strided byte take sized
+    ``target_w * target_h`` (so output payload size tracks the target
+    resolution exactly, as a real resize's decoded buffer would),
+    which keeps the full contract testable: schema preserved, metadata
+    struct rewritten to the target dims, payload bytes a pure function
+    of the input.
+    """
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    out_len = target_w * target_h
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(
+                pdf["doc_id"].tolist(), pdf["media"].tolist(), pdf["media_meta"].tolist()
+            ):
+                b = bytes(payload or b"")
+                if not b:
+                    resized = b""
+                elif len(b) >= out_len:
+                    # strided downsample: evenly spaced source bytes
+                    step = len(b) / out_len
+                    resized = bytes(b[int(i * step)] for i in range(out_len))
+                else:
+                    # upsample: nearest-neighbor repeat
+                    step = len(b) / out_len
+                    resized = bytes(b[min(int(i * step), len(b) - 1)] for i in range(out_len))
+                rows.append(
+                    (
+                        doc_id,
+                        resized,
+                        {
+                            "n_bytes": len(resized),
+                            "width": target_w,
+                            "height": target_h,
+                            "format": (meta or {}).get("format", "png"),
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "media", "media_meta"])
+
+    return media.select("doc_id", "media", "media_meta").mapInPandas(
+        run, schema=_RESIZE_SCHEMA
+    )
+
+
+_AUDIO_SCHEMA = "doc_id long, window_idx int, n_samples int, energy long, peak int"
+
+
+def audio_windows(media: DataFrame, window_bytes: int = 256) -> DataFrame:
+    """Audio-style fixed-window framing + per-window energy.
+
+    Treats the payload as a PCM sample stream: non-overlapping
+    ``window_bytes`` windows, one output row per window with integer
+    energy (sum of squared samples) and peak — all integer math, so the
+    result is bit-identical on any engine/retry.  The fan-out happens
+    executor-side (one media row → n_windows rows), exactly how real
+    audio feature extraction distributes; swap the byte view for a
+    decoded waveform via the :func:`decode_image_stub`-style seam when
+    codecs are available.
+    """
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"].tolist(), pdf["media"].tolist()):
+                b = bytes(payload or b"")
+                for i in range(0, max(len(b), 1), window_bytes):
+                    w = b[i : i + window_bytes]
+                    rows.append(
+                        (
+                            doc_id,
+                            i // window_bytes,
+                            len(w),
+                            sum(x * x for x in w),
+                            max(w) if w else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "window_idx", "n_samples", "energy", "peak"]
+            )
+
+    return media.select("doc_id", "media").mapInPandas(run, schema=_AUDIO_SCHEMA)

@@ -4053,3 +4053,46 @@ def doc_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         docs, ["source"], "_h", k=20, ascending=True, tie_cols=["doc_id"]
     ).select("source", "doc_id", F.col("rnk"))
+
+
+@register("multimodal_image_resize")  # no oracle: binary payload output
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over the binary media column: payload resampled
+    executor-side to the target resolution, metadata struct rewritten
+    (rows-only; size/metadata/determinism pinned by pytest)."""
+    from .operators.multimodal import attach_media, resize_image
+
+    return resize_image(
+        attach_media(_t(spark, sf_dir, "documents")), target_w=32, target_h=32
+    ).select("doc_id", F.col("media_meta.n_bytes").alias("n_bytes"),
+             F.col("media_meta.width").alias("width"))
+
+
+_AUDIO_WINDOWS_ORACLE = """
+WITH win AS (
+  SELECT doc_id,
+    CAST(i - 1 AS INTEGER) AS window_idx,
+    substr(text, (i-1)*256 + 1, 256) AS seg
+  FROM (SELECT doc_id, text, length(text) AS n FROM documents) d,
+  LATERAL unnest(generate_series(1,
+    greatest(CAST(ceil(n / 256.0) AS BIGINT), 1))) AS u(i)
+)
+SELECT doc_id, window_idx,
+  CAST(length(seg) AS INTEGER) AS n_samples,
+  CAST(SUM(ascii(substr(seg, j, 1)) * ascii(substr(seg, j, 1))) AS BIGINT)
+    AS energy,
+  CAST(MAX(ascii(substr(seg, j, 1))) AS INTEGER) AS peak
+FROM win, LATERAL unnest(generate_series(1, length(seg))) AS v(j)
+GROUP BY doc_id, window_idx, seg
+"""
+
+
+@register("multimodal_audio_windows", _AUDIO_WINDOWS_ORACLE)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style fixed-window framing over the binary payload with
+    integer per-window energy/peak — executor-side fan-out, and because
+    the fake payload is the document's ASCII bytes the whole thing is
+    oracle-checkable character-by-character in SQL."""
+    from .operators.multimodal import attach_media, audio_windows
+
+    return audio_windows(attach_media(_t(spark, sf_dir, "documents")), window_bytes=256)

@@ -47,6 +47,12 @@ PROBE = (
     "events_salted_enrich",
     "skew_safe_count_distinct",
     "embedding_cosine_topk",
+    "corpus_span_dedup",
+    "doc_gopher_filter",
+    "orders_topk_two_phase",
+    "events_session_window_fn",
+    "doc_sample_k_per_source",
+    "embedding_kmeans_ivf",
 )
 
 KEYED = {
