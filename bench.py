@@ -69,9 +69,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        # Warm-up: spin up JVM codegen + Python workers on the smallest
-        # SF so the first timed query doesn't absorb one-time startup.
-        QUERIES["census_records_full"](spark, "/root/testdata/sf0.001").write.format(
+        # Warm-up: spin up JVM codegen + the FULL Python worker pool at
+        # the bench scale factor (a small-SF warmup forks only a few
+        # workers; the first timed mapInPandas query then absorbs the
+        # remaining ~30 forks) so timed runs measure the engine, not
+        # process startup.
+        QUERIES["census_records_full"](spark, sf_dir).write.format(
             "noop"
         ).mode("overwrite").save()
 
