@@ -4096,3 +4096,157 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import attach_media, audio_windows
 
     return audio_windows(attach_media(_t(spark, sf_dir, "documents")), window_bytes=256)
+
+
+_ROLLING_7D_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+),
+contrib AS (
+  SELECT day + i AS win_day, user_id
+  FROM du, LATERAL unnest(generate_series(0, 6)) AS u(i)
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT win_day,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+FROM contrib JOIN days ON days.day = contrib.win_day
+GROUP BY win_day
+"""
+
+
+@register("events_rolling_7d_active", _ROLLING_7D_ORACLE)
+def events_rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct actives per observed day WITHOUT a
+    per-day self-join: each distinct (day, user) contributes itself to
+    the 7 windows it can appear in (a bounded 7x explode of the
+    deduplicated day-user pairs — shuffle grows with distinct pairs,
+    never with raw events), then one count-distinct per window day.
+    The window set is restricted to observed days by a semi join, so
+    gaps in the event stream don't mint phantom windows."""
+    ev = _events(spark, sf_dir)
+    du = ev.select(
+        F.expr("ts_us div 86400000000").alias("day"),
+        "user_id",
+    ).distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("win_day"),
+        "user_id",
+    )
+    days = du.select(F.col("day").alias("win_day")).distinct()
+    return (
+        contrib.join(days, "win_day", "left_semi")
+        .groupBy("win_day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+    )
+
+
+_INVERTED_INDEX_ORACLE = """
+WITH tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ) GROUP BY term, doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY term ORDER BY tf DESC, doc_id ASC
+  ) AS rnk FROM tf
+)
+SELECT term,
+  CAST(COUNT(*) AS BIGINT) AS doc_freq,
+  CAST(SUM(tf) AS BIGINT) AS total_tf,
+  string_agg(
+    CASE WHEN rnk <= 8 THEN doc_id || ':' || tf END, ','
+    ORDER BY rnk
+  ) AS postings_head
+FROM ranked
+GROUP BY term
+"""
+
+
+@register("corpus_inverted_index", _INVERTED_INDEX_ORACLE)
+def corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> document frequency, total term
+    frequency, and the head of the postings list ("doc:tf" capped at
+    the 8 highest-tf docs, fully ordered) — the IR artifact BM25 serves
+    from.  One explode + two map-side-combinable aggregations; the
+    postings cap bounds output row width no matter how common the term,
+    which is what keeps index rows bounded on a crawl-scale corpus
+    (the full list would make stopword rows gigabytes wide)."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    ranked = tf.withColumn("rnk", F.row_number().over(w))
+    head = F.when(
+        F.col("rnk") <= 8,
+        F.struct(
+            F.col("rnk"),
+            F.concat(F.col("doc_id"), F.lit(":"), F.col("tf")).alias("p"),
+        ),
+    )
+    return ranked.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+        F.concat_ws(",", F.array_sort(F.collect_list(head))["p"]).alias(
+            "postings_head"
+        ),
+    )
+
+
+_IQR_OUTLIERS_ORACLE = """
+WITH v AS (
+  SELECT event_id, event_type, value,
+    CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+),
+q AS (
+  SELECT event_type,
+    quantile_cont(v100, 0.25) AS q1,
+    quantile_cont(v100, 0.75) AS q3
+  FROM v GROUP BY event_type
+)
+SELECT event_id, v.event_type, value,
+  CASE WHEN v100 > q3 + 1.5 * (q3 - q1) THEN 'high' ELSE 'low' END AS side
+FROM v JOIN q ON v.event_type = q.event_type
+WHERE v100 > q3 + 1.5 * (q3 - q1) OR v100 < q1 - 1.5 * (q3 - q1)
+"""
+
+
+@register("events_iqr_outliers", _IQR_OUTLIERS_ORACLE)
+def events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per event type with an
+    engine-exact rule: values scaled to integer cents, exact quartiles
+    (integer-valued, so ``quantile_cont`` interpolation at .25/.75 is
+    binary-exact), fences built from halves only — every comparison is
+    bit-identical in any engine.  The quartile aggregate is a per-group
+    sort over a bounded group count; the fence join broadcasts
+    #event_types rows back onto the scan."""
+    ev = _events(spark, sf_dir)
+    v = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    q = v.groupBy("event_type").agg(
+        F.percentile("v100", F.lit(0.25)).alias("q1"),
+        F.percentile("v100", F.lit(0.75)).alias("q3"),
+    )
+    fence_hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    fence_lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        v.join(F.broadcast(q), "event_type")
+        .where((F.col("v100") > fence_hi) | (F.col("v100") < fence_lo))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(F.col("v100") > fence_hi, F.lit("high"))
+            .otherwise(F.lit("low"))
+            .alias("side"),
+        )
+    )
