@@ -932,3 +932,41 @@ class TestMultimodalResizeAudio:
         )
         j = got.join(want, "doc_id").filter(F.col("count") != F.col("w"))
         assert j.count() == 0
+
+
+class TestPageRank:
+    def _ranks(self, spark, edges, **kw):
+        from textract_farmdata_pipeline_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r["node"]: r["rank"] for r in pagerank(df, **kw).collect()}
+
+    def test_mass_conserved_with_dangling_sinks(self, spark):
+        # 1,2,3 all point at 4; 4 is a pure sink (dangling)
+        got = self._ranks(spark, [(1, 4), (2, 4), (3, 4)], iterations=8)
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_sink_with_more_inlinks_ranks_higher(self, spark):
+        got = self._ranks(spark, [(1, 4), (2, 4), (3, 4), (3, 5)], iterations=8)
+        assert got[4] > got[5]
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_symmetric_cycle_is_uniform(self, spark):
+        # ring: every node same in/out degree -> uniform ranks
+        ring = [(1, 2), (2, 3), (3, 1)]
+        got = self._ranks(spark, ring, iterations=10)
+        for v in got.values():
+            assert abs(v - 1.0 / 3) < 1e-9
+
+    def test_converges_geometrically(self, spark):
+        """Power iteration contracts at ~damping^t: successive
+        iteration gaps must shrink (the convergence mechanism), and the
+        late gap must be well below the early one."""
+        edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]
+        r4 = self._ranks(spark, edges, iterations=4)
+        r8 = self._ranks(spark, edges, iterations=8)
+        r12 = self._ranks(spark, edges, iterations=12)
+        d_early = max(abs(r8[n] - r4[n]) for n in r4)
+        d_late = max(abs(r12[n] - r8[n]) for n in r8)
+        assert d_late < d_early
+        assert d_late < 0.01

@@ -4250,3 +4250,30 @@ def events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("side"),
         )
     )
+
+
+@register("customer_supplier_pagerank")  # no oracle: iterative float ranks
+def customer_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier purchase graph (edges from
+    orders x lineitem; supplier nodes offset to a disjoint id space).
+    Suppliers are pure sinks, so every round redistributes their
+    dangling mass — the mass-conservation and convergence properties
+    are pinned in tests/test_northstar_ops.py.  Returns the top 20
+    nodes by rank (rows-only: float ranks are iteration-order floats)."""
+    from .operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+    )
+    ranks = pagerank(edges, iterations=6)
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+        .select("node", F.round("rank", 6).alias("rank"))
+    )
