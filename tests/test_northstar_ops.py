@@ -970,3 +970,63 @@ class TestPageRank:
         d_late = max(abs(r12[n] - r8[n]) for n in r8)
         assert d_late < d_early
         assert d_late < 0.01
+
+
+class TestNearDupPairsLsh:
+    """The LSH-gated near-dup product path vs the O(n²) oracle anchor."""
+
+    def _pairs(self, rows):
+        return {(r["id_a"], r["id_b"], r["cosine"]) for r in rows}
+
+    def test_pair_set_equals_brute_force_with_pinned_params(self, spark, emb):
+        """(3 planes, 20 tables) was pinned by an offline sweep of the
+        deterministic plane family as recall=1 on the fixtures at the
+        low-selectivity 0.4 threshold — so the gated form must agree
+        with brute force exactly (same ids, same rounded cosines)."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            near_dup_pairs,
+            near_dup_pairs_lsh,
+        )
+
+        brute = self._pairs(near_dup_pairs(emb, threshold=0.4).collect())
+        gated = self._pairs(
+            near_dup_pairs_lsh(
+                emb, threshold=0.4, n_planes=3, n_tables=20
+            ).collect()
+        )
+        assert gated == brute and len(brute) > 0
+
+    def test_high_threshold_subset_and_exact_scores(self, spark, emb):
+        """At any parameterization the gate may only *miss* pairs, never
+        invent or mis-score one: results ⊆ brute force with identical
+        rounded cosines (precision 1 by exact verification)."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            near_dup_pairs,
+            near_dup_pairs_lsh,
+        )
+
+        brute = self._pairs(near_dup_pairs(emb, threshold=0.35).collect())
+        gated = self._pairs(
+            near_dup_pairs_lsh(
+                emb, threshold=0.35, n_planes=4, n_tables=6
+            ).collect()
+        )
+        assert gated <= brute
+
+    def test_plan_has_no_broadcast_nested_loop(self, spark, emb):
+        """The whole point of the gate: candidate generation is an
+        equality-keyed join on (table, bucket), so the physical plan
+        must not contain a BroadcastNestedLoopJoin over the corpus —
+        that's the O(n²) shape that cannot survive an unbroadcastable
+        corpus.  (The brute-force anchor's plan does contain one.)"""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            near_dup_pairs,
+            near_dup_pairs_lsh,
+        )
+
+        gated_plan = near_dup_pairs_lsh(
+            emb, threshold=0.4, n_planes=3, n_tables=20
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in gated_plan
+        brute_plan = near_dup_pairs(emb, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in brute_plan

@@ -219,6 +219,86 @@ class TestTextractConnector:
             list(_ocr_one(NeverDone(), "bkt", "k.pdf", poll_delay=0, max_wait=0.05))
 
 
+def _event_json(*keys: str, bucket: str | None = "evt-bkt") -> str:
+    import json
+
+    bucket_obj = {"name": bucket} if bucket is not None else {}
+    return json.dumps(
+        {
+            "Records": [
+                {"s3": {"bucket": bucket_obj, "object": {"key": k}}} for k in keys
+            ]
+        }
+    )
+
+
+class TestS3EventsSource:
+    """S1 event-record unpack + unquote_plus decode
+    (lambda_function.py:785-793)."""
+
+    def test_unquote_plus_decode_and_prefix_gate(self, spark):
+        from urllib.parse import unquote_plus
+
+        from textract_farmdata_pipeline_spark.sources import s3_events_source
+
+        keys = [
+            "raw/farm+census+1950.pdf",      # '+' must become space
+            "raw/county%2Fplat%20book.pdf",  # %2F → '/', %20 → space
+            "processed/done.pdf",            # outside RAW_PREFIX → skipped
+            "",                              # empty key → skipped
+        ]
+        events = spark.createDataFrame(
+            [(_event_json(*keys),)], "event_json string"
+        )
+        out = s3_events_source(events).collect()
+        assert sorted(r["key"] for r in out) == sorted(
+            unquote_plus(k) for k in keys[:2]
+        )
+        assert {r["bucket"] for r in out} == {"evt-bkt"}
+        # spot-check the exact decodes the reference relies on
+        assert "raw/farm census 1950.pdf" in {r["key"] for r in out}
+        assert "raw/county/plat book.pdf" in {r["key"] for r in out}
+
+    def test_missing_bucket_falls_back_to_default(self, spark):
+        from textract_farmdata_pipeline_spark.sources import s3_events_source
+
+        events = spark.createDataFrame(
+            [(_event_json("raw/a.pdf", bucket=None),)], "event_json string"
+        )
+        out = s3_events_source(events, default_bucket="cfg-bkt").collect()
+        assert [(r["bucket"], r["key"]) for r in out] == [("cfg-bkt", "raw/a.pdf")]
+
+    def test_empty_records_batch_yields_nothing(self, spark):
+        import json
+
+        from textract_farmdata_pipeline_spark.sources import s3_events_source
+
+        events = spark.createDataFrame(
+            [(json.dumps({"Records": []}),), (json.dumps({"ok": True}),)],
+            "event_json string",
+        )
+        assert s3_events_source(events).count() == 0
+
+    def test_listing_feeds_ocr_connector(self, spark):
+        """The adapter's output is directly consumable by ocr_listing."""
+        from textract_farmdata_pipeline_spark.sources import (
+            ocr_listing,
+            s3_events_source,
+        )
+
+        blocks = {"raw/evt doc.pdf": [_block("John Smith, 10, 20", 0.1, 0.1)]}
+        events = spark.createDataFrame(
+            [(_event_json("raw/evt+doc.pdf"),)], "event_json string"
+        )
+        listing = s3_events_source(events)
+        assert listing.columns == ["bucket", "key"]
+        cls = _make_fake_textract(blocks)
+        rows = ocr_listing(
+            listing, client_factory=lambda b: cls(), poll_delay=0
+        ).collect()
+        assert len(rows) == 1 and rows[0]["doc_id"] == "evt doc"
+
+
 class TestCsvSink:
     def test_per_document_layout(self, spark, tmp_path):
         from textract_farmdata_pipeline_spark.plans import run_pipeline

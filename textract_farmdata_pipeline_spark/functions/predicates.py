@@ -124,7 +124,12 @@ def is_continuation_line_col(text: Column) -> Column:
         F.regexp_replace(F.regexp_replace(t, r"\d+", ""), rf"[,\s{_DASH_CLASS}$.]", "")
     )
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]+", ""))
-    return (t != "") & ~starts_with_name_col(t) & ((residue <= 1) | (alpha <= 2))
+    # starts_with_name_col is trim-invariant (its head is trimmed after
+    # the comma split), so pass the raw text: the name-RLIKE subtree is
+    # then bit-identical to the is_name projection's and whole-stage
+    # codegen's subexpression elimination evaluates the regex once per
+    # row instead of twice
+    return (t != "") & ~starts_with_name_col(text) & ((residue <= 1) | (alpha <= 2))
 
 
 # ---------------------------------------------------------------------------

