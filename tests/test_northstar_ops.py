@@ -1013,6 +1013,32 @@ class TestNearDupPairsLsh:
         )
         assert gated <= brute
 
+    def test_duplicated_corpus_stays_exact_and_collapsed(self, spark, emb):
+        """The duplication-safety mechanism (exact-collapse → rep-level
+        LSH → membership expansion): on a corpus where every vector
+        appears twice (ids shifted by 10⁶), the pair set must still
+        equal brute force — copy-pairs at cosine 1.0, cross-pairs
+        carrying the rep-level result — while the LSH bucket join only
+        ever sees one row per distinct vector."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            near_dup_pairs,
+            near_dup_pairs_lsh,
+        )
+
+        doubled = emb.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+        )
+        brute = self._pairs(near_dup_pairs(doubled, threshold=0.4).collect())
+        gated = self._pairs(
+            near_dup_pairs_lsh(
+                doubled, threshold=0.4, n_planes=3, n_tables=20
+            ).collect()
+        )
+        assert gated == brute
+        # every vector got a copy: each of the 500 identical pairs
+        # scores exactly 1.0
+        assert sum(1 for (_, _, c) in gated if c == 1.0) >= 500
+
     def test_plan_has_no_broadcast_nested_loop(self, spark, emb):
         """The whole point of the gate: candidate generation is an
         equality-keyed join on (table, bucket), so the physical plan

@@ -25,8 +25,8 @@ class TestJoinStrategies:
 
     def test_q7_double_dimension_role_joins_broadcast(self, spark):
         s = plan_summary(QUERIES["volume_shipping_pairs"](spark, SF))
-        assert s["smj"] == 0, "nation joined twice must stay broadcast both times"
-        assert s["bhj"] >= 4
+        assert s["smj"] == 1, "lineitem⋈orders is fact-fact: must sort-merge, never broadcast"
+        assert s["bhj"] == 4, "supplier/customer/nation×2 broadcast; orders must NOT be a 5th"
 
     def test_anti_and_semi_joins_broadcast(self, spark):
         for name in ("customers_without_orders", "customers_with_big_orders"):

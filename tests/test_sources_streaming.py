@@ -603,6 +603,82 @@ class TestStatefulStreaming:
             else:
                 spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
+    def test_ttl_dedup_state_vs_watermark_dedup_state(self, spark, tmp_path):
+        """State-size evidence across the two dedup state-bounding
+        mechanisms: dropDuplicatesWithinWatermark evicts by EVENT-time
+        horizon (test_watermark_bounds_dedup_state pins that side);
+        dedup_stream_tws evicts by PROCESSING-time TTL.  Here: run the
+        TTL form over the same 3×100-key batch sequence with a TTL long
+        enough that nothing expires mid-run — state must hold exactly
+        the 300 distinct keys (one boolean per key) and every distinct
+        event must be emitted exactly once; then re-run with a 1 ms TTL
+        and a second query restart after the TTL has elapsed, and the
+        restarted query's state must NOT retain the 300 expired keys."""
+        import datetime as dt
+        import time as _time
+
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState's Python driver worker needs protobuf",
+        )
+
+        from textract_farmdata_pipeline_spark.streaming import dedup_stream_tws
+
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        try:
+            t0 = dt.datetime(2024, 1, 1)
+            batches = [
+                [(100 * b + i, t0 + dt.timedelta(hours=b), 10, 1.0) for i in range(100)]
+                for b in range(3)
+            ]
+            d = self._mk_events_files(spark, tmp_path, batches)
+
+            def run(name, ttl_ms, ckpt):
+                stream = (
+                    spark.readStream.schema(
+                        "event_id long, ts timestamp, user_id long, value double"
+                    )
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(d)
+                )
+                q = (
+                    dedup_stream_tws(stream, ttl_ms=ttl_ms)
+                    .writeStream.format("memory")
+                    .queryName(name)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .option("checkpointLocation", str(tmp_path / ckpt))
+                    .start()
+                )
+                q.awaitTermination(120)
+                progress = [p for p in q.recentProgress if p["stateOperators"]]
+                return progress[-1]["stateOperators"][0]["numRowsTotal"]
+
+            state_long = run("tws_dedup_long", 24 * 3600 * 1000, "ckpt-ttl-long")
+            assert state_long == 300
+            assert spark.table("tws_dedup_long").count() == 300
+
+            # short TTL: process everything, wait out the TTL, restart on
+            # the same checkpoint with one late duplicate file — expired
+            # keys must be gone from the restarted query's state
+            run("tws_dedup_short", 1, "ckpt-ttl-short")
+            _time.sleep(0.2)
+            spark.createDataFrame(
+                [(0, t0, 10, 1.0)],
+                "event_id long, ts timestamp, user_id long, value double",
+            ).coalesce(1).write.mode("append").parquet(d)
+            state_after = run("tws_dedup_short2", 1, "ckpt-ttl-short")
+            assert state_after < 300
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
 
 class TestStreamJoins:
     def _stream(self, spark, tmp_path, name, rows, schema):

@@ -134,24 +134,63 @@ def near_dup_pairs_lsh(
     is honest-but-weak — that regime is the brute-force oracle's job.
     The plane family is deterministic (md5-seeded), so recall on a
     given corpus is a fixed, testable property, not a per-run draw.
+
+    Duplication-safety (the minhash-pairs lesson, re-learned here when
+    the ×10 probe OOM'd the first version): identical vectors are
+    exact-collapsed to one representative BEFORE bucketing, so d copies
+    of a vector put ONE row in each bucket, not d — the LSH candidate
+    join never sees duplication.  True pairs involving copies are then
+    reconstructed by expanding rep-level pairs through group
+    membership; the output is still O(d²) (that's the pair contract —
+    for linear output use the clustered operators), but every shuffle
+    before the final expansion is linear in DISTINCT vectors.
     """
-    b = vectors.select(
+    from pyspark.sql.window import Window
+
+    g = (
+        vectors.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("sig", F.md5(F.to_json(F.col("v"))))
+        .withColumn("rep_id", F.min("vec_id").over(Window.partitionBy("sig")))
+    )
+    members = g.select("sig", "rep_id", "vec_id")
+    reps = g.filter(F.col("vec_id") == F.col("rep_id")).select(
+        "vec_id", F.col("v").alias("embedding")
+    )
+
+    b = reps.select(
         "vec_id",
         F.posexplode(
             _multi_buckets(F.col("embedding"), n_planes, n_tables, dim)
         ).alias("tbl", "bucket"),
     )
-    bx = b.select(F.col("vec_id").alias("id_a"), "tbl", "bucket")
-    by = b.select(F.col("vec_id").alias("id_b"), "tbl", "bucket")
-    cand = (
+    bx = b.select(F.col("vec_id").alias("ra"), "tbl", "bucket")
+    by = b.select(F.col("vec_id").alias("rb"), "tbl", "bucket")
+    rep_pairs = (
         bx.join(by, ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
         .distinct()
     )
-    v = vectors.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).withColumn("n", norm(F.col("v")))
+    # cross-group member pairs from rep-level candidates; least/greatest
+    # restores the id_a < id_b contract after expansion
+    cross = (
+        rep_pairs.join(members.select(F.col("rep_id").alias("ra"), F.col("vec_id").alias("ma")), "ra")
+        .join(members.select(F.col("rep_id").alias("rb"), F.col("vec_id").alias("mb")), "rb")
+        .select(
+            F.least("ma", "mb").alias("id_a"), F.greatest("ma", "mb").alias("id_b")
+        )
+    )
+    # within-group pairs (identical vectors, cosine 1 unless zero-norm —
+    # scored below with the same exact formula as everything else)
+    within = (
+        members.select("sig", F.col("vec_id").alias("id_a"))
+        .join(members.select("sig", F.col("vec_id").alias("id_b")), "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = cross.unionByName(within)
+
+    v = g.select("vec_id", "v").withColumn("n", norm(F.col("v")))
     score = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
     return (
         cand.join(

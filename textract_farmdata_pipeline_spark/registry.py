@@ -328,6 +328,54 @@ def census_ocr_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_census_csv(blocks_to_records(lines), add_notes=False)
 
 
+_S3_EVENTS_ORACLE = """
+SELECT 'farm-bkt' AS bucket,
+       'raw/farm census/' || CAST(doc_id AS VARCHAR) || ' page 1.pdf' AS key
+FROM documents
+WHERE doc_id % 5 <> 0
+"""
+
+
+@register("s3_event_listing", _S3_EVENTS_ORACLE)
+def s3_event_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end: synthesize S3 ``ObjectCreated`` event JSON with
+    percent/plus-encoded keys from the documents table, then unpack +
+    ``unquote_plus``-decode + RAW_PREFIX-gate it through
+    :func:`sources.s3_events_source` (reference
+    lambda_function.py:785-793).  The oracle constructs the *decoded*
+    listing directly in SQL, so the hash match proves Spark's
+    ``F.url_decode`` reproduces ``unquote_plus`` exactly ('+' → space,
+    %2F → '/', %20 → space) and the prefix gate drops the processed/
+    keys (every doc_id % 5 == 0 here)."""
+    from .sources.s3_events import s3_events_source
+
+    docs = _t(spark, sf_dir, "documents")
+    raw_key = F.concat(
+        F.lit("raw/farm+census%2F"),
+        F.col("doc_id").cast("string"),
+        F.lit("+page%201.pdf"),
+    )
+    key = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("processed/"), F.col("doc_id").cast("string")),
+    ).otherwise(raw_key)
+    events = docs.select(
+        F.to_json(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.struct(
+                            F.struct(F.lit("farm-bkt").alias("name")).alias("bucket"),
+                            F.struct(key.alias("key")).alias("object"),
+                        ).alias("s3")
+                    )
+                ).alias("Records")
+            )
+        ).alias("event_json")
+    )
+    return s3_events_source(events)
+
+
 # =========================================================================
 # Relational analytics surface (Spark-native capabilities on TPC-H-ish)
 # =========================================================================
@@ -1727,9 +1775,17 @@ def volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: revenue between (supplier nation, customer
     nation) pairs by ship year.  The same dimension table joins twice
     under different roles — both broadcast, so the only shuffle is the
-    lineitem/orders join and the final aggregate."""
+    lineitem/orders join and the final aggregate.
+
+    The lineitem⋈orders join is hinted ``merge``: orders is a FACT
+    table, and without the hint Catalyst's column-pruned size estimate
+    can slip under the broadcast threshold and build a multi-million-row
+    hash relation (caught by the ×10 probe at 24s vs 5s) — a plan that
+    cannot exist on a cluster where orders is TBs.  Sort-merge keeps the
+    fact-fact join shuffled-and-spillable at any scale; AQE preserves
+    the hint."""
     li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").hint("merge")
     supp = F.broadcast(_t(spark, sf_dir, "supplier"))
     cust = F.broadcast(_t(spark, sf_dir, "customer"))
     nation = _t(spark, sf_dir, "nation")

@@ -1,6 +1,7 @@
 from .census import stream_census_pipeline  # noqa: F401
 from .stateful import (  # noqa: F401
     dedup_stream,
+    dedup_stream_tws,
     user_running_totals_stream,
     user_running_totals_tws,
 )

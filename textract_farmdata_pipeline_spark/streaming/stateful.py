@@ -108,6 +108,57 @@ class _RunningTotalsProcessor(StatefulProcessor):
         pass
 
 
+class _DedupTtlProcessor(StatefulProcessor):
+    """Streaming dedup on ``transformWithState`` with per-key state TTL.
+
+    The TTL twin of :func:`dedup_stream`: ``dropDuplicatesWithinWatermark``
+    bounds state by the *event-time* horizon (needs an event-time column
+    + watermark), this bounds it by *processing-time* idleness — a key's
+    "seen" marker expires ``ttl_ms`` after its last update, so state
+    tracks the actively-recurring key set even when event time is absent
+    or unordered.  Same trade as reference-free caches everywhere:
+    duplicates separated by more than the TTL are re-emitted.
+    """
+
+    def __init__(self, ttl_ms: int):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle) -> None:
+        self._seen = handle.getValueState(
+            "seen", "seen boolean", ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        first_batch = self._seen.get() is None
+        emitted = False
+        for pdf in rows:
+            if first_batch and not emitted and len(pdf):
+                yield pdf.head(1)
+                emitted = True
+        self._seen.update((True,))
+
+    def close(self) -> None:
+        pass
+
+
+def dedup_stream_tws(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ttl_ms: int = 3_600_000,
+    output_schema: str = "event_id long, ts timestamp, user_id long, value double",
+) -> DataFrame:
+    """Streaming dedup whose state is TTL-bounded instead of
+    watermark-bounded (see :class:`_DedupTtlProcessor`).  Requires the
+    RocksDB state store + protobuf, like all transformWithState ops."""
+    proc = _DedupTtlProcessor(ttl_ms)
+    return events.groupBy(*key_cols).transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=output_schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
 def user_running_totals_tws(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Per-user running totals on ``transformWithStateInPandas``.
 

@@ -53,6 +53,14 @@ PROBE = (
     "events_session_window_fn",
     "doc_sample_k_per_source",
     "embedding_kmeans_ivf",
+    # round-3 additions: the remaining iterative / fan-out heavies
+    "customer_supplier_pagerank",
+    "corpus_inverted_index",
+    "events_rolling_7d_active",
+    "events_iqr_outliers",
+    "multimodal_audio_windows",
+    "dedup_incremental",
+    "embedding_near_dup_pairs_lsh",
 )
 
 KEYED = {
@@ -98,6 +106,12 @@ def main() -> int:
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--sf", default="/root/testdata/sf0.1")
     parser.add_argument("--md", default=os.path.join(ROOT, "docs", "SCALE.md"))
+    parser.add_argument("--only", default=None, help="comma-separated probe subset")
+    parser.add_argument(
+        "--addendum",
+        action="store_true",
+        help="append a '×K validation' section to --md instead of rewriting it",
+    )
     args = parser.parse_args()
 
     from textract_farmdata_pipeline_spark.registry import QUERIES
@@ -117,7 +131,8 @@ def main() -> int:
     run("tpch_q1_pricing_summary", big_dir)
 
     results = {}
-    for name in PROBE:
+    probe = tuple(args.only.split(",")) if args.only else PROBE
+    for name in probe:
         t_small = run(name, args.sf)
         t_big = run(name, big_dir)
         results[name] = {
@@ -180,8 +195,28 @@ def main() -> int:
         "",
     ]
     os.makedirs(os.path.dirname(args.md), exist_ok=True)
-    with open(args.md, "w") as fh:
-        fh.write("\n".join(lines))
+    if args.addendum:
+        add = [
+            "",
+            f"## ×{args.k} validation — do the ×10 ratios extrapolate?",
+            "",
+            f"Same probe at ×{args.k} (sf0.1 replicated {args.k}×, ≈"
+            f"{args.k * 600_000 // 1_000_000}M lineitem rows): a plan whose"
+            " ×10 ratio was honest should scale by ≈K again, not blow up.",
+            "",
+            f"| query | t(sf0.1) s | t(×{args.k}) s | ratio | verdict |",
+            "|---|---|---|---|---|",
+        ]
+        for n, r in results.items():
+            add.append(
+                f"| {n} | {r['t_sf01_sec']} | {r[f't_x{args.k}_sec']} | {r['ratio']} | {verdicts[n]} |"
+            )
+        add.append("")
+        with open(args.md, "a") as fh:
+            fh.write("\n".join(add))
+    else:
+        with open(args.md, "w") as fh:
+            fh.write("\n".join(lines))
     return 0
 
 
