@@ -392,9 +392,28 @@ def incremental_minhash_dedup(
     matching corpus doc_id, else the smallest matching *earlier* new
     doc_id (so within-batch groups keep their first member), else NULL
     (the doc is novel).  ``dup_of IS NULL`` is the admission filter.
+
+    Duplication-safety: both sides exact-collapse to one representative
+    per distinct text before MinHash (the ×10 probe measured the
+    uncollapsed form at ratio 16.7 — d copies in every band bucket on
+    both sides make candidates grow d²).  Jaccard only depends on the
+    text, so rep-level matching is exact, and the member mapping
+    preserves the min-id contract: a group's rep IS its minimum doc_id,
+    so ``min matching corpus doc`` = min over matching corpus reps, and
+    ``min matching earlier new doc`` = min over {own rep} ∪ {matching
+    new reps} below the member's id.
     """
-    new_sigs = band_buckets(minhash_signatures(new_docs, n_hashes, shingle_n), n_hashes, bands)
-    corp_sigs = band_buckets(minhash_signatures(corpus, n_hashes, shingle_n), n_hashes, bands)
+    newg = new_docs.select("doc_id", "text").withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("text"))
+    )
+    new_reps = newg.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
+    corpg = corpus.select("doc_id", "text").withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("text"))
+    )
+    corp_reps = corpg.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
+
+    new_sigs = band_buckets(minhash_signatures(new_reps, n_hashes, shingle_n), n_hashes, bands)
+    corp_sigs = band_buckets(minhash_signatures(corp_reps, n_hashes, shingle_n), n_hashes, bands)
 
     vs_corpus = (
         new_sigs.alias("x")
@@ -404,13 +423,16 @@ def incremental_minhash_dedup(
         )
         .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
     )
+    # rep-level batch matches, BOTH directions: a member of the earlier
+    # group can still point at a later group's rep if that rep id is
+    # below the member's own id
     vs_batch = (
         new_sigs.alias("x")
         .join(
             new_sigs.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") > F.col("y.doc_id")),  # earlier doc wins
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
         )
         .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
     )
@@ -418,26 +440,52 @@ def incremental_minhash_dedup(
     hashed_sh = F.array_distinct(
         F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
     )
-    new_sh = new_docs.select("doc_id", hashed_sh.alias("sa")).withColumn("sza", F.size("sa"))
-    # candidate side may come from either table; union their shingle sets
+    new_sh = new_reps.select("doc_id", hashed_sh.alias("sa")).withColumn("sza", F.size("sa"))
+    # candidate side may come from either rep table; union their shingle sets
     cand_sh = (
-        corpus.select("doc_id", hashed_sh.alias("sb"))
-        .unionByName(new_docs.select("doc_id", hashed_sh.alias("sb")))
+        corp_reps.select("doc_id", hashed_sh.alias("sb"))
+        .unionByName(new_reps.select("doc_id", hashed_sh.alias("sb")))
         .withColumn("szb", F.size("sb"))
         .withColumnRenamed("doc_id", "cand")
     )
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jaccard = inter.cast("double") / (F.col("sza") + F.col("szb") - inter).cast("double")
-    matches = (
-        vs_corpus.unionByName(vs_batch)
-        .distinct()
+    corp_verified = (
+        vs_corpus.distinct()
         .join(new_sh, "doc_id")
         .join(cand_sh, "cand")
         .filter(jaccard >= threshold)
         .groupBy("doc_id")
-        .agg(F.min("cand").alias("dup_of"))
+        .agg(F.min("cand").alias("corp_min"))
+        .withColumnRenamed("doc_id", "rep_id")
     )
-    return new_docs.select("doc_id").join(matches, "doc_id", "left")
+    batch_verified = (
+        vs_batch.distinct()
+        .join(new_sh, "doc_id")
+        .join(cand_sh, "cand")
+        .filter(jaccard >= threshold)
+        .select(F.col("doc_id").alias("rep_id"), "cand")
+    )
+    members = newg.select("doc_id", "rep_id")
+    # candidate earlier-new reps per member: matching other groups' reps
+    # plus the member's own rep; only ids strictly below the member count
+    new_rep_cands = batch_verified.unionByName(
+        members.select("rep_id").distinct().select("rep_id", F.col("rep_id").alias("cand"))
+    )
+    new_min = (
+        members.join(new_rep_cands, "rep_id")
+        .filter(F.col("cand") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.min("cand").alias("new_min"))
+    )
+    out = (
+        members.join(corp_verified, "rep_id", "left")
+        .join(new_min, "doc_id", "left")
+        .select(
+            "doc_id", F.least(F.col("corp_min"), F.col("new_min")).alias("dup_of")
+        )
+    )
+    return new_docs.select("doc_id").join(out, "doc_id", "left")
 
 
 def near_dup_clusters(

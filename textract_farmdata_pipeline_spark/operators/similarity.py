@@ -165,53 +165,67 @@ def near_dup_pairs_lsh(
     )
     bx = b.select(F.col("vec_id").alias("ra"), "tbl", "bucket")
     by = b.select(F.col("vec_id").alias("rb"), "tbl", "bucket")
-    rep_pairs = (
+    rep_cand = (
         bx.join(by, ["tbl", "bucket"])
         .filter(F.col("ra") < F.col("rb"))
         .select("ra", "rb")
         .distinct()
     )
-    # cross-group member pairs from rep-level candidates; least/greatest
-    # restores the id_a < id_b contract after expansion
+    # score AT THE REP LEVEL, before any expansion: scoring work is then
+    # invariant to duplication (the first version expanded first and
+    # scored |rep pairs| × d² rows — 186M dot products at the ×10 probe)
+    rv = reps.select(
+        F.col("vec_id"), F.col("embedding").alias("v")
+    ).withColumn("n", norm(F.col("v")))
+    score = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    rep_pairs = (
+        rep_cand.join(
+            rv.select(
+                F.col("vec_id").alias("ra"),
+                F.col("v").alias("va"),
+                F.col("n").alias("na"),
+            ),
+            "ra",
+        )
+        .join(
+            rv.select(
+                F.col("vec_id").alias("rb"),
+                F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            ),
+            "rb",
+        )
+        .select("ra", "rb", score.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    # cross-group member pairs inherit their rep pair's exact cosine
+    # (members are bit-identical vectors); least/greatest restores the
+    # id_a < id_b contract after expansion
     cross = (
         rep_pairs.join(members.select(F.col("rep_id").alias("ra"), F.col("vec_id").alias("ma")), "ra")
         .join(members.select(F.col("rep_id").alias("rb"), F.col("vec_id").alias("mb")), "rb")
         .select(
-            F.least("ma", "mb").alias("id_a"), F.greatest("ma", "mb").alias("id_b")
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "cosine",
         )
     )
-    # within-group pairs (identical vectors, cosine 1 unless zero-norm —
-    # scored below with the same exact formula as everything else)
-    within = (
-        members.select("sig", F.col("vec_id").alias("id_a"))
-        .join(members.select("sig", F.col("vec_id").alias("id_b")), "sig")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    # within-group pairs: identical vectors score round(1.0) by the same
+    # formula unless zero-norm (cosine NaN, excluded like brute force)
+    self_score = F.round(
+        dot(F.col("v"), F.col("v")) / (norm(F.col("v")) * norm(F.col("v"))), 4
     )
-    cand = cross.unionByName(within)
-
-    v = g.select("vec_id", "v").withColumn("n", norm(F.col("v")))
-    score = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
-    return (
-        cand.join(
-            v.select(
-                F.col("vec_id").alias("id_a"),
-                F.col("v").alias("va"),
-                F.col("n").alias("na"),
-            ),
-            "id_a",
-        )
-        .join(
-            v.select(
-                F.col("vec_id").alias("id_b"),
-                F.col("v").alias("vb"),
-                F.col("n").alias("nb"),
-            ),
-            "id_b",
-        )
-        .select("id_a", "id_b", score.alias("cosine"))
+    within_ok = (
+        g.select("sig", "vec_id", self_score.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    within = (
+        within_ok.select("sig", F.col("vec_id").alias("id_a"), "cosine")
+        .join(within_ok.select("sig", F.col("vec_id").alias("id_b")), "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cosine")
+    )
+    return cross.unionByName(within)
 
 
 def _plane(table: int, p: int, dim: int) -> F.Column:

@@ -126,9 +126,13 @@ def main() -> int:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    # warm-up both paths once
+    # warm-up both paths once — including the FULL Python worker pool
+    # (census_records_full is a mapInPandas query: without it the first
+    # Python-island query's t(sf0.1) absorbs ~30 process forks, which
+    # inflates its small-scale time and understates its ratio)
     run("tpch_q1_pricing_summary", args.sf)
     run("tpch_q1_pricing_summary", big_dir)
+    run("census_records_full", args.sf)
 
     results = {}
     probe = tuple(args.only.split(",")) if args.only else PROBE
