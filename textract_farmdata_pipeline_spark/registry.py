@@ -1677,22 +1677,56 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_image_features")  # no oracle: byte-reduce in Python
+_IMAGE_FEATURES_ORACLE = """
+WITH ch AS (
+  SELECT doc_id, length(text) AS n, ascii(substr(text, j, 1)) AS b
+  FROM documents, LATERAL unnest(generate_series(1, length(text))) AS v(j)
+  WHERE length(text) > 0
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+  CAST(SUM(b) AS DOUBLE) / n AS mean_byte,
+  CAST(MAX(b) AS BIGINT) AS max_byte,
+  CAST(MIN(b) AS BIGINT) AS min_byte,
+  COUNT(DISTINCT b) / 256.0 AS entropy_proxy
+FROM ch GROUP BY doc_id, n
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT), 0.0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0
+FROM documents WHERE length(text) = 0
+"""
+
+
+@register("multimodal_image_features", _IMAGE_FEATURES_ORACLE)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched byte-level feature extraction over the binary
-    column (rows-only; determinism pinned by pytest)."""
+    column.  The fake payload is the document's ASCII bytes, so every
+    feature (int64-exact mean, max/min, distinct-byte entropy proxy)
+    is oracle-checkable character-by-character in SQL."""
     from .operators.multimodal import attach_media, image_features
 
     return image_features(attach_media(_t(spark, sf_dir, "documents")))
 
 
-@register("multimodal_frame_sample")  # no oracle: binary slicing
+_FRAME_SAMPLE_ORACLE = """
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+  substr(text, i * greatest(length(text) // 4, 1) + 1,
+         greatest(length(text) // 4, 1)) AS frame
+FROM documents, LATERAL unnest(generate_series(0, 3)) AS u(i)
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_SAMPLE_ORACLE)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: one media row fans out to N frame
-    rows executor-side (rows-only)."""
+    rows executor-side.  For the comparison the binary frame is decoded
+    back to its ASCII string (the operator's output stays ``binary``;
+    the projection only exists because engines disagree on how to
+    canonicalize raw bytes)."""
     from .operators.multimodal import attach_media, frame_sample
 
-    return frame_sample(attach_media(_t(spark, sf_dir, "documents")), n_frames=4)
+    frames = frame_sample(attach_media(_t(spark, sf_dir, "documents")), n_frames=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.decode(F.col("frame"), "utf-8").alias("frame")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -122,9 +122,15 @@ def main() -> int:
     big_dir = materialize(spark, args.sf, args.k)
 
     def run(name: str, sf_dir: str) -> float:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        # best of two, like bench.py: a single sample is at the mercy of
+        # one unlucky full-GC pause (observed turning a 2.8s ×10 run
+        # into 25.6s and a 0.8 ratio into 14.2)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     # warm-up both paths once — including the FULL Python worker pool
     # (census_records_full is a mapInPandas query: without it the first
@@ -196,6 +202,27 @@ def main() -> int:
         "per document at any duplication rate.  `dedup_minhash_lsh` remains",
         "registered as the pair-level primitive; the clustered operator is",
         "the at-scale product.",
+        "",
+        "Round-3 probe catches (all fixed, ratios above are post-fix):",
+        "",
+        "1. **`volume_shipping_pairs` 5s → 24s at ×10**: Catalyst's",
+        "   column-pruned size estimate slipped the 1.5M-row orders table",
+        "   under the broadcast threshold and built a giant hash relation.",
+        "   Fix: `hint(\"merge\")` on the fact-fact join — a plan that must",
+        "   stay shuffled-and-spillable at any scale; the plan test now",
+        "   pins 4 broadcasts + 1 sort-merge.",
+        "2. **`embedding_near_dup_pairs_lsh` OOM'd the 16g driver at ×10**:",
+        "   ×10 duplication put d copies of each vector in every LSH",
+        "   bucket (candidates O(d²)), and the first fix still scored the",
+        "   pair set *after* member expansion (186M dot products).  Final",
+        "   shape: exact-collapse identical vectors → bucket/score at the",
+        "   representative level (duplication-invariant) → expand member",
+        "   pairs last.  Ratio now 1.1.",
+        "3. **`dedup_incremental` ratio 16.7**: same disease on both sides",
+        "   of the batch-vs-corpus band-bucket join; both sides now",
+        "   exact-collapse to one representative per distinct text, and",
+        "   the member mapping preserves the min-id `dup_of` contract",
+        "   exactly.  Ratio now 1.0.",
         "",
     ]
     os.makedirs(os.path.dirname(args.md), exist_ok=True)
