@@ -743,8 +743,42 @@ class TestStreamJoins:
         )
         assert pairs == [(1, 100)]
 
+    def test_left_outer_emits_unmatched_after_watermark(self, spark, tmp_path):
+        """Funnel-with-dropouts: a click with no purchase inside its
+        interval must still come out (null right side) — released by
+        the same watermark advance that evicts its join state.  The
+        late (user 12) pair pushes the watermark past click 1's join
+        window so the no-data batch can flush the outer row."""
+        import datetime as dt
 
-class TestRefreshingDimEnrichment:
+        from textract_farmdata_pipeline_spark.streaming import correlate_streams
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0)
+        m = dt.timedelta(minutes=1)
+        clicks = self._stream(
+            spark, tmp_path, "oclicks",
+            [(1, t0, 10), (2, t0 + 5 * m, 11), (3, t0 + 180 * m, 12)],
+            "click_id long, ts timestamp, user_id long",
+        )
+        buys = self._stream(
+            spark, tmp_path, "obuys",
+            [(200, t0 + 10 * m, 11), (201, t0 + 180 * m, 12)],
+            "buy_id long, r_ts timestamp, r_user_id long",
+        )
+        q = (
+            correlate_streams(
+                clicks, buys, key="user_id", within="1 hour",
+                watermark="10 minutes", how="left_outer",
+            )
+            .writeStream.format("memory").queryName("corr_outer_mem")
+            .outputMode("append").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt-corr-outer")).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["click_id"]: r["buy_id"] for r in spark.table("corr_outer_mem").collect()
+        }
+        assert got == {1: None, 2: 200, 3: 201}
     def test_each_batch_sees_fresh_dim(self, spark, tmp_path):
         """Broadcast-state pattern: the dim_loader runs once per
         micro-batch, so batch N joins against dim version N."""

@@ -141,9 +141,10 @@ def correlate_streams(
     watermark: str = DEFAULT_WATERMARK,
     left_ts: str = "ts",
     right_ts: str = "r_ts",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: pair each left event with
-    right events for the same key within ``within`` *after* it.
+    """Watermarked stream-stream join: pair each left event with right
+    events for the same key within ``within`` *after* it.
 
     Both sides buffer state; the watermark plus the two-sided time
     bound lets the engine evict rows once no future match is possible
@@ -151,6 +152,14 @@ def correlate_streams(
     is the difference between a demo and a pipeline.  The right side's
     columns must be pre-renamed (``r_``-prefixed) so the joined schema
     is unambiguous.
+
+    ``how="left_outer"`` turns it into the funnel-with-dropouts shape:
+    a left event with no partner inside the interval is still emitted
+    (right columns null) — but only once the watermark has passed its
+    join window, because until then a matching right event could still
+    arrive.  Outer results are therefore delayed by the watermark; the
+    eviction that bounds state is the same mechanism that releases the
+    null rows.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -159,7 +168,7 @@ def correlate_streams(
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def enrich_with_refreshing_dim(
