@@ -1039,6 +1039,44 @@ class TestNearDupPairsLsh:
         # scores exactly 1.0
         assert sum(1 for (_, _, c) in gated if c == 1.0) >= 500
 
+    def test_skewed_duplication_and_zero_vectors(self, spark):
+        """Adversarial corpus for the collapse path: one vector
+        duplicated 40×, several singletons, and all-zero vectors (NaN
+        cosine).  Gated must equal brute force: zero-vector pairs are
+        excluded by both (NaN fails every >= threshold), the hot group
+        collapses to one rep, and singleton near-dups survive."""
+        import math
+
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            near_dup_pairs,
+            near_dup_pairs_lsh,
+        )
+
+        dim = 64
+
+        def vec(seed, scale=1.0):
+            return [
+                scale * math.sin(0.1 * seed + 0.37 * d) for d in range(dim)
+            ]
+
+        rows = [(i, vec(7)) for i in range(40)]                 # hot group
+        rows += [(100 + i, vec(100 + i)) for i in range(6)]     # singletons
+        rows += [(200, [0.0] * dim), (201, [0.0] * dim)]        # zero vectors
+        rows += [(300, vec(3)), (301, vec(3, scale=2.0))]       # parallel pair
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        brute = self._pairs(near_dup_pairs(df, threshold=0.4).collect())
+        gated = self._pairs(
+            near_dup_pairs_lsh(df, threshold=0.4, n_planes=3, n_tables=20).collect()
+        )
+        assert gated == brute
+        # the hot group contributes all C(40,2) exact pairs at 1.0
+        assert sum(1 for a, b, c in gated if a < 40 and b < 40 and c == 1.0) == 780
+        # zero vectors never pair with anything (NaN cosine)
+        assert not any(a in (200, 201) or b in (200, 201) for a, b, _ in gated)
+        # the scaled-parallel pair survives at cosine 1.0 across groups
+        assert any(a == 300 and b == 301 for a, b, _ in gated)
+
     def test_plan_has_no_broadcast_nested_loop(self, spark, emb):
         """The whole point of the gate: candidate generation is an
         equality-keyed join on (table, bucket), so the physical plan

@@ -31,7 +31,17 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return guarded_cosine(dot(a, b), norm(a), norm(b))
+
+
+def guarded_cosine(dot_col: Column, na: Column, nb: Column) -> Column:
+    """``dot/(na·nb)`` with a zero-norm guard: NULL when either norm is
+    0 instead of an ANSI DIVIDE_BY_ZERO error.  NULL then loses every
+    ``>= threshold`` comparison and sorts last under ``desc`` ranking —
+    both strictly saner than the pre-ANSI NaN (which sorted FIRST in a
+    descending top-k)."""
+    denom = na * nb
+    return F.when(denom > 0, dot_col / denom)
 
 
 def cosine_topk(
@@ -68,7 +78,9 @@ def cosine_topk(
         .withColumn("cnorm", norm(F.col("cv")))
         .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     )
-    score = dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
+    score = guarded_cosine(
+        dot(F.col("qv"), F.col("cv")), F.col("qnorm"), F.col("cnorm")
+    )
     if round_digits is not None:
         score = F.round(score, round_digits)
     scored = (
@@ -99,7 +111,7 @@ def near_dup_pairs(vectors: DataFrame, threshold: float = 0.95) -> DataFrame:
         vectors.select(F.col("vec_id").alias("id_b"), _as_double(F.col("embedding")).alias("vb"))
         .withColumn("nb", norm(F.col("vb")))
     )
-    score = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    score = F.round(guarded_cosine(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")), 4)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", score.alias("cosine"))
@@ -177,7 +189,7 @@ def near_dup_pairs_lsh(
     rv = reps.select(
         F.col("vec_id"), F.col("embedding").alias("v")
     ).withColumn("n", norm(F.col("v")))
-    score = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    score = F.round(guarded_cosine(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")), 4)
     rep_pairs = (
         rep_cand.join(
             rv.select(
@@ -213,7 +225,10 @@ def near_dup_pairs_lsh(
     # within-group pairs: identical vectors score round(1.0) by the same
     # formula unless zero-norm (cosine NaN, excluded like brute force)
     self_score = F.round(
-        dot(F.col("v"), F.col("v")) / (norm(F.col("v")) * norm(F.col("v"))), 4
+        guarded_cosine(
+            dot(F.col("v"), F.col("v")), norm(F.col("v")), norm(F.col("v"))
+        ),
+        4,
     )
     within_ok = (
         g.select("sig", "vec_id", self_score.alias("cosine"))
@@ -379,7 +394,10 @@ def ann_topk_ivf(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 4
+                guarded_cosine(
+                    dot(F.col("qv"), F.col("cv")), F.col("qnorm"), F.col("cnorm")
+                ),
+                4,
             ).alias("cosine"),
         )
     )
@@ -441,7 +459,10 @@ def ann_topk_lsh(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm")), 4
+                guarded_cosine(
+                    dot(F.col("qv"), F.col("cv")), F.col("qnorm"), F.col("cnorm")
+                ),
+                4,
             ).alias("cosine"),
         )
         .distinct()  # a pair found in several tables scores identically
