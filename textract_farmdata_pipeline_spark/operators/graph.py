@@ -62,6 +62,9 @@ def pagerank(
     spark = edges.sparkSession
     try:
         n_nodes = nodes.count()
+        if n_nodes == 0:
+            # empty edge list: no nodes, no ranks — not a ZeroDivisionError
+            return nodes.withColumn("rank", F.lit(0.0))
         nodes, nodes_ck = tracked_local_checkpoint(nodes)
         ranks, prev_ck = tracked_local_checkpoint(
             nodes.withColumn("rank", F.lit(1.0 / n_nodes))

@@ -681,7 +681,9 @@ def ivf_cluster_profile(
         .select(
             "vec_id",
             F.array_position(F.col("_s"), F.array_max(F.col("_s"))).alias("cluster_id"),
-            (F.array_max(F.col("_s")) / norm(F.col("v"))).alias("cos_to_centroid"),
+            guarded_cosine(
+                F.array_max(F.col("_s")), norm(F.col("v")), F.lit(1.0)
+            ).alias("cos_to_centroid"),
         )
     )
     return assigned.groupBy("cluster_id").agg(
