@@ -679,6 +679,95 @@ class TestStatefulStreaming:
             else:
                 spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
+    def test_tws_plans_carry_processing_time_mode(self, spark, tmp_path):
+        """Ungated (no protobuf needed): TTL'd ValueState is only legal
+        under TimeMode.ProcessingTime — Spark's handle throws
+        STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL otherwise,
+        at state init, i.e. only once a protobuf-capable worker runs.
+        Pin the contract at plan-construction time instead: the
+        TransformWithStateInPySpark logical node prints its time mode,
+        so a regression back to "None" fails here in every environment."""
+        import datetime as dt
+
+        from textract_farmdata_pipeline_spark.streaming import (
+            dedup_stream_tws,
+            user_running_totals_tws,
+        )
+
+        d = self._mk_events_files(
+            spark, tmp_path, [[(1, dt.datetime(2024, 1, 1), 10, 1.0)]]
+        )
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        ).parquet(d)
+
+        def time_mode(df):
+            plan = df._jdf.queryExecution().logical().toString()
+            line = plan.splitlines()[0]
+            assert "TransformWithStateInPySpark" in line
+            return "ProcessingTime" if "ProcessingTime" in line else "None"
+
+        # dedup_stream_tws always registers TTL state → always ProcessingTime
+        assert time_mode(dedup_stream_tws(stream)) == "ProcessingTime"
+        # totals: TTL requested → ProcessingTime; no TTL → cheaper no-clock path
+        assert time_mode(user_running_totals_tws(stream, ttl_ms=60_000)) == "ProcessingTime"
+        assert time_mode(user_running_totals_tws(stream)) == "None"
+
+    def test_tws_processor_logic_without_engine(self):
+        """Ungated driver of the two StatefulProcessors through fake
+        handles — exercises the dedup-once and running-totals contracts
+        that the protobuf-gated end-to-end tests pin, so the processor
+        logic is covered in environments without protobuf."""
+        import pandas as pd
+
+        from textract_farmdata_pipeline_spark.streaming.stateful import (
+            _DedupTtlProcessor,
+            _RunningTotalsProcessor,
+        )
+
+        class FakeState:
+            def __init__(self):
+                self.value = None
+
+            def get(self):
+                return self.value
+
+            def update(self, v):
+                self.value = v
+
+        class FakeHandle:
+            def __init__(self):
+                self.ttls = {}
+                self.states = {}
+
+            def getValueState(self, name, schema, ttlDurationMs=None):
+                self.ttls[name] = ttlDurationMs
+                return self.states.setdefault(name, FakeState())
+
+        # dedup: first batch for a key emits exactly one row; the key is
+        # then marked seen and later batches emit nothing
+        proc = _DedupTtlProcessor(ttl_ms=1234)
+        h = FakeHandle()
+        proc.init(h)
+        assert h.ttls["seen"] == 1234
+        pdf = pd.DataFrame({"event_id": [7, 7], "value": [1.0, 1.0]})
+        out = list(proc.handleInputRows((7,), [pdf, pdf], None))
+        assert len(out) == 1 and len(out[0]) == 1
+        assert list(proc.handleInputRows((7,), [pdf], None)) == []
+
+        # totals: state accumulates across calls and each call emits the
+        # updated (n, total) for the key
+        tot = _RunningTotalsProcessor(ttl_ms=None)
+        h2 = FakeHandle()
+        tot.init(h2)
+        assert h2.ttls["totals"] is None
+        b1 = pd.DataFrame({"value": [1.0, 2.0]})
+        b2 = pd.DataFrame({"value": [5.0]})
+        (o1,) = tot.handleInputRows((10,), [b1], None)
+        assert o1.iloc[0].tolist() == [10, 2, 3.0]
+        (o2,) = tot.handleInputRows((10,), [b2], None)
+        assert o2.iloc[0].tolist() == [10, 3, 8.0]
+
 
 class TestStreamJoins:
     def _stream(self, spark, tmp_path, name, rows, schema):

@@ -2493,12 +2493,29 @@ def events_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB shapes: both sketches are fixed-size, map-side-mergeable
     partials — a distinct-user count or p99 over any corpus costs one
     combine of KB-sized states, no (key, value) re-shuffle, no sort.
+
+    The three percentiles come from ONE t-digest pass (a single
+    percentile_approx over the literal array) and are projected to
+    scalar p50/p95/p99 columns — flat schemas canonicalize cleanly
+    downstream, and the projection is free (same sketch state).
     """
     ev = _events(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
-        F.count("*").alias("n_events"),
+    pcts = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            pcts.alias("_pcts"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("_pcts")[0].alias("value_p50"),
+            F.col("_pcts")[1].alias("value_p95"),
+            F.col("_pcts")[2].alias("value_p99"),
+            "n_events",
+        )
     )
 
 

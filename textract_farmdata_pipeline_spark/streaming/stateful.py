@@ -149,13 +149,18 @@ def dedup_stream_tws(
 ) -> DataFrame:
     """Streaming dedup whose state is TTL-bounded instead of
     watermark-bounded (see :class:`_DedupTtlProcessor`).  Requires the
-    RocksDB state store + protobuf, like all transformWithState ops."""
+    RocksDB state store + protobuf, like all transformWithState ops.
+
+    timeMode must be ProcessingTime: TTL'd ValueState is only legal
+    there — Spark's StatefulProcessorHandle rejects ttlDurationMs under
+    TimeMode.None (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL),
+    and processing-time is what the TTL clock is defined against."""
     proc = _DedupTtlProcessor(ttl_ms)
     return events.groupBy(*key_cols).transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=output_schema,
         outputMode="Append",
-        timeMode="None",
+        timeMode="ProcessingTime",
     )
 
 
@@ -170,11 +175,16 @@ def user_running_totals_tws(events: DataFrame, ttl_ms: int | None = None) -> Dat
     arbitrarily long streams without growing the JVM heap — the 100 TB
     streaming posture.  ``ttl_ms`` expires idle keys' state, bounding
     it by *active* key cardinality.
+
+    With a TTL the timeMode must be ProcessingTime (state TTL is
+    illegal under TimeMode.None — the handle throws
+    STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL at init);
+    without one, TimeMode.None keeps the cheaper no-clock path.
     """
     proc = _RunningTotalsProcessor(ttl_ms)
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=proc,
         outputStructType=_TOTALS_OUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="None" if ttl_ms is None else "ProcessingTime",
     )
