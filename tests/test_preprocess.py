@@ -106,3 +106,32 @@ class TestChunking:
         df = spark.createDataFrame([(1, "only three tokens")], "doc_id long, text string")
         rows = chunk_tokens(df, chunk_size=64).collect()
         assert len(rows) == 1 and rows[0]["n_chunk_tokens"] == 3
+
+
+class TestMediaFixtureAssumptions:
+    def test_documents_text_is_ascii_and_nonempty(self, spark):
+        """The multimodal oracles (image features / frame sample /
+        audio windows / image resize) compare byte-level Spark
+        operators against DuckDB per-CHARACTER SQL (ascii/substr/
+        length).  That equivalence — and frame_sample's
+        F.decode(frame, 'utf-8') under ANSI — holds only while the
+        fixture text is pure ASCII (byte position == char position,
+        no frame boundary can split a codepoint) and non-empty.  Pin
+        the assumption so a testdata regeneration that breaks it
+        fails HERE with a diagnosis instead of as an oracle
+        hash-mismatch."""
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        bad = docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            F.octet_length("text").alias("n_bytes"),
+        ).where(
+            F.col("text").isNull()
+            | (F.col("n_chars") == 0)
+            | (F.col("n_chars") != F.col("n_bytes"))
+        )
+        offenders = bad.limit(5).collect()
+        assert not offenders, (
+            "documents fixture violates the ASCII/non-empty assumption the "
+            f"multimodal oracles rely on: {offenders}"
+        )

@@ -4190,17 +4190,47 @@ def doc_sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", F.col("rnk"))
 
 
-@register("multimodal_image_resize")  # no oracle: binary payload output
-def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing over the binary media column: payload resampled
-    executor-side to the target resolution, metadata struct rewritten
-    (rows-only; size/metadata/determinism pinned by pytest)."""
-    from .operators.multimodal import attach_media, resize_image
+_IMAGE_RESIZE_ORACLE = """
+WITH src AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+),
+bytes AS (
+  SELECT doc_id,
+    ascii(substr(text,
+      CAST(LEAST(CAST(floor(CAST(i AS DOUBLE) * (CAST(n AS DOUBLE) / 1024.0))
+                      AS BIGINT), n - 1) + 1 AS INTEGER), 1)) AS b
+  FROM src, LATERAL unnest(generate_series(0, 1023)) AS u(i)
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_bytes,
+  CAST(SUM(b) AS DOUBLE) / 1024.0 AS mean_byte,
+  CAST(MAX(b) AS BIGINT) AS max_byte,
+  CAST(MIN(b) AS BIGINT) AS min_byte,
+  CAST(COUNT(DISTINCT b) AS DOUBLE) / 256.0 AS entropy_proxy
+FROM bytes GROUP BY doc_id
+"""
 
-    return resize_image(
+
+@register("multimodal_image_resize", _IMAGE_RESIZE_ORACLE)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize → feature-extract composition over the binary media
+    column: payload resampled executor-side to 32×32 (strided
+    nearest-neighbor take), then byte-level features over the RESIZED
+    payload — so the oracle checks the resampled bytes themselves, not
+    just the rewritten metadata.
+
+    The oracle replays the same strided index math ``min(floor(i *
+    n/1024), n-1)`` over character positions; mean/entropy divide by
+    powers of two so every output value is IEEE-exact in both engines.
+    ASCII-only fixture assumption (byte position == char position) is
+    pinned by tests/test_preprocess.py::TestMediaFixtureAssumptions.
+    """
+    from .operators.multimodal import attach_media, image_features, resize_image
+
+    resized = resize_image(
         attach_media(_t(spark, sf_dir, "documents")), target_w=32, target_h=32
-    ).select("doc_id", F.col("media_meta.n_bytes").alias("n_bytes"),
-             F.col("media_meta.width").alias("width"))
+    )
+    return image_features(resized)
 
 
 _AUDIO_WINDOWS_ORACLE = """
@@ -4387,14 +4417,60 @@ def events_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("customer_supplier_pagerank")  # no oracle: iterative float ranks
+def _pagerank_oracle_sql(iterations: int = 6, damping: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank as a DuckDB CTE chain — the
+    fixed-iteration SQL twin of operators.graph.pagerank.  Each step
+    mirrors the Spark op order exactly (rank/deg per edge row, grouped
+    sum per dst, dangling = max(0, 1 − Σc), base = (1−d)/n + d·dangling/n)
+    so after ROUND(…, 6) the float ranks are engine-identical: the
+    per-value summation-order noise is ~1e-17 against a 1e-6 grid."""
+    head = """
+WITH edges AS (
+  SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, SUM(r.rank / d.deg) AS c
+  FROM edges e JOIN deg d ON e.src = d.src JOIN r{i - 1} r ON e.src = r.node
+  GROUP BY e.dst
+),
+m{i} AS (
+  SELECT GREATEST(0.0, 1.0 - COALESCE(SUM(c), 0.0)) AS dangling FROM c{i}
+),
+r{i} AS (
+  SELECT n.node,
+    ((1.0 - {damping}) / (SELECT n FROM nn)
+      + ({damping} * (SELECT dangling FROM m{i})) / (SELECT n FROM nn))
+    + {damping} * COALESCE(c.c, 0.0) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)""")
+    tail = f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}
+ORDER BY ROUND(rank, 6) DESC, node ASC LIMIT 20"""
+    return head + "".join(steps) + tail
+
+
+@register("customer_supplier_pagerank", _pagerank_oracle_sql())
 def customer_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer->supplier purchase graph (edges from
     orders x lineitem; supplier nodes offset to a disjoint id space).
     Suppliers are pure sinks, so every round redistributes their
     dangling mass — the mass-conservation and convergence properties
     are pinned in tests/test_northstar_ops.py.  Returns the top 20
-    nodes by rank (rows-only: float ranks are iteration-order floats)."""
+    nodes by 6dp-rounded rank (ties broken by node id; ranking on the
+    ROUNDED value keeps the cutoff engine-stable against float
+    summation-order noise), oracle-checked against an unrolled
+    6-iteration CTE chain."""
     from .operators.graph import pagerank
 
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -4406,9 +4482,7 @@ def customer_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
         )
     )
-    ranks = pagerank(edges, iterations=6)
-    return (
-        ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
-        .limit(20)
-        .select("node", F.round("rank", 6).alias("rank"))
+    ranks = pagerank(edges, iterations=6).select(
+        "node", F.round("rank", 6).alias("rank")
     )
+    return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)
