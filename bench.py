@@ -58,6 +58,10 @@ HEADLINE = (
     "orders_topk_two_phase",
     "events_session_window_fn",
     "lineitem_footer_stats",
+    # r04 additions (round-3 directive #8): the two most expensive
+    # registered queries previously tracked only in the scale probe.
+    "customer_supplier_pagerank",
+    "embedding_near_dup_pairs_lsh",
 )
 
 
@@ -90,11 +94,13 @@ def main() -> None:
 
             gc.collect()
             spark._jvm.System.gc()
-            # Best of two runs: the engine's speed is the reproducible
+            # Best of three runs: the engine's speed is the reproducible
             # floor, not the max of (plan time + JIT warm-up + whatever
-            # else the host was doing during run 1).
+            # else the host was doing during run 1). Three runs, not
+            # two, after r03's doc_gopher_filter showed a single
+            # disturbed run can survive best-of-2 (docs/BENCH_NOTES.md).
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
@@ -113,7 +119,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "sf": sf_val,
-                    "runs_per_query": 2,
+                    "runs_per_query": 3,
                     "timing": "best_of_runs",
                 }
             )

@@ -305,3 +305,58 @@ class TestGopherFilter:
     def test_rule_order_deterministic(self, spark):
         out = self._run(spark, [(1, "xx yy")])
         assert out[1]["failed_rules"].startswith("too_short")
+
+
+class TestBuildCorpusFull:
+    """The 6-stage build (gate -> span dedup -> dedup -> decontam ->
+    mixture -> shards): every extended stage must be observable in the
+    final manifest membership."""
+
+    def _manifest(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
+
+        S = [f"s{i:03d}" for i in range(10)]          # 10-word shared span
+        a = [f"a{i:03d}" for i in range(20)]
+        b = [f"b{i:03d}" for i in range(20)]
+        c = [f"c{i:03d}" for i in range(20)]
+        d = [f"d{i:03d}" for i in range(27)]
+        e = [f"e{i:03d}" for i in range(30)]
+        mk = lambda toks: " ".join(toks)
+        rows = [
+            (1, "a b", "web"),                                   # gate: too_short
+            (2, mk(S + ["the", "and"] + a), "web"),              # shares span S
+            (3, mk(S + ["the", "and"] + b), "web"),              # shares span S
+            (4, mk(["the", "and"] + c), "web"),                  # == doc 5
+            (5, mk(["the", "and"] + c), "web"),                  # == doc 4
+            (6, mk(["the", "and"] + d[:18] + ["alpha", "beta", "gamma"] + d[18:]), "web"),
+            (7, mk(["the", "and"] + e), "web"),                  # clean survivor
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        ev = spark.createDataFrame(
+            [(99, "alpha beta gamma", "eval")],
+            "doc_id long, text string, source string",
+        )
+        return build_corpus(
+            docs, ev, num_shards=4, decontam_n=3, quality_gate=True, span_words=10
+        ).collect()
+
+    def test_stage_semantics_in_manifest(self, spark):
+        out = self._manifest(spark)
+        # doc 1 fails the gate; docs 4/5 are full duplicates so every
+        # span is shared and both empty out at span dedup; doc 6 holds
+        # the eval 3-gram and is decontaminated away; docs 2/3 lose the
+        # shared leading span but keep distinct tails; doc 7 untouched.
+        assert sorted(r["doc_id"] for r in out) == [2, 3, 7]
+        # one uniform source at rate 1.0 -> nothing resampled away, and
+        # the shard layout is positionally dense within each shard.
+        by_shard: dict[int, list[int]] = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+            assert 0 <= shard < 4
+
+    def test_deterministic_across_runs(self, spark):
+        one = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in self._manifest(spark)}
+        two = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in self._manifest(spark)}
+        assert one == two

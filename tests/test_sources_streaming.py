@@ -550,7 +550,15 @@ class TestStatefulStreaming:
 
     def test_transform_with_state_totals(self, spark, tmp_path):
         """Same totals via the Spark-4 transformWithState operator
-        (RocksDB state store): state carried across micro-batches."""
+        (RocksDB state store): state carried across micro-batches.
+
+        ENVIRONMENT CONSTRAINT: transformWithState's Python worker
+        speaks protobuf to the JVM state server; this container ships
+        no ``google.protobuf`` and installs are disallowed, so the
+        end-to-end run skips here.  The processor logic and the
+        TTL/time-mode contract are still exercised unconditionally by
+        the ungated tests below (fake-handle drive +
+        plan-construction time-mode pin)."""
         import datetime as dt
 
         pytest.importorskip(
@@ -613,7 +621,13 @@ class TestStatefulStreaming:
         the 300 distinct keys (one boolean per key) and every distinct
         event must be emitted exactly once; then re-run with a 1 ms TTL
         and a second query restart after the TTL has elapsed, and the
-        restarted query's state must NOT retain the 300 expired keys."""
+        restarted query's state must NOT retain the 300 expired keys.
+
+        ENVIRONMENT CONSTRAINT: skips here because this container has
+        no ``google.protobuf`` (transformWithState's Python worker
+        requires it; installs are disallowed).  The TTL/time-mode
+        contract and the processor's dedup logic are pinned by the
+        ungated tests below."""
         import datetime as dt
         import time as _time
 

@@ -244,20 +244,72 @@ def build_corpus(
     key_col: str = "doc_id",
     text_col: str = "text",
     persist_intermediate: bool = False,
+    quality_gate: bool = False,
+    span_words: int | None = None,
 ) -> DataFrame:
-    """The end-to-end corpus build: exact dedup → eval-set
+    """The end-to-end corpus build: [Gopher quality gate →
+    cross-document span dedup →] exact dedup → eval-set
     decontamination → uniform domain-mixture resample → training-shard
     layout, composed from this module's operators into one lazy plan.
 
+    ``quality_gate=True`` prepends the Gopher composite gate
+    (:func:`..operators.text_analysis.gopher_quality_filter`) so
+    documents failing any of the six integer rules never reach the
+    heavier stages; ``span_words=N`` then runs C4-style
+    :func:`span_dedup` over the survivors and every later stage
+    (exact dedup, decontamination hashes, mixture) operates on the
+    span-cleaned text — documents whose every span was shared drop
+    out entirely.  Both default off, preserving the original
+    4-stage build.
+
     Stage plan shapes (nothing here is new — the composition is the
-    point): dedup shuffles md5 digests only; decontamination is a
-    broadcast semi-filter (no corpus shuffle); the mixture join
-    broadcasts #domains rows; sharding shuffles once on shard id.
-    Catalyst fuses the narrow stages, so the corpus body is scanned
-    once end-to-end.  Returns ``(key, domain, shard, shard_pos)`` —
-    the manifest a loader consumes.
+    point): the gate adds one (doc, bigram) partial-aggregated shuffle
+    joined back on the id; span dedup shuffles 8-byte span hashes plus
+    the one unavoidable reassembly shuffle keyed on the id; dedup
+    shuffles md5 digests only; decontamination is a broadcast
+    semi-filter (no corpus shuffle); the mixture join broadcasts
+    #domains rows; sharding shuffles once on shard id.  Catalyst fuses
+    the narrow stages, so each stage's corpus pass is exactly the one
+    its own plan snapshot shows — composing them adds no new exchange.
+    Returns ``(key, domain, shard, shard_pos)`` — the manifest a
+    loader consumes.
+
+    STAGING BOUNDARIES: the extended stages each end in a self-join
+    back onto the corpus (gate-pass ids onto docs, clean spans onto
+    docs), and the downstream build references its input 2× per stage
+    (dedup keep-join, decontamination anti-join, mixture rate-join).
+    Composed strictly lazily those multiplicities compound — Catalyst
+    re-expands the gate+span subtree ~8×, turning a 33-exchange sum of
+    stages into a 200-exchange plan that re-scans the corpus per
+    reference.  A 100 TB build breaks exactly this chain with staging
+    tables between macro-stages; the local analogue is an eager
+    ``localCheckpoint`` after the gate and after the span reassembly,
+    which truncates lineage so each stage's bytes are computed once and
+    downstream sees a materialized scan (the checkpoint blocks live as
+    long as the returned frame — swap for a parquet staging write in a
+    real deployment, which also survives executor loss).
     """
+    from .checkpoints import tracked_local_checkpoint
     from .dedup import exact_dedup_by_hash
+    from .text_analysis import gopher_quality_filter
+
+    if quality_gate:
+        passed = gopher_quality_filter(docs, text_col=text_col).where(
+            F.col("keep")
+        ).select(F.col("doc_id").alias(key_col))
+        docs = docs.join(passed, key_col)
+        if span_words is not None:
+            # span_dedup references its input 3× (segments ×2, totals);
+            # stage the gated corpus so the gate runs once, not thrice.
+            docs, _ = tracked_local_checkpoint(docs)
+    if span_words is not None:
+        cleaned = span_dedup(
+            docs, span_words=span_words, id_col=key_col, text_col=text_col
+        ).where(F.col("clean_text") != "")
+        docs = docs.drop(text_col).join(
+            cleaned.select(key_col, F.col("clean_text").alias(text_col)), key_col
+        )
+        docs, _ = tracked_local_checkpoint(docs)
 
     keep = exact_dedup_by_hash(docs, text_col=text_col).select(
         F.col("keep_doc_id").alias(key_col)

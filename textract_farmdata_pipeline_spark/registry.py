@@ -2815,6 +2815,143 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The full 6-stage build: the Gopher gate and C4 span dedup (both
+# independently oracle-green) prepended to the 4-stage build above, as
+# ONE CTE chain.  The gate/span CTEs are verbatim the ones from
+# _GOPHER_ORACLE / _SPAN_DEDUP_ORACLE, re-rooted on the previous
+# stage's output; the tail is _CORPUS_BUILD_ORACLE on the span-cleaned
+# text (so dedup digests and decontamination shingles see clean_text).
+_CORPUS_BUILD_FULL_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nch FROM documents
+),
+gbase AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(nch - (len(t) - 1) AS BIGINT) AS n_word_chars,
+    CAST(len(list_distinct(list_filter(t,
+      w -> w IN ('the','a','of','and','to','in','is','on','for','with')
+    ))) AS BIGINT) AS n_distinct_stopwords
+  FROM tok
+),
+gsh AS (
+  SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS shingle
+  FROM tok, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+gper AS (
+  SELECT doc_id, shingle, COUNT(*) AS cnt FROM gsh GROUP BY doc_id, shingle
+),
+ggrams AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+    CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt,
+    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_bigram_cnt
+  FROM gper GROUP BY doc_id
+),
+passed AS (
+  SELECT b.doc_id FROM gbase b LEFT JOIN ggrams g USING (doc_id)
+  WHERE b.n_tokens >= 30 AND b.n_tokens <= 100000
+    AND b.n_word_chars >= 3 * b.n_tokens AND b.n_word_chars <= 10 * b.n_tokens
+    AND b.n_distinct_stopwords >= 2
+    AND NOT COALESCE(g.top_bigram_cnt * 5 > g.n_bigrams, FALSE)
+    AND NOT COALESCE(g.dup_bigram_cnt * 2 > g.n_bigrams, FALSE)
+),
+gated AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d JOIN passed USING (doc_id)
+),
+seg AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS ci,
+    array_to_string(toks[(i-1)*10 + 1 : (i-1)*10 + 10], ' ') AS seg
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+      greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT), 1) AS nc
+    FROM gated
+  ) d, LATERAL unnest(generate_series(1, nc)) AS t(i)
+),
+dup AS (
+  SELECT seg FROM seg GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT s.doc_id, s.ci, s.seg
+  FROM seg s LEFT JOIN dup d ON s.seg = d.seg
+  WHERE d.seg IS NULL
+),
+clean_docs AS (
+  SELECT g.doc_id, a.clean_text, g.source
+  FROM gated g JOIN (
+    SELECT doc_id, string_agg(seg, ' ' ORDER BY ci) AS clean_text
+    FROM kept GROUP BY doc_id
+  ) a USING (doc_id)
+  WHERE a.clean_text <> ''
+),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM clean_docs GROUP BY md5(clean_text)
+),
+base AS (
+  SELECT c.doc_id, c.clean_text, c.source FROM clean_docs c JOIN dedup USING (doc_id)
+),
+toks2 AS (SELECT doc_id, string_split(clean_text, ' ') AS t FROM base),
+sh AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM toks2, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+),
+evtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0
+),
+evsh AS (
+  SELECT DISTINCT array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM evtoks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+),
+contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN evsh USING (shingle)),
+clean AS (
+  SELECT b.doc_id, b.source FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = b.doc_id)
+),
+counts AS (SELECT source, COUNT(*) AS n_docs FROM clean GROUP BY source),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_groups FROM counts),
+rates AS (
+  SELECT source, LEAST(1.0, CAST(total AS DOUBLE) / n_groups / n_docs) AS rate
+  FROM counts, tot
+),
+sampled AS (
+  SELECT c.doc_id, c.source FROM clean c JOIN rates r USING (source)
+  WHERE CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 1000000 < r.rate * 1000000
+)
+SELECT doc_id, source, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS INTEGER) AS shard_pos
+FROM (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5('|shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 16 AS shard,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM sampled
+) s
+"""
+
+
+@register("corpus_build_full", _CORPUS_BUILD_FULL_ORACLE)
+def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 6-stage corpus build, one lazy plan: Gopher quality
+    gate → C4 10-word span dedup (later stages see the cleaned text) →
+    exact dedup → 3-gram decontamination against the doc_id%97
+    holdout → uniform source mixture → 16-shard training layout.
+    Hash-checked against the single-CTE-chain SQL composing the three
+    independently-green oracles (_GOPHER_ORACLE, _SPAN_DEDUP_ORACLE,
+    _CORPUS_BUILD_ORACLE)."""
+    from .operators.corpus import build_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_corpus(
+        docs,
+        docs.filter(F.col("doc_id") % 97 == 0),
+        num_shards=16,
+        decontam_n=3,
+        quality_gate=True,
+        span_words=10,
+    )
+
+
 _SEQ_ORACLE = """
 SELECT user_id,
   COUNT(*) AS n_events,
