@@ -1095,3 +1095,249 @@ class TestNearDupPairsLsh:
         assert "BroadcastNestedLoopJoin" not in gated_plan
         brute_plan = near_dup_pairs(emb, threshold=0.4)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in brute_plan
+
+
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def books(self, spark, emb):
+        from textract_farmdata_pipeline_spark.operators.similarity import pq_train
+
+        return pq_train(emb, m=8, ks=16, max_iter=4, persist=False)
+
+    def test_codebook_shape_and_determinism(self, spark, emb, books):
+        from textract_farmdata_pipeline_spark.operators.similarity import pq_train
+
+        assert len(books) == 8 and all(len(b) == 16 for b in books)
+        assert all(len(c) == 8 for b in books for c in b)  # 64 / m
+        again = pq_train(emb, m=8, ks=16, max_iter=4, persist=False)
+        flat = [x for b in books for c in b for x in c]
+        oflat = [x for b in again for c in b for x in c]
+        assert flat == oflat  # no RNG anywhere
+
+    def test_partition_count_invariance(self, spark, emb, books):
+        from textract_farmdata_pipeline_spark.operators.similarity import pq_train
+
+        other = pq_train(emb.repartition(7), m=8, ks=16, max_iter=4, persist=False)
+        flat = [x for b in books for c in b for x in c]
+        oflat = [x for b in other for c in b for x in c]
+        assert max(abs(a - b) for a, b in zip(flat, oflat)) < 1e-8
+
+    def test_codes_shape_and_range(self, spark, emb, books):
+        from textract_farmdata_pipeline_spark.operators.similarity import pq_encode
+
+        rows = pq_encode(emb, books).collect()
+        assert len(rows) == emb.count()
+        for r in rows:
+            assert len(r["codes"]) == 8
+            assert all(0 <= c < 16 for c in r["codes"])
+
+    def test_adc_separates_true_neighbors(self, spark, emb, books):
+        """The quantizer can't be exact on near-uniform sphere data, but
+        ADC scores must still *order* the space: the true top-5 set's
+        mean ADC score beats the corpus mean ADC score for every query."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            cosine_topk,
+            pq_encode,
+            pq_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 20)
+        truth: dict[int, set[int]] = {}
+        for r in cosine_topk(emb, q, k=5).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        codes = pq_encode(emb, books)
+        n = emb.count()
+        all_scored = pq_topk(codes, books, q, k=n, round_digits=6).collect()
+        per_q: dict[int, list] = {}
+        for r in all_scored:
+            per_q.setdefault(r["query_id"], []).append(r)
+        for qid, rows in per_q.items():
+            scores = {r["neighbor_id"]: r["adc_score"] for r in rows}
+            mean_all = sum(scores.values()) / len(scores)
+            mean_true = sum(scores[nb] for nb in truth[qid]) / len(truth[qid])
+            assert mean_true > mean_all
+
+    def test_adc_only_recall_floor(self, spark, emb, books):
+        """32-bit codes on near-uniform sphere data: ADC alone is a
+        coarse pruner (measured 0.16 here) — pin a loose floor; the
+        real recall contract is the re-rank test below."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            cosine_topk,
+            pq_encode,
+            pq_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 20)
+        truth: dict[int, set[int]] = {}
+        for r in cosine_topk(emb, q, k=5).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        codes = pq_encode(emb, books)
+        got: dict[int, set[int]] = {}
+        for r in pq_topk(codes, books, q, k=5).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(k_, set()) & t) for k_, t in truth.items())
+        recall = hits / sum(len(t) for t in truth.values())
+        assert recall >= 0.10, recall
+
+    def test_rerank_recall(self, spark, emb):
+        """The production two-stage shape (ADC shortlist → exact
+        re-rank): recall equals shortlist capture — ≥0.85 with 8×64
+        codebooks and a 10% shortlist on this corpus (measured 0.91),
+        and every returned cosine is the EXACT score (re-ranked rows
+        are a subset of the brute-force ranking)."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            cosine_topk,
+            pq_encode,
+            pq_topk_rerank,
+            pq_train,
+        )
+
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in cosine_topk(emb, q, k=emb.count()).collect()
+        }
+        truth: dict[int, set[int]] = {}
+        for r in cosine_topk(emb, q, k=5).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        books = pq_train(emb, m=8, ks=64, max_iter=4, persist=False)
+        codes = pq_encode(emb, books)
+        rows = pq_topk_rerank(codes, books, emb, q, k=5, shortlist=50).collect()
+        got: dict[int, set[int]] = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            assert r["cosine"] == exact[(r["query_id"], r["neighbor_id"])]
+        hits = sum(len(got.get(k_, set()) & t) for k_, t in truth.items())
+        recall = hits / sum(len(t) for t in truth.values())
+        assert recall >= 0.85, recall
+
+
+class TestSemanticDedup:
+    def _run(self, spark, rows, centroids, threshold=0.95):
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        return {
+            r["vec_id"]: r
+            for r in semantic_dedup(df, centroids, threshold=threshold).collect()
+        }
+
+    def test_within_cell_dups_collapse_to_min_id(self, spark):
+        cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9999, 0.001, 0.0, 0.0]),      # ~cos 1.0 with id 1
+            (3, [0.7, 0.7, 0.0, 0.0]),           # same cell, cos ~0.7: kept
+            (4, [0.0, 1.0, 0.0, 0.0]),
+            (5, [0.0, 2.0, 0.0, 0.0]),           # scale-invariant dup of 4
+        ]
+        out = self._run(spark, rows, cents)
+        assert out[1]["keep"] and out[1]["dup_of"] is None
+        assert not out[2]["keep"] and out[2]["dup_of"] == 1
+        assert out[3]["keep"] and out[3]["dup_of"] is None
+        assert out[4]["keep"] and not out[5]["keep"] and out[5]["dup_of"] == 4
+
+    def test_cross_cell_near_dups_survive_by_design(self, spark):
+        """SemDeDup's documented trade: a near-dup pair split across
+        cells is not compared — both survive (the paper accepts this
+        for the Σc² cost bound)."""
+        cents = [[1.0, 0.0], [0.707, 0.707]]
+        rows = [(1, [0.924, 0.383]), (2, [0.920, 0.392])]  # ~cos 1, cells differ
+        out = self._run(spark, rows, cents, threshold=0.99)
+        if out[1]["cell_id"] != out[2]["cell_id"]:
+            assert out[1]["keep"] and out[2]["keep"]
+
+    def test_transitive_chain_single_cluster(self, spark):
+        """a~b and b~c above threshold but a~c below: connected
+        components still one cluster (min-id representative)."""
+        import math
+
+        cents = [[1.0, 0.0]]
+        th = math.cos(math.radians(10))
+        rows = [
+            (7, [math.cos(math.radians(0)), math.sin(math.radians(0))]),
+            (8, [math.cos(math.radians(9)), math.sin(math.radians(9))]),
+            (9, [math.cos(math.radians(18)), math.sin(math.radians(18))]),
+        ]
+        out = self._run(spark, rows, cents, threshold=th)
+        assert out[7]["keep"]
+        assert out[8]["dup_of"] == 7 and out[9]["dup_of"] == 7
+
+    def test_no_pairs_all_kept(self, spark):
+        cents = [[1.0, 0.0]]
+        rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+        out = self._run(spark, rows, cents, threshold=0.99)
+        assert all(r["keep"] and r["dup_of"] is None for r in out.values())
+
+
+class TestCountMinSketch:
+    def test_exact_on_collision_free_fixture(self, spark):
+        """Few distinct bigrams vs 4×1024 buckets: the deterministic md5
+        family places them collision-free, so every estimate is exact."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a b c"), (2, "a b x y")], "doc_id long, text string"
+        )
+        # bigrams: doc1 -> [a b][b a][a b][b c], doc2 -> [a b][b x][x y]
+        sk = cms_sketch(df, n=2)
+        cand = spark.createDataFrame(
+            [("a b",), ("b a",), ("x y",)], "shingle string"
+        )
+        got = {r["shingle"]: r["cms_estimate"] for r in cms_estimate(sk, cand).collect()}
+        assert got == {"a b": 3, "b a": 1, "x y": 1}
+
+    def test_never_undercounts_on_corpus(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            ngram_shingles,
+        )
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            cms_estimate,
+            cms_sketch,
+        )
+
+        sh = ngram_shingles(docs, 2)
+        exact = {
+            r["shingle"]: r["cnt"]
+            for r in sh.groupBy("shingle").agg(F.count("*").alias("cnt")).collect()
+        }
+        total = sum(exact.values())
+        sk = cms_sketch(docs, n=2)
+        cand = sh.select("shingle").distinct()
+        est = {
+            r["shingle"]: r["cms_estimate"]
+            for r in cms_estimate(sk, cand).collect()
+        }
+        assert set(est) == set(exact)
+        overs = [est[s] - exact[s] for s in exact]
+        assert min(overs) >= 0  # CMS never undercounts
+        # standard guarantee: P(over > 2·total/width) < (1/2)^depth per
+        # query; as a fixture-deterministic pin, the MAX observed
+        # overcount stays within 4·total/width
+        assert max(overs) <= 4 * total / 1024
+
+    def test_sketch_is_mergeable(self, spark):
+        """cms(A ∪ B) must equal the cellwise sum of cms(A) and cms(B) —
+        the property that lets 1000 executors sketch independently and
+        merge depth·width numbers."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            cms_sketch,
+        )
+
+        a = spark.createDataFrame([(1, "p q r p q")], "doc_id long, text string")
+        b = spark.createDataFrame([(2, "p q z")], "doc_id long, text string")
+        both = a.union(b)
+        cell = lambda df: {
+            (r["row"], r["bucket"]): r["cnt"] for r in cms_sketch(df, n=2).collect()
+        }
+        ca, cb, cu = cell(a), cell(b), cell(both)
+        merged: dict = {}
+        for d in (ca, cb):
+            for k, v in d.items():
+                merged[k] = merged.get(k, 0) + v
+        assert merged == cu

@@ -690,3 +690,334 @@ def ivf_cluster_profile(
         F.count("*").alias("n_members"),
         F.round(F.avg("cos_to_centroid"), 4).alias("avg_cos_to_centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) — the compressed-domain ANN
+# path: at 100 TB of float32 embeddings, PQ codes are the difference
+# between scanning 25 TB and scanning ~0.8 TB per query batch.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    max_iter: int = 6,
+    tol: float = 1e-4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    persist: bool = True,
+):
+    """Train product-quantization codebooks: the ``dim`` axis splits
+    into ``m`` contiguous subspaces and each gets an independent
+    ``ks``-centroid L2 Lloyd codebook over the unit-normalized corpus
+    (normalized because retrieval is cosine; on the unit sphere the
+    ADC dot-product sum approximates cosine directly).
+
+    Same distributed shape as :func:`kmeans_train`, but ALL ``m``
+    sub-quantizers advance in each single ``mapInPandas`` pass: every
+    partition emits per-(subspace, centroid) partials — count and
+    sub-vector sum, ``m·ks·(dim/m + 1)`` numbers total — and the
+    driver reduces them; **no shuffle in the loop**.  Seeds are the
+    first ``ks`` vectors in ``xxhash64(id)`` order (deterministic
+    across retries); empty cells keep their previous centroid.
+
+    Returns ``m × ks × (dim/m)`` nested lists (driver-small: e.g.
+    8×16×8 doubles for dim=64).
+    """
+
+    df = vectors.select(
+        F.col(id_col).alias("_id"), unit_vector(F.col(vec_col)).alias("v")
+    )
+    if persist:
+        df = df.persist()
+    try:
+        seeds = [
+            r["v"] for r in df.orderBy(F.xxhash64(F.col("_id"))).limit(ks).collect()
+        ]
+        dim = len(seeds[0])
+        assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+        dsub = dim // m
+        books = [
+            [list(s[j * dsub : (j + 1) * dsub]) for s in seeds] for j in range(m)
+        ]
+        vec_only = df.select("v")
+        for _ in range(max_iter):
+            book_rows = [[list(c) for c in b] for b in books]
+
+            def _partials(batches):
+                import numpy as np
+
+                B = np.array(book_rows)  # m x ks x dsub
+                mm, kk, dd = B.shape
+                sums = np.zeros((mm, kk, dd))
+                cnt = np.zeros((mm, kk), dtype="int64")
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    V = np.array(pdf["v"].tolist())  # batch x dim
+                    for s in range(mm):
+                        Vs = V[:, s * dd : (s + 1) * dd]  # batch x dsub
+                        # L2 argmin via the expanded form; ||Vs||² is
+                        # constant per row so the argmin needs only
+                        # -2·Vs·C + ||C||²
+                        d2 = -2.0 * (Vs @ B[s].T) + (B[s] ** 2).sum(axis=1)
+                        cl = d2.argmin(axis=1)
+                        for j in np.unique(cl):
+                            mask = cl == j
+                            sums[s, j] += Vs[mask].sum(axis=0)
+                            cnt[s, j] += int(mask.sum())
+                out = {
+                    "s": np.repeat(np.arange(mm), kk),
+                    "j": np.tile(np.arange(kk), mm),
+                    "n": cnt.reshape(-1),
+                    "vsum": list(sums.reshape(mm * kk, dd)),
+                }
+                yield pd.DataFrame(out)
+
+            stats = vec_only.mapInPandas(
+                _partials, "s int, j int, n long, vsum array<double>"
+            ).collect()
+            counts = [[0] * ks for _ in range(m)]
+            vec_sums = [[[0.0] * dsub for _ in range(ks)] for _ in range(m)]
+            for r in stats:
+                s, j = r["s"], r["j"]
+                counts[s][j] += r["n"]
+                vec_sums[s][j] = [a + b for a, b in zip(vec_sums[s][j], r["vsum"])]
+            shift = 0.0
+            for s in range(m):
+                for j in range(ks):
+                    n_j = counts[s][j]
+                    if n_j == 0:
+                        continue  # empty cell keeps its centroid
+                    cand = [x / n_j for x in vec_sums[s][j]]
+                    shift = max(
+                        shift,
+                        max(abs(a - b) for a, b in zip(cand, books[s][j])),
+                    )
+                    books[s][j] = cand
+            if shift < tol:
+                break
+        return books
+    finally:
+        if persist:
+            df.unpersist()
+
+
+def unit_vector(vec: Column) -> Column:
+    """Unit-normalize an array column (zero vectors pass through
+    unchanged rather than dividing by zero)."""
+    v = _as_double(vec)
+    n = norm(v)
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-sub-centroid codes:
+    ``(id, codes array<int>)`` — 100 TB of float32 becomes ~m bytes
+    per row.  One vectorized map stage (codebooks ship in the task
+    closure), no shuffle."""
+    book_rows = [[list(c) for c in b] for b in codebooks]
+
+    def _enc(batches):
+        import numpy as np
+
+        B = np.array(book_rows)  # m x ks x dsub
+        mm, kk, dd = B.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist())
+            codes = np.empty((len(V), mm), dtype="int32")
+            for s in range(mm):
+                Vs = V[:, s * dd : (s + 1) * dd]
+                d2 = -2.0 * (Vs @ B[s].T) + (B[s] ** 2).sum(axis=1)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["_id"], "codes": list(codes)})
+
+    return (
+        vectors.select(
+            F.col(id_col).alias("_id"), unit_vector(F.col(vec_col)).alias("v")
+        )
+        .mapInPandas(_enc, "vec_id long, codes array<int>")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query's per-
+    (subspace, code) dot-product lookup table is built driver-side
+    (bounded: #queries · m · ks doubles — queries are top-k requests,
+    inherently small) and broadcast; scoring is then pure JVM column
+    algebra — ``zip_with`` the corpus row's code array against the
+    query's LUT rows and sum — so the code table never leaves the JVM
+    and never shuffles.  Per-query top-k via window rank, ties broken
+    by neighbor id.  ``adc_score`` ≈ cosine for unit-normalized
+    training/query vectors."""
+    from pyspark.sql.window import Window
+
+    import numpy as np
+
+    B = np.array([[list(c) for c in b] for b in codebooks])  # m x ks x dsub
+    mm, kk, dd = B.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), unit_vector(F.col(vec_col)).alias("v")
+    ).collect()
+    lut_rows = []
+    for r in q_rows:
+        q = np.array(r["v"])
+        lut = [
+            [float(x) for x in (B[s] @ q[s * dd : (s + 1) * dd])] for s in range(mm)
+        ]
+        lut_rows.append((r["query_id"], lut))
+    spark = codes.sparkSession
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, lut array<array<double>>"
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(luts))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(score, round_digits).alias("adc_score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pq_topk_rerank(
+    codes: DataFrame,
+    codebooks,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-stage PQ retrieval, the production shape (Jégou et al. §V):
+    the compressed ADC scan (:func:`pq_topk`) prunes the corpus to a
+    per-query ``shortlist``, then ONLY those candidates' full vectors
+    are fetched (equality join on the id — at 100 TB the float corpus
+    is touched for |queries|·shortlist rows, not scanned) and exact
+    cosine re-ranks the top ``k``.  Recall equals the shortlist's
+    capture rate; the compressed scan does the heavy lifting over
+    m-byte codes instead of 4·dim-byte floats."""
+    from pyspark.sql.window import Window
+
+    cand = pq_topk(
+        codes, codebooks, queries, k=shortlist, id_col=id_col,
+        vec_col=vec_col, round_digits=9,
+    ).select("query_id", "neighbor_id")
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    exact = F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(cv, "neighbor_id")
+        .join(qv, "query_id")
+        .select("query_id", "neighbor_id", exact.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
+    whose *embeddings* are near-identical — the semantic layer above
+    exact/MinHash text dedup, catching paraphrases and re-renders that
+    share no shingles.
+
+    The O(n²) cosine comparison is confined to k-means cells: assign
+    every vector to its max-dot centroid (one JVM map stage over the
+    broadcast ``k × dim`` codebook — train with :func:`kmeans_train`),
+    emit within-cell pairs ≥ ``threshold`` via an equality-keyed
+    self-join on the cell id, union the pairs into clusters with
+    :func:`..operators.dedup.connected_components` (min-label
+    propagation), and keep the minimum id per cluster.  Exactly the
+    paper's trade: pair work is Σ c_i² over cell sizes, not n² — pick
+    ``k`` so cells stay small (they use k≈11k for 100M embeddings),
+    and a hot cell is a *data* signal (a boilerplate cluster), the
+    thing the operator exists to find.
+
+    Returns one row per vector: ``(id, cell_id, keep, dup_of)`` with
+    ``dup_of`` = the kept representative's id (NULL when kept).
+    """
+    from .dedup import connected_components
+
+    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    assigned = vectors.select(
+        F.col(id_col).alias("vec_id"), unit_vector(F.col(vec_col)).alias("v")
+    ).withColumn(
+        "cell_id",
+        F.array_position(
+            (s := F.transform(carr, lambda c: dot(c, F.col("v")))), F.array_max(s)
+        ).cast("int"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            dot(F.col("a.v"), F.col("b.v")).alias("_cos"),  # unit vectors: dot = cosine
+        )
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    labels = connected_components(pairs, left="id_a", right="id_b")
+    return (
+        assigned.join(labels, assigned["vec_id"] == labels["node"], "left")
+        .select(
+            "vec_id",
+            "cell_id",
+            (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("vec_id"))).alias("keep"),
+            F.when(F.col("cluster_id") != F.col("vec_id"), F.col("cluster_id")).alias("dup_of"),
+        )
+    )

@@ -478,3 +478,74 @@ def gopher_quality_filter(
         failed.alias("failed_rules"),
         (failed == F.lit("")).alias("keep"),
     )
+
+
+def cms_sketch(
+    docs: DataFrame,
+    n: int = 2,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-min sketch over token n-grams (Cormode & Muthukrishnan
+    2005): ``depth × width`` bucket counts, the fixed-size mergeable
+    summary that answers "how often does this phrase occur in 100 TB"
+    without materializing the n-gram table.
+
+    The hash family is the repo's engine-portable ``md5_bucket``
+    (first 8 md5 hex digits mod ``width``, row-seeded) — deterministic
+    and bit-identical in DuckDB, so unlike probabilistic-by-
+    implementation sketches (HLL++/t-digest) this one is fully
+    hash-oracle-checkable.
+
+    Plan shape: shingle explode (codegen Generate) → ``posexplode`` of
+    the ``depth`` bucket ids per shingle → groupBy ``(row, bucket)``.
+    The aggregation state is at most ``depth·width`` cells, so
+    map-side partial aggregation collapses everything locally and the
+    shuffle moves ≤ ``depth·width`` rows per partition regardless of
+    corpus size — the whole point of a sketch.
+    """
+    from .corpus import md5_bucket, ngram_shingles
+
+    sh = ngram_shingles(docs, n, text_col=text_col, id_col=id_col)
+    buckets = F.array(
+        *[md5_bucket(F.col("shingle"), width, seed=f"cms{i}|") for i in range(depth)]
+    )
+    return (
+        sh.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """Point-query the sketch: estimate = min over the ``depth`` rows
+    of the candidate's bucket count (never under-counts; over-counts
+    only on bucket collisions, bounded by ≈ total/width per row).
+    The sketch is tiny (≤ depth·width rows) and broadcasts; candidates
+    never shuffle."""
+    from .corpus import md5_bucket
+
+    cand = candidates.select(
+        F.col(shingle_col).alias("shingle"),
+        F.posexplode(
+            F.array(
+                *[
+                    md5_bucket(F.col(shingle_col), width, seed=f"cms{i}|")
+                    for i in range(depth)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    return (
+        cand.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("shingle")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

@@ -376,6 +376,46 @@ def s3_event_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s3_events_source(events)
 
 
+@register("s3_ocr_composed")  # no oracle: side-effecting source path
+def s3_ocr_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 → S6-S8 → pipeline, composed end-to-end: the decoded S3
+    event listing (:func:`s3_event_listing`) feeds the OCR connector
+    fan-out (one task OCRs a slice of the listing — the reference's
+    one-Lambda-per-file scale-out), whose line rows flow through the
+    census record pipeline down to per-(doc, page, column) stats.
+    The fake Textract backend keeps it offline; rows-only like
+    ``census_ocr_connector`` because the OCR'd content is synthesized
+    per key, not SQL-reachable.  Scale shape: the listing is tiny
+    (one row per file), the mapInPandas fan-out is embarrassingly
+    parallel, and the only shuffle is the pipeline's own
+    (doc, page, column) exchange."""
+    from .plans.pipeline import blocks_to_records
+    from .sources.fake_ocr import fake_client_factory
+    from .sources.textract import ocr_listing
+
+    listing = s3_event_listing(spark, sf_dir)
+    # The event keys name real scans ("raw/farm census/{id} page 1.pdf");
+    # address the fake backend by doc index so block content stays
+    # deterministic per key.
+    fake = listing.select(
+        "bucket",
+        F.concat(
+            F.lit("ocr/doc-"),
+            F.regexp_extract("key", r"/(\d+) page", 1),
+            F.lit(".pdf"),
+        ).alias("key"),
+    )
+    lines = ocr_listing(fake, client_factory=fake_client_factory, poll_delay=0)
+    return (
+        blocks_to_records(lines)
+        .groupBy("doc_id", "page", "column_side")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.max("page_line").cast("long").alias("max_page_line"),
+        )
+    )
+
+
 # =========================================================================
 # Relational analytics surface (Spark-native capabilities on TPC-H-ish)
 # =========================================================================
@@ -1648,6 +1688,46 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+@register("embedding_pq_ann")  # no oracle: iterative float codebook training
+def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN via product quantization, two-stage: train
+    8×64 sub-codebooks (one fused partials pass per Lloyd iteration, no
+    shuffle), encode the corpus to 8-byte code rows, ADC-scan the codes
+    for a 50-deep shortlist (broadcast per-query lookup tables, JVM-side
+    ``zip_with`` scoring — the corpus codes never shuffle), then fetch
+    ONLY the shortlist's full vectors by id and exact-cosine re-rank the
+    top 5.  Rows-only; shortlist capture / re-rank recall and ADC
+    separation pinned by pytest."""
+    from .operators.similarity import pq_encode, pq_topk_rerank, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, ks=64, max_iter=4)
+    codes = pq_encode(emb, books)
+    return pq_topk_rerank(
+        codes, books, emb, emb.filter(F.col("vec_id") < 20), k=5, shortlist=50
+    )
+
+
+@register("embedding_semantic_dedup")  # no oracle: iterative codebook training
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus with a deterministic planted
+    duplicate set: every vec_id<50 vector re-enters under id+100000
+    (cosine exactly 1.0), so the k-means-cell-gated pairwise pass +
+    connected components must report precisely those as dup_of their
+    original and keep everything else.  Pair work is confined to
+    k-means cells (Σ c_i², not n²) — the paper's scale trade."""
+    from .operators.similarity import kmeans_train, semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+    )
+    cents, _ = kmeans_train(emb, k=16, max_iter=4)
+    return semantic_dedup(corpus, cents, threshold=0.999)
+
+
 # =========================================================================
 # Multimodal surface: binary media columns + typed metadata
 # =========================================================================
@@ -2327,6 +2407,63 @@ def corpus_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.corpus import corpus_ngram_counts
 
     return corpus_ngram_counts(_t(spark, sf_dir, "documents"), n=2, top=100)
+
+
+_CMS_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT array_to_string(t[i : i + 1], ' ') AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+top AS (
+  SELECT shingle, COUNT(*) AS n_occurrences
+  FROM sh GROUP BY shingle
+  ORDER BY n_occurrences DESC, shingle ASC
+  LIMIT 20
+),
+rows_ AS (SELECT i AS row FROM unnest(generate_series(0, 3)) AS r(i)),
+bsh AS (
+  SELECT r.row,
+    CAST('0x' || substr(
+      md5('cms' || CAST(r.row AS VARCHAR) || '|' || s.shingle), 1, 8) AS BIGINT
+    ) % 1024 AS bucket
+  FROM sh s CROSS JOIN rows_ r
+),
+sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM bsh GROUP BY row, bucket),
+est AS (
+  SELECT t.shingle, MIN(sk.cnt) AS cms_estimate
+  FROM top t CROSS JOIN rows_ r
+  JOIN sketch sk ON sk.row = r.row
+   AND sk.bucket = CAST('0x' || substr(
+         md5('cms' || CAST(r.row AS VARCHAR) || '|' || t.shingle), 1, 8) AS BIGINT
+       ) % 1024
+  GROUP BY t.shingle
+)
+SELECT t.shingle, t.n_occurrences, e.cms_estimate
+FROM top t JOIN est e USING (shingle)
+"""
+
+
+@register("corpus_cms_heavy_hitters", _CMS_ORACLE)
+def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch phrase frequencies vs exact truth: build a
+    4×1024 CMS over all bigrams (aggregation state ≤ depth·width cells
+    — map-side combine collapses the shuffle to ≤4096 rows per
+    partition at ANY corpus size) and point-query it for the exact
+    top-20 bigrams.  The md5-seeded hash family is engine-portable, so
+    the whole sketch — bucket placement, collision over-counts and all
+    — is hash-checked against DuckDB; the never-undercount and
+    error-bound properties are pinned in pytest."""
+    from .operators.corpus import corpus_ngram_counts
+    from .operators.text_analysis import cms_estimate, cms_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    top = corpus_ngram_counts(docs, n=2, top=20)
+    sk = cms_sketch(docs, n=2, depth=4, width=1024)
+    est = cms_estimate(sk, top.select("shingle"), depth=4, width=1024)
+    return top.join(F.broadcast(est), "shingle").select(
+        "shingle", "n_occurrences", "cms_estimate"
+    )
 
 
 _LENGTH_HIST_ORACLE = """
@@ -3130,13 +3267,40 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_spans(_t(spark, sf_dir, "documents"), budget=512, bucket_docs=64)
 
 
-@register("doc_pack_greedy")
+_PACK_GREEDY_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+ord AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM toks
+),
+fold AS (
+  SELECT shard, rn, doc_id, n_tokens,
+    CAST(0 AS BIGINT) AS pack_id, n_tokens AS used
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+    CASE WHEN f.used > 0 AND f.used + o.n_tokens > 512
+         THEN f.pack_id + 1 ELSE f.pack_id END,
+    CASE WHEN f.used > 0 AND f.used + o.n_tokens > 512
+         THEN o.n_tokens ELSE f.used + o.n_tokens END
+  FROM fold f JOIN ord o ON o.shard = f.shard AND o.rn = f.rn + 1
+)
+SELECT doc_id, shard, pack_id, n_tokens FROM fold
+"""
+
+
+@register("doc_pack_greedy", _PACK_GREEDY_ORACLE)
 def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit no-split packing, 512-token budget, 8 shards: the
     sequential fold runs per shard inside applyInPandas (state = one
-    integer), shards are the parallelism axis.  Greedy close-on-
-    overflow is order-dependent fold state, not SQL-expressible —
-    rows-only check; invariants pinned in test_northstar_ops.py."""
+    integer), shards are the parallelism axis.  The per-shard fold IS
+    SQL-expressible as a recursive CTE stepping the within-shard row
+    number and carrying (pack_id, used) — so the greedy close-on-
+    overflow semantics are hash-checked against DuckDB exactly;
+    invariants additionally pinned in test_northstar_ops.py."""
     from .operators.packing import pack_greedy
 
     return pack_greedy(_t(spark, sf_dir, "documents"), budget=512, n_shards=8)
@@ -4560,14 +4724,20 @@ def _pagerank_oracle_sql(iterations: int = 6, damping: float = 0.85) -> str:
     mirrors the Spark op order exactly (rank/deg per edge row, grouped
     sum per dst, dangling = max(0, 1 − Σc), base = (1−d)/n + d·dangling/n)
     so after ROUND(…, 6) the float ranks are engine-identical: the
-    per-value summation-order noise is ~1e-17 against a 1e-6 grid."""
+    per-value summation-order noise is ~1e-17 against a 1e-6 grid.
+
+    The shared CTEs are MATERIALIZED: r_i references c_i twice (via the
+    dangling-mass scalar), so DuckDB's default inlining re-expands the
+    whole chain 2^iterations times — 104 s at sf0.01; forcing
+    materialization (the engine analogue of the Spark op's per-round
+    checkpoint) runs it in 0.07 s."""
     head = """
-WITH edges AS (
+WITH edges AS MATERIALIZED (
   SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
-deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
-nodes AS (
+deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+nodes AS MATERIALIZED (
   SELECT DISTINCT node FROM (
     SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
 ),
@@ -4576,7 +4746,7 @@ r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
     steps = []
     for i in range(1, iterations + 1):
         steps.append(f""",
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT e.dst AS node, SUM(r.rank / d.deg) AS c
   FROM edges e JOIN deg d ON e.src = d.src JOIN r{i - 1} r ON e.src = r.node
   GROUP BY e.dst
@@ -4584,7 +4754,7 @@ c{i} AS (
 m{i} AS (
   SELECT GREATEST(0.0, 1.0 - COALESCE(SUM(c), 0.0)) AS dangling FROM c{i}
 ),
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT n.node,
     ((1.0 - {damping}) / (SELECT n FROM nn)
       + ({damping} * (SELECT dangling FROM m{i})) / (SELECT n FROM nn))

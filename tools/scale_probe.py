@@ -61,6 +61,11 @@ PROBE = (
     "multimodal_audio_windows",
     "dedup_incremental",
     "embedding_near_dup_pairs_lsh",
+    # round-4 additions: the last unprobed heavies + the new flagship
+    "doc_bm25_topk",
+    "corpus_word_pmi",
+    "s3_ocr_composed",
+    "corpus_build_full",
 )
 
 KEYED = {
