@@ -272,11 +272,131 @@ def census_csv_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     return to_census_csv(blocks_to_records(blocks), add_notes=True)
 
 
-@register("census_records_full")  # no SQL oracle: continuation-merge fold
+# The FULL fold as SQL: records are delimited by name lines (a window
+# running-count), each record's base slots come from the generator
+# variables (P1/P2, same reconstruction as _SIMPLE_RECORDS_BODY), and
+# the P3+P4 continuation merges are a RECURSIVE CTE stepping the
+# within-record continuation index — each step applies the exact
+# cursor-merge semantics (lambda_function.py:437-448) as a pure list
+# expression: a dash slot consumes the value at cursor position =
+# 1 + #dashes among earlier slots, advancing even when that value is
+# itself a dash.  Continuation values reconstruct per line type:
+# t=5 bare int → [a3]; t=6 positional → ['-', a2, '-']; t=9 malformed
+# → the first digit run, [a4] (merged because it is non-dash).  The F4
+# stop-phrase gate applies to EVERY line (a continuation whose value
+# contains '1860' dies before the fold, exactly as in the engine).
+_RECORDS_FULL_ORACLE = f"""
+WITH RECURSIVE {ocr_features_cte()},
+kept AS (
+  SELECT doc_id, page, t, k, top,
+    CASE WHEN x_left < 0.5 THEN 'L' ELSE 'R' END AS column_side,
+    given_part, surname_part, alt_part, suffix_part, full_name,
+    a1, a2, a3, a4, a5
+  FROM ocr_features
+  WHERE block_type = 'LINE' AND t <> 1
+    AND NOT regexp_matches(lower(text), '{HEADER_REGEX}')
+),
+ordered AS (
+  SELECT *,
+    CASE WHEN t IN (2,3,4,7,8) THEN 1 ELSE 0 END AS is_name,
+    SUM(CASE WHEN t IN (2,3,4,7,8) THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id, page, column_side ORDER BY top, k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rec_id
+  FROM kept
+),
+names AS (
+  SELECT *, LAG(top) OVER w AS lag_top
+  FROM ordered WHERE is_name = 1
+  WINDOW w AS (PARTITION BY doc_id, page, column_side ORDER BY top, k)
+),
+numbered AS (
+  SELECT *,
+    CAST(1 + SUM(CASE WHEN top - lag_top > 0.01 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY doc_id, page, column_side ORDER BY top, k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS page_line
+  FROM names
+),
+base AS (
+  SELECT doc_id, page, column_side, rec_id, page_line, t,
+    given_part, surname_part, alt_part, suffix_part,
+    CASE WHEN t = 8 THEN '__ ' || full_name ELSE full_name END AS name,
+    CASE t
+      WHEN 2 THEN [a1, a2, a3, a4, a5]
+      WHEN 3 THEN ['-', a2, '-', a4, '-']
+      WHEN 4 THEN ['-', '-', '-', '-', a3]
+      WHEN 7 THEN ['-', '-', '-', '-', '-']
+      ELSE [a1, a2, '-', '-', '-']
+    END AS slots
+  FROM numbered
+),
+conts AS (
+  SELECT doc_id, page, column_side, rec_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, page, column_side, rec_id
+                            ORDER BY top, k) AS BIGINT) AS step,
+    CASE t WHEN 5 THEN [a3] WHEN 6 THEN ['-', a2, '-'] ELSE [a4] END AS vals
+  FROM ordered WHERE is_name = 0 AND rec_id >= 1
+),
+merged AS (
+  SELECT doc_id, page, column_side, rec_id, page_line, t,
+    given_part, surname_part, alt_part, suffix_part, name,
+    CAST(0 AS BIGINT) AS step, slots
+  FROM base
+  UNION ALL
+  SELECT m.doc_id, m.page, m.column_side, m.rec_id, m.page_line, m.t,
+    m.given_part, m.surname_part, m.alt_part, m.suffix_part, m.name,
+    c.step,
+    list_transform([1, 2, 3, 4, 5], i ->
+      CASE WHEN m.slots[i] <> '-' THEN m.slots[i]
+        ELSE CASE
+          WHEN len(list_filter(list_slice(m.slots, 1, i - 1), x -> x = '-')) + 1
+                 <= len(c.vals)
+           AND c.vals[len(list_filter(list_slice(m.slots, 1, i - 1), x -> x = '-')) + 1]
+                 <> '-'
+          THEN c.vals[len(list_filter(list_slice(m.slots, 1, i - 1), x -> x = '-')) + 1]
+          ELSE '-' END
+      END) AS slots
+  FROM merged m JOIN conts c
+    ON c.doc_id = m.doc_id AND c.page = m.page
+   AND c.column_side = m.column_side AND c.rec_id = m.rec_id
+   AND c.step = m.step + 1
+),
+nsteps AS (
+  SELECT doc_id, page, column_side, rec_id, MAX(step) AS n
+  FROM conts GROUP BY doc_id, page, column_side, rec_id
+),
+final AS (
+  SELECT m.* FROM merged m
+  LEFT JOIN nsteps n ON n.doc_id = m.doc_id AND n.page = m.page
+   AND n.column_side = m.column_side AND n.rec_id = m.rec_id
+  WHERE m.step = COALESCE(n.n, 0)
+)
+SELECT name,
+  alt_part AS alternate_name,
+  surname_part AS surname,
+  CASE WHEN t = 8 THEN '__ ' || given_part ELSE given_part END AS given_names,
+  suffix_part AS suffix,
+  slots[1] AS acres_improved,
+  slots[2] AS acres_unimproved,
+  slots[3] AS cash_value_farm,
+  slots[4] AS value_implements,
+  slots[5] AS value_livestock,
+  page, page_line,
+  '' AS notes
+FROM final
+"""
+
+
+@register("census_records_full", _RECORDS_FULL_ORACLE)
 def census_records_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline including continuation/malformed-line merges (P3 +
-    P4 cursor semantics) — not SQL-expressible; pinned by unit goldens
-    generated from the reference, rows-only check here."""
+    P4 cursor semantics) — hash-checked against a recursive-CTE SQL
+    twin: record segmentation and banding as windows, base slots from
+    the fixture generator variables, and the cursor merge unrolled one
+    continuation line per recursion step.  (Previously rows-only on the
+    belief the fold was not SQL-expressible; the per-record recursion
+    depth is the number of continuation lines, so it is.)  Unit goldens
+    from the reference still pin the Python fold independently."""
     from .plans.pipeline import run_pipeline
 
     return run_pipeline(load_ocr_lines(spark, sf_dir), ordered=False)
