@@ -433,13 +433,101 @@ def census_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("census_ocr_connector")  # no oracle: side-effecting source path
+# The fake-OCR generator (sources/fake_ocr.py:_doc_blocks) is pure
+# arithmetic in the line key k = doc*24 + i, so the connector's CSV
+# output reconstructs in SQL: per (doc, page, column) the lines are
+# k%4-cycled (full record / dash record / name-only / bare
+# continuation), the single continuation per dash record fills its
+# first dash slot (P4 cursor), page_line is the surviving-name-line
+# ordinal (0.07 top steps always clear the 0.01 band), and the F4
+# stop-phrase gate applies to every reconstructed text.
+_OCR_GEN_FEAT = """
+feat AS (
+  SELECT doc, i, k,
+    CAST(1 + i // 12 AS BIGINT) AS page,
+    CASE WHEN i % 2 = 0 THEN 'L' ELSE 'R' END AS column_side,
+    i % 12 AS rowpos,
+    CAST(k % 4 AS INTEGER) AS t4,
+    CASE k % 6 WHEN 0 THEN 'John' WHEN 1 THEN 'A. B.' WHEN 2 THEN 'Robt.'
+               WHEN 3 THEN 'Mary Ann' WHEN 4 THEN 'Wm.' ELSE 'Seymour' END AS giv,
+    CASE k % 5 WHEN 0 THEN 'Smith' WHEN 1 THEN 'Grady' WHEN 2 THEN 'Stemple'
+               WHEN 3 THEN 'McCoy' ELSE 'Vance' END AS sur,
+    CAST(k % 90 + 1 AS VARCHAR) AS v1,
+    CAST(k % 70 + 1 AS VARCHAR) AS v2,
+    CAST(k * 13 % 9000 AS VARCHAR) AS v3,
+    CAST(k % 40 AS VARCHAR) AS v4,
+    CAST(k % 300 AS VARCHAR) AS v5,
+    CAST(k * 7 % 4000 AS VARCHAR) AS contv
+  FROM gen
+),
+lines AS (
+  SELECT *, giv || ' ' || sur AS full_name,
+    CASE t4
+      WHEN 0 THEN giv || ' ' || sur || ', ' || v1 || ', ' || v2 || ', ' || v3
+                  || ', ' || v4 || ', ' || v5
+      WHEN 1 THEN giv || ' ' || sur || ', -, ' || v2 || ', -, ' || v4 || ', -'
+      WHEN 2 THEN giv || ' ' || sur
+      ELSE contv
+    END AS text
+  FROM feat
+),
+kept AS (
+  SELECT *, (t4 <> 3) AS is_name,
+    SUM(CASE WHEN t4 <> 3 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc, page, column_side ORDER BY rowpos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rec_id
+  FROM lines
+  WHERE NOT regexp_matches(lower(text), '{header}')
+),
+conts AS (
+  SELECT doc, page, column_side, rec_id, MIN(contv) AS cont_val
+  FROM kept WHERE NOT is_name AND rec_id >= 1
+  GROUP BY doc, page, column_side, rec_id
+),
+names AS (
+  SELECT n.*, c.cont_val,
+    CAST(ROW_NUMBER() OVER (PARTITION BY n.doc, n.page, n.column_side
+                            ORDER BY n.rowpos) AS BIGINT) AS page_line
+  FROM kept n LEFT JOIN conts c
+    ON c.doc = n.doc AND c.page = n.page AND c.column_side = n.column_side
+   AND c.rec_id = n.rec_id
+  WHERE n.is_name
+)
+""".replace("{header}", HEADER_REGEX)
+
+_OCR_CONNECTOR_ORACLE = f"""
+WITH gen AS (
+  SELECT d.doc, u.i, d.doc * 24 + u.i AS k
+  FROM unnest(generate_series(0, 7)) AS d(doc)
+  CROSS JOIN unnest(generate_series(0, 23)) AS u(i)
+),
+{_OCR_GEN_FEAT}
+SELECT full_name AS name,
+  '' AS alternate_name,
+  sur AS surname,
+  giv AS given_names,
+  '' AS suffix,
+  CASE t4 WHEN 0 THEN v1 WHEN 1 THEN COALESCE(cont_val, '-') ELSE '-' END
+    AS acres_improved,
+  CASE t4 WHEN 0 THEN v2 WHEN 1 THEN v2 ELSE '-' END AS acres_unimproved,
+  CASE t4 WHEN 0 THEN v3 ELSE '-' END AS cash_value_farm,
+  CASE t4 WHEN 0 THEN v4 WHEN 1 THEN v4 ELSE '-' END AS value_implements,
+  CASE t4 WHEN 0 THEN v5 ELSE '-' END AS value_livestock,
+  page, page_line
+FROM names
+"""
+
+
+@register("census_ocr_connector", _OCR_CONNECTOR_ORACLE)
 def census_ocr_connector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6-S8 connector plumbing driven offline: a fake Textract client
     (deterministic blocks derived from the fixture, NextToken-paginated)
     fanned out over a file listing via mapInPandas, feeding the full
     pipeline.  Proves the OCR source composes with the engine without
-    AWS; the boto3 factory is the production drop-in."""
+    AWS; the boto3 factory is the production drop-in.  Hash-checked:
+    the fake blocks are pure arithmetic in the line key, so the CSV
+    output (including the P4 merge of each bare continuation into its
+    dash record) reconstructs exactly in SQL."""
     from .operators.output import to_census_csv
     from .plans.pipeline import blocks_to_records
     from .sources.fake_ocr import fake_ocr_lines
@@ -496,16 +584,32 @@ def s3_event_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s3_events_source(events)
 
 
-@register("s3_ocr_composed")  # no oracle: side-effecting source path
+_S3_OCR_COMPOSED_ORACLE = f"""
+WITH gen AS (
+  SELECT d.doc_id AS doc, u.i, d.doc_id * 24 + u.i AS k
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+  CROSS JOIN unnest(generate_series(0, 23)) AS u(i)
+),
+{_OCR_GEN_FEAT}
+SELECT 'doc-' || CAST(doc AS VARCHAR) AS doc_id, page, column_side,
+  COUNT(*) AS n_records, MAX(page_line) AS max_page_line
+FROM names
+GROUP BY doc, page, column_side
+"""
+
+
+@register("s3_ocr_composed", _S3_OCR_COMPOSED_ORACLE)
 def s3_ocr_composed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 → S6-S8 → pipeline, composed end-to-end: the decoded S3
     event listing (:func:`s3_event_listing`) feeds the OCR connector
     fan-out (one task OCRs a slice of the listing — the reference's
     one-Lambda-per-file scale-out), whose line rows flow through the
     census record pipeline down to per-(doc, page, column) stats.
-    The fake Textract backend keeps it offline; rows-only like
-    ``census_ocr_connector`` because the OCR'd content is synthesized
-    per key, not SQL-reachable.  Scale shape: the listing is tiny
+    The fake Textract backend keeps it offline; hash-checked — the
+    fake blocks are pure arithmetic in the line key, so the expected
+    stats (including F4-dropped lines at large doc ids, where a farm
+    value can hit a stop-phrase) derive exactly in SQL.
+    Scale shape: the listing is tiny
     (one row per file), the mapInPandas fan-out is embarrassingly
     parallel, and the only shuffle is the pipeline's own
     (doc, page, column) exchange."""
