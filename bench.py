@@ -59,9 +59,11 @@ HEADLINE = (
     "events_session_window_fn",
     "lineitem_footer_stats",
     # r04 additions (round-3 directive #8): the two most expensive
-    # registered queries previously tracked only in the scale probe.
+    # registered queries previously tracked only in the scale probe,
+    # plus the new 6-stage corpus-build flagship.
     "customer_supplier_pagerank",
     "embedding_near_dup_pairs_lsh",
+    "corpus_build_full",
 )
 
 

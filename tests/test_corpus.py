@@ -360,3 +360,82 @@ class TestBuildCorpusFull:
         one = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in self._manifest(spark)}
         two = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in self._manifest(spark)}
         assert one == two
+
+
+class TestTemperatureWeights:
+    def test_alpha_half_hand_computed(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a") for i in range(4)] + [(9, "b")],
+            "doc_id long, source string",
+        )
+        out = {
+            r["source"]: r
+            for r in temperature_weights(df, by="source", alpha=0.5).collect()
+        }
+        # weights sqrt(4)=2, sqrt(1)=1 -> targets 10/3, 5/3
+        assert abs(out["a"]["target_n"] - round(10 / 3, 4)) < 1e-9
+        assert abs(out["b"]["target_n"] - round(5 / 3, 4)) < 1e-9
+        assert abs(out["a"]["sample_rate"] - round(10 / 3 / 4, 6)) < 1e-9
+        assert out["b"]["sample_rate"] == 1.0  # under-represented: kept whole
+
+    def test_alpha_one_is_natural(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a") for i in range(4)] + [(9, "b")],
+            "doc_id long, source string",
+        )
+        out = temperature_weights(df, by="source", alpha=1.0).collect()
+        assert all(r["sample_rate"] == 1.0 for r in out)
+
+    def test_alpha_zero_matches_uniform_mixture(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            mixture_weights,
+            temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a") for i in range(6)] + [(10, "b"), (11, "b"), (12, "c")],
+            "doc_id long, source string",
+        )
+        t = {
+            r["source"]: r["sample_rate"]
+            for r in temperature_weights(df, by="source", alpha=0.0).collect()
+        }
+        u = {
+            r["source"]: round(r["sample_rate"], 6)
+            for r in mixture_weights(df, by="source").collect()
+        }
+        assert t == u
+
+
+class TestSpanSelfDedup:
+    def test_repeat_within_doc_keeps_first(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import span_self_dedup
+
+        df = _docs(spark, [(1, "a b a b c")])
+        out = {r["doc_id"]: r for r in span_self_dedup(df, span_words=2).collect()}
+        assert out[1]["clean_text"] == "a b c"
+        assert out[1]["n_spans_kept"] == 2 and out[1]["n_spans_dropped"] == 1
+
+    def test_cross_doc_repeats_untouched(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import span_self_dedup
+
+        df = _docs(spark, [(1, "x y"), (2, "x y")])
+        out = {r["doc_id"]: r for r in span_self_dedup(df, span_words=2).collect()}
+        assert out[1]["clean_text"] == "x y" and out[2]["clean_text"] == "x y"
+        assert all(r["n_spans_dropped"] == 0 for r in out.values())
+
+    def test_order_preserved(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import span_self_dedup
+
+        df = _docs(spark, [(1, "p q r s p q r s t u")])
+        out = span_self_dedup(df, span_words=2).collect()[0]
+        assert out["clean_text"] == "p q r s t u"
+        assert out["n_spans_kept"] == 3 and out["n_spans_dropped"] == 2

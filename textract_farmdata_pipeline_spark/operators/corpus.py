@@ -192,6 +192,43 @@ def mixture_weights(df: DataFrame, by: str = "source") -> DataFrame:
     )
 
 
+def temperature_weights(
+    df: DataFrame, by: str = "source", alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-scaled mixture rates: target share of domain *d* is
+    ``n_d^alpha / SUM n_e^alpha`` (the multilingual-sampling rule of
+    Lample & Conneau 2019, §3.1) — ``alpha=1`` keeps natural
+    proportions, ``alpha -> 0`` approaches the uniform mixture of
+    :func:`mixture_weights`, and intermediate values upsample rare
+    domains without flattening the head entirely.
+
+    Same plan shape as :func:`mixture_weights`: one corpus aggregate,
+    one broadcast 1-row total; output is #domains rows of
+    ``(domain, n_docs, target_n, sample_rate)`` for
+    :func:`mixture_resample`-style application.  ``sample_rate`` is
+    ``min(1, target_n / n_d)`` — a pure *downsampling* schedule (no
+    replication), the conservative form when the consumer cannot
+    duplicate rows."""
+    counts = df.groupBy(by).agg(F.count("*").alias("n_docs"))
+    powed = counts.withColumn(
+        "_w", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    )
+    tot = powed.agg(
+        F.sum("n_docs").alias("total"), F.sum("_w").alias("wsum")
+    )
+    target = (
+        F.col("total").cast("double") * F.col("_w") / F.col("wsum")
+    )
+    return powed.crossJoin(F.broadcast(tot)).select(
+        by,
+        "n_docs",
+        F.round(target, 4).alias("target_n"),
+        F.round(
+            F.least(F.lit(1.0), target / F.col("n_docs").cast("double")), 6
+        ).alias("sample_rate"),
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     by: str = "source",
@@ -412,4 +449,58 @@ def span_dedup(
         (F.col("_n_spans") - F.coalesce("n_spans_kept", F.lit(0))).alias(
             "n_spans_dropped"
         ),
+    )
+
+
+def span_self_dedup(
+    docs: DataFrame,
+    span_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-document span dedup: repeated ``span_words``-word windows
+    inside one document keep only their first occurrence — the
+    boilerplate-stutter companion to the cross-document
+    :func:`span_dedup` (which removes corpus-shared spans from all
+    docs; this one never looks across documents).
+
+    Plan shape: segmentation is the same codegen'd chunker;
+    first-occurrence detection is a window rank over (doc, span-hash)
+    in chunk order; the total-span count and reassembly share a
+    doc-keyed exchange — two corpus-byte shuffles total, both keyed by
+    the id (skew bounded by document length, not span popularity).
+
+    Returns ``(id, clean_text, n_spans_kept, n_spans_dropped)``
+    (clean_text is never empty — the first occurrence always stays).
+    """
+    from .preprocess import chunk_tokens
+
+    seg = chunk_tokens(
+        docs.select(F.col(id_col).alias("doc_id"), text_col),
+        chunk_size=span_words,
+        overlap=0,
+    )
+    w = Window.partitionBy("doc_id", F.xxhash64("chunk_text")).orderBy("chunk_idx")
+    kept = (
+        seg.withColumn("_occ", F.row_number().over(w))
+        .withColumn("_tot", F.count("*").over(Window.partitionBy("doc_id")))
+        .filter(F.col("_occ") == 1)
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_idx", "chunk_text"))
+            ).alias("_a"),
+            F.count("*").alias("n_spans_kept"),
+            F.first("_tot").alias("_n_spans_total"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.concat_ws(" ", F.col("_a.chunk_text")).alias("clean_text"),
+            F.col("n_spans_kept").cast("long").alias("n_spans_kept"),
+            (F.col("_n_spans_total") - F.col("n_spans_kept"))
+            .cast("long")
+            .alias("n_spans_dropped"),
+        )
     )

@@ -985,14 +985,33 @@ def semantic_dedup(
     and a hot cell is a *data* signal (a boilerplate cluster), the
     thing the operator exists to find.
 
+    Duplication-safety (the ×10 probe caught the first version at
+    ratio 16.3 — identical vectors put d copies in a cell and the
+    pairwise join grew O(d²) in the duplication factor): byte-identical
+    vectors exact-collapse to their min-id representative BEFORE the
+    cell assignment, the pairwise pass and connected components run at
+    the representative level (duplication-invariant), and group members
+    map back through the rep at the end — a copy is definitionally a
+    semantic dup (cosine 1.0), so every non-rep copy reports
+    ``dup_of`` its component minimum without ever entering a join.
+
     Returns one row per vector: ``(id, cell_id, keep, dup_of)`` with
     ``dup_of`` = the kept representative's id (NULL when kept).
     """
+    from pyspark.sql.window import Window
+
     from .dedup import connected_components
 
     carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    assigned = vectors.select(
-        F.col(id_col).alias("vec_id"), unit_vector(F.col(vec_col)).alias("v")
+    g = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), unit_vector(F.col(vec_col)).alias("v")
+        )
+        .withColumn("_sig", F.md5(F.to_json(F.col("v"))))
+        .withColumn("rep_id", F.min("vec_id").over(Window.partitionBy("_sig")))
+    )
+    assigned = g.filter(F.col("vec_id") == F.col("rep_id")).select(
+        F.col("vec_id").alias("rid"), "v"
     ).withColumn(
         "cell_id",
         F.array_position(
@@ -1002,22 +1021,32 @@ def semantic_dedup(
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
         a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
+               & (F.col("a.rid") < F.col("b.rid")))
         .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
+            F.col("a.rid").alias("id_a"),
+            F.col("b.rid").alias("id_b"),
             dot(F.col("a.v"), F.col("b.v")).alias("_cos"),  # unit vectors: dot = cosine
         )
         .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b")
     )
     labels = connected_components(pairs, left="id_a", right="id_b")
+    rep_clusters = (
+        assigned.join(labels, assigned["rid"] == labels["node"], "left")
+        .select(
+            "rid",
+            "cell_id",
+            F.coalesce(F.col("cluster_id"), F.col("rid")).alias("_cluster"),
+        )
+    )
     return (
-        assigned.join(labels, assigned["vec_id"] == labels["node"], "left")
+        g.join(rep_clusters, g["rep_id"] == rep_clusters["rid"])
         .select(
             "vec_id",
             "cell_id",
-            (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("vec_id"))).alias("keep"),
-            F.when(F.col("cluster_id") != F.col("vec_id"), F.col("cluster_id")).alias("dup_of"),
+            (F.col("_cluster") == F.col("vec_id")).alias("keep"),
+            F.when(F.col("_cluster") != F.col("vec_id"), F.col("_cluster")).alias(
+                "dup_of"
+            ),
         )
     )

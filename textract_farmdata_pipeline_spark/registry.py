@@ -2587,6 +2587,75 @@ def doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(_t(spark, sf_dir, "documents"), by="source")
 
 
+_MIXTURE_TEMPERATURE_ORACLE = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT SUM(n_docs) AS total,
+    SUM(POWER(CAST(n_docs AS DOUBLE), 0.5)) AS wsum
+  FROM counts
+)
+SELECT source, n_docs,
+  ROUND(CAST(total AS DOUBLE) * POWER(CAST(n_docs AS DOUBLE), 0.5) / wsum, 4)
+    AS target_n,
+  ROUND(LEAST(1.0,
+    CAST(total AS DOUBLE) * POWER(CAST(n_docs AS DOUBLE), 0.5) / wsum
+      / CAST(n_docs AS DOUBLE)), 6) AS sample_rate
+FROM counts, tot
+"""
+
+
+@register("doc_mixture_temperature", _MIXTURE_TEMPERATURE_ORACLE)
+def doc_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (α=0.5) domain-mixture rates: target share
+    ∝ n_d^α — the multilingual sampling rule between natural (α=1)
+    and uniform (α→0) proportions.  Same one-aggregate + broadcast-
+    total plan as the uniform mixture; IEEE pow/division order kept
+    identical in both engines so the rounded rates hash-match."""
+    from .operators.corpus import temperature_weights
+
+    return temperature_weights(
+        _t(spark, sf_dir, "documents"), by="source", alpha=0.5
+    )
+
+
+_SPAN_SELF_DEDUP_ORACLE = """
+WITH seg AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS ci,
+    array_to_string(toks[(i-1)*10 + 1 : (i-1)*10 + 10], ' ') AS seg
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+      greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT), 1) AS nc
+    FROM documents
+  ) d, LATERAL unnest(generate_series(1, nc)) AS t(i)
+),
+occ AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, seg ORDER BY ci) AS rn,
+    COUNT(*) OVER (PARTITION BY doc_id) AS tot
+  FROM seg
+),
+kept AS (SELECT * FROM occ WHERE rn = 1)
+SELECT doc_id,
+  string_agg(seg, ' ' ORDER BY ci) AS clean_text,
+  CAST(COUNT(*) AS BIGINT) AS n_spans_kept,
+  CAST(MIN(tot) - COUNT(*) AS BIGINT) AS n_spans_dropped
+FROM kept GROUP BY doc_id
+"""
+
+
+@register("corpus_span_self_dedup", _SPAN_SELF_DEDUP_ORACLE)
+def corpus_span_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document span dedup: a repeated 10-word window inside one
+    document keeps only its first occurrence (the boilerplate-stutter
+    companion to the cross-document corpus_span_dedup).  Window rank on
+    (doc, span-hash), doc-keyed reassembly — no cross-document state
+    anywhere."""
+    from .operators.corpus import span_self_dedup
+
+    return span_self_dedup(_t(spark, sf_dir, "documents"), span_words=10)
+
+
 _MIXTURE_RESAMPLE_ORACLE = """
 WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
 tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_groups FROM counts),

@@ -66,6 +66,8 @@ PROBE = (
     "corpus_word_pmi",
     "s3_ocr_composed",
     "corpus_build_full",
+    "embedding_pq_ann",
+    "embedding_semantic_dedup",
 )
 
 KEYED = {
