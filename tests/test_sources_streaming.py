@@ -930,3 +930,40 @@ class TestStreamJoins:
         assert len(versions) == 2  # loader invoked once per batch
         # each event saw the dim version of its own batch
         assert sorted(seen) == [(0, 0), (1, 1)]
+
+
+class TestStreamingSketches:
+    def test_cms_stream_equals_batch(self, spark, tmp_path, sf_dir):
+        """Micro-batched sketch maintenance must converge to exactly the
+        batch sketch of the union — cellwise-merge correctness through
+        foreachBatch, multiple batches forced via maxFilesPerTrigger."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            cms_sketch,
+        )
+        from textract_farmdata_pipeline_spark.streaming import cms_stream
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src = str(tmp_path / "docs_src")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        batch_ids: list[int] = []
+        writer, state = cms_stream(
+            stream, n=2, sink=lambda _s, bid: batch_ids.append(bid)
+        )
+        q = (
+            writer.option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert len(batch_ids) >= 2, "expected multiple micro-batches"
+        expected = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_sketch(docs, n=2).collect()
+        }
+        assert state == expected

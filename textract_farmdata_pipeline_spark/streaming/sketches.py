@@ -1,0 +1,57 @@
+"""Streaming sketch maintenance: mergeable summaries over micro-batches.
+
+A count-min sketch is the canonical stream summary: each micro-batch
+sketches ONLY its own rows (a bounded ``depth × width`` partial — the
+heavy shingle explode and aggregation stay distributed), and the
+partials merge by cellwise addition.  The running state is therefore
+≤ ``depth·width`` integers no matter how much data has streamed — the
+property that makes "how often has this phrase occurred, ever" answerable
+without reprocessing history.
+
+The merge happens driver-side in ``foreachBatch`` because the merged
+object IS driver-small by construction (4×1024 longs here) — the same
+bounded-state argument as k-means centroids.  For restart safety in
+production, persist the merged cells to a checkpointed table inside the
+same ``foreachBatch`` (micro-batch boundaries make the write exactly-
+once per batch id); the in-memory dict form below keeps tests and local
+use dependency-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def cms_stream(
+    docs: DataFrame,
+    n: int = 2,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+    sink=None,
+):
+    """Maintain a running n-gram count-min sketch over a document stream.
+
+    Returns ``(writer, state)``: start the ``DataStreamWriter`` (tests
+    use ``trigger(availableNow=True)``); ``state`` is the live merged
+    sketch — a dict ``(row, bucket) -> count`` with ≤ ``depth·width``
+    entries that equals the batch :func:`..operators.text_analysis.
+    cms_sketch` of everything streamed so far (pinned by the
+    stream-equals-batch test).  ``sink(state, batch_id)`` is called
+    after each batch's merge for downstream persistence.
+    """
+    from ..operators.text_analysis import cms_sketch
+
+    state: dict[tuple[int, int], int] = {}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = cms_sketch(
+            batch_df, n=n, depth=depth, width=width, text_col=text_col
+        ).collect()
+        for r in part:
+            key = (r["row"], r["bucket"])
+            state[key] = state.get(key, 0) + r["cnt"]
+        if sink is not None:
+            sink(state, batch_id)
+
+    return docs.writeStream.foreachBatch(process), state
