@@ -1341,3 +1341,79 @@ class TestCountMinSketch:
             for k, v in d.items():
                 merged[k] = merged.get(k, 0) + v
         assert merged == cu
+
+
+class TestBpeTrain:
+    @staticmethod
+    def _reference_bpe(word_counts: dict, n_merges: int, min_count: int = 2):
+        """Classic in-memory BPE (Sennrich et al. 2016) as the oracle."""
+        state = {tuple(w): c for w, c in word_counts.items()}
+        merges = []
+        for rank in range(n_merges):
+            pairs: dict = {}
+            for syms, c in state.items():
+                for x, y in zip(syms, syms[1:]):
+                    pairs[(x, y)] = pairs.get((x, y), 0) + c
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), cnt = best
+            if cnt < min_count:
+                break
+            merges.append((rank, a, b, a + b, cnt))
+            new_state: dict = {}
+            for syms, c in state.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                key = tuple(out)
+                new_state[key] = new_state.get(key, 0) + c
+            state = new_state
+        return merges
+
+    def test_matches_reference_on_classic_corpus(self, spark):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import bpe_train
+
+        counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        text = " ".join(w for w, c in counts.items() for _ in range(c))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = bpe_train(df, n_merges=10, checkpoint_every=3)
+        want = self._reference_bpe(counts, 10)
+        assert got == want
+        assert len(got) >= 5  # the classic corpus yields a real merge chain
+
+    def test_merge_application_is_greedy_left_to_right(self, spark):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import bpe_train
+
+        # "aaaa" x3: first merge (a,a) cnt=3*3=9; after greedy apply each
+        # word is [aa, aa] -> second merge (aa, aa) cnt 3
+        df = spark.createDataFrame(
+            [(1, "aaaa aaaa aaaa")], "doc_id long, text string"
+        )
+        got = bpe_train(df, n_merges=2)
+        assert got[0][1:] == ("a", "a", "aa", 9)
+        assert got[1][1:] == ("aa", "aa", "aaaa", 3)
+
+    def test_early_stop_below_min_count(self, spark):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import bpe_train
+
+        df = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+        assert bpe_train(df, n_merges=5, min_pair_count=2) == []
+
+    def test_matches_reference_on_fixture_corpus(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import bpe_train
+
+        sample = docs.limit(30)
+        counts: dict = {}
+        for r in sample.collect():
+            for w in r["text"].split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        got = bpe_train(sample, n_merges=8)
+        want = self._reference_bpe(counts, 8)
+        assert got == want

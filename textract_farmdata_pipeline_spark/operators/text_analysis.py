@@ -549,3 +549,102 @@ def cms_estimate(
         .groupBy("shingle")
         .agg(F.min("cnt").alias("cms_estimate"))
     )
+
+
+def _apply_bpe_merge(sym_col: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) symbol pairs — the
+    classic BPE apply step as a pure ``aggregate`` fold (no Python)."""
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 5,
+) -> list[tuple[int, str, str, str, int]]:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016, §3.2)
+    over a document corpus: repeatedly merge the most frequent adjacent
+    symbol pair, starting from characters.
+
+    Scale shape — the part that matters at 100 TB: the corpus is
+    touched ONCE (token explode → word-frequency groupBy); the training
+    loop then runs entirely on the *distinct-word* table (vocab-sized,
+    weighted by count), so each of the ``n_merges`` iterations is one
+    vocab-sized pair-count aggregate (adjacent pairs via ``zip_with``
+    of two array slices — no Python), a 1-row ``orderBy().limit(1)``
+    action for the argmax, and a codegen'd fold applying the merge.
+    Ties break (count desc, left asc, right asc), so training is
+    deterministic.  Lineage is truncated by a tracked localCheckpoint
+    every ``checkpoint_every`` merges (the CC/PageRank discipline —
+    without it iteration N replays merges 1..N-1), with superseded
+    blocks released eagerly.
+
+    Returns the merge table ``[(rank, left, right, merged,
+    pair_count), ...]`` — the artifact a tokenizer consumes.  Stops
+    early when no pair reaches ``min_pair_count``.
+    """
+    from .checkpoints import release, tracked_local_checkpoint
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    state, ck_ids = tracked_local_checkpoint(
+        words.select("cnt", chars.alias("syms"))
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    since_ck = 0
+    for rank in range(n_merges):
+        n = F.size("syms")
+        pair_rows = (
+            state.filter(n >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, n - 1),
+                        F.slice("syms", 2, n - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_rows or pair_rows[0]["pair_count"] < min_pair_count:
+            break
+        best = pair_rows[0]
+        a, b = best["a"], best["b"]
+        merges.append((rank, a, b, a + b, best["pair_count"]))
+        state = state.select("cnt", _apply_bpe_merge(F.col("syms"), a, b).alias("syms"))
+        since_ck += 1
+        if since_ck >= checkpoint_every:
+            state, new_ids = tracked_local_checkpoint(state)
+            release(spark, ck_ids)
+            ck_ids = new_ids
+            since_ck = 0
+    release(spark, ck_ids)
+    return merges

@@ -2737,6 +2737,26 @@ FROM top t JOIN est e USING (shingle)
 """
 
 
+@register("corpus_bpe_merges")  # no oracle: per-step data-dependent argmax
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: 12 merge rounds over the
+    corpus.  The corpus is scanned once (word-frequency groupBy); the
+    merge loop runs on the vocab-sized distinct-word table — zip_with
+    adjacent-pair counts, a 1-row argmax action, a codegen'd greedy
+    fold per round, lineage checkpoint-truncated.  Each round's argmax
+    feeds the next round's state, so no single SQL statement expresses
+    the chain (recursive CTEs cannot aggregate their own recursive
+    table) — rows-only here; pytest pins exact equality with an
+    in-memory reference BPE on both a classic corpus and the fixture."""
+    from .operators.text_analysis import bpe_train
+
+    merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=12)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left string, right string, merged string, pair_count long",
+    )
+
+
 @register("corpus_cms_heavy_hitters", _CMS_ORACLE)
 def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch phrase frequencies vs exact truth: build a
