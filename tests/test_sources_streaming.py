@@ -967,3 +967,67 @@ class TestStreamingSketches:
             for r in cms_sketch(docs, n=2).collect()
         }
         assert state == expected
+
+
+class TestStreamingIngestDedup:
+    def test_cross_batch_admission_and_dup_mapping(self, spark, tmp_path):
+        """Batch N+1 must dedup against everything ADMITTED in batches
+        1..N: exact copies arriving later are rejected with dup_of
+        pointing at the earliest admitted holder, and within-batch
+        groups keep their first member."""
+        import os
+        import time
+
+        from textract_farmdata_pipeline_spark.streaming import dedup_ingest_stream
+
+        t_a = "the quick brown fox jumps over the lazy dog near the river bank"
+        t_b = "pack my box with five dozen liquor jugs before the long voyage"
+        t_c = "sphinx of black quartz judge my vow under bright morning skies"
+        batches = [
+            [(1, t_a), (2, t_a), (3, t_b)],          # 2 dups 1 in-batch
+            [(11, t_a), (12, t_c), (13, t_c)],        # 11 dups corpus; 13 dups 12
+            [(21, t_c)],                               # dups batch-2 admission
+        ]
+        src = str(tmp_path / "incoming")
+        os.makedirs(src, exist_ok=True)
+        for i, rows in enumerate(batches):
+            d = spark.createDataFrame(rows, "doc_id long, text string")
+            p = str(tmp_path / f"b{i}")
+            d.coalesce(1).write.mode("overwrite").parquet(p)
+            for f in os.listdir(p):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(src, f"batch{i}.parquet")
+                    os.rename(os.path.join(p, f), dst)
+                    os.utime(dst, (time.time() + i * 10, time.time() + i * 10))
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        seen: dict[int, int | None] = {}
+        corpus_path = str(tmp_path / "corpus")
+        writer = dedup_ingest_stream(
+            stream,
+            corpus_path,
+            sink=lambda ann, bid: seen.update(
+                {r["doc_id"]: r["dup_of"] for r in ann.collect()}
+            ),
+        )
+        q = (
+            writer.option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+        assert seen == {1: None, 2: 1, 3: None, 11: 1, 12: None, 13: 12, 21: 12}
+        from textract_farmdata_pipeline_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+
+        admitted = {
+            r["doc_id"]
+            for r in ParquetMergeTable(spark, corpus_path).read().collect()
+        }
+        assert admitted == {1, 3, 12}
