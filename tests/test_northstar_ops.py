@@ -1417,3 +1417,67 @@ class TestBpeTrain:
         got = bpe_train(sample, n_merges=8)
         want = self._reference_bpe(counts, 8)
         assert got == want
+
+
+class TestTfidfVectors:
+    def test_hand_computed_weights(self, spark):
+        import math
+
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            tfidf_vectors,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "cat cat dog"), (2, "cat fish"), (3, "dog dog")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["embedding"] for r in tfidf_vectors(df, vocab_size=3).collect()}
+        # df: cat=2, dog=2, fish=1 -> vocab order (df desc, term asc):
+        # cat(0), dog(1), fish(2); N=3
+        w_cat, w_dog, w_fish = math.log(3 / 2), math.log(3 / 2), math.log(3 / 1)
+        assert out[1] == [2 * w_cat, 1 * w_dog, 0.0]
+        assert out[2] == [1 * w_cat, 0.0, 1 * w_fish]
+        assert out[3] == [0.0, 2 * w_dog, 0.0]
+
+    def test_vocab_miss_yields_zero_vector(self, spark):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            tfidf_vectors,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "aa aa aa"), (2, "zz")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r["embedding"] for r in tfidf_vectors(df, vocab_size=1).collect()}
+        assert out[2] == [0.0]  # 'zz' cut from the 1-term vocabulary
+        assert len(out) == 2
+
+    def test_deterministic_and_dim_stable(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            tfidf_vectors,
+        )
+
+        sample = docs.limit(40)
+        a = {r["doc_id"]: r["embedding"] for r in tfidf_vectors(sample, 16).collect()}
+        b = {r["doc_id"]: r["embedding"] for r in tfidf_vectors(sample, 16).collect()}
+        assert a == b
+        assert all(len(v) == 16 for v in a.values())
+        assert len(a) == 40
+
+    def test_clusters_compose(self, spark, docs):
+        """The registered composition must produce a sane profile: every
+        document assigned, cluster ids within range, coherence valid."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            ivf_cluster_profile,
+            kmeans_train,
+        )
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            tfidf_vectors,
+        )
+
+        vecs = tfidf_vectors(docs.limit(60), vocab_size=16).withColumnRenamed(
+            "doc_id", "vec_id"
+        )
+        cents, hist = kmeans_train(vecs, k=4, max_iter=3)
+        prof = ivf_cluster_profile(vecs, cents).collect()
+        assert sum(r["n_members"] for r in prof) == 60
+        assert all(1 <= r["cluster_id"] <= 4 for r in prof)

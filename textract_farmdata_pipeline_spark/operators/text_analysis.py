@@ -648,3 +648,74 @@ def bpe_train(
             since_ck = 0
     release(spark, ck_ids)
     return merges
+
+
+def tfidf_vectors(
+    docs: DataFrame,
+    vocab_size: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense TF-IDF document vectors over the top-``vocab_size``
+    document-frequency terms: ``(id, embedding array<double>)`` — the
+    featurization that lets every embedding-side operator (k-means,
+    SemDeDup, ANN, PQ) run on plain text corpora.
+
+    The vocabulary (``vocab_size`` rows + one corpus-count scalar) is
+    the only driver-side data — the same bounded-collect contract as
+    k-means centroids; per-term ln(N/df) weights ship in the task
+    closure as a literal map.  The corpus path is explode → (doc, term)
+    count → map-literal lookup → one groupBy(doc) assembling the dense
+    array.  Ties in the vocabulary cut break (df desc, term asc), so
+    the feature space is deterministic.
+    """
+    tok = docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+    tf = tok.filter(F.col("term") != "").groupBy(id_col, "term").agg(
+        F.count("*").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(id_col).distinct().count()
+    vocab = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(vocab_size).collect()
+    import math
+
+    idx_w = {
+        r["term"]: (i, math.log(n_docs / r["df"])) for i, r in enumerate(vocab)
+    }
+    idx_map = F.create_map(
+        *[x for t, (i, _w) in idx_w.items() for x in (F.lit(t), F.lit(i))]
+    )
+    w_map = F.create_map(
+        *[x for t, (_i, w) in idx_w.items() for x in (F.lit(t), F.lit(float(w)))]
+    )
+    entries = (
+        tf.filter(F.col("term").isin(*idx_w))
+        .select(
+            id_col,
+            idx_map[F.col("term")].alias("idx"),
+            (F.col("tf") * w_map[F.col("term")]).alias("val"),
+        )
+    )
+    dim = len(vocab)
+    dense = (
+        entries.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("idx", "val"))
+            ).alias("_m")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at("_m", i), F.lit(0.0)),
+            ).alias("embedding"),
+        )
+    )
+    # documents with no vocabulary hits still get a (zero) vector
+    return docs.select(id_col).distinct().join(dense, id_col, "left").select(
+        id_col,
+        F.coalesce(
+            "embedding",
+            F.array_repeat(F.lit(0.0), dim),
+        ).alias("embedding"),
+    )

@@ -2737,6 +2737,25 @@ FROM top t JOIN est e USING (shingle)
 """
 
 
+@register("doc_topic_clusters")  # no oracle: iterative float codebook training
+def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document topic clustering, text → vector → cluster: dense TF-IDF
+    vectors over the top-64 DF terms (vocabulary + ln(N/df) weights are
+    the only driver data; corpus path is explode → count → map-literal
+    lookup → one groupBy), spherical k-means (shuffle-free Arrow
+    partials), and the per-cluster size/coherence profile — the
+    cluster-then-inspect curation workflow over plain text.  Rows-only;
+    vectorizer determinism and clustering mechanics pinned by pytest."""
+    from .operators.similarity import ivf_cluster_profile, kmeans_train
+    from .operators.text_analysis import tfidf_vectors
+
+    vecs = tfidf_vectors(
+        _t(spark, sf_dir, "documents"), vocab_size=64
+    ).withColumnRenamed("doc_id", "vec_id")
+    cents, _ = kmeans_train(vecs, k=8, max_iter=4)
+    return ivf_cluster_profile(vecs, cents)
+
+
 @register("corpus_bpe_merges")  # no oracle: per-step data-dependent argmax
 def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: 12 merge rounds over the

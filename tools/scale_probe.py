@@ -68,6 +68,7 @@ PROBE = (
     "corpus_build_full",
     "embedding_pq_ann",
     "embedding_semantic_dedup",
+    "corpus_bpe_merges",
 )
 
 KEYED = {
