@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -108,8 +110,22 @@ class TestChunking:
         assert len(rows) == 1 and rows[0]["n_chunk_tokens"] == 3
 
 
+def _available_doc_fixtures():
+    import glob
+    import os
+
+    paths = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    env = os.environ.get("SPARK_GRAFT_TEST_SF_DIR")
+    if env:
+        p = os.path.join(env, "documents.parquet")
+        if os.path.exists(p) and p not in paths:
+            paths.append(p)
+    return paths or ["/root/testdata/sf0.01/documents.parquet"]
+
+
 class TestMediaFixtureAssumptions:
-    def test_documents_text_is_ascii_and_nonempty(self, spark):
+    @pytest.mark.parametrize("path", _available_doc_fixtures())
+    def test_documents_text_is_ascii_and_nonempty(self, spark, path):
         """The multimodal oracles (image features / frame sample /
         audio windows / image resize) compare byte-level Spark
         operators against DuckDB per-CHARACTER SQL (ascii/substr/
@@ -117,10 +133,11 @@ class TestMediaFixtureAssumptions:
         F.decode(frame, 'utf-8') under ANSI — holds only while the
         fixture text is pure ASCII (byte position == char position,
         no frame boundary can split a codepoint) and non-empty.  Pin
-        the assumption so a testdata regeneration that breaks it
-        fails HERE with a diagnosis instead of as an oracle
-        hash-mismatch."""
-        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        the assumption over EVERY fixture scale present (the driver
+        checks at sf0.01, the scale probe replicates sf0.1, tests
+        default to sf0.001) so a regeneration of any of them fails
+        HERE with a diagnosis instead of as an oracle hash-mismatch."""
+        docs = spark.read.parquet(path)
         bad = docs.select(
             "doc_id",
             F.length("text").alias("n_chars"),

@@ -369,7 +369,7 @@ def ann_topk_ivf(
         )
         .withColumn("cnorm", norm(F.col("cv")))
         .withColumn("_s", scores(F.col("cv")))
-        .withColumn("bucket", F.array_position(F.col("_s"), F.array_max(F.col("_s"))))
+        .withColumn("bucket", nearest_cell(F.col("_s")))
         .drop("_s")
         .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     )
@@ -664,6 +664,22 @@ def kmeans_train(
             df.unpersist()
 
 
+def centroid_scores(v: Column, centroids) -> Column:
+    """Dot products of ``v`` against every centroid of a driver-side
+    codebook (shipped as a literal array<array<double>>): one
+    array<double> of length k per row, all JVM-side."""
+    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    return F.transform(carr, lambda c: dot(c, v))
+
+
+def nearest_cell(scores: Column) -> Column:
+    """1-based max-dot cell from :func:`centroid_scores` output
+    (``array_position`` takes the FIRST max — deterministic ties).
+    Shared by every cell-assignment consumer (IVF profile, SemDeDup) so
+    assignment semantics cannot silently diverge between them."""
+    return F.array_position(scores, F.array_max(scores))
+
+
 def ivf_cluster_profile(
     vectors: DataFrame,
     centroids,
@@ -674,13 +690,12 @@ def ivf_cluster_profile(
     and profile the clusters: size and mean cosine to the centroid.
     A pure map stage + one k-row aggregate — the IVF partition-balance
     report you run before committing to a codebook."""
-    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     assigned = (
         vectors.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
-        .withColumn("_s", F.transform(carr, lambda c: dot(c, F.col("v"))))
+        .withColumn("_s", centroid_scores(F.col("v"), centroids))
         .select(
             "vec_id",
-            F.array_position(F.col("_s"), F.array_max(F.col("_s"))).alias("cluster_id"),
+            nearest_cell(F.col("_s")).alias("cluster_id"),
             guarded_cosine(
                 F.array_max(F.col("_s")), norm(F.col("v")), F.lit(1.0)
             ).alias("cos_to_centroid"),
@@ -737,6 +752,11 @@ def pq_train(
         seeds = [
             r["v"] for r in df.orderBy(F.xxhash64(F.col("_id"))).limit(ks).collect()
         ]
+        if len(seeds) < ks:
+            raise ValueError(
+                f"pq_train needs at least ks={ks} vectors to seed the "
+                f"codebooks, got {len(seeds)} — lower ks or grow the corpus"
+            )
         dim = len(seeds[0])
         assert dim % m == 0, f"dim {dim} not divisible by m {m}"
         dsub = dim // m
@@ -1000,10 +1020,15 @@ def semantic_dedup(
     """
     from pyspark.sql.window import Window
 
+    from .checkpoints import tracked_local_checkpoint
     from .dedup import connected_components
 
-    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    g = (
+    # g (full-corpus normalize + md5 signature + a window shuffle) is
+    # consumed by the rep filter (→ the a/b self-join AND rep_clusters)
+    # and again by the final member join; connected_components inside is
+    # eager anyway, so stage it once instead of re-running the corpus
+    # subtree per consumer (the build_corpus/bpe_train discipline).
+    g, _ = tracked_local_checkpoint(
         vectors.select(
             F.col(id_col).alias("vec_id"), unit_vector(F.col(vec_col)).alias("v")
         )
@@ -1013,10 +1038,7 @@ def semantic_dedup(
     assigned = g.filter(F.col("vec_id") == F.col("rep_id")).select(
         F.col("vec_id").alias("rid"), "v"
     ).withColumn(
-        "cell_id",
-        F.array_position(
-            (s := F.transform(carr, lambda c: dot(c, F.col("v")))), F.array_max(s)
-        ).cast("int"),
+        "cell_id", nearest_cell(centroid_scores(F.col("v"), centroids)).cast("int")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (

@@ -530,7 +530,12 @@ def cms_estimate(
     of the candidate's bucket count (never under-counts; over-counts
     only on bucket collisions, bounded by ≈ total/width per row).
     The sketch is tiny (≤ depth·width rows) and broadcasts; candidates
-    never shuffle."""
+    never shuffle.
+
+    The sketch table is sparse (untouched cells have no row), so the
+    lookup is a LEFT join with absent cells counting as 0 — a candidate
+    the corpus never contained therefore estimates 0 whenever ANY of
+    its ``depth`` cells is untouched, exactly the true CMS min."""
     from .corpus import md5_bucket
 
     cand = candidates.select(
@@ -545,9 +550,9 @@ def cms_estimate(
         ).alias("row", "bucket"),
     )
     return (
-        cand.join(F.broadcast(sketch), ["row", "bucket"])
+        cand.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("shingle")
-        .agg(F.min("cnt").alias("cms_estimate"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
     )
 
 

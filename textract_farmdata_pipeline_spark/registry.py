@@ -2724,9 +2724,9 @@ bsh AS (
 ),
 sketch AS (SELECT row, bucket, COUNT(*) AS cnt FROM bsh GROUP BY row, bucket),
 est AS (
-  SELECT t.shingle, MIN(sk.cnt) AS cms_estimate
+  SELECT t.shingle, MIN(COALESCE(sk.cnt, 0)) AS cms_estimate
   FROM top t CROSS JOIN rows_ r
-  JOIN sketch sk ON sk.row = r.row
+  LEFT JOIN sketch sk ON sk.row = r.row
    AND sk.bucket = CAST('0x' || substr(
          md5('cms' || CAST(r.row AS VARCHAR) || '|' || t.shingle), 1, 8) AS BIGINT
        ) % 1024

@@ -43,14 +43,21 @@ def cms_stream(
     from ..operators.text_analysis import cms_sketch
 
     state: dict[tuple[int, int], int] = {}
+    merged_ids: set[int] = set()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        part = cms_sketch(
-            batch_df, n=n, depth=depth, width=width, text_col=text_col
-        ).collect()
-        for r in part:
-            key = (r["row"], r["bucket"])
-            state[key] = state.get(key, 0) + r["cnt"]
+        # foreachBatch is at-least-once: a retried/restart-replayed
+        # micro-batch arrives with the SAME batch_id, and an additive
+        # merge applied twice would permanently inflate the cells — so
+        # merges are keyed by batch_id and replays are no-ops.
+        if batch_id not in merged_ids:
+            part = cms_sketch(
+                batch_df, n=n, depth=depth, width=width, text_col=text_col
+            ).collect()
+            for r in part:
+                key = (r["row"], r["bucket"])
+                state[key] = state.get(key, 0) + r["cnt"]
+            merged_ids.add(batch_id)
         if sink is not None:
             sink(state, batch_id)
 
