@@ -106,3 +106,26 @@ def test_dash_only_round_trip():
     assert slots == ["-"] * N_SLOTS
     merged = merge_positional(slots, extract_continuation_values("-, —, –"))
     assert merged == ["-"] * N_SLOTS
+
+
+class TestKeySkewProfile:
+    def test_hand_computed_profile(self, spark):
+        from textract_farmdata_pipeline_spark.operators.skew import key_skew_profile
+
+        rows = [(k,) for k in ["a"] * 6 + ["b"] * 2 + ["c"] * 1 + ["d"] * 1]
+        df = spark.createDataFrame(rows, "k string")
+        out = key_skew_profile(df, key="k", top=2).collect()[0]
+        assert out["n_keys"] == 4 and out["n_rows"] == 10
+        assert out["max_group"] == 6
+        # group sizes sorted: [1,1,2,6] -> p50 = 1.5 (exact interpolation)
+        assert out["p50_group"] == 1.5
+        assert out["skew_ratio"] == round(6 / (10 / 4), 4)
+        assert out["top_keys"] == "a,b"
+
+    def test_uniform_keys_ratio_one(self, spark):
+        from textract_farmdata_pipeline_spark.operators.skew import key_skew_profile
+
+        df = spark.createDataFrame([(i % 5,) for i in range(25)], "k long")
+        out = key_skew_profile(df, key="k", top=3).collect()[0]
+        assert out["skew_ratio"] == 1.0
+        assert out["top_keys"] == "0,1,2"  # ties break by key string

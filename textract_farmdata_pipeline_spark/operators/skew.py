@@ -41,3 +41,57 @@ def salted_join(
     )
     out = l.join(r, [*on, "_salt"], how)
     return out.drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key: str, top: int = 5) -> DataFrame:
+    """Shuffle-key skew diagnostic — the report you run BEFORE choosing
+    a salt factor or trusting AQE's skew split: per-key group sizes
+    reduced to one row of distribution stats plus the ``top`` heaviest
+    keys.
+
+    Two aggregations, both map-side combinable: (key → count), then a
+    single global reduce over the count column (the second aggregate's
+    input is one row per DISTINCT key, not per row, so the profile
+    costs one shuffle of key-count pairs at any fact-table size).
+    Integer percentiles over integer group sizes are binary-exact, so
+    the whole report is engine-portable.  ``skew_ratio`` =
+    max/mean group size: ≈1 means uniform keys, ≫1 means the hot key
+    dominates a reducer and wants salting.
+    """
+    counts = df.groupBy(key).agg(F.count("*").alias("n"))
+    # heaviest keys via TakeOrdered (never a full-key collect_list —
+    # the aggregation state must stay bounded at any key cardinality);
+    # the tiny top slice re-sorts inside one array for a deterministic
+    # join order regardless of partitioning.
+    topk = counts.orderBy(F.desc("n"), F.asc(key)).limit(top)
+    top_arr = topk.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("n").alias("n"),
+                            F.col(key).cast("string").alias("k"),
+                        )
+                    ),
+                    lambda a, b: F.when(a["n"] > b["n"], -1)
+                    .when(a["n"] < b["n"], 1)
+                    .when(a["k"] < b["k"], -1)
+                    .when(a["k"] > b["k"], 1)
+                    .otherwise(0),
+                ),
+                lambda s: s["k"],
+            ),
+            ",",
+        ).alias("top_keys")
+    )
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_group"),
+        F.percentile(F.col("n"), F.lit(0.5)).alias("p50_group"),
+        F.percentile(F.col("n"), F.lit(0.99)).alias("p99_group"),
+        F.round(
+            F.max("n") / (F.sum("n") / F.count("*")), 4
+        ).alias("skew_ratio"),
+    ).crossJoin(F.broadcast(top_arr))

@@ -3638,6 +3638,37 @@ def doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(_t(spark, sf_dir, "documents"), budget=512, n_shards=8)
 
 
+_KEY_SKEW_ORACLE = """
+WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+topk AS (SELECT user_id, n FROM counts ORDER BY n DESC, user_id ASC LIMIT 5),
+ta AS (
+  SELECT string_agg(CAST(user_id AS VARCHAR), ','
+                    ORDER BY n DESC, user_id ASC) AS top_keys
+  FROM topk
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(n) AS BIGINT) AS n_rows,
+  CAST(MAX(n) AS BIGINT) AS max_group,
+  quantile_cont(n, 0.5) AS p50_group,
+  quantile_cont(n, 0.99) AS p99_group,
+  ROUND(MAX(n) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)), 4) AS skew_ratio,
+  (SELECT top_keys FROM ta) AS top_keys
+FROM counts
+"""
+
+
+@register("events_key_skew_profile", _KEY_SKEW_ORACLE)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic on events.user_id: group-size
+    distribution (exact integer percentiles), max/mean skew ratio, and
+    the 5 heaviest keys — the report that decides between plain
+    hash-partitioning, AQE skew split, and explicit salting.  One
+    shuffle of (key, count) pairs regardless of fact-table size."""
+    from .operators.skew import key_skew_profile
+
+    return key_skew_profile(_events(spark, sf_dir), key="user_id", top=5)
+
+
 _SALTED_ENRICH_ORACLE = """
 WITH dim AS (
   SELECT user_id, COUNT(*) AS user_n_events FROM events GROUP BY user_id
