@@ -69,6 +69,7 @@ PROBE = (
     "embedding_pq_ann",
     "embedding_semantic_dedup",
     "corpus_bpe_merges",
+    "doc_topic_clusters",
 )
 
 KEYED = {
