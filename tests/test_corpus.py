@@ -262,6 +262,30 @@ class TestSpanDedup:
         assert out[1]["n_spans_kept"] == 2 and out[1]["n_spans_dropped"] == 1
 
 
+class TestSpanDedupTextCol:
+    def test_non_default_text_col_forwarded(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            span_dedup,
+            span_self_dedup,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b x y")], "rid long, body string"
+        )
+        out = {
+            r["rid"]: r
+            for r in span_dedup(
+                df, span_words=2, id_col="rid", text_col="body"
+            ).collect()
+        }
+        assert out[1]["clean_text"] == "c d" and out[2]["clean_text"] == "x y"
+        df2 = spark.createDataFrame([(1, "a b a b c d")], "rid long, body string")
+        self_out = span_self_dedup(
+            df2, span_words=2, id_col="rid", text_col="body"
+        ).collect()[0]
+        assert self_out["clean_text"] == "a b c d"
+
+
 class TestGopherFilter:
     def _run(self, spark, rows):
         from textract_farmdata_pipeline_spark.operators.text_analysis import (
@@ -360,6 +384,31 @@ class TestBuildCorpusFull:
         one = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in self._manifest(spark)}
         two = {(r["doc_id"], r["shard"], r["shard_pos"]) for r in self._manifest(spark)}
         assert one == two
+
+    def test_non_default_key_and_text_cols(self, spark):
+        """quality_gate + span_words must honor advertised key_col /
+        text_col (previously raised AnalysisException when the id was
+        not literally 'doc_id')."""
+        from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
+
+        c = [f"c{i:03d}" for i in range(40)]
+        rows = [
+            (1, "a b", "web"),                       # gate: too_short
+            (2, "the and " + " ".join(c), "web"),    # == doc 3
+            (3, "the and " + " ".join(c), "web"),    # == doc 2
+            (4, "the and " + " ".join(f"e{i:03d}" for i in range(30)), "web"),
+        ]
+        docs = spark.createDataFrame(rows, "rec_id long, body string, source string")
+        ev = spark.createDataFrame(
+            [(99, "zz yy xx", "eval")], "rec_id long, body string, source string"
+        )
+        out = build_corpus(
+            docs, ev, num_shards=2, decontam_n=3,
+            key_col="rec_id", text_col="body",
+            quality_gate=True, span_words=10,
+        ).collect()
+        # doc 1 gated out; 2/3 fully mutual spans -> both empty out; 4 survives
+        assert sorted(r["rec_id"] for r in out) == [4]
 
 
 class TestTemperatureWeights:

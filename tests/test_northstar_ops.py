@@ -1114,6 +1114,12 @@ class TestProductQuantization:
         oflat = [x for b in again for c in b for x in c]
         assert flat == oflat  # no RNG anywhere
 
+    def test_indivisible_dim_raises(self, spark, emb):
+        from textract_farmdata_pipeline_spark.operators.similarity import pq_train
+
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train(emb, m=7, ks=4, max_iter=1, persist=False)  # dim 64 % 7 != 0
+
     def test_partition_count_invariance(self, spark, emb, books):
         from textract_farmdata_pipeline_spark.operators.similarity import pq_train
 
@@ -1210,6 +1216,134 @@ class TestProductQuantization:
         hits = sum(len(got.get(k_, set()) & t) for k_, t in truth.items())
         recall = hits / sum(len(t) for t in truth.values())
         assert recall >= 0.85, recall
+
+
+class TestIvfAdc:
+    """IVF-gated PQ retrieval: recall vs the full ADC scan, the pruned
+    scan fraction, and cell-assignment agreement with the shared
+    nearest_cell semantics."""
+
+    @pytest.fixture(scope="class")
+    def fitted(self, spark, emb):
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            kmeans_train,
+            pq_encode_ivf,
+            pq_train,
+        )
+
+        cents, _ = kmeans_train(emb, k=16, max_iter=4)
+        books = pq_train(emb, m=8, ks=16, max_iter=4, persist=False)
+        codes = pq_encode_ivf(emb, books, cents)
+        codes.cache().count()
+        return cents, books, codes
+
+    def test_recall_vs_full_adc_on_clustered_corpus(self, spark):
+        """Recall >= 0.9 at n_probe=4 over 16 cells on a corpus WITH
+        cluster structure (the regime IVF exists for — the sf fixture's
+        embeddings are near-uniform random, where no cell pruning can
+        keep neighbors together; planting clusters makes this a pin of
+        the operator, not of the fixture's entropy)."""
+        import math
+
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            kmeans_train,
+            pq_encode,
+            pq_encode_ivf,
+            pq_ivf_topk,
+            pq_topk,
+            pq_train,
+        )
+
+        def lcg(seed):
+            x = seed
+            while True:
+                x = (1103515245 * x + 12345) % (1 << 31)
+                yield x / (1 << 31)
+
+        rnd = lcg(7)
+        dim, n_clusters, per = 64, 12, 40
+        centers = [
+            [next(rnd) * 2 - 1 for _ in range(dim)] for _ in range(n_clusters)
+        ]
+        rows = []
+        vid = 0
+        for c in centers:
+            for _ in range(per):
+                v = [x + (next(rnd) - 0.5) * 0.15 for x in c]
+                rows.append((vid, v))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents, _ = kmeans_train(df, k=16, max_iter=6)
+        books = pq_train(df, m=8, ks=16, max_iter=4, persist=False)
+        codes = pq_encode_ivf(df, books, cents)
+        queries = df.orderBy("vec_id").limit(10)
+        full = pq_topk(pq_encode(df, books), books, queries, k=10)
+        gated = pq_ivf_topk(codes, books, cents, queries, k=10, n_probe=4)
+        truth = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+        got = {(r["query_id"], r["neighbor_id"]) for r in gated.collect()}
+        assert len(truth) == 100
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.9, f"IVF-gated recall {recall} < 0.9 at n_probe=4"
+
+    def test_scan_fraction_is_pruned(self, spark, emb, fitted):
+        """The candidate set actually scored must be the probed cells'
+        members only — n_probe/k_coarse of the corpus, not all of it."""
+        import numpy as np
+
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            unit_vector,
+        )
+
+        cents, books, codes = fitted
+        n_probe, nq = 4, 10
+        cell_sizes = {
+            r["cell"]: r["n"]
+            for r in codes.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+        total = sum(cell_sizes.values())
+        C = np.array([list(c) for c in cents])
+        q_rows = (
+            emb.orderBy("vec_id").limit(nq)
+            .select("vec_id", unit_vector(F.col("embedding")).alias("v"))
+            .collect()
+        )
+        scanned = 0
+        for r in q_rows:
+            probed = np.argsort(-(C @ np.array(r["v"])), kind="stable")[:n_probe] + 1
+            scanned += sum(cell_sizes.get(int(c), 0) for c in probed)
+        frac = scanned / (total * nq)
+        assert frac < 0.55, f"probed scan fraction {frac} — cells too unbalanced"
+
+    def test_gated_plan_joins_on_cell_not_cross(self, spark, emb, fitted):
+        from textract_farmdata_pipeline_spark.operators.similarity import pq_ivf_topk
+
+        cents, books, codes = fitted
+        queries = emb.orderBy("vec_id").limit(3)
+        plan = pq_ivf_topk(
+            codes, books, cents, queries, k=5, n_probe=4
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+    def test_cells_match_shared_nearest_cell_semantics(self, spark, emb, fitted):
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            centroid_scores,
+            nearest_cell,
+            unit_vector,
+        )
+
+        cents, books, codes = fitted
+        jvm = {
+            r["vec_id"]: r["cell"]
+            for r in emb.select(
+                "vec_id",
+                nearest_cell(
+                    centroid_scores(unit_vector(F.col("embedding")), cents)
+                ).cast("int").alias("cell"),
+            ).collect()
+        }
+        got = {r["vec_id"]: r["cell"] for r in codes.select("vec_id", "cell").collect()}
+        assert got == jvm
 
 
 class TestSemanticDedup:
@@ -1417,6 +1551,39 @@ class TestBpeTrain:
         got = bpe_train(sample, n_merges=8)
         want = self._reference_bpe(counts, 8)
         assert got == want
+
+    def test_batched_equals_sequential_on_interacting_corpus(self, spark):
+        """Disjoint batching must be an optimization, not an
+        approximation: on a corpus engineered so merges interact (the
+        top pair's merge spawns high-count successor pairs sharing its
+        symbols, plus cross-pair count ties), batch_merges=8 must
+        produce the identical merge table to batch_merges=1 and to the
+        in-memory reference."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import bpe_train
+
+        # 'abab'-family words make (a,b) -> then (ab,ab) chains; the
+        # tie between (a,b) and (b,a) inside 'abab' plus the unrelated
+        # (x,y) pair exercises the strict-dominance cutoff.
+        counts = {"abab": 7, "abc": 5, "xy": 5, "xyxy": 2, "bca": 3}
+        text = " ".join(w for w, c in counts.items() for _ in range(c))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        batched = bpe_train(df, n_merges=12, batch_merges=8, checkpoint_every=2)
+        sequential = bpe_train(df, n_merges=12, batch_merges=1, checkpoint_every=2)
+        want = self._reference_bpe(counts, 12)
+        assert batched == sequential == want
+        assert len(want) >= 6  # the chain is deep enough to interact
+
+    def test_batched_fixture_corpus_matches_reference(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import bpe_train
+
+        sample = docs.limit(30)
+        counts: dict = {}
+        for r in sample.collect():
+            for w in r["text"].split(" "):
+                if w:
+                    counts[w] = counts.get(w, 0) + 1
+        got = bpe_train(sample, n_merges=16, batch_merges=8)
+        assert got == self._reference_bpe(counts, 16)
 
 
 class TestTfidfVectors:

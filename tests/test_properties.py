@@ -128,4 +128,16 @@ class TestKeySkewProfile:
         df = spark.createDataFrame([(i % 5,) for i in range(25)], "k long")
         out = key_skew_profile(df, key="k", top=3).collect()[0]
         assert out["skew_ratio"] == 1.0
-        assert out["top_keys"] == "0,1,2"  # ties break by key string
+        assert out["top_keys"] == "0,1,2"  # ties break by native key order
+
+    def test_numeric_tie_break_is_native_not_string(self, spark):
+        """Tied counts on numeric keys with different digit lengths must
+        order numerically (9 before 41), matching both the top-k
+        selection and a SQL oracle's ``ORDER BY n DESC, key ASC`` —
+        a string-cast comparator would emit "41,9"."""
+        from textract_farmdata_pipeline_spark.operators.skew import key_skew_profile
+
+        rows = [(9,)] * 3 + [(41,)] * 3 + [(7,)] * 5
+        df = spark.createDataFrame(rows, "k long")
+        out = key_skew_profile(df, key="k", top=3).collect()[0]
+        assert out["top_keys"] == "7,9,41"

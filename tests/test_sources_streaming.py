@@ -968,6 +968,65 @@ class TestStreamingSketches:
         }
         assert state == expected
 
+    def test_cms_stream_bootstrap_resumes_restart(self, spark, tmp_path, sf_dir):
+        """Restart semantics: run batch 0 alone, 'restart' with the
+        persisted cells + covered batch ids as bootstrap, stream the
+        remaining files through the SAME checkpoint — the resumed state
+        must equal the full-history batch sketch (and a checkpoint
+        replay of a covered batch id must not double-merge)."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            cms_sketch,
+        )
+        from textract_farmdata_pipeline_spark.streaming import cms_stream
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+        src = str(tmp_path / "docs_src_boot")
+        docs.repartition(3).write.mode("overwrite").parquet(src)
+        ckpt = str(tmp_path / "ckpt-boot")
+
+        def stream():
+            return (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        persisted: dict = {}
+        covered: set[int] = set()
+
+        def sink(st, bid):
+            persisted.clear()
+            persisted.update(st)
+            covered.add(bid)
+
+        # first run: process exactly one micro-batch, then stop.
+        writer, _ = cms_stream(stream(), n=2, sink=sink)
+        q = writer.option("checkpointLocation", ckpt).start()
+        import time
+
+        deadline = time.time() + 120
+        while not covered and time.time() < deadline:
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(60)
+        assert covered, "first run made no progress"
+
+        # second run: fresh process state, bootstrapped from the sink.
+        writer2, state2 = cms_stream(
+            stream(), n=2, bootstrap=persisted, bootstrap_batch_ids=covered
+        )
+        q2 = (
+            writer2.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(180)
+        expected = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_sketch(docs, n=2).collect()
+        }
+        assert state2 == expected
+
 
 class TestStreamingIngestDedup:
     def test_cross_batch_admission_and_dup_mapping(self, spark, tmp_path):

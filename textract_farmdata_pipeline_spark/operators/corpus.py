@@ -331,9 +331,9 @@ def build_corpus(
     from .text_analysis import gopher_quality_filter
 
     if quality_gate:
-        passed = gopher_quality_filter(docs, text_col=text_col).where(
-            F.col("keep")
-        ).select(F.col("doc_id").alias(key_col))
+        passed = gopher_quality_filter(
+            docs, text_col=text_col, id_col=key_col
+        ).where(F.col("keep")).select(key_col)
         docs = docs.join(passed, key_col)
         if span_words is not None:
             # span_dedup references its input 3× (segments ×2, totals);
@@ -348,7 +348,7 @@ def build_corpus(
         )
         docs, _ = tracked_local_checkpoint(docs)
 
-    keep = exact_dedup_by_hash(docs, text_col=text_col).select(
+    keep = exact_dedup_by_hash(docs, text_col=text_col, id_col=key_col).select(
         F.col("keep_doc_id").alias(key_col)
     )
     # base feeds the decontamination shingle explode AND the anti join;
@@ -416,6 +416,7 @@ def span_dedup(
         docs.select(F.col(id_col).alias("doc_id"), text_col),
         chunk_size=span_words,
         overlap=0,
+        text_col=text_col,
     ).select("doc_id", "chunk_idx", "chunk_text", F.xxhash64("chunk_text").alias("_h"))
     dup = (
         seg.groupBy("_h")
@@ -479,6 +480,7 @@ def span_self_dedup(
         docs.select(F.col(id_col).alias("doc_id"), text_col),
         chunk_size=span_words,
         overlap=0,
+        text_col=text_col,
     )
     w = Window.partitionBy("doc_id", F.xxhash64("chunk_text")).orderBy("chunk_idx")
     kept = (

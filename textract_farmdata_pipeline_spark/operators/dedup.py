@@ -14,10 +14,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def exact_dedup(docs: DataFrame, key: Column | None = None) -> DataFrame:
+def exact_dedup(
+    docs: DataFrame, key: Column | None = None, id_col: str = "doc_id"
+) -> DataFrame:
     """Representative-per-group exact dedup.
 
-    Returns one row per distinct key with the smallest doc_id as the
+    Returns one row per distinct key with the smallest id as the
     retained representative and the group size — deterministic, unlike
     ``dropDuplicates`` (which keeps an arbitrary row).  One shuffle,
     partial aggregation map-side.
@@ -25,16 +27,18 @@ def exact_dedup(docs: DataFrame, key: Column | None = None) -> DataFrame:
     key = key if key is not None else F.col("text")
     return (
         docs.groupBy(key.alias("dedup_key"))
-        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("group_size"))
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count("*").alias("group_size"))
         .drop("dedup_key")
         .select("keep_doc_id", "group_size")
     )
 
 
-def exact_dedup_by_hash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_dedup_by_hash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
     """Exact dedup on md5(text) — at 100 TB you shuffle 16-byte digests,
     not document bodies."""
-    return exact_dedup(docs, F.md5(F.col(text_col)))
+    return exact_dedup(docs, F.md5(F.col(text_col)), id_col=id_col)
 
 
 def count_distinct_two_phase(

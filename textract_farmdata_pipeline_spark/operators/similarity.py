@@ -758,7 +758,11 @@ def pq_train(
                 f"codebooks, got {len(seeds)} — lower ks or grow the corpus"
             )
         dim = len(seeds[0])
-        assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+        if dim % m != 0:
+            # ValueError, not assert: under ``python -O`` an assert is
+            # stripped and the numpy sub-slices would silently shorten,
+            # producing truncated codebooks instead of failing.
+            raise ValueError(f"dim {dim} not divisible by m {m}")
         dsub = dim // m
         books = [
             [list(s[j * dsub : (j + 1) * dsub]) for s in seeds] for j in range(m)
@@ -978,6 +982,137 @@ def pq_topk_rerank(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
+
+
+def pq_encode_ivf(
+    vectors: DataFrame,
+    codebooks,
+    coarse_centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-partitioned PQ encoding: ``(id, cell, codes)`` — every
+    vector's coarse cell (max-dot against the :func:`kmeans_train`
+    codebook) plus its PQ codes, in ONE vectorized map stage (both the
+    coarse centroids and the sub-codebooks ship in the task closure;
+    no shuffle).  The cell column is what lets :func:`pq_ivf_topk`
+    prune the ADC scan to probed cells instead of touching every code.
+    """
+    book_rows = [[list(c) for c in b] for b in codebooks]
+    cent_rows = [list(c) for c in coarse_centroids]
+
+    def _enc(batches):
+        import numpy as np
+
+        B = np.array(book_rows)  # m x ks x dsub
+        C = np.array(cent_rows)  # k x dim
+        mm, kk, dd = B.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["v"].tolist())
+            cells = (V @ C.T).argmax(axis=1) + 1  # 1-based, ties → first max
+            codes = np.empty((len(V), mm), dtype="int32")
+            for s in range(mm):
+                Vs = V[:, s * dd : (s + 1) * dd]
+                d2 = -2.0 * (Vs @ B[s].T) + (B[s] ** 2).sum(axis=1)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["_id"],
+                    "cell": cells.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    return vectors.select(
+        F.col(id_col).alias("_id"), unit_vector(F.col(vec_col)).alias("v")
+    ).mapInPandas(_enc, "vec_id long, cell int, codes array<int>")
+
+
+def pq_ivf_topk(
+    codes: DataFrame,
+    codebooks,
+    coarse_centroids,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVFADC-style gated ADC top-k (Jégou et al. 2011, §V.A shape):
+    instead of ADC-scanning ALL codes per query batch
+    (:func:`pq_topk`), each query probes only its ``n_probe``
+    highest-dot coarse cells, and scoring happens through an EQUALITY
+    join on the cell id — the scan fraction drops to roughly
+    ``n_probe / k_coarse`` of the corpus.
+
+    Plan shape: the per-(query, probed-cell) LUT table is driver-built
+    (bounded: |queries| · n_probe rows of m·ks doubles — queries are
+    top-k requests, inherently small) and broadcast; the codes table
+    joins it on ``cell``, so Catalyst prunes every non-probed cell's
+    rows at the join instead of cross-joining the corpus.  Scoring is
+    the same JVM ``zip_with``/``aggregate`` LUT sum as :func:`pq_topk`
+    (codes never shuffle; the only exchange is the per-query top-k
+    window on the joined — already pruned — candidate set).
+
+    This composition quantizes the ORIGINAL vector (IVF prunes, PQ
+    compresses); classic IVFADC encodes the residual v − centroid for
+    tighter codes.  Recall at n_probe=4 over 16 cells is pinned ≥ 0.9
+    against the full ADC scan by tests.
+
+    ``codes`` must come from :func:`pq_encode_ivf` with the SAME
+    ``coarse_centroids``.  Returns ``(query_id, neighbor_id,
+    adc_score, rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    import numpy as np
+
+    B = np.array([[list(c) for c in b] for b in codebooks])  # m x ks x dsub
+    C = np.array([list(c) for c in coarse_centroids])  # k_coarse x dim
+    mm, kk, dd = B.shape
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), unit_vector(F.col(vec_col)).alias("v")
+    ).collect()
+    lut_rows = []
+    for r in q_rows:
+        q = np.array(r["v"])
+        cells = np.argsort(-(C @ q), kind="stable")[:n_probe] + 1  # 1-based
+        lut = [
+            [float(x) for x in (B[s] @ q[s * dd : (s + 1) * dd])] for s in range(mm)
+        ]
+        for cell in cells:
+            lut_rows.append((r["query_id"], int(cell), lut))
+    spark = codes.sparkSession
+    luts = spark.createDataFrame(
+        lut_rows, "query_id long, cell int, lut array<array<double>>"
+    )
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        codes.select(F.col("vec_id").alias("neighbor_id"), "cell", "codes")
+        .join(F.broadcast(luts), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(score, round_digits).alias("adc_score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -71,7 +71,12 @@ def key_skew_profile(df: DataFrame, key: str, top: int = 5) -> DataFrame:
                     F.collect_list(
                         F.struct(
                             F.col("n").alias("n"),
-                            F.col(key).cast("string").alias("k"),
+                            # keep the NATIVE key type in the comparator: the
+                            # top-k selection above ties on the native ordering
+                            # (F.asc(key)), and a string-cast comparator would
+                            # diverge for numeric keys with tied counts and
+                            # different digit lengths (e.g. 9 vs 41 both at 85).
+                            F.col(key).alias("k"),
                         )
                     ),
                     lambda a, b: F.when(a["n"] > b["n"], -1)
@@ -80,7 +85,7 @@ def key_skew_profile(df: DataFrame, key: str, top: int = 5) -> DataFrame:
                     .when(a["k"] > b["k"], 1)
                     .otherwise(0),
                 ),
-                lambda s: s["k"],
+                lambda s: s["k"].cast("string"),
             ),
             ",",
         ).alias("top_keys")

@@ -389,6 +389,7 @@ def gopher_quality_filter(
     max_mean_word_len: int = 10,
     min_distinct_stopwords: int = 2,
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Gopher-style composite document-quality gate (Rae et al. 2021,
     appendix A1.1), adapted to this corpus's flat word streams.
@@ -425,7 +426,7 @@ def gopher_quality_filter(
     toks = _tokens(F.col(text_col))
     n = F.size(toks).cast("long")
     base = docs.select(
-        "doc_id",
+        id_col,
         n.alias("n_tokens"),
         (F.length(F.col(text_col)).cast("long") - (n - F.lit(1))).alias("n_word_chars"),
         F.size(
@@ -433,10 +434,10 @@ def gopher_quality_filter(
         ).cast("long").alias("n_distinct_stopwords"),
     )
     grams = (
-        ngram_shingles(docs, 2, text_col=text_col)
-        .groupBy("doc_id", "shingle")
+        ngram_shingles(docs, 2, text_col=text_col, id_col=id_col)
+        .groupBy(id_col, "shingle")
         .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
+        .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("n_bigrams"),
             F.max("cnt").alias("top_bigram_cnt"),
@@ -445,7 +446,7 @@ def gopher_quality_filter(
             ),
         )
     )
-    j = base.join(grams, "doc_id", "left")
+    j = base.join(grams, id_col, "left")
     too_short = F.col("n_tokens") < min_words
     too_long = F.col("n_tokens") > max_words
     word_len_bad = (
@@ -468,7 +469,7 @@ def gopher_quality_filter(
         F.when(dup_rep, F.lit("dup_bigram_repetition")),
     )
     return j.select(
-        "doc_id",
+        id_col,
         "n_tokens",
         "n_word_chars",
         "n_distinct_stopwords",
@@ -556,21 +557,99 @@ def cms_estimate(
     )
 
 
-def _apply_bpe_merge(sym_col: Column, a: str, b: str) -> Column:
-    """Greedy left-to-right merge of adjacent (a, b) symbol pairs — the
-    classic BPE apply step as a pure ``aggregate`` fold (no Python)."""
-    return F.aggregate(
-        sym_col,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(a))
-            & (x == F.lit(b)),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
+# symbol-boundary marker for the string-encoded BPE state: a word's
+# symbol sequence [l, o, w] is stored as "\x1el\x1eo\x1ew\x1e".  \x1e
+# (ASCII record separator) never occurs in natural text; bpe_train
+# strips it from input tokens defensively.
+_BPE_SEP = "\x1e"
+
+
+def _apply_bpe_merges(s_col: Column, pairs: list[tuple[str, str]]) -> Column:
+    """Greedy left-to-right application of a SET of symbol-disjoint
+    merges on the separator-encoded symbol string.
+
+    Each merge (a, b) is one ``regexp_replace`` rewriting
+    ``␞a␞b`` → ``␞ab`` with a lookahead ``(?=␞)`` guarding the right
+    boundary (unconsumed, so back-to-back occurrences like ``a a a a``
+    merge pairwise left-to-right exactly as the classic greedy scan
+    does; Java's replaceAll never rescans replaced output, which is
+    the same single-pass semantics).  Because the batch's pairs share
+    no symbols, no two rewrites compete for a position, so chaining
+    them equals applying them sequentially in any order.
+
+    A plain string rewrite replaces the earlier array-fold
+    implementation: it codegens to a regex pass with no higher-order
+    lambda, cutting both driver-side expression construction and
+    executor-side per-row cost by several ×.
+    """
+    for a, b in pairs:
+        pattern = (
+            "\\Q" + _BPE_SEP + a + _BPE_SEP + b + "\\E(?=" + _BPE_SEP + ")"
+        )
+        repl = (_BPE_SEP + a + b).replace("\\", "\\\\").replace("$", "\\$")
+        s_col = F.regexp_replace(s_col, pattern, repl)
+    return s_col
+
+
+def _apply_bpe_merge(s_col: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) symbol pairs on the
+    separator-encoded symbol string."""
+    return _apply_bpe_merges(s_col, [(a, b)])
+
+
+def _select_disjoint_batch(
+    ranked: list, batch_k: int, cutoff_floor: int
+) -> list:
+    """Pick the maximal batch of merges provably identical to sequential
+    BPE.
+
+    ``ranked`` is the top slice of the pair-count table in training
+    order (count desc, left asc, right asc).  Step 1 takes the maximal
+    clean prefix of pairwise-SYMBOL-disjoint pairs (a merge's output
+    string counts as a used symbol too).  Within a clean prefix every
+    accepted pair beats every later-ranked OLD pair outright — counts
+    of accepted pairs are invariant during the batch (disjointness),
+    later pairs' counts can only shrink, and rank order already
+    resolves their ties by name.
+
+    The one residual hazard is a RENAMED new pair: merging (a, b)
+    creates pairs like (x, ab) whose fresh name re-enters the
+    tie-break.  Such a pair is contained in an OLD pair overlapping an
+    earlier-accepted symbol ((x, ab) ⊆ (x, a); chained merges reduce to
+    boundary symbols the same way), and in a clean prefix every
+    overlapping old pair ranks below the whole prefix — so its count,
+    hence the new pair's count, is visible in the collected tail.
+    Step 2 therefore walks the prefix and truncates at the first pair
+    whose count fails to STRICTLY exceed the best tail pair that
+    overlaps previously-accepted symbols (``cutoff_floor`` bounds
+    pairs beyond the collected slice).  What survives is exactly the
+    sequence sequential training would produce — the batch is an
+    optimization, not an approximation.
+    """
+    accepted: list = []
+    used: set[str] = set()
+    t = len(ranked)
+    for i, r in enumerate(ranked):
+        a, b = r["a"], r["b"]
+        if len(accepted) >= batch_k or a in used or b in used or (a + b) in used:
+            t = i
+            break
+        accepted.append(r)
+        used.update((a, b, a + b))
+    tail = ranked[t:]
+    out: list = []
+    prev_syms: set[str] = set()
+    for j, r in enumerate(accepted):
+        if j > 0:
+            danger = cutoff_floor
+            for o in tail:
+                if o["a"] in prev_syms or o["b"] in prev_syms:
+                    danger = max(danger, o["pair_count"])
+            if r["pair_count"] <= danger:
+                break
+        out.append(r)
+        prev_syms.update((r["a"], r["b"], r["a"] + r["b"]))
+    return out
 
 
 def bpe_train(
@@ -579,6 +658,8 @@ def bpe_train(
     text_col: str = "text",
     min_pair_count: int = 2,
     checkpoint_every: int = 5,
+    batch_merges: int = 8,
+    loop_partitions: int = 8,
 ) -> list[tuple[int, str, str, str, int]]:
     """Byte-pair-encoding merge training (Sennrich et al. 2016, §3.2)
     over a document corpus: repeatedly merge the most frequent adjacent
@@ -587,15 +668,32 @@ def bpe_train(
     Scale shape — the part that matters at 100 TB: the corpus is
     touched ONCE (token explode → word-frequency groupBy); the training
     loop then runs entirely on the *distinct-word* table (vocab-sized,
-    weighted by count), so each of the ``n_merges`` iterations is one
-    vocab-sized pair-count aggregate (adjacent pairs via ``zip_with``
-    of two array slices — no Python), a 1-row ``orderBy().limit(1)``
-    action for the argmax, and a codegen'd fold applying the merge.
+    weighted by count).  The scale axis BPE is actually sensitive to is
+    VOCAB size (30k–100k merges), not data size, and the naive loop
+    costs one driver round trip per merge.  Here each Spark job instead
+    yields up to ``batch_merges`` merges: the iteration collects the
+    top slice of the pair-count table (count desc, left asc, right
+    asc), and :func:`_select_disjoint_batch` accepts the provably-safe
+    prefix — pairwise-symbol-disjoint pairs whose counts strictly
+    dominate every non-accepted candidate, which makes the batched
+    merge table IDENTICAL to sequential training (see its docstring
+    for the argument; a pytest pins batched == sequential on corpora
+    where merges interact).  The accepted batch is applied in one
+    chained-``regexp_replace`` pass over the separator-encoded symbol
+    string (:func:`_apply_bpe_merges`).  With the Zipfian pair
+    distributions real corpora have, top counts are strictly
+    decreasing and batches fill, cutting driver round trips ~K×;
+    degenerate tie-heavy corpora fall back to batch size 1 — never to
+    a wrong table.
+
     Ties break (count desc, left asc, right asc), so training is
     deterministic.  Lineage is truncated by a tracked localCheckpoint
-    every ``checkpoint_every`` merges (the CC/PageRank discipline —
-    without it iteration N replays merges 1..N-1), with superseded
-    blocks released eagerly.
+    every ``checkpoint_every`` applied MERGES (the CC/PageRank
+    discipline — without it iteration N replays all earlier merges;
+    counting merges, not batches, keeps the un-truncated expression
+    depth identical to sequential training so per-job analysis/codegen
+    cost doesn't grow with the batch factor), with superseded blocks
+    released eagerly.
 
     Returns the merge table ``[(rank, left, right, merged,
     pair_count), ...]`` — the artifact a tokenizer consumes.  Stops
@@ -607,28 +705,37 @@ def bpe_train(
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
+        # defensive: the encoding separator must never appear in a token
+        .select(F.replace(F.col("w"), F.lit(_BPE_SEP), F.lit("")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
     )
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("w")),
-        lambda i: F.col("w").substr(i, F.lit(1)),
+    # "low" -> "␞l␞o␞w␞": boundary-marked per-character symbols.  The
+    # loop state is vocab-sized (tiny next to the corpus), so it is
+    # coalesced to a few partitions — per-iteration jobs then cost a
+    # handful of tasks instead of a full shuffle-partition fan-out.
+    encoded = F.concat(
+        F.lit(_BPE_SEP), F.regexp_replace("w", "(?s)(.)", "$1" + _BPE_SEP)
     )
     state, ck_ids = tracked_local_checkpoint(
-        words.select("cnt", chars.alias("syms"))
+        words.select("cnt", encoded.alias("s")).coalesce(loop_partitions)
     )
     merges: list[tuple[int, str, str, str, int]] = []
     since_ck = 0
-    for rank in range(n_merges):
-        n = F.size("syms")
-        pair_rows = (
-            state.filter(n >= 2)
+    # collect enough ranked pairs that a full disjoint batch plus its
+    # cutoff candidate fit in the slice; +1 row detects truncation.
+    top_m = batch_merges * 4 + 1
+    while len(merges) < n_merges:
+        syms = F.filter(F.split("s", _BPE_SEP), lambda x: x != "")
+        ranked = (
+            state.select("cnt", syms.alias("y"))
+            .filter(F.size("y") >= 2)
             .select(
                 "cnt",
                 F.explode(
                     F.zip_with(
-                        F.slice("syms", 1, n - 1),
-                        F.slice("syms", 2, n - 1),
+                        F.slice("y", 1, F.size("y") - 1),
+                        F.slice("y", 2, F.size("y") - 1),
                         lambda x, y: F.struct(x.alias("a"), y.alias("b")),
                     )
                 ).alias("p"),
@@ -636,16 +743,31 @@ def bpe_train(
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("pair_count"))
             .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(top_m)
             .collect()
         )
-        if not pair_rows or pair_rows[0]["pair_count"] < min_pair_count:
+        if not ranked or ranked[0]["pair_count"] < min_pair_count:
             break
-        best = pair_rows[0]
-        a, b = best["a"], best["b"]
-        merges.append((rank, a, b, a + b, best["pair_count"]))
-        state = state.select("cnt", _apply_bpe_merge(F.col("syms"), a, b).alias("syms"))
-        since_ck += 1
+        # truncated collection: pairs beyond the slice can count up to
+        # the last collected value, so that value bounds the cutoff;
+        # a complete collection lets the cutoff fall to the stop floor.
+        floor = (
+            ranked[-1]["pair_count"] if len(ranked) == top_m else min_pair_count - 1
+        )
+        k = min(batch_merges, n_merges - len(merges))
+        batch = _select_disjoint_batch(ranked, k, floor)
+        if not batch:
+            # tie-bound batch: the argmax alone is always sequential-safe.
+            batch = [ranked[0]]
+        pairs = [(r["a"], r["b"]) for r in batch]
+        for r in batch:
+            merges.append(
+                (len(merges), r["a"], r["b"], r["a"] + r["b"], r["pair_count"])
+            )
+        state = state.select(
+            "cnt", _apply_bpe_merges(F.col("s"), pairs).alias("s")
+        )
+        since_ck += len(pairs)
         if since_ck >= checkpoint_every:
             state, new_ids = tracked_local_checkpoint(state)
             release(spark, ck_ids)

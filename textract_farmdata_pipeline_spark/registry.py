@@ -1932,6 +1932,33 @@ def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_pq_ivf_ann")  # no oracle: iterative float codebook training
+def embedding_pq_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC-composed ANN: k-means coarse quantizer (16 cells) +
+    8×16 PQ sub-codebooks; the corpus is encoded ONCE into
+    ``(id, cell, codes)`` (single vectorized map stage), and each
+    query ADC-scans only its ``n_probe=4`` highest-dot cells through
+    an equality join on the cell id — scan fraction ≈ n_probe/k of
+    the corpus instead of all of it.  Rows-only; recall ≥ 0.9 vs the
+    full ADC scan (on clustered data), the pruned scan fraction, and
+    cell-assignment agreement with ``nearest_cell`` are pinned by
+    pytest (TestIvfAdc)."""
+    from .operators.similarity import (
+        kmeans_train,
+        pq_encode_ivf,
+        pq_ivf_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_train(emb, k=16, max_iter=4)
+    books = pq_train(emb, m=8, ks=16, max_iter=4)
+    codes = pq_encode_ivf(emb, books, cents)
+    return pq_ivf_topk(
+        codes, books, cents, emb.filter(F.col("vec_id") < 20), k=5, n_probe=4
+    )
+
+
 @register("embedding_semantic_dedup")  # no oracle: iterative codebook training
 def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embedding corpus with a deterministic planted

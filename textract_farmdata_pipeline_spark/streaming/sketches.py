@@ -29,6 +29,8 @@ def cms_stream(
     width: int = 1024,
     text_col: str = "text",
     sink=None,
+    bootstrap: dict[tuple[int, int], int] | None = None,
+    bootstrap_batch_ids: set[int] | None = None,
 ):
     """Maintain a running n-gram count-min sketch over a document stream.
 
@@ -39,11 +41,22 @@ def cms_stream(
     cms_sketch` of everything streamed so far (pinned by the
     stream-equals-batch test).  ``sink(state, batch_id)`` is called
     after each batch's merge for downstream persistence.
+
+    RESTART CONTRACT: ``state`` and the replay guard live in this
+    process only.  After a driver restart against an existing stream
+    checkpoint, already-committed batches are NOT replayed, so a fresh
+    empty ``state`` no longer equals the full-history batch sketch —
+    the equality above holds only for a single uninterrupted run (or
+    an ``availableNow`` test run).  To survive restarts, persist the
+    cells from ``sink`` and reload them via ``bootstrap`` below.
     """
     from ..operators.text_analysis import cms_sketch
 
-    state: dict[tuple[int, int], int] = {}
-    merged_ids: set[int] = set()
+    # bootstrap = cells persisted by a previous run's ``sink`` (plus the
+    # batch ids they already cover, so a checkpoint-replayed batch isn't
+    # double-merged on top of them).
+    state: dict[tuple[int, int], int] = dict(bootstrap) if bootstrap else {}
+    merged_ids: set[int] = set(bootstrap_batch_ids) if bootstrap_batch_ids else set()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is at-least-once: a retried/restart-replayed
