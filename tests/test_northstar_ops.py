@@ -1405,6 +1405,82 @@ class TestSemanticDedup:
         out = self._run(spark, rows, cents, threshold=0.99)
         assert all(r["keep"] and r["dup_of"] is None for r in out.values())
 
+    def test_hot_cell_cap_splits_dominant_cell(self, spark):
+        """Adversarial one-cell-dominant corpus: 240 DISTINCT vectors all
+        landing in one coarse cell (sub-structure of 6 tight bundles).
+        With max_cell_size the cell must be re-clustered so the
+        pair-join input Σ c_i² collapses from ~240² to the bundled
+        sizes, while the within-bundle dup verdicts are preserved."""
+        import math
+
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        # one coarse centroid pointing at +x: everything lands in cell 1
+        cents = [[1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]]
+        rows = []
+        vid = 0
+        for b in range(6):
+            # bundles fan out in the (x, y, z) plane, 12 deg apart,
+            # members 0.2 deg apart -> within-bundle cosine > 0.999,
+            # across-bundle < 0.99
+            base = math.radians(12 * b)
+            for m in range(40):
+                a = base + math.radians(0.2) * m / 40
+                rows.append((vid, [math.cos(a), math.sin(a) * 0.8, math.sin(a) * 0.6]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        capped = semantic_dedup(
+            df, cents, threshold=0.999, max_cell_size=80, split_k=8
+        )
+        out = {r["vec_id"]: r for r in capped.collect()}
+        # Σc² bound: no post-split cell may exceed ~2 bundles
+        from collections import Counter
+
+        sizes = Counter(r["cell_id"] for r in out.values())
+        assert max(sizes.values()) <= 80, f"hot cell not split: {sizes}"
+        assert sum(n * n for n in sizes.values()) < 240 * 240 / 4
+        # semantics: dedup still happens inside each bundle.  A split
+        # boundary may cut a bundle (the documented recall trade), so
+        # allow at most 2 keepers per 40-member bundle and require every
+        # rejected member to point at a keeper from ITS OWN bundle.
+        for b in range(6):
+            ids = set(range(b * 40, b * 40 + 40))
+            keeps = {i for i in ids if out[i]["keep"]}
+            assert 1 <= len(keeps) <= 2, f"bundle {b}: {sorted(keeps)}"
+            assert min(keeps) == min(ids)
+            for i in ids - keeps:
+                assert out[i]["dup_of"] in keeps
+
+    def test_cap_noop_when_cells_small(self, spark):
+        """max_cell_size larger than every cell: identical output to the
+        uncapped run (the cap must be a pure guard, not a behavior
+        change)."""
+        cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9999, 0.001, 0.0, 0.0]),
+            (3, [0.7, 0.7, 0.0, 0.0]),
+            (4, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        plain = {
+            (r["vec_id"], r["keep"], r["dup_of"])
+            for r in semantic_dedup(df, cents, threshold=0.99).collect()
+        }
+        capped = {
+            (r["vec_id"], r["keep"], r["dup_of"])
+            for r in semantic_dedup(
+                df, cents, threshold=0.99, max_cell_size=100
+            ).collect()
+        }
+        assert plain == capped
+
 
 class TestCountMinSketch:
     def test_exact_on_collision_free_fixture(self, spark):

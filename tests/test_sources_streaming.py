@@ -1028,6 +1028,42 @@ class TestStreamingSketches:
         assert state2 == expected
 
 
+class TestIngestReplay:
+    def test_replay_equals_first_arrival_wins(self, spark, tmp_path, sf_dir):
+        """replay_ingest_batches over K deterministic batches at
+        threshold=1.0 must admit exactly the smallest (batch_idx,
+        doc_id) per distinct text — the SQL-expressible contract the
+        registry oracle checks at full fixture size."""
+        from textract_farmdata_pipeline_spark.streaming import (
+            replay_ingest_batches,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+        planted = docs.filter(F.col("doc_id") < 10).withColumn(
+            "doc_id", F.col("doc_id") + 1000
+        )
+        incoming = docs.select("doc_id", "text").unionByName(
+            planted.select("doc_id", "text")
+        )
+        admitted = {
+            r["doc_id"]
+            for r in replay_ingest_batches(
+                incoming, str(tmp_path / "replay"), k_batches=3, threshold=1.0
+            ).collect()
+        }
+        want = {}
+        for r in incoming.collect():
+            key = r["text"]
+            cand = (r["doc_id"] % 3, r["doc_id"])
+            if key not in want or cand < want[key]:
+                want[key] = cand
+        assert admitted == {d for _, d in want.values()}
+        # every planted copy's original has a smaller (batch, id)?  not
+        # necessarily (batch of id+1000 can precede), so assert only the
+        # invariant: one admitted doc per distinct text.
+        assert len(admitted) == incoming.select("text").distinct().count()
+
+
 class TestStreamingIngestDedup:
     def test_cross_batch_admission_and_dup_mapping(self, spark, tmp_path):
         """Batch N+1 must dedup against everything ADMITTED in batches

@@ -1116,12 +1116,82 @@ def pq_ivf_topk(
     )
 
 
+def _cap_cells(
+    assigned: DataFrame,
+    cap: int,
+    split_k: int,
+    max_depth: int,
+) -> DataFrame:
+    """Recursively split oversized SemDeDup cells: any cell whose
+    representative count exceeds ``cap`` is re-clustered with a fresh
+    ``split_k`` spherical k-means codebook trained on ITS members only,
+    and the members move to new sub-cell ids; up to ``max_depth``
+    rounds.  Pair work inside :func:`semantic_dedup` is Σ c_i² over
+    cell sizes, so capping the max cell bounds the quadratic term.
+
+    The loop state is driver-bounded: one (cell → size) aggregate per
+    round (≤ #cells rows, only the > cap slice collected) and one
+    k-means fit per hot cell.  A cell of genuinely inseparable
+    near-identical vectors cannot be split (k-means re-groups them) —
+    ``max_depth`` bounds the retries and the cell is then accepted as
+    a data signal, which is the paper's reading of such a cluster.
+    """
+    from .checkpoints import tracked_local_checkpoint
+
+    for _ in range(max_depth):
+        hot = [
+            r["cell_id"]
+            for r in assigned.groupBy("cell_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > cap)
+            .collect()
+        ]
+        if not hot:
+            break
+        next_id = assigned.agg(F.max("cell_id")).first()[0] + 1
+        cold = assigned.filter(~F.col("cell_id").isin(hot))
+        rebuilt = [cold]
+        progressed = False
+        for c in hot:
+            members = assigned.filter(F.col("cell_id") == c)
+            sub_cents, _ = kmeans_train(
+                members.select(
+                    F.col("rid").alias("vec_id"), F.col("v").alias("embedding")
+                ),
+                k=split_k,
+                max_iter=4,
+                persist=False,
+            )
+            sub = members.select(
+                "rid",
+                "v",
+                (
+                    nearest_cell(centroid_scores(F.col("v"), sub_cents)).cast("int")
+                    + F.lit(next_id - 1)
+                ).alias("cell_id"),
+            )
+            if sub.select("cell_id").distinct().count() > 1:
+                progressed = True
+            rebuilt.append(sub)
+            next_id += split_k
+        out = rebuilt[0]
+        for part in rebuilt[1:]:
+            out = out.unionByName(part)
+        assigned, _ = tracked_local_checkpoint(out)
+        if not progressed:
+            break  # inseparable cells: retrying cannot improve
+    return assigned
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell_size: int | None = None,
+    split_k: int = 8,
+    max_split_depth: int = 2,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
     whose *embeddings* are near-identical — the semantic layer above
@@ -1150,6 +1220,16 @@ def semantic_dedup(
     semantic dup (cosine 1.0), so every non-rep copy reports
     ``dup_of`` its component minimum without ever entering a join.
 
+    Hot-cell cap: a cell concentrating many near-but-DISTINCT vectors
+    (boilerplate families) still makes Σ c_i² quadratic in that cell —
+    at 100 TB an unbounded cell is an OOM, not a signal.
+    ``max_cell_size`` bounds it: oversized cells are recursively
+    re-clustered with fresh per-cell codebooks (:func:`_cap_cells`,
+    ``split_k`` sub-cells, ``max_split_depth`` rounds) before the
+    pairwise join.  Splitting can separate vectors that straddle a
+    sub-cell boundary (recall trade the paper makes cell-wise anyway);
+    inseparable near-identical cells stop early and are accepted.
+
     Returns one row per vector: ``(id, cell_id, keep, dup_of)`` with
     ``dup_of`` = the kept representative's id (NULL when kept).
     """
@@ -1175,6 +1255,8 @@ def semantic_dedup(
     ).withColumn(
         "cell_id", nearest_cell(centroid_scores(F.col("v"), centroids)).cast("int")
     )
+    if max_cell_size is not None:
+        assigned = _cap_cells(assigned, max_cell_size, split_k, max_split_depth)
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = (
         a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))

@@ -1976,7 +1976,9 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cents, _ = kmeans_train(emb, k=16, max_iter=4)
-    return semantic_dedup(corpus, cents, threshold=0.999)
+    return semantic_dedup(
+        corpus, cents, threshold=0.999, max_cell_size=150
+    )
 
 
 # =========================================================================
@@ -2781,6 +2783,56 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("doc_id", "vec_id")
     cents, _ = kmeans_train(vecs, k=8, max_iter=4)
     return ivf_cluster_profile(vecs, cents)
+
+
+_TFIDF_VECTORS_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL unnest(t) AS u(term)
+  WHERE u.term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+vocab AS (
+  SELECT term,
+    ln(CAST((SELECT n FROM nd) AS DOUBLE) / df) AS w,
+    CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT) AS idx
+  FROM dfreq ORDER BY df DESC, term LIMIT 64
+),
+grid AS (
+  SELECT d.doc_id, v.idx, v.term, v.w
+  FROM (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN vocab v
+)
+SELECT g.doc_id, g.idx,
+  round(coalesce(tf.tf * g.w, 0.0), 4) AS val
+FROM grid g
+LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term
+"""
+
+
+@register("doc_tfidf_vectors", _TFIDF_VECTORS_ORACLE)
+def doc_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic half of the text→embedding bridge,
+    hash-checked: dense TF-IDF vectors over the top-64 df terms
+    (ties df desc / term asc), flattened to (doc_id, idx, val)
+    coordinate rows — zeros included, so the oracle pins the full
+    feature space, the vocabulary order, and every weight, not just
+    the non-zero hits.  Values round to 4 dp on both sides (the
+    ln/product chain is the same IEEE double math, but libm last-ulp
+    differences are not worth betting a hash on).  The clustering that
+    consumes these vectors stays rows-only in doc_topic_clusters."""
+    from .operators.text_analysis import tfidf_vectors
+
+    vecs = tfidf_vectors(_t(spark, sf_dir, "documents"), vocab_size=64)
+    return vecs.select(
+        "doc_id", F.posexplode("embedding").alias("idx", "_v")
+    ).select(
+        "doc_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.round(F.col("_v"), 4).alias("val"),
+    )
 
 
 @register("corpus_bpe_merges")  # no oracle: per-step data-dependent argmax
@@ -3828,6 +3880,53 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return incremental_minhash_dedup(corpus, new)
+
+
+_INGEST_REPLAY_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+),
+ranked AS (
+  SELECT doc_id, text,
+    row_number() OVER (
+      PARTITION BY text ORDER BY doc_id % 4, doc_id
+    ) AS rn
+  FROM base
+)
+SELECT doc_id, text FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_ingest_replay", _INGEST_REPLAY_ORACLE)
+def dedup_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ingestion-dedup surface, hash-checked: replay
+    ``dedup_ingest_stream`` over 4 deterministic micro-batches
+    (``doc_id % 4``, one parquet file per batch, availableNow) with 50
+    planted exact copies (``doc_id + 100000``) and return the admitted
+    corpus.  This runs the REAL streaming path — foreachBatch,
+    ``incremental_minhash_dedup`` against the accumulating
+    ``ParquetMergeTable``, keyed MERGE commits — not a batch twin.
+
+    At ``threshold=1.0`` only exact-shingle-set matches are duplicates
+    (the fixture's max distinct-text Jaccard is 0.989, verified), so
+    admission equals "first arrival wins": per text, the doc with the
+    smallest ``(batch_idx, doc_id)``.  THAT is plain SQL, giving the
+    streaming path the DuckDB oracle the driver can check."""
+    import tempfile
+
+    from .streaming.ingest import replay_ingest_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    incoming = docs.select("doc_id", "text").unionByName(
+        planted.select("doc_id", "text")
+    )
+    workdir = tempfile.mkdtemp(prefix="ingest_replay_")
+    return replay_ingest_batches(incoming, workdir, k_batches=4, threshold=1.0)
 
 
 @register("dedup_near_clusters")

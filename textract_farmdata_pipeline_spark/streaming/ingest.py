@@ -79,3 +79,79 @@ def dedup_ingest_stream(
             ann.unpersist()
 
     return docs.writeStream.foreachBatch(process)
+
+
+def replay_ingest_batches(
+    docs: DataFrame,
+    workdir: str,
+    k_batches: int = 4,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Replay :func:`dedup_ingest_stream` admission as a finite run and
+    return the admitted corpus — the batch-queryable face of the
+    streaming surface (a driver that only checks batch queries can
+    hash-check THIS, and it exercises the identical ``foreachBatch``
+    code path, ``ParquetMergeTable`` commits included).
+
+    The input is split into ``k_batches`` micro-batches by
+    ``doc_id % k_batches``; each batch is written as one parquet file
+    with strictly increasing modification times, so the file stream
+    source (oldest-first) delivers exactly one batch per trigger under
+    ``maxFilesPerTrigger=1`` + ``availableNow`` — a deterministic
+    K-batch replay.  Admission therefore equals: per duplicate group,
+    the doc with the smallest ``(batch_idx, doc_id)`` is admitted and
+    every later arrival is rejected — which at ``threshold=1.0`` (only
+    exact-shingle-set matches count) is expressible as plain SQL over
+    the input, giving the streaming path a DuckDB-checkable oracle.
+    """
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = docs.sparkSession
+    src = os.path.join(workdir, "incoming")
+    os.makedirs(src, exist_ok=True)
+    rows = docs.select("doc_id", "text").collect()
+    base_t = time.time() - 3600
+    for i in range(k_batches):
+        part = [(r["doc_id"], r["text"]) for r in rows if r["doc_id"] % k_batches == i]
+        path = os.path.join(src, f"batch_{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in part], pa.int64()),
+                    "text": pa.array([t for _, t in part], pa.string()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (base_t + i * 60, base_t + i * 60))
+    corpus_path = os.path.join(workdir, "corpus")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    writer = dedup_ingest_stream(
+        stream,
+        corpus_path,
+        n_hashes=n_hashes,
+        bands=bands,
+        threshold=threshold,
+        shingle_n=shingle_n,
+    )
+    q = (
+        writer.option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from ..operators.merge import ParquetMergeTable
+
+    return ParquetMergeTable(spark, corpus_path).read().select("doc_id", "text")
