@@ -67,6 +67,14 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     parser.add_argument("--only", default=None)
+    parser.add_argument(
+        "--first", type=int, default=None,
+        help="run only the first N queries in rotation order (the driver's per-round sample)",
+    )
+    parser.add_argument(
+        "--json", default=None,
+        help="write driver-format results (name -> {rows_match, schema_match, hash_match, spark_rows, oracle_rows, err}) to this path",
+    )
     args = parser.parse_args()
 
     import duckdb
@@ -86,7 +94,10 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = list(qs) if not args.only else args.only.split(",")
+    if args.first is not None:
+        names = names[: args.first]
 
+    results: dict[str, dict] = {}
     n_pass = n_fail = 0
     for name in names:
         t0 = time.time()
@@ -96,11 +107,21 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark: {exc}"[:300],
+            }
             n_fail += 1
             continue
 
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(s_rows), "oracle_rows": None,
+                "err": "no_oracle",
+            }
             n_pass += 1
             continue
 
@@ -110,6 +131,11 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(s_rows), "oracle_rows": None,
+                "err": f"duckdb: {exc}"[:300],
+            }
             n_fail += 1
             continue
 
@@ -166,6 +192,14 @@ def main() -> int:
                     problems.append(f"  spark-only: {x[:160]}")
                 for x in only_d:
                     problems.append(f"  duck-only:  {x[:160]}")
+        results[name] = {
+            "rows_match": len(s_rows) == len(d_rows),
+            "schema_match": sorted(s_cols) == sorted(d_cols),
+            "hash_match": not problems,
+            "spark_rows": len(s_rows),
+            "oracle_rows": len(d_rows),
+            "err": None,
+        }
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
@@ -176,6 +210,11 @@ def main() -> int:
             n_pass += 1
 
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if args.json:
+        import json as _json
+
+        with open(args.json, "w") as fh:
+            _json.dump(results, fh, indent=2)
     return 1 if n_fail else 0
 
 

@@ -70,6 +70,13 @@ PROBE = (
     "embedding_semantic_dedup",
     "corpus_bpe_merges",
     "doc_topic_clusters",
+    # round-5 additions: streaming replay, IVFADC, TF-IDF oracle, and
+    # the two surfaces the r04 verdict flagged as unprobed
+    "s3_event_listing",
+    "census_records_full",
+    "dedup_ingest_replay",
+    "embedding_pq_ivf_ann",
+    "doc_tfidf_vectors",
 )
 
 KEYED = {
