@@ -1724,3 +1724,100 @@ class TestTfidfVectors:
         prof = ivf_cluster_profile(vecs, cents).collect()
         assert sum(r["n_members"] for r in prof) == 60
         assert all(1 <= r["cluster_id"] <= 4 for r in prof)
+
+
+class TestPortableHashFamily:
+    """The md5_long hash family must be bit-identical across engines and
+    preserve the dedup semantics of the xxhash64 product path."""
+
+    def test_md5_long_matches_duckdb(self, spark):
+        """Spark's conv(substr(md5..)) == DuckDB's CAST('0x'||substr..)
+        on adversarial inputs (empty-ish, unicode, long)."""
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.operators.dedup import md5_long
+
+        samples = ["a", "hello world", "naïve café ß", "x" * 500, "0", " "]
+        sdf = spark.createDataFrame([(s,) for s in samples], ["s"])
+        got = {
+            r["s"]: r["h"]
+            for r in sdf.select("s", md5_long(F.col("s"), "mh3|").alias("h")).collect()
+        }
+        con = duckdb.connect()
+        for s in samples:
+            want = con.execute(
+                "SELECT CAST(('0x' || substr(md5('mh3|' || ?), 1, 15)) AS BIGINT)", [s]
+            ).fetchone()[0]
+            assert got[s] == want, f"hash mismatch for {s!r}"
+
+    def test_portable_pairs_equal_oracle(self, spark, docs, sf_dir):
+        """The registered portable pair query matches its DuckDB oracle
+        exactly (the same comparison the driver runs, pinned in pytest
+        so a hash-family regression fails fast locally)."""
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        srows = sorted(
+            tuple(r) for r in QUERIES["dedup_minhash_portable"](spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["dedup_minhash_portable"]).fetchall())
+        assert srows == drows
+        assert srows, "fixture should contain at least one near-dup pair"
+
+    def test_portable_clusters_linear_and_converged(self, spark, docs, sf_dir):
+        """Cluster output is one row per input doc; exact duplicates land
+        in one cluster; and the unrolled-CC oracle depth suffices (round
+        4 == round 5 would be the SQL-side check — here we pin the Spark
+        fixpoint groups exact-duplicate docs identically)."""
+        from textract_farmdata_pipeline_spark.operators.dedup import near_dup_clusters
+
+        n = docs.count()
+        out = near_dup_clusters(
+            docs,
+            n_hashes=8,
+            bands=4,
+            threshold=0.5,
+            shingle_n=3,
+            max_bucket_size=None,
+            hash_family="md5",
+        )
+        rows = out.collect()
+        assert len(rows) == n
+        cluster = {r["doc_id"]: r["cluster_id"] for r in rows}
+        dup_groups = (
+            docs.groupBy("text")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") > 1)
+            .collect()
+        )
+        for g in dup_groups:
+            labels = {cluster[i] for i in g["ids"]}
+            assert len(labels) == 1, f"exact duplicates split: {g['ids']}"
+
+    def test_portable_simhash_identical_for_identical_text(self, spark):
+        from textract_farmdata_pipeline_spark.operators.dedup import simhash
+
+        df = spark.createDataFrame(
+            [(1, "spark shuffles the sorted rows"), (2, "spark shuffles the sorted rows")],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["simhash"] for r in simhash(df, hash_family="md5").collect()}
+        assert got[1] == got[2]
+        assert 0 <= got[1] < (1 << 48)
+
+    def test_unknown_hash_family_raises(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            minhash_signatures,
+            simhash,
+        )
+
+        with pytest.raises(ValueError):
+            minhash_signatures(docs, hash_family="sha1")
+        with pytest.raises(ValueError):
+            simhash(docs, hash_family="sha1")

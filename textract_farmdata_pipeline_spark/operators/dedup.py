@@ -72,6 +72,23 @@ def count_distinct_two_phase(
     return out
 
 
+def md5_long(key: Column, seed: str = "") -> Column:
+    """Engine-portable 60-bit hash: first 15 hex digits of
+    ``md5(seed || key)`` as a BIGINT.
+
+    15 hex digits = 60 bits, always below 2**63, so the value is exact
+    in any engine's signed 64-bit integer — DuckDB computes the
+    identical number via ``CAST(('0x' || substr(md5(seed || s), 1, 15))
+    AS BIGINT)``, which is what lets the minhash / simhash family below
+    be hash-oracle-checked.  ~50× more expensive than ``xxhash64``
+    (crypto hash + base-16 conv), so this family is the oracle anchor,
+    not the product default.
+    """
+    return F.conv(F.substring(F.md5(F.concat(F.lit(seed), key)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) from a single-spaced text."""
     toks = F.split(text, " ")
@@ -116,12 +133,21 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
-    """MinHash signatures from xxhash64-derived shingle hashes.
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signatures from a deterministic shingle-hash family.
 
-    Hash family: ``h_i(s) = xxhash64(i, xxhash64(s))`` — fully
+    Default hash family: ``h_i(s) = xxhash64(i, xxhash64(s))`` — fully
     deterministic, no fitted model state, and pure JVM integer hashing
     (~50× cheaper than a crypto hash + base-16 string conversion).
+    ``hash_family="md5"`` switches to the engine-portable
+    :func:`md5_long` family ``h_i(s) = md5_long("mh{i}|" || s)`` whose
+    values DuckDB reproduces bit-for-bit — the variant the hash-checked
+    oracles run on (same plan shape, only the hash expression differs).
 
     Physical shape: explode shingles → ``n_hashes`` MIN aggregates →
     pack into an array.  Everything stays inside whole-stage codegen
@@ -132,34 +158,66 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 32, shingle_n: int = 3) 
 
     Documents with no shingles (empty text) produce no signature row.
     """
-    # base string hash projected ONCE per shingle; the i-indexed rehash
-    # inside the aggregates then touches only the 8-byte long
-    hashed = docs.select(
+    exploded = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("sh")
-    ).select("doc_id", F.xxhash64(F.col("sh")).alias("h"))
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"_m{i}") for i in range(n_hashes)
-    ]
+    )
+    if hash_family == "md5":
+        # md5 must see the raw shingle string per hash index (no
+        # base-hash shortcut), which is exactly why this family is the
+        # oracle anchor and not the default
+        mins = [
+            F.min(md5_long(F.col("sh"), f"mh{i}|")).alias(f"_m{i}")
+            for i in range(n_hashes)
+        ]
+    elif hash_family == "xxhash64":
+        # base string hash projected ONCE per shingle; the i-indexed
+        # rehash inside the aggregates then touches only the 8-byte long
+        exploded = exploded.select("doc_id", F.xxhash64(F.col("sh")).alias("h"))
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"_m{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     return (
-        hashed.groupBy("doc_id")
+        exploded.groupBy("doc_id")
         .agg(*mins)
         .select("doc_id", F.array(*[f"_m{i}" for i in range(n_hashes)]).alias("signature"))
     )
 
 
-def band_buckets(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+def band_buckets(
+    sigs: DataFrame, n_hashes: int, bands: int, portable: bool = False
+) -> DataFrame:
     """(doc_id, band, bucket) rows from signature arrays: the LSH index
-    shape both the self-join and the incremental corpus join key on."""
+    shape both the self-join and the incremental corpus join key on.
+
+    Default bucket key is ``F.hash`` of the band's signature slice
+    (cheap 4-byte join key).  ``portable=True`` instead joins on the
+    comma-joined decimal string of the slice — byte-identical to
+    DuckDB's ``string_agg(CAST(m AS VARCHAR), ',' ORDER BY k)``, so an
+    oracle can reproduce the exact candidate set.  Both keys are
+    equality-only: collision behavior differs (F.hash can alias two
+    distinct slices into one bucket — harmless, it only adds candidates
+    that Jaccard verification then re-checks).
+    """
     rows_per_band = n_hashes // bands
+    if portable:
+        key = lambda b: F.array_join(  # noqa: E731
+            F.transform(
+                F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+            ",",
+        )
+    else:
+        key = lambda b: F.hash(  # noqa: E731
+            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+        )
     return sigs.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.hash(
-                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), key)
         ).alias("band", "bucket"),
     )
 
@@ -170,6 +228,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH candidate pairs + exact Jaccard verification.
 
@@ -178,9 +237,17 @@ def minhash_lsh_pairs(
     shuffle-friendly LSH plan: candidate generation touches only
     signature bytes, the verify step re-checks true shingle Jaccard on
     the candidates only.
+
+    ``hash_family="md5"`` runs the engine-portable variant end to end:
+    md5-derived signatures, string band keys, and Jaccard verified on
+    raw shingle strings instead of xxhash64-compressed sets — every
+    intermediate is reproducible in ANSI SQL, so the output is
+    hash-oracle-checkable (the xxhash64 default stays the fast product
+    path).
     """
-    sigs = minhash_signatures(docs, n_hashes, shingle_n)
-    banded = band_buckets(sigs, n_hashes, bands)
+    portable = hash_family == "md5"
+    sigs = minhash_signatures(docs, n_hashes, shingle_n, hash_family=hash_family)
+    banded = band_buckets(sigs, n_hashes, bands, portable=portable)
     cand = (
         banded.alias("x")
         .join(
@@ -201,9 +268,14 @@ def minhash_lsh_pairs(
     # |A∪B| = |A|+|B|−|A∩B| halves the per-pair set work vs
     # materializing the union array.  (Jaccard over 64-bit-hashed
     # shingles equals exact Jaccard up to a ~2⁻⁶⁴ collision rate.)
-    hashed_sh = F.array_distinct(
-        F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
-    )
+    # The portable family verifies on the raw strings so the oracle's
+    # string-equality join counts the identical intersection.
+    if portable:
+        hashed_sh = shingles(F.col("text"), shingle_n)
+    else:
+        hashed_sh = F.array_distinct(
+            F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
+        )
     with_sh = docs.select("doc_id", hashed_sh.alias("sh")).withColumn("sz", F.size("sh"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jaccard = inter.cast("double") / (F.col("sza") + F.col("szb") - inter).cast("double")
@@ -278,18 +350,31 @@ def simhash_near_dup_pairs(
 SIMHASH_BITS = 48  # xxhash64 masked to its low 48 bits, positive in BIGINT
 
 
-def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """SimHash fingerprint from xxhash64-derived token hashes (48 bits).
+def simhash(
+    docs: DataFrame, text_col: str = "text", hash_family: str = "xxhash64"
+) -> DataFrame:
+    """SimHash fingerprint from deterministic token hashes (48 bits).
 
     Per document: for each bit position, sum +1/-1 over tokens
     according to that bit of the token hash; positive sums set the bit
     in the packed BIGINT.  Explode + groupBy keeps it a single shuffle
     with map-side partial aggregation; integer arithmetic makes the
     result exact under any execution order.
+
+    ``hash_family="md5"`` masks :func:`md5_long` to its low 48 bits —
+    reproducible in SQL (``CAST('0x' || substr(md5(...), 1, 15) AS
+    BIGINT) & (2**48 - 1)``), so the packed fingerprint is
+    hash-oracle-checkable.
     """
     tok = F.explode(F.split(F.col(text_col), " "))
     exploded = docs.select("doc_id", tok.alias("token"))
-    h = F.xxhash64(F.col("token")).bitwiseAND(F.lit((1 << SIMHASH_BITS) - 1))
+    if hash_family == "md5":
+        base = md5_long(F.col("token"), "sh|")
+    elif hash_family == "xxhash64":
+        base = F.xxhash64(F.col("token"))
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    h = base.bitwiseAND(F.lit((1 << SIMHASH_BITS) - 1))
     bit_cols = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
             f"b{i}"
@@ -499,6 +584,7 @@ def near_dup_clusters(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_bucket_size: int | None = 1000,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup clustering with LINEAR output: ``(doc_id,
     cluster_id)`` for every document.
@@ -521,15 +607,21 @@ def near_dup_clusters(
 
     Output rows = input docs; no stage materializes a quadratic
     intermediate.
+
+    ``hash_family="md5"`` uses the engine-portable signature/band/verify
+    path (see :func:`minhash_lsh_pairs`) so the whole clustering —
+    including the connected-components fixpoint — can be hash-checked
+    against an unrolled min-label-propagation SQL oracle.
     """
+    portable = hash_family == "md5"
     rep = docs.select(
         "doc_id", F.md5(F.col("text")).alias("_h"), F.col("text")
     ).withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("_h")))
 
     reps = rep.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
 
-    sigs = minhash_signatures(reps, n_hashes, shingle_n)
-    banded = band_buckets(sigs, n_hashes, bands)
+    sigs = minhash_signatures(reps, n_hashes, shingle_n, hash_family=hash_family)
+    banded = band_buckets(sigs, n_hashes, bands, portable=portable)
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
         banded = banded.join(
@@ -546,9 +638,12 @@ def near_dup_clusters(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    hashed_sh = F.array_distinct(
-        F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
-    )
+    if portable:
+        hashed_sh = shingles(F.col("text"), shingle_n)
+    else:
+        hashed_sh = F.array_distinct(
+            F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
+        )
     with_sh = reps.select("doc_id", hashed_sh.alias("sh")).withColumn("sz", F.size("sh"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jaccard = inter.cast("double") / (F.col("sza") + F.col("szb") - inter).cast("double")

@@ -1458,6 +1458,173 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=1, threshold=0.8, block_col="source")
 
 
+# Engine-portable minhash family: the shared CTE prefix computes
+# 3-gram shingles, the md5_long hash family (first 15 md5 hex digits as
+# BIGINT — exact in any signed-64 engine), per-doc minimums as the
+# signature, and string band keys, reproducing dedup.minhash_signatures
+# (hash_family="md5") + band_buckets(portable=True) bit-for-bit.
+_MINHASH_PORTABLE_CTES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)
+),
+hv AS (
+  SELECT doc_id, s, k,
+    CAST(('0x' || substr(md5('mh' || k || '|' || s), 1, 15)) AS BIGINT) AS h
+  FROM sh, UNNEST(range(8)) AS u(k)
+),
+sig AS (SELECT doc_id, k, min(h) AS m FROM hv GROUP BY doc_id, k),
+banded AS (
+  SELECT doc_id, k // 2 AS band,
+    string_agg(CAST(m AS VARCHAR), ',' ORDER BY k) AS bucket
+  FROM sig GROUP BY doc_id, k // 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT doc_a, doc_b,
+    CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN szs sa ON sa.doc_id = doc_a
+  JOIN szs sb ON sb.doc_id = doc_b
+  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+)
+"""
+
+_MINHASH_PORTABLE_ORACLE = (
+    "WITH "
+    + _MINHASH_PORTABLE_CTES.format(src="documents")
+    + "SELECT doc_a, doc_b, jaccard FROM verified"
+)
+
+
+@register("dedup_minhash_portable", _MINHASH_PORTABLE_ORACLE)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs on the engine-portable md5_long hash
+    family — the SAME plan shape as ``dedup_minhash_lsh`` (signature →
+    band-bucket self-join → Jaccard verify) with every intermediate
+    (shingle hash, signature, band key, verify set) reproducible in
+    ANSI SQL, so the whole LSH pipeline is hash-oracle-checked, not
+    rows-only.  n_hashes=8 / bands=4: crypto-hash cost ~4× lower than
+    the 32-hash product default while the banding math (2 rows/band,
+    ~(1-(1-j²)⁴) candidate recall) still exercises multi-row bands."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, n_hashes=8, bands=4, threshold=0.5, shingle_n=3, hash_family="md5"
+    )
+
+
+# Unrolled min-label propagation: label_k(v) = min label within v's
+# k-hop neighborhood, so K rounds reach the fixpoint whenever every
+# component's diameter ≤ K.  Near-dup components are clique-ish
+# (diameter 1-2); K=4 is verified converged (round 4 == round 5 output)
+# on both pytest fixtures and the driver's sf0.01 data.  Spark's
+# connected_components iterates to an exact converged fixpoint, so the
+# two sides agree exactly when the unrolled depth suffices.
+_CC_ROUND = """,
+l{n} AS (
+  SELECT l.node, LEAST(MIN(l.label), COALESCE(MIN(nl.label), MIN(l.label))) AS label
+  FROM l{p} l
+  LEFT JOIN e ON e.src = l.node
+  LEFT JOIN l{p} nl ON nl.node = e.dst
+  GROUP BY l.node
+)"""
+
+_NEARDUP_CLUSTERS_PORTABLE_ORACLE = (
+    """
+WITH rep_map AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id, text FROM documents
+),
+reps AS (SELECT doc_id, text FROM rep_map WHERE doc_id = rep_id),
+"""
+    + _MINHASH_PORTABLE_CTES.format(src="reps")
+    + """,
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"""
+    + "".join(_CC_ROUND.format(n=n, p=n - 1) for n in range(1, 5))
+    + """
+SELECT m.doc_id, CAST(COALESCE(lf.label, m.rep_id) AS BIGINT) AS cluster_id
+FROM rep_map m LEFT JOIN l4 lf ON lf.node = m.rep_id
+"""
+)
+
+
+@register("dedup_clusters_portable", _NEARDUP_CLUSTERS_PORTABLE_ORACLE)
+def dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-output near-dup clustering, hash-oracle-checked end to
+    end: exact-collapse → portable-minhash LSH over representatives →
+    Jaccard-verified edges → min-label connected components → members
+    mapped back through their representative.  The oracle unrolls the
+    CC fixpoint as 4 rounds of min-label propagation (verified
+    converged: round 4 equals round 5 on the fixture), making the one
+    "iterative, not SQL-expressible" stage of the dedup product
+    expressible after all — Spark's converged fixpoint equals any
+    sufficiently deep unrolling.  ``max_bucket_size=None`` because the
+    oracle has no bucket cap; the product default keeps the cap."""
+    from .operators.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_dup_clusters(
+        docs,
+        n_hashes=8,
+        bands=4,
+        threshold=0.5,
+        shingle_n=3,
+        max_bucket_size=None,
+        hash_family="md5",
+    )
+
+
+_SIMHASH_PORTABLE_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+h AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('sh|' || token), 1, 15)) AS BIGINT)
+      & ((1::BIGINT << 48) - 1) AS hv
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, UNNEST(range(48)) AS u(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash_portable", _SIMHASH_PORTABLE_ORACLE)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints on the md5_long family masked to 48 bits —
+    the per-bit ±1 vote, sign threshold, and bit packing are all exact
+    integer arithmetic, so the packed BIGINT fingerprint is reproduced
+    bit-for-bit by the SQL oracle (the xxhash64 default stays the
+    product path; hamming-ball pair semantics are pinned by pytest on
+    both families)."""
+    from .operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), hash_family="md5")
+
+
 @register("dedup_minhash_lsh")  # no oracle: banded-hash semantics
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, Jaccard-verified (rows-only
