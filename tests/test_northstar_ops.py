@@ -1821,3 +1821,90 @@ class TestPortableHashFamily:
             minhash_signatures(docs, hash_family="sha1")
         with pytest.raises(ValueError):
             simhash(docs, hash_family="sha1")
+
+
+class TestBpeEncode:
+    """bpe_encode must implement the CLASSICAL greedy pairwise merge —
+    the bracket-encoding trick makes literal replacement equal it."""
+
+    def _counts(self, spark, rows, merges):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import bpe_encode
+
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        return {
+            r["doc_id"]: (r["n_chars"], r["n_bpe_tokens"])
+            for r in bpe_encode(df, merges).collect()
+        }
+
+    def test_greedy_pairwise_on_runs(self, spark):
+        """'lllll' + (l,l) → ll,ll,l = 3 tokens (the case a consuming
+        single-marker encoding gets wrong)."""
+        got = self._counts(spark, [(1, "lllll"), (2, "llll"), (3, "lll")], [("l", "l")])
+        assert got[1] == (5, 3)
+        assert got[2] == (4, 2)
+        assert got[3] == (3, 2)
+
+    def test_rank_order_chaining(self, spark):
+        """(t,h) then (th,e): 'the' collapses to ONE token only because
+        the second merge consumes the first merge's output."""
+        got = self._counts(spark, [(1, "the thee et")], [("t", "h"), ("th", "e")])
+        # 'the'→[the]=1, 'thee'→[the,e]=2, 'et'→[e,t]=2 → 5 tokens, 9 chars
+        assert got[1] == (9, 5)
+
+    def test_word_boundaries_not_crossed(self, spark):
+        """'t h' must stay 2 tokens: merges never span the space."""
+        got = self._counts(spark, [(1, "t h"), (2, "th")], [("t", "h")])
+        assert got[1] == (2, 2)
+        assert got[2] == (2, 1)
+
+    def test_marker_bytes_stripped_defensively(self, spark):
+        got = self._counts(spark, [(1, "a\x1eb\x1fc")], [])
+        assert got[1] == (3, 3)
+
+    def test_compression_metric(self, spark):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import bpe_encode
+
+        df = spark.createDataFrame([(1, "the the"), (2, "   ")], ["doc_id", "text"])
+        rows = {
+            r["doc_id"]: r
+            for r in bpe_encode(df, [("t", "h"), ("th", "e")]).collect()
+        }
+        assert rows[1]["compression"] == 3.0  # 6 chars / 2 tokens
+        assert rows[2]["n_bpe_tokens"] == 0 and rows[2]["compression"] is None
+
+    def test_matches_reference_bpe(self, spark):
+        """Cross-check against a tiny in-memory classical BPE encoder on
+        the fixture's first documents."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import bpe_encode
+
+        merges = [("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n")]
+
+        def ref_encode(word):
+            syms = list(word)
+            for a, b in merges:
+                out = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(
+                ["the rain in spain", "an anther and another", "ererer er",
+                 "in inn innin", "than then thin"]
+            )],
+            ["doc_id", "text"],
+        )
+        got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_encode(docs, merges).collect()}
+        for i, t in enumerate(
+            ["the rain in spain", "an anther and another", "ererer er",
+             "in inn innin", "than then thin"]
+        ):
+            want = sum(len(ref_encode(w)) for w in t.split(" ") if w)
+            assert got[i] == want, f"doc {i}: {got[i]} != {want}"

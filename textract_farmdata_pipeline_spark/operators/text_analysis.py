@@ -777,6 +777,69 @@ def bpe_train(
     return merges
 
 
+# bpe_encode wraps every symbol in distinct START/END markers
+# ("␞sym␟").  With full bracketing, adjacent merge-pattern occurrences
+# share no characters, so one leftmost non-overlapping LITERAL replace
+# per merge IS the classic greedy pairwise merge ("lllll" + (l,l) →
+# ll,ll,l) — no lookahead regex needed, which is what makes the encoder
+# expressible identically in engines whose regex lacks lookahead (RE2)
+# and therefore hash-oracle-checkable.  (bpe_train's single-marker +
+# Java-lookahead form is kept for the training loop where only Spark
+# runs it.)
+_BPE_L = "\x1e"  # symbol start (ASCII record separator)
+_BPE_R = "\x1f"  # symbol end (ASCII unit separator)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a (pre)trained BPE merge table to a corpus — the inference
+    half of :func:`bpe_train`, and the shape of "tokenize 100 TB with a
+    frozen tokenizer": a pure map over documents, no shuffle, no UDF.
+
+    Every non-space character is bracketed ``␞c␟``; each merge
+    ``(a, b)`` rewrites the literal ``␞a␟␞b␟ → ␞ab␟`` over the whole
+    document in rank order (word boundaries are the unbracketed spaces,
+    which no pattern can cross).  Literal replacement is leftmost,
+    non-overlapping, and left-to-right in every engine, and with full
+    bracketing that equals the classical greedy pairwise merge — so the
+    per-document token counts are engine-exact and oracle-checkable.
+
+    Returns ``(id, n_chars, n_bpe_tokens, compression)`` where
+    ``compression = n_chars / n_bpe_tokens`` (the tokenizer-quality
+    metric a corpus pipeline tracks per source).  Documents of only
+    spaces encode to 0 tokens; compression is NULL there.
+    """
+    # defensive: the marker bytes must never pre-exist in the text
+    clean = F.replace(
+        F.replace(F.col(text_col), F.lit(_BPE_L), F.lit("")),
+        F.lit(_BPE_R),
+        F.lit(""),
+    )
+    s = F.regexp_replace(clean, "([^ ])", _BPE_L + "$1" + _BPE_R)
+    for a, b in merges:
+        s = F.replace(
+            s,
+            F.lit(_BPE_L + a + _BPE_R + _BPE_L + b + _BPE_R),
+            F.lit(_BPE_L + a + b + _BPE_R),
+        )
+    n_tokens = (
+        F.length(s) - F.length(F.replace(s, F.lit(_BPE_L), F.lit("")))
+    ).cast("long")
+    n_chars = F.length(F.regexp_replace(clean, " ", "")).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_bpe_tokens"),
+        F.when(
+            n_tokens > 0, n_chars.cast("double") / n_tokens.cast("double")
+        ).alias("compression"),
+    )
+
+
 def tfidf_vectors(
     docs: DataFrame,
     vocab_size: int = 64,

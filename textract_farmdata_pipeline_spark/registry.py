@@ -3022,6 +3022,73 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen "pretrained" merge table for the encode query — rank order
+# matters (later merges consume earlier outputs: t+h → th, th+e → the).
+# A fixed table is the realistic shape: tokenization at scale applies a
+# tokenizer trained once, and it keeps the oracle sf-independent.
+_BPE_ENCODE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("e", "r"),
+    ("a", "n"),
+    ("o", "n"),
+    ("r", "e"),
+    ("an", "d"),
+    ("o", "r"),
+    ("s", "t"),
+    ("a", "r"),
+    ("l", "l"),
+]
+
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB twin of operators.text_analysis.bpe_encode on the frozen
+    merge table: same bracket-encode regex, same literal-replace chain
+    (leftmost non-overlapping literal replacement is engine-identical),
+    same count arithmetic."""
+    l, r = "\x1e", "\x1f"
+    s = f"regexp_replace(clean, '([^ ])', '{l}\\1{r}', 'g')"
+    for a, b in _BPE_ENCODE_MERGES:
+        s = f"replace({s}, '{l}{a}{r}{l}{b}{r}', '{l}{a}{b}{r}')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, replace(replace(text, '{l}', ''), '{r}', '') AS clean
+  FROM documents
+),
+enc AS (
+  SELECT doc_id, clean, {s} AS s FROM base
+),
+counts AS (
+  SELECT doc_id,
+    CAST(length(replace(clean, ' ', '')) AS BIGINT) AS n_chars,
+    CAST(length(s) - length(replace(s, '{l}', '')) AS BIGINT) AS n_bpe_tokens
+  FROM enc
+)
+SELECT doc_id, n_chars, n_bpe_tokens,
+  CASE WHEN n_bpe_tokens > 0
+       THEN CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
+  END AS compression
+FROM counts
+"""
+
+
+@register("corpus_bpe_encode", _bpe_encode_oracle())
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a frozen BPE merge table to every document — the inference
+    half of ``corpus_bpe_merges`` and the shape of "tokenize 100 TB
+    with a pretrained tokenizer": a single scan, a chain of literal
+    replacements inside codegen, no shuffle, no UDF, no driver loop.
+    Bracketing every symbol with distinct start/end markers makes one
+    literal replace per merge EQUAL the classical greedy pairwise merge
+    (adjacent occurrences share no characters), so per-doc token counts
+    are engine-exact and the query is hash-checked, where the training
+    loop can only be rows-only."""
+    from .operators.text_analysis import bpe_encode
+
+    return bpe_encode(_t(spark, sf_dir, "documents"), _BPE_ENCODE_MERGES)
+
+
 @register("corpus_cms_heavy_hitters", _CMS_ORACLE)
 def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch phrase frequencies vs exact truth: build a

@@ -77,6 +77,11 @@ PROBE = (
     "dedup_ingest_replay",
     "embedding_pq_ivf_ann",
     "doc_tfidf_vectors",
+    # round-5 additions: the engine-portable md5 hash family
+    "dedup_minhash_portable",
+    "dedup_clusters_portable",
+    "dedup_simhash_portable",
+    "corpus_bpe_encode",
 )
 
 KEYED = {
