@@ -1811,6 +1811,26 @@ class TestPortableHashFamily:
         assert got[1] == got[2]
         assert 0 <= got[1] < (1 << 48)
 
+    def test_portable_incremental_equals_oracle(self, spark, docs, sf_dir):
+        """The crawl-admission annotate contract (dup_of) matches the
+        DuckDB oracle at the pytest scale too (driver checks sf0.01)."""
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        srows = sorted(
+            tuple(r)
+            for r in QUERIES["dedup_incremental_portable"](spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["dedup_incremental_portable"]).fetchall())
+        assert srows == drows
+        assert any(r[1] is not None for r in srows), "fixture should contain dups"
+
     def test_unknown_hash_family_raises(self, spark, docs):
         from textract_farmdata_pipeline_spark.operators.dedup import (
             minhash_signatures,

@@ -468,6 +468,7 @@ def incremental_minhash_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Dedup an incoming batch against an existing corpus — the daily
     shape of a crawl pipeline: the corpus NEVER self-joins.
@@ -492,6 +493,7 @@ def incremental_minhash_dedup(
     ``min matching earlier new doc`` = min over {own rep} ∪ {matching
     new reps} below the member's id.
     """
+    portable = hash_family == "md5"
     newg = new_docs.select("doc_id", "text").withColumn(
         "rep_id", F.min("doc_id").over(Window.partitionBy("text"))
     )
@@ -501,8 +503,18 @@ def incremental_minhash_dedup(
     )
     corp_reps = corpg.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
 
-    new_sigs = band_buckets(minhash_signatures(new_reps, n_hashes, shingle_n), n_hashes, bands)
-    corp_sigs = band_buckets(minhash_signatures(corp_reps, n_hashes, shingle_n), n_hashes, bands)
+    new_sigs = band_buckets(
+        minhash_signatures(new_reps, n_hashes, shingle_n, hash_family=hash_family),
+        n_hashes,
+        bands,
+        portable=portable,
+    )
+    corp_sigs = band_buckets(
+        minhash_signatures(corp_reps, n_hashes, shingle_n, hash_family=hash_family),
+        n_hashes,
+        bands,
+        portable=portable,
+    )
 
     vs_corpus = (
         new_sigs.alias("x")
@@ -526,9 +538,12 @@ def incremental_minhash_dedup(
         .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
     )
 
-    hashed_sh = F.array_distinct(
-        F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
-    )
+    if portable:
+        hashed_sh = shingles(F.col("text"), shingle_n)
+    else:
+        hashed_sh = F.array_distinct(
+            F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
+        )
     new_sh = new_reps.select("doc_id", hashed_sh.alias("sa")).withColumn("sza", F.size("sa"))
     # candidate side may come from either rep table; union their shingle sets
     cand_sh = (

@@ -2059,14 +2059,70 @@ def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ann_lsh")  # no oracle: hyperplane-hash semantics
+# The hyperplane components are md5-derived (similarity._plane_matrix:
+# first 12 md5 hex digits of "t:p:d" over 2^48, minus 0.5), so DuckDB
+# regenerates the identical projection matrix and the whole ANN path —
+# sign bits, per-table bucket strings, OR-amplified candidate union,
+# cosine re-rank — is hash-checkable.  Dot-product sums differ only in
+# float association order (numpy matmul vs SQL SUM); a sign flip needs
+# |projection| ≲ 1e-13, never observed on the fixtures, and cosine
+# itself is rounded to 4 decimals like every float oracle here.
+_ANN_LSH_ORACLE = r"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+planes AS (
+  SELECT t, p, d,
+    CAST('0x' || substr(md5(t || ':' || p || ':' || d), 1, 12) AS BIGINT)
+      / 281474976710656.0 - 0.5 AS w
+  FROM range(8) pt(t), range(4) pp(p), range(64) pd(d)
+),
+proj AS (
+  SELECT v.vec_id, pl.t, pl.p, SUM(v.e[pl.d + 1] * pl.w) AS s
+  FROM v, planes pl
+  GROUP BY v.vec_id, pl.t, pl.p
+),
+buckets AS (
+  SELECT vec_id, t,
+    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM proj GROUP BY vec_id, t
+),
+qb AS (SELECT * FROM buckets WHERE vec_id < 20),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qb q JOIN buckets c
+    ON q.t = c.t AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(list_dot_product(q.e, c.e)
+          / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 4)
+      AS cosine
+  FROM cand
+  JOIN v q ON q.vec_id = cand.query_id
+  JOIN v c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) ranked
+WHERE rank <= 5
+"""
+
+
+@register("embedding_ann_lsh", _ANN_LSH_ORACLE)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets (rows-only;
-    recall vs brute force pinned by pytest)."""
+    """Approximate top-k via random-hyperplane LSH buckets — PROMOTED
+    from rows-only to hash-checked: the md5-derived plane matrix is
+    engine-reproducible, so the oracle regenerates the exact buckets,
+    candidate set, and re-ranked top-k (recall vs brute force stays
+    pinned by pytest)."""
     from .operators.similarity import ann_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 20), k=5, n_planes=4)
+    return (
+        ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 20), k=5, n_planes=4)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
 
 
 @register("embedding_ann_ivf")  # no oracle: codebook-sample semantics
@@ -4098,6 +4154,121 @@ def orders_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_condition=F.col("s.o_totalprice") > 300_000,
     )
     return changelog
+
+
+# Portable twin of the incremental crawl-admission dedup: both sides
+# exact-collapse to min-id representatives, minhash on the md5_long
+# family (8 hashes / 4 bands, string band keys), candidates are
+# (new × corpus) ∪ (new × new), Jaccard re-verified on raw shingles,
+# and the member mapping reproduces the min-id dup_of contract —
+# least(min matching corpus rep, min earlier-new id).
+_INCREMENTAL_PORTABLE_ORACLE = r"""
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+corpd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+newg AS (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep_id FROM newd),
+new_reps AS (SELECT doc_id, text FROM newg WHERE doc_id = rep_id),
+corpg AS (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep_id FROM corpd),
+corp_reps AS (SELECT doc_id, text FROM corpg WHERE doc_id = rep_id),
+ntoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM new_reps),
+nsh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM ntoks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)
+),
+ctoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corp_reps),
+csh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM ctoks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)
+),
+nhv AS (
+  SELECT doc_id, k, min(CAST(('0x' || substr(md5('mh' || k || '|' || s), 1, 15)) AS BIGINT)) AS m
+  FROM nsh, UNNEST(range(8)) AS u(k) GROUP BY doc_id, k
+),
+chv AS (
+  SELECT doc_id, k, min(CAST(('0x' || substr(md5('mh' || k || '|' || s), 1, 15)) AS BIGINT)) AS m
+  FROM csh, UNNEST(range(8)) AS u(k) GROUP BY doc_id, k
+),
+nbanded AS (
+  SELECT doc_id, k // 2 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY k) AS bucket
+  FROM nhv GROUP BY doc_id, k // 2
+),
+cbanded AS (
+  SELECT doc_id, k // 2 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY k) AS bucket
+  FROM chv GROUP BY doc_id, k // 2
+),
+vs_corpus AS (
+  SELECT DISTINCT x.doc_id, y.doc_id AS cand
+  FROM nbanded x JOIN cbanded y ON x.band = y.band AND x.bucket = y.bucket
+),
+vs_batch AS (
+  SELECT DISTINCT x.doc_id, y.doc_id AS cand
+  FROM nbanded x JOIN nbanded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id <> y.doc_id
+),
+nsz AS (SELECT doc_id, count(*) AS sz FROM nsh GROUP BY doc_id),
+csz AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
+corp_verified AS (
+  SELECT iv.doc_id AS rep_id, min(iv.cand) AS corp_min
+  FROM (
+    SELECT v2.doc_id, v2.cand, count(*) AS i
+    FROM vs_corpus v2
+    JOIN nsh a ON a.doc_id = v2.doc_id
+    JOIN csh b ON b.doc_id = v2.cand AND a.s = b.s
+    GROUP BY v2.doc_id, v2.cand
+  ) iv
+  JOIN nsz sa ON sa.doc_id = iv.doc_id
+  JOIN csz sb ON sb.doc_id = iv.cand
+  WHERE CAST(iv.i AS DOUBLE) / CAST(sa.sz + sb.sz - iv.i AS DOUBLE) >= 0.5
+  GROUP BY iv.doc_id
+),
+batch_verified AS (
+  SELECT iv.doc_id AS rep_id, iv.cand
+  FROM (
+    SELECT v2.doc_id, v2.cand, count(*) AS i
+    FROM vs_batch v2
+    JOIN nsh a ON a.doc_id = v2.doc_id
+    JOIN nsh b ON b.doc_id = v2.cand AND a.s = b.s
+    GROUP BY v2.doc_id, v2.cand
+  ) iv
+  JOIN nsz sa ON sa.doc_id = iv.doc_id
+  JOIN nsz sb ON sb.doc_id = iv.cand
+  WHERE CAST(iv.i AS DOUBLE) / CAST(sa.sz + sb.sz - iv.i AS DOUBLE) >= 0.5
+),
+members AS (SELECT doc_id, rep_id FROM newg),
+new_rep_cands AS (
+  SELECT rep_id, cand FROM batch_verified
+  UNION ALL
+  SELECT DISTINCT rep_id, rep_id AS cand FROM members
+),
+new_min AS (
+  SELECT m.doc_id, min(c.cand) AS new_min
+  FROM members m JOIN new_rep_cands c USING (rep_id)
+  WHERE c.cand < m.doc_id
+  GROUP BY m.doc_id
+)
+SELECT m.doc_id, least(cv.corp_min, nm.new_min) AS dup_of
+FROM members m
+LEFT JOIN corp_verified cv ON cv.rep_id = m.rep_id
+LEFT JOIN new_min nm ON nm.doc_id = m.doc_id
+"""
+
+
+@register("dedup_incremental_portable", _INCREMENTAL_PORTABLE_ORACLE)
+def dedup_incremental_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup on the engine-portable md5
+    family — the production crawl-admission filter, hash-oracle-checked
+    end to end including the annotate contract (``dup_of`` = least of
+    the minimum matching corpus id and the minimum matching earlier
+    batch id, NULL = admit).  The corpus never self-joins on either
+    side of the comparison; DuckDB's NULL-skipping ``least`` matches
+    ``F.least`` exactly."""
+    from .operators.dedup import incremental_minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_minhash_dedup(
+        corpus, new, n_hashes=8, bands=4, threshold=0.5, hash_family="md5"
+    )
 
 
 @register("dedup_incremental")

@@ -82,6 +82,7 @@ PROBE = (
     "dedup_clusters_portable",
     "dedup_simhash_portable",
     "corpus_bpe_encode",
+    "dedup_incremental_portable",
 )
 
 KEYED = {
