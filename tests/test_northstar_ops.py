@@ -1831,6 +1831,26 @@ class TestPortableHashFamily:
         assert srows == drows
         assert any(r[1] is not None for r in srows), "fixture should contain dups"
 
+    def test_portable_simhash_pairs_equal_oracle(self, spark, docs, sf_dir):
+        """Banded hamming-ball pair set matches the DuckDB oracle at the
+        pytest scale (driver checks sf0.01)."""
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        srows = sorted(
+            tuple(r)
+            for r in QUERIES["dedup_simhash_pairs_portable"](spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["dedup_simhash_pairs_portable"]).fetchall())
+        assert srows == drows
+        assert srows, "fixture should contain at least one hamming-ball pair"
+
     def test_unknown_hash_family_raises(self, spark, docs):
         from textract_farmdata_pipeline_spark.operators.dedup import (
             minhash_signatures,
@@ -1928,3 +1948,52 @@ class TestBpeEncode:
         ):
             want = sum(len(ref_encode(w)) for w in t.split(" ") if w)
             assert got[i] == want, f"doc {i}: {got[i]} != {want}"
+
+
+class TestHashedClassifier:
+    """Learned-quality-gate inference: dyadic weights make the float
+    aggregate exact, so results are partitioning-independent."""
+
+    def test_partitioning_invariance(self, spark, docs):
+        """Same logits at 1 partition and 32 partitions — the dyadic
+        exactness claim, tested rather than asserted."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            hashed_classifier_score,
+        )
+
+        a = {
+            r["doc_id"]: r["logit"]
+            for r in hashed_classifier_score(docs.coalesce(1)).collect()
+        }
+        b = {
+            r["doc_id"]: r["logit"]
+            for r in hashed_classifier_score(docs.repartition(32)).collect()
+        }
+        assert a == b  # bitwise equality, not approx
+
+    def test_logit_range_and_gate(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            hashed_classifier_score,
+        )
+
+        rows = hashed_classifier_score(docs).collect()
+        assert len(rows) == docs.filter("text <> ''").count()
+        for r in rows:
+            assert -1.0 <= r["logit"] <= 1.0  # mean of weights in [-1, 1]
+            assert r["passes"] == (r["logit"] >= 0.0)
+
+    def test_single_token_doc_weight(self, spark):
+        """A one-token doc's logit IS that token's bucket weight —
+        cross-checked against the md5 formula in python."""
+        import hashlib
+
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            hashed_classifier_score,
+        )
+
+        df = spark.createDataFrame([(1, "spark")], ["doc_id", "text"])
+        got = hashed_classifier_score(df).collect()[0]
+        bucket = int(hashlib.md5(b"qc|spark").hexdigest()[:8], 16) % 256
+        w = (int(hashlib.md5(f"qw{bucket}".encode()).hexdigest()[:15], 16) % 2049 - 1024) / 1024.0
+        assert got["logit"] == w
+        assert got["n_tokens"] == 1

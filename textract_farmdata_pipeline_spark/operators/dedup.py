@@ -298,7 +298,10 @@ def minhash_lsh_pairs(
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 6, n_bands: int = 8
+    docs: DataFrame,
+    max_hamming: int = 6,
+    n_bands: int = 8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -311,7 +314,7 @@ def simhash_near_dup_pairs(
     assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
     bits_per = SIMHASH_BITS // n_bands
     mask = (1 << bits_per) - 1
-    sh = simhash(docs)
+    sh = simhash(docs, hash_family=hash_family)
     banded = sh.select(
         "doc_id",
         F.col("simhash"),

@@ -777,6 +777,63 @@ def bpe_train(
     return merges
 
 
+def hashed_classifier_score(
+    docs: DataFrame,
+    n_buckets: int = 256,
+    bias: float = 0.0,
+    weight_seed: str = "qw",
+    bucket_seed: str = "qc|",
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style hashed bag-of-words linear classifier INFERENCE —
+    the learned-quality-gate shape (CCNet / fineweb-edu): each token
+    hashes into one of ``n_buckets`` feature buckets, the document's
+    logit is ``bias + mean(bucket weights)``, and ``passes`` gates on
+    the logit (sigmoid is monotone, so thresholding the logit equals
+    thresholding the probability — and skipping exp() keeps the operator
+    engine-exact).
+
+    The "model" is the deterministic weight table
+    ``w(b) = (md5_long(weight_seed || b) % 2049 - 1024) / 1024`` —
+    dyadic rationals (multiples of 1/1024), so every partial sum is
+    EXACT in binary floating point and the aggregate is
+    association-order-independent: the same number on any executor
+    count, any engine, any reduction tree.  That is what lets a learned-
+    classifier inference be hash-oracle-checked at all; swapping in a
+    real trained weight table keeps the plan, only the literals change.
+
+    Plan shape: token explode → md5 bucket + weight (codegen) → one
+    map-side-combinable groupBy per doc.  At 100 TB each executor ships
+    one (sum, count) partial per document — the same scan-and-fold
+    scaling as every quality filter here.  Docs with no tokens produce
+    no row (nothing to classify).
+    """
+    from .corpus import md5_bucket
+
+    from .dedup import md5_long  # engine-portable 60-bit hash
+
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    bucket = md5_bucket(F.col("t"), n_buckets, seed=bucket_seed)
+    weight = (
+        (md5_long(bucket.cast("string"), weight_seed) % 2049 - 1024).cast("double")
+        / 1024.0
+    )
+    agg = tok.select(F.col(id_col), weight.alias("w")).groupBy(id_col).agg(
+        F.sum("w").alias("_s"), F.count("*").alias("n_tokens")
+    )
+    logit = F.lit(bias) + F.col("_s") / F.col("n_tokens").cast("double")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        logit.alias("logit"),
+        (logit >= F.lit(threshold)).alias("passes"),
+    )
+
+
 # bpe_encode wraps every symbol in distinct START/END markers
 # ("␞sym␟").  With full bracketing, adjacent merge-pattern occurrences
 # share no characters, so one leftmost non-overlapping LITERAL replace

@@ -1593,8 +1593,15 @@ def dedup_clusters_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_PORTABLE_ORACLE = """
-WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+
+
+# SimHash hamming-ball pairs on the portable family: the shared
+# fingerprint CTE feeds pigeonhole banding (8 chunks of 6 bits — any
+# pair within hamming 6 must agree on ≥1 chunk), equality-join on
+# (band, chunk), then one exact bit_count(xor) verification per
+# candidate — never an all-pairs XOR scan.
+_SIMHASH_FP_CTES = """
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 h AS (
   SELECT doc_id,
     CAST(('0x' || substr(md5('sh|' || token), 1, 15)) AS BIGINT)
@@ -1605,11 +1612,53 @@ bits AS (
   SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
   FROM h, UNNEST(range(48)) AS u(b)
   GROUP BY doc_id, b
+),
+fp AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
 )
-SELECT doc_id,
-  CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id
 """
+
+_SIMHASH_PAIRS_PORTABLE_ORACLE = (
+    "WITH "
+    + _SIMHASH_FP_CTES
+    + """,
+banded AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 6)) & 63 AS chunk
+  FROM fp, UNNEST(range(8)) AS u(band)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+    x.simhash AS ha, y.simhash AS hb
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 6
+"""
+)
+
+
+@register("dedup_simhash_pairs_portable", _SIMHASH_PAIRS_PORTABLE_ORACLE)
+def dedup_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-ball near-dup pairs on the md5 family — the
+    pigeonhole banding (8×6-bit chunks guarantee recall at hamming ≤ 6)
+    and the exact popcount verification are both integer-exact, so the
+    full pair set is hash-checked (the xxhash64 twin stays the fast
+    product path; its exactness vs brute-force hamming is pinned by
+    pytest)."""
+    from .operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=6, n_bands=8, hash_family="md5"
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+_SIMHASH_PORTABLE_ORACLE = (
+    "WITH " + _SIMHASH_FP_CTES + "SELECT doc_id, simhash FROM fp"
+)
 
 
 @register("dedup_simhash_portable", _SIMHASH_PORTABLE_ORACLE)
@@ -3076,6 +3125,46 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "merge_rank long, left string, right string, merged string, pair_count long",
     )
+
+
+# Hashed-classifier inference: the weight table regenerates from the
+# md5 formula in both engines (no literals to drift), and the dyadic
+# weights (multiples of 1/1024) make every float sum EXACT, so the
+# logit is bit-identical under any aggregation order.
+_QUALITY_CLASSIFIER_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+feat AS (
+  SELECT doc_id,
+    CAST((CAST(('0x' || substr(md5('qw' || CAST(
+        CAST(('0x' || substr(md5('qc|' || t), 1, 8)) AS BIGINT) % 256
+      AS VARCHAR)), 1, 15)) AS BIGINT) % 2049 - 1024) AS DOUBLE) / 1024.0 AS w
+  FROM tok
+),
+agg AS (
+  SELECT doc_id, SUM(w) AS s, COUNT(*) AS n_tokens FROM feat GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  s / CAST(n_tokens AS DOUBLE) AS logit,
+  s / CAST(n_tokens AS DOUBLE) >= 0.0 AS passes
+FROM agg
+"""
+
+
+@register("doc_quality_classifier", _QUALITY_CLASSIFIER_ORACLE)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-quality-gate inference (fastText/fineweb-edu shape):
+    hashed bag-of-words → bucket weights → mean logit → threshold gate.
+    The dyadic weight quantization makes the float aggregate exact and
+    order-independent, so classifier inference — normally "model state,
+    can't oracle" — is hash-checked end to end; a real trained weight
+    table swaps in without changing the plan."""
+    from .operators.text_analysis import hashed_classifier_score
+
+    return hashed_classifier_score(_t(spark, sf_dir, "documents"))
 
 
 # Frozen "pretrained" merge table for the encode query — rank order

@@ -83,6 +83,8 @@ PROBE = (
     "dedup_simhash_portable",
     "corpus_bpe_encode",
     "dedup_incremental_portable",
+    "dedup_simhash_pairs_portable",
+    "doc_quality_classifier",
 )
 
 KEYED = {
