@@ -64,6 +64,13 @@ HEADLINE = (
     "customer_supplier_pagerank",
     "embedding_near_dup_pairs_lsh",
     "corpus_build_full",
+    # r05 additions: the engine-portable near-dup clustering flagship
+    # (exact-collapse → md5-family LSH → connected components, the
+    # hash-oracle-checked product shape), frozen-tokenizer application,
+    # and learned-quality-gate inference.
+    "dedup_clusters_portable",
+    "corpus_bpe_encode",
+    "doc_quality_classifier",
 )
 
 

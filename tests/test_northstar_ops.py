@@ -1997,3 +1997,41 @@ class TestHashedClassifier:
         w = (int(hashlib.md5(f"qw{bucket}".encode()).hexdigest()[:15], 16) % 2049 - 1024) / 1024.0
         assert got["logit"] == w
         assert got["n_tokens"] == 1
+
+
+class TestBpePacking:
+    def test_pack_bpe_budget_and_coverage(self, spark, docs, sf_dir):
+        """Every doc packed exactly once; packs respect the BPE-token
+        budget unless a single document alone exceeds it."""
+        from textract_farmdata_pipeline_spark.registry import QUERIES
+
+        rows = QUERIES["doc_pack_bpe"](spark, sf_dir).collect()
+        assert len(rows) == docs.count()
+        packs = {}
+        for r in rows:
+            packs.setdefault((r["shard"], r["pack_id"]), []).append(r["n_tokens"])
+        for (shard, pid), sizes in packs.items():
+            if len(sizes) > 1:
+                assert sum(sizes) <= 256, f"pack {(shard, pid)} over budget: {sizes}"
+
+    def test_pack_unit_is_bpe_not_whitespace(self, spark):
+        """A doc whose BPE count differs from its word count must be
+        budgeted by the BPE count."""
+        from textract_farmdata_pipeline_spark.operators.packing import pack_greedy
+        from textract_farmdata_pipeline_spark.operators.text_analysis import bpe_encode
+
+        # "the" = 1 BPE token under (t,h)+(th,e) but 3 chars
+        df = spark.createDataFrame(
+            [(i, "the " * 10) for i in range(4)], ["doc_id", "text"]
+        )
+        counts = bpe_encode(df, [("t", "h"), ("th", "e")]).select(
+            "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+        )
+        out = pack_greedy(df, budget=25, n_shards=1, counts=counts).collect()
+        # each doc = 10 bpe tokens; budget 25 fits 2 docs per pack
+        by_pack = {}
+        for r in out:
+            assert r["n_tokens"] == 10
+            by_pack.setdefault(r["pack_id"], 0)
+            by_pack[r["pack_id"]] += 1
+        assert sorted(by_pack.values()) == [2, 2]

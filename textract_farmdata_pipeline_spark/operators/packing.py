@@ -111,6 +111,7 @@ def pack_greedy(
     n_shards: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """First-fit packing without splitting: ``doc_id, shard, pack_id,
     n_tokens``.  Documents are routed to ``n_shards`` deterministic
@@ -119,15 +120,21 @@ def pack_greedy(
     would exceed ``budget``.  A single over-budget document gets a pack
     of its own (it must land somewhere; callers can filter or truncate).
 
+    ``counts`` overrides the default whitespace token counter with a
+    precomputed ``(doc_id, n_tokens)`` frame — the hook that lets the
+    packing unit be REAL tokenizer tokens (compose with
+    :func:`..operators.text_analysis.bpe_encode`) instead of words;
+    training batches are budgeted in tokenizer tokens, not whitespace.
+
     The sequential fold state is one integer per shard, so the operator
     scales with shard count; at cluster scale set ``n_shards`` to a few
     × total cores.
     """
     import pandas as pd
 
-    toks = _token_counts(docs, id_col, text_col).withColumn(
-        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long")
-    )
+    toks = (
+        counts if counts is not None else _token_counts(docs, id_col, text_col)
+    ).withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("long"))
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)

@@ -3187,15 +3187,24 @@ _BPE_ENCODE_MERGES: list[tuple[str, str]] = [
 ]
 
 
+def _bpe_chain_sql() -> str:
+    """The bracket-encode + literal-replace chain over a column named
+    ``clean`` — shared by the encode oracle and the BPE-unit packing
+    oracle so the two can never drift."""
+    l, r = "\x1e", "\x1f"
+    s = f"regexp_replace(clean, '([^ ])', '{l}\\1{r}', 'g')"
+    for a, b in _BPE_ENCODE_MERGES:
+        s = f"replace({s}, '{l}{a}{r}{l}{b}{r}', '{l}{a}{b}{r}')"
+    return s
+
+
 def _bpe_encode_oracle() -> str:
     """DuckDB twin of operators.text_analysis.bpe_encode on the frozen
     merge table: same bracket-encode regex, same literal-replace chain
     (leftmost non-overlapping literal replacement is engine-identical),
     same count arithmetic."""
     l, r = "\x1e", "\x1f"
-    s = f"regexp_replace(clean, '([^ ])', '{l}\\1{r}', 'g')"
-    for a, b in _BPE_ENCODE_MERGES:
-        s = f"replace({s}, '{l}{a}{r}{l}{b}{r}', '{l}{a}{b}{r}')"
+    s = _bpe_chain_sql()
     return f"""
 WITH base AS (
   SELECT doc_id, replace(replace(text, '{l}', ''), '{r}', '') AS clean
@@ -3216,6 +3225,63 @@ SELECT doc_id, n_chars, n_bpe_tokens,
   END AS compression
 FROM counts
 """
+
+
+def _bpe_pack_oracle() -> str:
+    """Greedy first-fit packing where the budget unit is BPE TOKENS —
+    the composition of the encode chain (shared with the encode oracle)
+    and the recursive-CTE per-shard fold (shared shape with
+    ``doc_pack_greedy``)."""
+    l = "\x1e"
+    return f"""
+WITH RECURSIVE enc AS (
+  SELECT doc_id, {_bpe_chain_sql()} AS s
+  FROM (
+    SELECT doc_id, replace(replace(text, '{l}', ''), '\x1f', '') AS clean
+    FROM documents
+  )
+),
+toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+    CAST(length(s) - length(replace(s, '{l}', '')) AS BIGINT) AS n_tokens
+  FROM enc
+),
+ord AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM toks
+),
+fold AS (
+  SELECT shard, rn, doc_id, n_tokens,
+    CAST(0 AS BIGINT) AS pack_id, n_tokens AS used
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+    CASE WHEN f.used > 0 AND f.used + o.n_tokens > 256
+         THEN f.pack_id + 1 ELSE f.pack_id END,
+    CASE WHEN f.used > 0 AND f.used + o.n_tokens > 256
+         THEN o.n_tokens ELSE f.used + o.n_tokens END
+  FROM fold f JOIN ord o ON o.shard = f.shard AND o.rn = f.rn + 1
+)
+SELECT doc_id, shard, pack_id, n_tokens FROM fold
+"""
+
+
+@register("doc_pack_bpe", _bpe_pack_oracle())
+def doc_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware packing: first-fit no-split packing whose budget
+    unit is BPE tokens from the frozen merge table (batches are
+    budgeted in tokenizer tokens, not whitespace words — the unit that
+    actually bounds a training sequence).  Composes the shuffle-free
+    ``bpe_encode`` scan into ``pack_greedy``'s per-shard fold; the
+    oracle composes the same two SQL fragments, so the composition —
+    not just the parts — is hash-checked."""
+    from .operators.packing import pack_greedy
+    from .operators.text_analysis import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = bpe_encode(docs, _BPE_ENCODE_MERGES).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return pack_greedy(docs, budget=256, n_shards=8, counts=counts)
 
 
 @register("corpus_bpe_encode", _bpe_encode_oracle())
