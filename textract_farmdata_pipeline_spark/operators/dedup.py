@@ -144,10 +144,11 @@ def minhash_signatures(
     Default hash family: ``h_i(s) = xxhash64(i, xxhash64(s))`` — fully
     deterministic, no fitted model state, and pure JVM integer hashing
     (~50× cheaper than a crypto hash + base-16 string conversion).
-    ``hash_family="md5"`` switches to the engine-portable
-    :func:`md5_long` family ``h_i(s) = md5_long("mh{i}|" || s)`` whose
-    values DuckDB reproduces bit-for-bit — the variant the hash-checked
-    oracles run on (same plan shape, only the hash expression differs).
+    ``hash_family="md5"`` switches to the engine-portable family
+    ``h_i(s) = int(md5("mh{i//4}|" || s).hex[(i%4)*8 : (i%4)*8+8], 16)``
+    — four independent 32-bit hashes per digest — whose values DuckDB
+    reproduces bit-for-bit; the variant the hash-checked oracles run on
+    (same plan shape, only the hash expression differs).
 
     Physical shape: explode shingles → ``n_hashes`` MIN aggregates →
     pack into an array.  Everything stays inside whole-stage codegen
@@ -162,11 +163,28 @@ def minhash_signatures(
         "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("sh")
     )
     if hash_family == "md5":
-        # md5 must see the raw shingle string per hash index (no
-        # base-hash shortcut), which is exactly why this family is the
-        # oracle anchor and not the default
+        # One md5 digest yields FOUR independent 32-bit hashes (8-hex
+        # slices of the 32-hex digest): h_i(s) = slice i%4 of
+        # md5("mh{i//4}|" || s).  Crypto-hash cost drops 4× vs one
+        # digest per hash; 32-bit min values keep spurious-collision
+        # probability ~|union|²/2³² (negligible at any real shingle
+        # count), and DuckDB slices the identical digest hex.  Digests
+        # are projected ONCE per shingle so the per-index work inside
+        # the aggregates is a substring + conv.
+        n_groups = (n_hashes + 3) // 4
+        exploded = exploded.select(
+            "doc_id",
+            *[
+                F.md5(F.concat(F.lit(f"mh{g}|"), F.col("sh"))).alias(f"_d{g}")
+                for g in range(n_groups)
+            ],
+        )
         mins = [
-            F.min(md5_long(F.col("sh"), f"mh{i}|")).alias(f"_m{i}")
+            F.min(
+                F.conv(
+                    F.substring(F.col(f"_d{i // 4}"), (i % 4) * 8 + 1, 8), 16, 10
+                ).cast("long")
+            ).alias(f"_m{i}")
             for i in range(n_hashes)
         ]
     elif hash_family == "xxhash64":

@@ -1459,10 +1459,11 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Engine-portable minhash family: the shared CTE prefix computes
-# 3-gram shingles, the md5_long hash family (first 15 md5 hex digits as
-# BIGINT — exact in any signed-64 engine), per-doc minimums as the
-# signature, and string band keys, reproducing dedup.minhash_signatures
-# (hash_family="md5") + band_buckets(portable=True) bit-for-bit.
+# 3-gram shingles, the sliced-digest hash family (four 32-bit hashes
+# per md5 digest — 8-hex slices, exact in any signed-64 engine),
+# per-doc minimums as the signature, and string band keys, reproducing
+# dedup.minhash_signatures (hash_family="md5") +
+# band_buckets(portable=True) bit-for-bit.
 _MINHASH_PORTABLE_CTES = """
 toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
 sh AS (
@@ -1471,7 +1472,8 @@ sh AS (
 ),
 hv AS (
   SELECT doc_id, s, k,
-    CAST(('0x' || substr(md5('mh' || k || '|' || s), 1, 15)) AS BIGINT) AS h
+    CAST(('0x' || substr(md5('mh' || (k // 4) || '|' || s),
+                         (k % 4) * 8 + 1, 8)) AS BIGINT) AS h
   FROM sh, UNNEST(range(8)) AS u(k)
 ),
 sig AS (SELECT doc_id, k, min(h) AS m FROM hv GROUP BY doc_id, k),
@@ -4335,11 +4337,13 @@ csh AS (
   FROM ctoks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)
 ),
 nhv AS (
-  SELECT doc_id, k, min(CAST(('0x' || substr(md5('mh' || k || '|' || s), 1, 15)) AS BIGINT)) AS m
+  SELECT doc_id, k, min(CAST(('0x' || substr(md5('mh' || (k // 4) || '|' || s),
+                                             (k % 4) * 8 + 1, 8)) AS BIGINT)) AS m
   FROM nsh, UNNEST(range(8)) AS u(k) GROUP BY doc_id, k
 ),
 chv AS (
-  SELECT doc_id, k, min(CAST(('0x' || substr(md5('mh' || k || '|' || s), 1, 15)) AS BIGINT)) AS m
+  SELECT doc_id, k, min(CAST(('0x' || substr(md5('mh' || (k // 4) || '|' || s),
+                                             (k % 4) * 8 + 1, 8)) AS BIGINT)) AS m
   FROM csh, UNNEST(range(8)) AS u(k) GROUP BY doc_id, k
 ),
 nbanded AS (

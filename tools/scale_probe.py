@@ -85,6 +85,7 @@ PROBE = (
     "dedup_incremental_portable",
     "dedup_simhash_pairs_portable",
     "doc_quality_classifier",
+    "doc_pack_bpe",
 )
 
 KEYED = {
