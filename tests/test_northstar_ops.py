@@ -2035,3 +2035,65 @@ class TestBpePacking:
             by_pack.setdefault(r["pack_id"], 0)
             by_pack[r["pack_id"]] += 1
         assert sorted(by_pack.values()) == [2, 2]
+
+
+class TestKnBigramLm:
+    def test_hand_computed_kn(self, spark):
+        """'a b a b a c' → KN values verified against the formula by
+        hand: c(a,b)=2, c(a,c)=1, c(b,a)=2, c1(a)=3, N1+(a,.)=2,
+        N1+(.,b)=1, N1+(.,a)=1, N1+(.,c)=1, types=3."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            kn_bigram_lm,
+        )
+
+        df = spark.createDataFrame([(1, "a b a b a c")], ["doc_id", "text"])
+        got = {(r["w1"], r["w2"]): r for r in kn_bigram_lm(df).collect()}
+        assert got[("a", "b")]["pair_count"] == 2
+        # P(b|a) = (2-.75)/3 + (.75*2/3)*(1/3)
+        assert abs(got[("a", "b")]["p_kn"] - ((2 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3))) < 1e-15
+        # P(c|a) = (1-.75)/3 + (.75*2/3)*(1/3)
+        assert abs(got[("a", "c")]["p_kn"] - ((1 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3))) < 1e-15
+        # P(a|b) = (2-.75)/2 + (.75*1/2)*(1/3)
+        assert abs(got[("b", "a")]["p_kn"] - ((2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 3))) < 1e-15
+
+    def test_probabilities_valid(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            kn_bigram_lm,
+        )
+
+        rows = kn_bigram_lm(docs, top=200).collect()
+        assert len(rows) == 200
+        for r in rows:
+            assert 0.0 < r["p_kn"] <= 1.0
+
+    def test_seen_mass_at_most_one(self, spark):
+        """Sum of P(.|w1) over SEEN continuations stays < 1 (the
+        discounted mass funds unseen words via the backoff term)."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            kn_bigram_lm,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x y x z x y z y x")], ["doc_id", "text"]
+        )
+        rows = kn_bigram_lm(df, top=100).collect()
+        by_w1 = {}
+        for r in rows:
+            by_w1.setdefault(r["w1"], 0.0)
+            by_w1[r["w1"]] += r["p_kn"]
+        for w1, mass in by_w1.items():
+            assert mass <= 1.0 + 1e-12, f"{w1}: {mass}"
+
+
+class TestDedupReport:
+    def test_report_invariants(self, spark, docs, sf_dir):
+        from textract_farmdata_pipeline_spark.registry import QUERIES
+
+        r = QUERIES["corpus_dedup_report"](spark, sf_dir).collect()[0]
+        n = docs.count()
+        assert r["total_docs"] == n
+        assert r["distinct_texts"] + r["exact_dup_docs"] == n
+        assert 0 <= r["dup_groups"] <= r["distinct_texts"]
+        assert r["cross_source_dup_groups"] <= r["dup_groups"]
+        assert r["largest_group"] >= 1
+        assert abs(r["dup_rate"] - r["exact_dup_docs"] / n) < 1e-15

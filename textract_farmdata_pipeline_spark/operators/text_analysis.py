@@ -777,6 +777,70 @@ def bpe_train(
     return merges
 
 
+def kn_bigram_lm(
+    docs: DataFrame,
+    discount: float = 0.75,
+    top: int = 500,
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model estimation (Kneser
+    & Ney 1995; Chen & Goodman 1999 eq. 4.25) — the KenLM-style model a
+    quality-filtering pipeline trains on its own corpus:
+
+    ``P_kn(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                    + (D · N1+(w1,·)/c(w1)) · N1+(·,w2)/N1+(··)``
+
+    Scale shape: the corpus is touched once (adjacent-pair explode →
+    one ``(w1, w2)`` count groupBy with map-side combine); every other
+    statistic — context totals ``c(w1)``, continuation fan-outs
+    ``N1+(w1,·)`` / ``N1+(·,w2)``, and the scalar bigram-type total —
+    derives from that vocabulary²-bounded count table, never from the
+    corpus again.  Two shuffles total at any corpus size.
+
+    Every aggregate is an integer count, and the smoothing arithmetic
+    is a fixed per-row expression tree over those integers (the 0.75
+    discount is binary-exact), so ``p_kn`` is bit-identical in any
+    IEEE engine — a trained LM whose estimation is hash-oracle-checked.
+    Returns the ``top`` bigrams by count (ties broken on words):
+    ``(w1, w2, pair_count, p_kn)``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    pairs = (
+        docs.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    ctx = pairs.groupBy("w1").agg(
+        F.sum("pair_count").alias("c1"), F.count("*").alias("n1_fwd")
+    )
+    cont = pairs.groupBy("w2").agg(F.count("*").alias("n1_bwd"))
+    total = pairs.agg(F.count("*").alias("n_types"))
+    d = F.lit(discount)
+    p_kn = (
+        F.greatest(F.col("pair_count") - d, F.lit(0.0)) / F.col("c1")
+        + (d * F.col("n1_fwd") / F.col("c1"))
+        * (F.col("n1_bwd") / F.col("n_types"))
+    )
+    return (
+        pairs.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "pair_count", p_kn.alias("p_kn"))
+        .orderBy(F.desc("pair_count"), F.asc("w1"), F.asc("w2"))
+        .limit(top)
+    )
+
+
 def hashed_classifier_score(
     docs: DataFrame,
     n_buckets: int = 256,

@@ -1530,6 +1530,52 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_REPORT_ORACLE = """
+WITH h AS (
+  SELECT md5(text) AS k, COUNT(*) AS n, COUNT(DISTINCT source) AS n_sources
+  FROM documents GROUP BY md5(text)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS distinct_texts,
+  CAST(SUM(n) AS BIGINT) AS total_docs,
+  CAST(SUM(n) - COUNT(*) AS BIGINT) AS exact_dup_docs,
+  CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+  CAST(MAX(n) AS BIGINT) AS largest_group,
+  CAST(SUM(CASE WHEN n > 1 AND n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS cross_source_dup_groups,
+  CAST(SUM(n) - COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS dup_rate
+FROM h
+"""
+
+
+@register("corpus_dedup_report", _DEDUP_REPORT_ORACLE)
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus duplication dashboard — the number an operator
+    watches per crawl: distinct texts, exact-dup volume and rate,
+    duplicate group count and largest group, and how many dup groups
+    span sources (cross-source boilerplate, the usual near-dup seed).
+    One md5 groupBy then a single global fold: two map-side-combinable
+    shuffles at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.groupBy(F.md5("text").alias("k")).agg(
+        F.count("*").alias("n"), F.count_distinct("source").alias("n_sources")
+    )
+    total = F.sum("n")
+    distinct = F.count("*")
+    return h.agg(
+        distinct.alias("distinct_texts"),
+        total.alias("total_docs"),
+        (total - distinct).alias("exact_dup_docs"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("dup_groups"),
+        F.max("n").alias("largest_group"),
+        F.sum(
+            F.when((F.col("n") > 1) & (F.col("n_sources") > 1), 1).otherwise(0)
+        ).alias("cross_source_dup_groups"),
+        (
+            (total - distinct).cast("double") / total.cast("double")
+        ).alias("dup_rate"),
+    )
+
+
 # Unrolled min-label propagation: label_k(v) = min label within v's
 # k-hop neighborhood, so K rounds reach the fixpoint whenever every
 # component's diameter ≤ K.  Near-dup components are clique-ish
@@ -3127,6 +3173,45 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "merge_rank long, left string, right string, merged string, pair_count long",
     )
+
+
+# Kneser-Ney estimation: all aggregates are integer counts and the
+# smoothing expression is written with IDENTICAL parenthesization on
+# both sides, so each per-row IEEE operation rounds the same way — no
+# aggregation-order float risk anywhere.
+_KN_BIGRAM_ORACLE = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+bp AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+  WHERE t[i] <> '' AND t[i + 1] <> ''
+),
+pairs AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bp GROUP BY w1, w2),
+ctx AS (
+  SELECT w1, SUM(pair_count) AS c1, COUNT(*) AS n1_fwd FROM pairs GROUP BY w1
+),
+cont AS (SELECT w2, COUNT(*) AS n1_bwd FROM pairs GROUP BY w2),
+total AS (SELECT COUNT(*) AS n_types FROM pairs)
+SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+  greatest(pair_count - 0.75, 0.0) / c1
+    + ((0.75 * n1_fwd) / c1) * (CAST(n1_bwd AS DOUBLE) / n_types) AS p_kn
+FROM pairs JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN total
+ORDER BY pair_count DESC, w1 ASC, w2 ASC
+LIMIT 500
+"""
+
+
+@register("corpus_kn_bigram_lm", _KN_BIGRAM_ORACLE)
+def corpus_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM estimation over the corpus —
+    the KenLM-style counting core in two shuffles: one corpus-touching
+    (w1, w2) count, then vocabulary-bounded context/continuation
+    statistics and the exact smoothing formula.  Integer counts + a
+    fixed per-row IEEE expression make the trained model hash-checked,
+    not approximated."""
+    from .operators.text_analysis import kn_bigram_lm
+
+    return kn_bigram_lm(_t(spark, sf_dir, "documents"), discount=0.75, top=500)
 
 
 # Hashed-classifier inference: the weight table regenerates from the

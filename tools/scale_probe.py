@@ -86,6 +86,8 @@ PROBE = (
     "dedup_simhash_pairs_portable",
     "doc_quality_classifier",
     "doc_pack_bpe",
+    "corpus_kn_bigram_lm",
+    "corpus_dedup_report",
 )
 
 KEYED = {
