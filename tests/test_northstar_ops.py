@@ -2097,3 +2097,170 @@ class TestDedupReport:
         assert r["cross_source_dup_groups"] <= r["dup_groups"]
         assert r["largest_group"] >= 1
         assert abs(r["dup_rate"] - r["exact_dup_docs"] / n) < 1e-15
+
+
+class TestPortableHll:
+    def test_accuracy_within_bound(self, spark):
+        """Raw HLL estimate on 5000 distinct keys (well past the
+        2.5m small-range zone for m=64) lands within 3·(1.04/sqrt(m))
+        ≈ 39% of truth — generous, but this pins 'is an estimator',
+        while the oracle pins exactness of every emitted value."""
+        from textract_farmdata_pipeline_spark.operators.approx import hll_distinct
+
+        n = 5000
+        df = spark.range(n).select(F.col("id").alias("k"))
+        est = hll_distinct(df, "k", m=64).collect()[0]["hll_estimate"]
+        assert abs(est - n) / n < 3 * (1.04 / 64**0.5)
+
+    def test_merge_equals_rebuild(self, spark):
+        """Register tables from two halves, unioned then max-folded,
+        equal the single-pass registers — the mergeability that lets
+        each executor sketch its partition independently at 100 TB."""
+        from textract_farmdata_pipeline_spark.operators.approx import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        df = spark.range(2000).select(F.col("id").alias("k"))
+        a = hll_registers(df.filter(F.col("k") < 1200), "k")
+        b = hll_registers(df.filter(F.col("k") >= 800), "k")  # overlap on purpose
+        merged = (
+            a.unionByName(b)
+            .groupBy("register")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+        one = hll_estimate(hll_registers(df, "k")).collect()[0]
+        two = hll_estimate(merged).collect()[0]
+        assert one == two
+
+    def test_group_columns_independent(self, spark):
+        from textract_farmdata_pipeline_spark.operators.approx import hll_distinct
+
+        df = spark.range(600).select(
+            (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("k")
+        )
+        rows = {r["g"]: r for r in hll_distinct(df, "k", ["g"]).collect()}
+        assert set(rows) == {"0", "1"}
+        # disjoint key sets (evens vs odds) -> different register tables
+        assert rows["0"]["hll_estimate"] != rows["1"]["hll_estimate"]
+
+
+class TestPortableBloom:
+    def test_no_false_negatives_and_bounded_fp(self, spark):
+        """Every inserted key probes positive (the Bloom guarantee);
+        false-positive rate over non-members stays under ~3x the
+        theoretical (1-e^(-kn/m))^k for n=300, m=4096, k=4 (≈ 0.9%)."""
+        import math
+
+        from textract_farmdata_pipeline_spark.operators.approx import (
+            bloom_build,
+            bloom_probe,
+        )
+
+        members = spark.range(300).select(F.col("id").alias("key"))
+        others = spark.range(300, 2300).select(F.col("id").alias("key"))
+        bf = bloom_build(members, "key", m_bits=4096, k=4)
+        m_rows = bloom_probe(members, bf, "key", m_bits=4096, k=4).collect()
+        assert all(r["bloom_member"] for r in m_rows)
+        o_rows = bloom_probe(others, bf, "key", m_bits=4096, k=4).collect()
+        fp = sum(1 for r in o_rows if r["bloom_member"]) / len(o_rows)
+        theo = (1 - math.exp(-4 * 300 / 4096)) ** 4
+        assert fp <= 3 * theo + 0.01, (fp, theo)
+
+    def test_filter_is_fixed_size(self, spark):
+        from textract_farmdata_pipeline_spark.operators.approx import bloom_build
+
+        big = spark.range(50_000).select(F.col("id").alias("key"))
+        words = bloom_build(big, "key", m_bits=1024, k=4).collect()
+        assert len(words) <= 1024 // 32
+
+
+class TestRrfFusion:
+    def test_hand_computed_fusion(self, spark):
+        from textract_farmdata_pipeline_spark.operators.similarity import rrf_fuse
+
+        a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+        b = spark.createDataFrame([(2, 1), (3, 2)], ["doc_id", "rank"])
+        got = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60, top=10).collect()}
+        assert got[2]["rrf_score"] == 1.0 / 62 + 1.0 / 61  # both lists
+        assert got[1]["rrf_score"] == 1.0 / 61  # list a only
+        assert got[3]["rrf_score"] == 1.0 / 62  # list b only
+        assert got[1]["rank_1"] is None and got[3]["rank_0"] is None
+
+    def test_consensus_doc_wins(self, spark):
+        """A doc ranked mid-list by BOTH rankers outscores a doc that
+        tops one list and misses the other once ranks pass k-ish —
+        the consensus property RRF exists for."""
+        from textract_farmdata_pipeline_spark.operators.similarity import rrf_fuse
+
+        a = spark.createDataFrame([(9, 1), (5, 30)], ["doc_id", "rank"])
+        b = spark.createDataFrame([(5, 30), (7, 1)], ["doc_id", "rank"])
+        top = rrf_fuse([a, b], k=60, top=1).collect()[0]
+        assert top["doc_id"] == 5  # 2/90 > 1/61
+
+
+class TestKnDocScore:
+    def test_hand_computed_self_scored(self, spark):
+        """One-doc corpus 'a b a b a c': every bigram is in-model, so
+        kn_num/kn_den must equal the c1-weighted mean of the exact
+        hand-computed KN probabilities."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            kn_doc_score,
+        )
+
+        df = spark.createDataFrame([(1, "a b a b a c")], ["doc_id", "text"])
+        r = kn_doc_score(df).collect()[0]
+        assert r["n_bigrams"] == 5 and r["n_oov"] == 0
+        # probabilities: p(b|a) twice, p(a|b) twice, p(c|a) once; all
+        # contexts here have c1 = 3 (a) or 2 (b); N = 3 types
+        p_ab = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3)
+        p_ba = (2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 3)
+        p_ac = (1 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3)
+        num = 2 * (4 * 3 * 3) * p_ab + 2 * (4 * 3 * 2) * p_ba + (4 * 3 * 3) * p_ac
+        den = 2 * (4 * 3 * 3) + 2 * (4 * 3 * 2) + (4 * 3 * 3)
+        assert abs(r["kn_score"] - num / den) < 1e-12
+        assert r["kn_den"] == den
+
+    def test_oov_and_backoff_paths(self, spark):
+        """Score a doc against a model trained on OTHER text: novel
+        contexts count as OOV; a seen-context/unseen-pair bigram gets
+        only the backoff mass (positive, below any seen pair's p)."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            kn_doc_score,
+        )
+
+        train = spark.createDataFrame([(1, "a b a c")], ["doc_id", "text"])
+        score = spark.createDataFrame(
+            [(2, "a b"), (3, "a a"), (4, "q z")], ["doc_id", "text"]
+        )
+        rows = {r["doc_id"]: r for r in kn_doc_score(score, train=train).collect()}
+        assert rows[2]["n_oov"] == 0  # seen pair
+        assert rows[3]["n_oov"] == 0  # seen context 'a', unseen pair 'a a'
+        assert rows[4]["n_oov"] == 1 and rows[4]["kn_score"] is None  # OOV ctx
+        assert 0 < rows[3]["kn_score"] < rows[2]["kn_score"] <= 1.0
+
+    def test_en_trained_separates_languages(self, spark, docs, sf_dir):
+        """The registered query's CCNet signal: averaged over the
+        fixture, 'en' docs score higher under the en-trained LM than
+        'zh' docs (disjoint scripts → mostly backoff/OOV)."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            kn_doc_score,
+        )
+
+        scored = kn_doc_score(docs, train=docs.filter(F.col("lang") == "en"))
+        by_lang = {
+            r["lang"]: r
+            for r in scored.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.avg("kn_score").alias("avg_score"),
+                F.avg(F.col("n_oov") / F.col("n_bigrams")).alias("oov_frac"),
+            )
+            .collect()
+        }
+        for lang, r in by_lang.items():
+            if lang != "en":
+                assert by_lang["en"]["avg_score"] > r["avg_score"], lang
+                # the synthetic fixture shares one token vocabulary
+                # across langs, so OOV can only tie, never invert
+                assert by_lang["en"]["oov_frac"] <= r["oov_frac"], lang

@@ -9,6 +9,8 @@ is a map-only stage (no shuffle of the corpus).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -1288,4 +1290,58 @@ def semantic_dedup(
                 "dup_of"
             ),
         )
+    )
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    independently-ranked candidate lists — the standard hybrid-search
+    combiner for lexical (BM25) + semantic (embedding ANN) retrieval:
+
+    ``rrf(d) = Σ_lists 1 / (k + rank_list(d))``, absent-from-list = 0.
+
+    Engine-portability: each term is ONE IEEE division of exact
+    integers and the terms add in the FIXED order of ``ranked`` as an
+    explicit expression chain (the ``bm25_topk`` trick — never a float
+    SUM aggregate whose combine order floats), so the fused score is
+    bit-identical in any engine and the query is hash-oracle-checkable.
+
+    Scale shape: candidate lists are top-k results — tiny by
+    construction — so the N-way full-outer join is a few broadcast
+    hash joins over ≤ N·k rows no matter how large the corpus the
+    rankers scanned.  All the heavy lifting stays in the upstream
+    rankers, which is the point of fusing ranks instead of raw scores
+    (no cross-ranker score calibration, no rescanning).
+    """
+    from functools import reduce
+
+    renamed = [
+        df.select(
+            F.col(id_col), F.col(rank_col).alias(f"rank_{i}")
+        )
+        for i, df in enumerate(ranked)
+    ]
+    joined = reduce(lambda a, b: a.join(b, id_col, "full_outer"), renamed)
+    terms = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"rank_{i}")).cast("double"),
+            F.lit(0.0),
+        )
+        for i in range(len(renamed))
+    ]
+    score = reduce(lambda a, c: a + c, terms)
+    return (
+        joined.select(
+            id_col,
+            *[f"rank_{i}" for i in range(len(renamed))],
+            score.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(top)
     )

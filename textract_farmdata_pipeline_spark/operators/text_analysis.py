@@ -1030,3 +1030,100 @@ def tfidf_vectors(
             F.array_repeat(F.lit(0.0), dim),
         ).alias("embedding"),
     )
+
+
+def kn_doc_score(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document with a trained Kneser-Ney bigram LM — the
+    inference half of :func:`kn_bigram_lm`, closing the CCNet-style
+    loop (Wenzek et al. 2020): train an n-gram LM on a trusted slice,
+    score the whole corpus with it, keep the well-modeled tail.
+
+    The model is the full KN statistic table estimated from ``train``
+    (defaults to ``docs`` — self-scoring, like quality-profiling a
+    crawl against itself).  Each bigram occurrence in a scored document
+    gets the interpolated-KN probability with discount D = 3/4:
+
+    * pair seen in training:   ``p = (c-D)/c1 + (D·n1f/c1)·(n1b/N)``
+    * pair unseen, context w1 seen: the backoff mass only,
+      ``p = (D·n1f/c1)·(n1b/N)`` (``n1b = 0`` if w2 is also novel)
+    * context unseen (OOV): not scorable — counted in ``n_oov``.
+
+    Engine-portability is the whole design: with D = 3/4, scaling each
+    probability by its denominator ``4·N·c1`` makes both numerator
+    ``N·(4c-3) + 3·n1f·n1b`` and denominator INTEGERS, so the document
+    score is a ratio of two exact BIGINT sums with ONE final IEEE
+    division (the ``lm_support_score`` trick) — bit-identical in any
+    engine, unlike a float log-prob sum whose combine order floats.
+    ``kn_score`` is therefore the *context-frequency-weighted* mean of
+    the per-bigram KN probabilities (weight 4·N·c1 — frequent contexts
+    count more), monotone in model support exactly like an LM
+    perplexity filter; swap the sums for ``Σ -log p`` only if a single
+    blessed engine computes it.  (At extreme corpus sizes where
+    ``4·N·Σc1`` nears 2^63, move both sums to DECIMAL(38,0).)
+
+    Shape: the training corpus is touched once (the ``kn_bigram_lm``
+    count tables, vocabulary²-bounded); the scored corpus is touched
+    once (bigram explode) and joins the count tables on word keys —
+    word-count-shaped shuffles, no window, no Python, no collect.
+    """
+    if train is None:
+        train = docs
+
+    def bigrams(d: DataFrame, *extra: str) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        return (
+            d.select(
+                *extra,
+                F.explode(
+                    F.zip_with(
+                        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    )
+                ).alias("p"),
+            )
+            .select(*extra, "p.w1", "p.w2")
+            .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        )
+
+    pairs = bigrams(train).groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    ctx = pairs.groupBy("w1").agg(
+        F.sum("pair_count").alias("c1"), F.count("*").alias("n1_fwd")
+    )
+    cont = pairs.groupBy("w2").agg(F.count("*").alias("n1_bwd"))
+    total = pairs.agg(F.count("*").alias("n_types"))
+
+    scored = (
+        bigrams(docs, id_col)
+        .join(pairs, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    backoff = F.lit(3) * F.col("n1_fwd") * F.coalesce(F.col("n1_bwd"), F.lit(0))
+    num = F.when(F.col("c1").isNull(), F.lit(None).cast("long")).otherwise(
+        F.when(
+            F.col("pair_count").isNotNull(),
+            F.col("n_types") * (F.lit(4) * F.col("pair_count") - F.lit(3)) + backoff,
+        ).otherwise(backoff)
+    )
+    den = F.when(F.col("c1").isNull(), F.lit(None).cast("long")).otherwise(
+        F.lit(4) * F.col("n_types") * F.col("c1")
+    )
+    return scored.select(id_col, num.alias("_num"), den.alias("_den")).groupBy(
+        id_col
+    ).agg(
+        F.count("*").alias("n_bigrams"),
+        F.count("_num").alias("n_scored"),
+        (F.count("*") - F.count("_num")).alias("n_oov"),
+        F.sum("_num").alias("kn_num"),
+        F.sum("_den").alias("kn_den"),
+        (
+            F.sum("_num").cast("double") / F.sum("_den").cast("double")
+        ).alias("kn_score"),
+    )

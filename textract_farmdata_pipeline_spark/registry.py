@@ -5931,3 +5931,306 @@ def customer_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.round("rank", 6).alias("rank")
     )
     return ranks.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 batch: engine-portable approximate structures (HLL, Bloom),
+# hybrid lexical+semantic retrieval, and KN-LM corpus quality scoring.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64
+
+_HLL_ORACLE = f"""
+WITH regs AS (
+  SELECT event_type,
+    CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % {_HLL_M} AS register,
+    CASE WHEN CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT) = 0
+         THEN 33
+         ELSE 33 - length(bin(CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT)))
+    END AS rho
+  FROM events),
+mx AS (SELECT event_type, register, MAX(rho) AS max_rho
+       FROM regs GROUP BY event_type, register),
+est AS (
+  SELECT event_type,
+    COUNT(*) AS n_used_registers,
+    {_HLL_M} - COUNT(*) AS n_zero_registers,
+    0.709::DOUBLE * {float(_HLL_M * _HLL_M)!r}::DOUBLE
+      / (SUM(power(2.0, -max_rho)) + CAST({_HLL_M} - COUNT(*) AS DOUBLE))
+      AS hll_estimate
+  FROM mx GROUP BY event_type),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       FROM events GROUP BY event_type)
+SELECT event_type, n_exact, n_used_registers, n_zero_registers, hll_estimate
+FROM est JOIN ex USING (event_type)
+"""
+
+
+@register("events_hll_portable", _HLL_ORACLE)
+def events_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct-user estimate per event
+    type, next to the exact answer it approximates.  Unlike Spark's
+    ``approx_count_distinct`` (HLL++ with engine-internal registers —
+    the reason ``events_sketch_profile`` is honestly rows-only), this
+    sketch's md5 register/rho split is recomputable in DuckDB, so the
+    register table AND the raw estimate are hash-checked exactly; the
+    accuracy bound (≈ 1.04/sqrt(m)) is pinned in pytest.  Sketch state
+    is m=64 rows per group at any event volume — map-side combine
+    collapses everything before the shuffle."""
+    from .operators.approx import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", ["event_type"], m=_HLL_M)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_exact", "n_used_registers", "n_zero_registers",
+        "hll_estimate",
+    )
+
+
+_BLOOM_M, _BLOOM_K = 4096, 4
+
+_BLOOM_ORACLE = f"""
+WITH keys AS (SELECT DISTINCT c_custkey AS key
+              FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+pos AS (
+  SELECT CAST('0x' || substr(md5('bloom|' || i || '|' || CAST(key AS VARCHAR)), 1, 8) AS BIGINT)
+           % {_BLOOM_M} AS pos
+  FROM keys, UNNEST([0, 1, 2, 3]) AS t(i)),
+words AS (SELECT pos // 32 AS word_id,
+                 bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+          FROM pos GROUP BY word_id),
+cand AS (SELECT DISTINCT o_custkey AS key FROM orders),
+probes AS (
+  SELECT key,
+    CAST('0x' || substr(md5('bloom|' || i || '|' || CAST(key AS VARCHAR)), 1, 8) AS BIGINT)
+      % {_BLOOM_M} AS pos
+  FROM cand, UNNEST([0, 1, 2, 3]) AS t(i)),
+hits AS (
+  SELECT p.key,
+    CASE WHEN (COALESCE(w.bits, 0) & (1::BIGINT << CAST(p.pos % 32 AS INT))) <> 0
+         THEN 1 ELSE 0 END AS hit
+  FROM probes p LEFT JOIN words w ON p.pos // 32 = w.word_id),
+member AS (SELECT key, SUM(hit) = COUNT(*) AS bloom_member
+           FROM hits GROUP BY key),
+truth AS (SELECT key, TRUE AS true_member FROM keys)
+SELECT COUNT(*) AS n_probed,
+  CAST(SUM(CASE WHEN true_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
+  CAST(SUM(CASE WHEN bloom_member THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_positives,
+  CAST(SUM(CASE WHEN true_member THEN 1 ELSE 0 END
+               * CASE WHEN bloom_member THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_false_negatives,
+  CAST(SUM(CASE WHEN true_member IS NULL AND bloom_member THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_positives,
+  CAST(SUM(CASE WHEN true_member IS NULL AND bloom_member THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+    / CAST(COUNT(*) - SUM(CASE WHEN true_member THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+    AS fp_rate
+FROM member LEFT JOIN truth USING (key)
+"""
+
+
+@register("orders_bloom_prune", _BLOOM_ORACLE)
+def orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast Bloom-join pruning, measured: build a 4096-bit/4-hash
+    Bloom filter over one segment's customer keys (the filter packs to
+    ≤128 words — map-side combine collapses the build to filter size),
+    probe every ordering customer, and report the confusion summary
+    including the false-positive rate the filter would pass through to
+    the real join.  Zero false negatives is the Bloom guarantee (a
+    hash-checked column here, property-tested in pytest); at 100 TB
+    the word table broadcasts and the probe side never shuffles —
+    exactly Spark's runtime-row-group-filter shape, but engine-portable
+    (md5 positions, 32 bits per word) so every bit is oracle-checked."""
+    from .operators.approx import bloom_build, bloom_probe
+
+    cust = _t(spark, sf_dir, "customer")
+    keys = (
+        cust.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    bloom = bloom_build(keys, "key", m_bits=_BLOOM_M, k=_BLOOM_K)
+    cand = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    probed = bloom_probe(cand, bloom, "key", m_bits=_BLOOM_M, k=_BLOOM_K)
+    truth = keys.withColumn("true_member", F.lit(True))
+    fp = F.sum(
+        F.when(F.col("true_member").isNull() & F.col("bloom_member"), 1).otherwise(0)
+    )
+    n_true = F.sum(F.when(F.col("true_member"), 1).otherwise(0))
+    return probed.join(truth, "key", "left").agg(
+        F.count("*").alias("n_probed"),
+        n_true.cast("long").alias("n_true_members"),
+        F.sum(F.when(F.col("bloom_member"), 1).otherwise(0)).cast("long").alias(
+            "n_bloom_positives"
+        ),
+        F.sum(
+            F.when(F.col("true_member") & ~F.col("bloom_member"), 1).otherwise(0)
+        ).cast("long").alias("n_false_negatives"),
+        fp.cast("long").alias("n_false_positives"),
+        (
+            fp.cast("long").cast("double")
+            / (F.count("*") - n_true.cast("long")).cast("double")
+        ).alias("fp_rate"),
+    )
+
+
+_RRF_K, _RRF_DEPTH, _RRF_TOP = 60, 50, 20
+
+
+def _hybrid_rrf_oracle() -> str:
+    """Oracle twin of ``doc_hybrid_rrf``: the BM25 CTE chain from
+    ``_bm25_oracle`` (rational IDF, fixed-order component sum) ranked
+    by ROW_NUMBER, the cosine CTE from ``_TOPK_ORACLE`` (4dp-rounded
+    scores) for query vector 0, then reciprocal-rank fusion with each
+    1/(k+rank) term an exact-integer IEEE division added in fixed
+    order."""
+    terms = _BM25_TERMS
+    k1, b = _BM25_K1, _BM25_B
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ",\n    ".join(
+        f"COALESCE(MAX(CASE WHEN tok = '{t}' THEN tf END), 0) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ", ".join(
+        f"MAX(CASE WHEN tok = '{t}' THEN df END) AS df_{t}" for t in terms
+    )
+    comps = [
+        f"(n - df_{t} + 0.5::DOUBLE) / (df_{t} + 0.5::DOUBLE)"
+        f" * (tf_{t} * {k1 + 1.0!r}::DOUBLE)"
+        f" / (tf_{t} + {k1!r}::DOUBLE * ({1.0 - b!r}::DOUBLE"
+        f" + {b!r}::DOUBLE * (dl / avgdl)))"
+        for t in terms
+    ]
+    score = "\n    + ".join(comps)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n FROM dl),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+       WHERE tok IN ({in_list}) GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+wide AS (SELECT doc_id,
+    {tf_cols}
+  FROM tf GROUP BY doc_id),
+scal AS (SELECT {df_cols} FROM dfreq),
+bm AS (
+  SELECT w.doc_id,
+    {score} AS bm25
+  FROM wide w JOIN dl USING (doc_id), stats, scal),
+lex AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+    AS rank_lex
+  FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_RRF_DEPTH}),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id AS doc_id,
+    round(list_dot_product(q.e, c.e)
+          / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 4)
+      AS cosine
+  FROM v c, q WHERE c.vec_id <> q.vec_id),
+sem AS (
+  SELECT doc_id, CAST(rank AS BIGINT) AS rank_sem FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+    FROM scored) r
+  WHERE rank <= {_RRF_DEPTH})
+SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, rank_lex, rank_sem,
+  COALESCE(1.0::DOUBLE / CAST({_RRF_K} + rank_lex AS DOUBLE), 0.0::DOUBLE)
+    + COALESCE(1.0::DOUBLE / CAST({_RRF_K} + rank_sem AS DOUBLE), 0.0::DOUBLE)
+    AS rrf_score
+FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+ORDER BY rrf_score DESC, COALESCE(l.doc_id, s.doc_id) ASC
+LIMIT {_RRF_TOP}
+"""
+
+
+@register("doc_hybrid_rrf", _hybrid_rrf_oracle())
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 (query 'hash scan merge')
+    and embedding-cosine semantic top-50 (query vector 0, doc_id ==
+    vec_id), fused by reciprocal-rank fusion (k=60) into one top-20 —
+    the standard two-tower search stack as one declarative plan.  Both
+    rankers keep their heavy work corpus-side (BM25 never scores docs
+    without a query term; the cosine scan broadcasts the single query
+    vector); the fusion join touches ≤ 2·50 rows.  Fully hash-checked:
+    ranks are integers, and the RRF score adds two exact-integer IEEE
+    divisions in fixed order (see ``rrf_fuse``)."""
+    from .operators.similarity import cosine_topk, rrf_fuse
+    from .operators.text_analysis import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_topk(
+        docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B, k=_RRF_DEPTH
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("rank"),
+    )
+    sem = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=_RRF_DEPTH).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("long").alias("rank")
+    )
+    return (
+        rrf_fuse([lex, sem], id_col="doc_id", k=_RRF_K, top=_RRF_TOP)
+        .withColumnRenamed("rank_0", "rank_lex")
+        .withColumnRenamed("rank_1", "rank_sem")
+    )
+
+
+_KN_SCORE_ORACLE = """
+WITH train AS (SELECT text FROM documents WHERE lang = 'en'),
+tt AS (SELECT string_split(text, ' ') AS t FROM train),
+tb AS (SELECT t[i] AS w1, t[i + 1] AS w2
+       FROM tt, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+       WHERE t[i] <> '' AND t[i + 1] <> ''),
+pairs AS (SELECT w1, w2, COUNT(*) AS pair_count FROM tb GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(pair_count) AS c1, COUNT(*) AS n1_fwd FROM pairs GROUP BY w1),
+cont AS (SELECT w2, COUNT(*) AS n1_bwd FROM pairs GROUP BY w2),
+total AS (SELECT COUNT(*) AS n_types FROM pairs),
+dt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+db AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       FROM dt, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+       WHERE t[i] <> '' AND t[i + 1] <> ''),
+sc AS (
+  SELECT doc_id,
+    CASE WHEN c.c1 IS NULL THEN NULL
+         WHEN p.pair_count IS NOT NULL
+           THEN n_types * (4 * p.pair_count - 3) + 3 * c.n1_fwd * COALESCE(k.n1_bwd, 0)
+         ELSE 3 * c.n1_fwd * COALESCE(k.n1_bwd, 0) END AS num,
+    CASE WHEN c.c1 IS NULL THEN NULL ELSE 4 * n_types * c.c1 END AS den
+  FROM db b LEFT JOIN pairs p USING (w1, w2) LEFT JOIN ctx c USING (w1)
+  LEFT JOIN cont k USING (w2) CROSS JOIN total)
+SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(num) AS n_scored,
+  COUNT(*) - COUNT(num) AS n_oov,
+  CAST(SUM(num) AS BIGINT) AS kn_num, CAST(SUM(den) AS BIGINT) AS kn_den,
+  CAST(CAST(SUM(num) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(den) AS BIGINT) AS DOUBLE)
+    AS kn_score
+FROM sc GROUP BY doc_id
+"""
+
+
+@register("doc_kn_score", _KN_SCORE_ORACLE)
+def doc_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): train the
+    Kneser-Ney bigram LM (``kn_bigram_lm`` statistics) on the 'en'
+    slice, score EVERY document with it — interpolated-KN probability
+    per bigram, backoff mass for unseen pairs, OOV contexts counted
+    out.  The per-doc score is a ratio of two exact BIGINT sums with
+    one final IEEE division (discount 3/4 makes the scaled
+    probabilities integers — see ``kn_doc_score``), so the trained-LM
+    inference pass is hash-checked end to end; docs whose language the
+    model never saw surface with low scores/high ``n_oov``, which is
+    precisely the CCNet filter signal."""
+    from .operators.text_analysis import kn_doc_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return kn_doc_score(docs, train=docs.filter(F.col("lang") == "en"))
