@@ -88,6 +88,11 @@ PROBE = (
     "doc_pack_bpe",
     "corpus_kn_bigram_lm",
     "corpus_dedup_report",
+    # round-5 additions: portable sketches, hybrid retrieval, LM scoring
+    "events_hll_portable",
+    "orders_bloom_prune",
+    "doc_hybrid_rrf",
+    "doc_kn_score",
 )
 
 KEYED = {
