@@ -1126,3 +1126,55 @@ class TestStreamingIngestDedup:
             for r in ParquetMergeTable(spark, corpus_path).read().collect()
         }
         assert admitted == {1, 3, 12}
+
+
+class TestStreamingHll:
+    def test_hll_stream_equals_batch(self, spark, tmp_path, sf_dir):
+        """Max-merged register state after streaming all files must
+        equal the single-pass batch register table — the mergeability
+        that lets a crawl count distinct URLs forever in m integers."""
+        from textract_farmdata_pipeline_spark.operators.approx import hll_registers
+        from textract_farmdata_pipeline_spark.streaming import hll_stream
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+        src = str(tmp_path / "ev_src")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        batch_ids: list[int] = []
+        writer, state = hll_stream(
+            stream, "user_id", sink=lambda _s, bid: batch_ids.append(bid)
+        )
+        q = (
+            writer.option("checkpointLocation", str(tmp_path / "ckpt-hll"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert len(batch_ids) >= 2, "expected multiple micro-batches"
+        expected = {
+            r["register"]: r["max_rho"]
+            for r in hll_registers(ev, "user_id").collect()
+        }
+        assert state == expected
+
+    def test_hll_replay_is_idempotent(self, spark, sf_dir):
+        """Merging the same partial twice leaves the state unchanged —
+        the max-merge exactly-once-for-free property the docstring
+        promises (no batch-id guard needed, unlike the CMS)."""
+        from textract_farmdata_pipeline_spark.operators.approx import hll_registers
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+        part = {
+            r["register"]: r["max_rho"]
+            for r in hll_registers(ev, "user_id").collect()
+        }
+        state: dict[int, int] = {}
+        for _ in range(2):
+            for reg, rho in part.items():
+                state[reg] = max(state.get(reg, 0), rho)
+        assert state == part

@@ -75,3 +75,46 @@ def cms_stream(
             sink(state, batch_id)
 
     return docs.writeStream.foreachBatch(process), state
+
+
+def hll_stream(
+    df: DataFrame,
+    key_col: str,
+    m: int = 64,
+    sink=None,
+    bootstrap: dict[int, int] | None = None,
+):
+    """Maintain a running HyperLogLog register table over a stream —
+    "how many distinct keys, ever" in ``m`` integers of state.
+
+    Each micro-batch computes its own register partials with
+    :func:`..operators.approx.hll_registers` (distributed, bounded at
+    ``m`` rows) and folds them into ``state`` (``register ->
+    max_rho``) by cellwise MAX.  Unlike the CMS's additive merge,
+    max-merge is idempotent, so a checkpoint-replayed micro-batch
+    cannot corrupt the state even without a batch-id guard — HLL is
+    the sketch that gets exactly-once semantics for free from
+    at-least-once delivery.  The same property makes ``bootstrap``
+    (cells persisted by a previous run's ``sink``) sufficient for
+    restart: no covered-batch-id set is needed.
+
+    Estimate the running cardinality at any point with
+    :func:`..operators.approx.hll_estimate` over
+    ``spark.createDataFrame(state.items(), "register: long, max_rho:
+    long")``, or the pure-python fold the tests use.  Equality with
+    the batch sketch of everything streamed is pinned by the
+    stream-equals-batch test.
+    """
+    from ..operators.approx import hll_registers
+
+    state: dict[int, int] = dict(bootstrap) if bootstrap else {}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = hll_registers(batch_df, key_col, m=m).collect()
+        for r in part:
+            reg = r["register"]
+            state[reg] = max(state.get(reg, 0), r["max_rho"])
+        if sink is not None:
+            sink(state, batch_id)
+
+    return df.writeStream.foreachBatch(process), state
