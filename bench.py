@@ -71,6 +71,11 @@ HEADLINE = (
     "dedup_clusters_portable",
     "corpus_bpe_encode",
     "doc_quality_classifier",
+    # r05 additions: hybrid lexical+semantic retrieval, trained-LM
+    # corpus scoring, and the portable-sketch surface.
+    "doc_hybrid_rrf",
+    "doc_kn_score",
+    "events_hll_portable",
 )
 
 

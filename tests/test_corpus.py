@@ -488,3 +488,55 @@ class TestSpanSelfDedup:
         out = span_self_dedup(df, span_words=2).collect()[0]
         assert out["clean_text"] == "p q r s t u"
         assert out["n_spans_kept"] == 3 and out["n_spans_dropped"] == 2
+
+
+class TestBuildCorpusLmGated:
+    def test_lm_gate_drops_out_of_model_docs(self, spark):
+        """Gate at threshold 0: docs fully OOV under the trained LM
+        (no scorable bigram) must vanish from the manifest; in-model
+        docs flow through the 4-stage tail untouched."""
+        from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
+
+        filler = " ".join(f"w{i:02d}" for i in range(20))
+        rows = [
+            (1, f"spark scan {filler}", "web"),
+            (2, f"scan spark {filler}", "web"),
+            (3, "zz qq", "web"),  # no context word seen in training
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        train = docs.filter(F.col("doc_id") < 3)
+        ev = spark.createDataFrame(
+            [(99, "nothing shared here at all", "eval")],
+            "doc_id long, text string, source string",
+        )
+        out = build_corpus(
+            docs, ev, num_shards=2, decontam_n=3, lm_train=train, lm_threshold=0.0
+        ).collect()
+        assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+    def test_gate_equals_manual_filter_then_build(self, spark, sf_dir):
+        """Composition contract: build_corpus(lm_train=...) must equal
+        scoring+filtering first and building the survivors — the gate
+        adds membership, never reorders or rescales later stages."""
+        from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            kn_doc_score,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        train = docs.filter(F.col("lang") == "en")
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        thr = 0.033
+        composed = build_corpus(
+            docs, ev, num_shards=4, lm_train=train, lm_threshold=thr
+        )
+        passed = (
+            kn_doc_score(docs, train=train)
+            .filter(F.col("kn_score") >= thr)
+            .select("doc_id")
+        )
+        manual = build_corpus(docs.join(passed, "doc_id"), ev, num_shards=4)
+        key = lambda r: (r["doc_id"], r["source"], r["shard"], r["shard_pos"])
+        assert sorted(map(key, composed.collect())) == sorted(
+            map(key, manual.collect())
+        )

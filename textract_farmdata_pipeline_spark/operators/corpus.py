@@ -283,11 +283,22 @@ def build_corpus(
     persist_intermediate: bool = False,
     quality_gate: bool = False,
     span_words: int | None = None,
+    lm_train: DataFrame | None = None,
+    lm_threshold: float = 0.0,
 ) -> DataFrame:
-    """The end-to-end corpus build: [Gopher quality gate →
-    cross-document span dedup →] exact dedup → eval-set
+    """The end-to-end corpus build: [KN-LM quality gate →] [Gopher
+    quality gate → cross-document span dedup →] exact dedup → eval-set
     decontamination → uniform domain-mixture resample → training-shard
     layout, composed from this module's operators into one lazy plan.
+
+    ``lm_train`` prepends the CCNet-style LM gate (Wenzek et al.
+    2020): train :func:`..operators.text_analysis.kn_doc_score`'s
+    Kneser-Ney bigram model on the given trusted slice, score every
+    document, and keep only ``kn_score >= lm_threshold`` (documents
+    with no scorable bigram — all-OOV under the model — fail the
+    gate, exactly the CCNet behavior for out-of-model text).  The
+    score is a ratio of exact integer sums, so the gate predicate is
+    engine-portable and the gated build stays hash-oracle-checkable.
 
     ``quality_gate=True`` prepends the Gopher composite gate
     (:func:`..operators.text_analysis.gopher_quality_filter`) so
@@ -330,6 +341,19 @@ def build_corpus(
     from .dedup import exact_dedup_by_hash
     from .text_analysis import gopher_quality_filter
 
+    if lm_train is not None:
+        # kn_doc_score touches the corpus once but its output joins
+        # back onto docs, and every later stage references docs 2-3×;
+        # stage the gated corpus so the scoring pass runs once.
+        from .text_analysis import kn_doc_score
+
+        lm_pass = (
+            kn_doc_score(docs, train=lm_train, text_col=text_col, id_col=key_col)
+            .filter(F.col("kn_score") >= F.lit(lm_threshold))
+            .select(key_col)
+        )
+        docs = docs.join(lm_pass, key_col)
+        docs, _ = tracked_local_checkpoint(docs)
     if quality_gate:
         passed = gopher_quality_filter(
             docs, text_col=text_col, id_col=key_col

@@ -6234,3 +6234,110 @@ def doc_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return kn_doc_score(docs, train=docs.filter(F.col("lang") == "en"))
+
+
+_LM_GATE_THRESHOLD = 0.033
+
+# The CCNet-shaped build: the KN-LM scoring chain from _KN_SCORE_ORACLE
+# (train on 'en', score all) reduced to a pass-list at the fixed
+# threshold, then the 4-stage _CORPUS_BUILD_ORACLE chain re-rooted on
+# the LM-gated documents.
+_CORPUS_BUILD_LM_ORACLE = f"""
+WITH train AS (SELECT text FROM documents WHERE lang = 'en'),
+tt AS (SELECT string_split(text, ' ') AS t FROM train),
+tb AS (SELECT t[i] AS w1, t[i + 1] AS w2
+       FROM tt, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+       WHERE t[i] <> '' AND t[i + 1] <> ''),
+pairs AS (SELECT w1, w2, COUNT(*) AS pair_count FROM tb GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(pair_count) AS c1, COUNT(*) AS n1_fwd FROM pairs GROUP BY w1),
+cont AS (SELECT w2, COUNT(*) AS n1_bwd FROM pairs GROUP BY w2),
+total AS (SELECT COUNT(*) AS n_types FROM pairs),
+dt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+db AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       FROM dt, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+       WHERE t[i] <> '' AND t[i + 1] <> ''),
+scn AS (
+  SELECT doc_id,
+    CASE WHEN c.c1 IS NULL THEN NULL
+         WHEN p.pair_count IS NOT NULL
+           THEN n_types * (4 * p.pair_count - 3) + 3 * c.n1_fwd * COALESCE(k.n1_bwd, 0)
+         ELSE 3 * c.n1_fwd * COALESCE(k.n1_bwd, 0) END AS num,
+    CASE WHEN c.c1 IS NULL THEN NULL ELSE 4 * n_types * c.c1 END AS den
+  FROM db b LEFT JOIN pairs p USING (w1, w2) LEFT JOIN ctx c USING (w1)
+  LEFT JOIN cont k USING (w2) CROSS JOIN total),
+lmpass AS (
+  SELECT doc_id FROM scn GROUP BY doc_id
+  HAVING CAST(CAST(SUM(num) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(den) AS BIGINT) AS DOUBLE) >= {_LM_GATE_THRESHOLD!r}::DOUBLE
+),
+lmgated AS (SELECT d.doc_id, d.text, d.source FROM documents d JOIN lmpass USING (doc_id)),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM lmgated GROUP BY md5(text)
+),
+base AS (
+  SELECT d.doc_id, d.text, d.source FROM lmgated d JOIN dedup USING (doc_id)
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+sh AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+),
+evtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0
+),
+evsh AS (
+  SELECT DISTINCT array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM evtoks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+),
+contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN evsh USING (shingle)),
+clean AS (
+  SELECT b.doc_id, b.source FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = b.doc_id)
+),
+counts AS (SELECT source, COUNT(*) AS n_docs FROM clean GROUP BY source),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_groups FROM counts),
+rates AS (
+  SELECT source, LEAST(1.0, CAST(total AS DOUBLE) / n_groups / n_docs) AS rate
+  FROM counts, tot
+),
+sampled AS (
+  SELECT c.doc_id, c.source FROM clean c JOIN rates r USING (source)
+  WHERE CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 1000000 < r.rate * 1000000
+)
+SELECT doc_id, source, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS INTEGER) AS shard_pos
+FROM (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5('|shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 16 AS shard,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM sampled
+) s
+"""
+
+
+@register("corpus_build_lm_gated", _CORPUS_BUILD_LM_ORACLE)
+def corpus_build_lm_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-shaped corpus build (Wenzek et al. 2020): train the
+    KN bigram LM on the trusted 'en' slice, gate the whole corpus at
+    kn_score >= 0.033 (all-OOV docs fail — out-of-model text is
+    exactly what the gate exists to drop), then the 4-stage build
+    (exact dedup → decontamination → uniform mixture → 16 shards) over
+    the survivors.  One lazy plan with a staging boundary after the
+    gate (the scoring pass touches the corpus twice and downstream
+    stages reference it 2-3×).  Hash-checked end to end: the LM gate
+    predicate compares the exact ratio-of-integer-sums score, so the
+    composed chain inherits portability from its independently-green
+    pieces (_KN_SCORE_ORACLE + _CORPUS_BUILD_ORACLE)."""
+    from .operators.corpus import build_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_corpus(
+        docs,
+        docs.filter(F.col("doc_id") % 97 == 0),
+        num_shards=16,
+        decontam_n=3,
+        lm_train=docs.filter(F.col("lang") == "en"),
+        lm_threshold=_LM_GATE_THRESHOLD,
+    )

@@ -93,6 +93,7 @@ PROBE = (
     "orders_bloom_prune",
     "doc_hybrid_rrf",
     "doc_kn_score",
+    "corpus_build_lm_gated",
 )
 
 KEYED = {
