@@ -2264,3 +2264,91 @@ class TestKnDocScore:
                 # the synthetic fixture shares one token vocabulary
                 # across langs, so OOV can only tie, never invert
                 assert by_lang["en"]["oov_frac"] <= r["oov_frac"], lang
+
+
+class TestClassifierTrain:
+    def test_separable_corpus_learns_perfect_gate(self, spark):
+        """Two disjoint vocabularies: the trained gate must separate
+        them essentially perfectly at threshold 0, and the loss curve
+        must fall monotonically (the preconditioned-Newton stability
+        bound lr <= 0.25)."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            classifier_train,
+            hashed_classifier_score,
+        )
+
+        rows = []
+        for i in range(40):
+            rows.append((i, " ".join(f"good{j}" for j in range(8)), 1))
+            rows.append((100 + i, " ".join(f"bad{j}" for j in range(8)), 0))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+        w, b, losses = classifier_train(docs, "label", iterations=25, lr=0.25)
+        assert all(
+            losses[i + 1] <= losses[i] + 1e-9 for i in range(len(losses) - 1)
+        ), losses
+        assert losses[-1] < 0.2 < losses[0]
+        got = {
+            r["doc_id"]: r["passes"]
+            for r in hashed_classifier_score(docs, weights=w, bias=b).collect()
+        }
+        acc = sum(
+            1 for (i, _t, y) in rows if got[i] == bool(y)
+        ) / len(rows)
+        assert acc >= 0.95, acc
+
+    def test_corpus_touched_once_then_iterates_on_features(self, spark):
+        """Training must not rescan text per iteration: hashed_features
+        output is bounded by min(tokens, buckets) rows per doc, and
+        feeding classifier_train a pre-exploded corpus twice the size
+        only changes constants, not the loop structure.  Structural
+        pin: the feature table row count is what the docstring bounds."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            hashed_features,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(["tok"] * 500)), (2, " ".join(f"w{i}" for i in range(500)))],
+            "doc_id long, text string",
+        )
+        n = hashed_features(docs, n_buckets=64).groupBy("doc_id").count().collect()
+        counts = {r["doc_id"]: r["count"] for r in n}
+        assert counts[1] == 1          # 500 copies of one token -> one bucket
+        assert counts[2] <= 64         # 500 distinct tokens -> <= n_buckets
+
+    def test_trained_weights_flow_into_inference_twin(self, spark):
+        """hashed_classifier_score(weights=...) must reproduce the
+        training-time logit exactly (same bucketing, same mean pooling)
+        — the contract that lets a gate trained here score 100 TB with
+        the oracle-checked inference plan."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            classifier_train,
+            hashed_classifier_score,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta", 1), (2, "gamma delta", 0), (3, "alpha delta", 1)],
+            "doc_id long, text string, label int",
+        )
+        w, b, _ = classifier_train(docs, "label", iterations=5, lr=0.25)
+        logits = {
+            r["doc_id"]: r["logit"]
+            for r in hashed_classifier_score(docs, weights=w, bias=b).collect()
+        }
+        # recompute doc 1's logit by hand from the returned model
+        from textract_farmdata_pipeline_spark.operators.corpus import md5_bucket
+        hand = spark.createDataFrame([("alpha",), ("beta",)], "t string").select(
+            md5_bucket(F.col("t"), 256, seed="qc|").alias("b")
+        ).collect()
+        expect = b + sum(w[r["b"]] for r in hand) / 2
+        assert abs(logits[1] - expect) < 1e-12
+
+    def test_bad_weight_length_raises(self, spark):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            hashed_classifier_score,
+        )
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            hashed_classifier_score(docs, weights=[0.0] * 10)

@@ -9,6 +9,8 @@ beyond the reference's own surface.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -850,6 +852,7 @@ def hashed_classifier_score(
     threshold: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    weights: Sequence[float] | None = None,
 ) -> DataFrame:
     """fastText-style hashed bag-of-words linear classifier INFERENCE —
     the learned-quality-gate shape (CCNet / fineweb-edu): each token
@@ -882,10 +885,19 @@ def hashed_classifier_score(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
     ).filter(F.col("t") != "")
     bucket = md5_bucket(F.col("t"), n_buckets, seed=bucket_seed)
-    weight = (
-        (md5_long(bucket.cast("string"), weight_seed) % 2049 - 1024).cast("double")
-        / 1024.0
-    )
+    if weights is not None:
+        # a TRAINED weight table (e.g. classifier_train) shipped as a
+        # broadcast array literal — same plan, learned literals
+        if len(weights) != n_buckets:
+            raise ValueError(f"need {n_buckets} weights, got {len(weights)}")
+        weight = F.array(*[F.lit(float(w)) for w in weights])[bucket]
+    else:
+        weight = (
+            (md5_long(bucket.cast("string"), weight_seed) % 2049 - 1024).cast(
+                "double"
+            )
+            / 1024.0
+        )
     agg = tok.select(F.col(id_col), weight.alias("w")).groupBy(id_col).agg(
         F.sum("w").alias("_s"), F.count("*").alias("n_tokens")
     )
@@ -1127,3 +1139,141 @@ def kn_doc_score(
             F.sum("_num").cast("double") / F.sum("_den").cast("double")
         ).alias("kn_score"),
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_buckets: int = 256,
+    bucket_seed: str = "qc|",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean-pooled hashed bag-of-words features — the representation
+    both :func:`hashed_classifier_score` (inference) and
+    :func:`classifier_train` (training) consume: one row per
+    ``(doc, bucket)`` with ``x = count_in_bucket / n_tokens``.
+
+    One token explode + one (doc, bucket) groupBy; the output is at
+    most ``min(n_tokens, n_buckets)`` rows per document, which is what
+    lets a training loop iterate WITHOUT ever touching the corpus
+    again."""
+    from .corpus import md5_bucket
+
+    tok = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    counts = (
+        tok.select(
+            F.col(id_col), md5_bucket(F.col("t"), n_buckets, seed=bucket_seed).alias("bucket")
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(id_col)
+    return counts.withColumn(
+        "x", F.col("cnt").cast("double") / F.sum("cnt").over(w).cast("double")
+    ).select(id_col, "bucket", "x")
+
+
+def classifier_train(
+    docs: DataFrame,
+    label_col: str,
+    n_buckets: int = 256,
+    iterations: int = 20,
+    lr: float = 0.5,
+    bucket_seed: str = "qc|",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[list[float], float, list[float]]:
+    """Train the fastText-style hashed linear quality classifier by
+    batch logistic-regression gradient descent — the TRAINING half of
+    :func:`hashed_classifier_score` (CCNet / fineweb-edu train a gate
+    like this on a labeled seed set, then score the whole crawl).
+
+    Returns ``(weights, bias, losses)``: a dense ``n_buckets`` weight
+    list, the bias, and the per-iteration mean log-loss (strictly
+    decreasing on any non-degenerate set — pinned in pytest).
+
+    Scale shape — the part that matters at 100 TB:
+
+    * the corpus is touched ONCE: :func:`hashed_features` reduces it
+      to a ``(doc, bucket, x)`` table (≤ min(tokens, buckets) rows per
+      doc), staged via ``localCheckpoint`` so every iteration reads
+      the compact features, never the text;
+    * per iteration: the weight vector broadcasts as a literal array
+      (n_buckets doubles), per-doc logits are one map-side-combinable
+      groupBy over the feature table, per-bucket gradients one more
+      (state ≤ n_buckets rows per partition), and the driver collects
+      exactly ``n_buckets + 2`` numbers — bounded at any corpus size;
+    * updates are diagonally preconditioned: each bucket's step is
+      ``lr · g_b / Σ_docs x_b²`` (the one-time per-bucket curvature of
+      the squared-error surrogate).  Mean-pooled features make a rare
+      but decisive token's x tiny (1/n_tokens), so plain gradient
+      steps crawl for exactly the features a quality gate needs; the
+      preconditioner equalizes convergence across feature frequency
+      (one extra bounded aggregate, computed once);
+    * total: 2 bounded shuffles per iteration, one driver round trip,
+      no corpus rescan.  The iterative float arithmetic is why the
+      trainer is honestly rows-only while its inference twin is
+      hash-oracle-checked.
+    """
+    import math
+
+    from .checkpoints import tracked_local_checkpoint
+
+    labels = docs.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("y")
+    )
+    feats = hashed_features(
+        docs, n_buckets=n_buckets, bucket_seed=bucket_seed,
+        text_col=text_col, id_col=id_col,
+    ).join(labels, id_col)
+    feats, _ = tracked_local_checkpoint(feats)
+    n_docs = feats.select(id_col).distinct().count()
+    # one-time diagonal preconditioner: per-bucket curvature Σ x²
+    xx = {
+        r["bucket"]: r["xx"]
+        for r in feats.groupBy("bucket")
+        .agg(F.sum(F.col("x") * F.col("x")).alias("xx"))
+        .collect()
+    }
+
+    weights = [0.0] * n_buckets
+    bias = 0.0
+    losses: list[float] = []
+    for _ in range(iterations):
+        warr = F.array(*[F.lit(w) for w in weights])
+        scored = (
+            feats.withColumn("_wx", warr[F.col("bucket")] * F.col("x"))
+            .groupBy(id_col, "y")
+            .agg(F.sum("_wx").alias("_z"))
+            .withColumn(
+                "_p", F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.col("_z"))))
+            )
+            .withColumn("_r", F.col("_p") - F.col("y"))
+            .withColumn(
+                "_ll",
+                -(
+                    F.col("y") * F.log(F.greatest(F.col("_p"), F.lit(1e-12)))
+                    + (F.lit(1.0) - F.col("y"))
+                    * F.log(F.greatest(F.lit(1.0) - F.col("_p"), F.lit(1e-12)))
+                ),
+            )
+        )
+        grad_rows = (
+            feats.join(scored.select(id_col, "_r"), id_col)
+            .withColumn("_g", F.col("_r") * F.col("x"))
+            .groupBy("bucket")
+            .agg(F.sum("_g").alias("g"))
+            .collect()
+        )
+        tot = scored.agg(
+            F.sum("_r").alias("gb"), F.sum("_ll").alias("ll")
+        ).collect()[0]
+        for r in grad_rows:
+            weights[r["bucket"]] -= lr * r["g"] / xx[r["bucket"]]
+        bias -= lr * tot["gb"] / n_docs
+        losses.append(tot["ll"] / n_docs)
+    if math.isnan(bias):
+        raise ValueError("divergence: lower lr")
+    return weights, bias, losses

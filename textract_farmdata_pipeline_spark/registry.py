@@ -6341,3 +6341,121 @@ def corpus_build_lm_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         lm_train=docs.filter(F.col("lang") == "en"),
         lm_threshold=_LM_GATE_THRESHOLD,
     )
+
+
+def _fertility_oracle() -> str:
+    """Per-language tokenizer fertility: the bpe_encode CTE chain
+    (bracket-encode + frozen literal-merge replaces — engine-identical
+    leftmost non-overlapping replacement) rolled up by language with
+    ratio-of-integer-sums metrics."""
+    l = "\x1e"
+    s = _bpe_chain_sql()
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, replace(replace(text, '{l}', ''), '\x1f', '') AS clean,
+    len(string_split(text, ' ')) AS n_ws
+  FROM documents
+),
+enc AS (
+  SELECT doc_id, lang, n_ws,
+    CAST(length(replace(clean, ' ', '')) AS BIGINT) AS n_chars,
+    CAST(length({s}) - length(replace({s}, '{l}', '')) AS BIGINT) AS n_bpe
+  FROM (SELECT doc_id, lang, n_ws, clean, clean AS t0 FROM base)
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_ws) AS BIGINT) AS n_ws_tokens,
+  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+  CAST(CAST(SUM(n_bpe) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(n_ws) AS BIGINT) AS DOUBLE)
+    AS fertility,
+  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(n_bpe) AS BIGINT) AS DOUBLE)
+    AS chars_per_token
+FROM enc GROUP BY lang
+"""
+
+
+@register("corpus_tokenizer_fertility", _fertility_oracle())
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE tokens emitted per
+    whitespace word under the frozen merge table, the metric that
+    decides whether a tokenizer under-serves a language (high
+    fertility = more tokens per word = shorter effective context and
+    higher training cost for that slice).  One shuffle-free encode
+    scan (``bpe_encode``) plus a 5-row rollup; every metric is a ratio
+    of exact integer sums, so the profile is hash-checked."""
+    from .operators.text_analysis import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, _BPE_ENCODE_MERGES).select("doc_id", "n_chars", "n_bpe_tokens")
+    meta = docs.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws")
+    )
+    return (
+        enc.join(meta, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws").alias("n_ws_tokens"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            (
+                F.sum("n_bpe_tokens").cast("double") / F.sum("n_ws").cast("double")
+            ).alias("fertility"),
+            (
+                F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+@register("doc_quality_gate_trained")  # no oracle: iterative float training
+def doc_quality_gate_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the hashed quality classifier IN-ENGINE and evaluate the
+    learned gate — the full fineweb-edu/CCNet loop (label a seed set,
+    fit a cheap linear gate, score the corpus), where until now only
+    inference was registered.  Labels: the lexical rule "document
+    mentions 'spark'", so the learned gate's fidelity is measurable
+    against ground truth inside the same query.  20 preconditioned
+    batch-GD iterations over the staged (doc, bucket, x) feature table
+    — the corpus is scanned once, each iteration moves ≤ n_buckets
+    numbers to the driver (see ``classifier_train``).  Returns one
+    evaluation row: label counts, per-class mean logits, rank AUC of
+    the learned scores, and first/final log-loss.  Honestly rows-only:
+    sigmoid/log training arithmetic is engine-specific; the inference
+    twin ``doc_quality_classifier`` carries the hash oracle."""
+    from .operators.text_analysis import classifier_train, hashed_classifier_score
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", F.array_contains(F.split("text", " "), "spark").cast("int")
+    )
+    weights, bias, losses = classifier_train(
+        docs, "label", iterations=20, lr=0.25
+    )
+    scored = hashed_classifier_score(docs, weights=weights, bias=bias).join(
+        docs.select("doc_id", "label"), "doc_id"
+    )
+    # rank-sum AUC: one global sort of the (tiny) scored table; at
+    # corpus scale an eval metric over a sampled holdout, not 100 TB
+    ranked = scored.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.asc("logit"), F.asc("doc_id")))
+    )
+    return ranked.agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
+        F.avg(F.when(F.col("label") == 1, F.col("logit"))).alias("mean_logit_pos"),
+        F.avg(F.when(F.col("label") == 0, F.col("logit"))).alias("mean_logit_neg"),
+        (
+            (
+                F.sum(F.when(F.col("label") == 1, F.col("r"))).cast("double")
+                - F.sum("label").cast("double")
+                * (F.sum("label").cast("double") + F.lit(1.0))
+                / F.lit(2.0)
+            )
+            / (
+                F.sum("label").cast("double")
+                * F.sum(1 - F.col("label")).cast("double")
+            )
+        ).alias("auc"),
+        F.lit(losses[0]).alias("loss_first"),
+        F.lit(losses[-1]).alias("loss_final"),
+    )

@@ -94,6 +94,8 @@ PROBE = (
     "doc_hybrid_rrf",
     "doc_kn_score",
     "corpus_build_lm_gated",
+    "corpus_tokenizer_fertility",
+    "doc_quality_gate_trained",
 )
 
 KEYED = {
