@@ -1649,6 +1649,43 @@ class TestBpeTrain:
         assert batched == sequential == want
         assert len(want) >= 6  # the chain is deep enough to interact
 
+    def test_truncated_slice_respects_min_pair_count(self, spark):
+        """Review regression: with a truncated ranked slice, the batch
+        cutoff floor must never drop below min_pair_count - 1 — a
+        count-2 runner-up behind 33+ singleton pairs must NOT become a
+        merge when min_pair_count=3 (sequential training stops after
+        the count-5 winner)."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import bpe_train
+
+        import string
+
+        alpha = string.ascii_letters + string.digits
+        counts = {"ab": 5, "cd": 2}
+        # 40 distinct singleton words -> 40 distinct count-1 pairs,
+        # forcing len(ranked) == top_m (33) for batch_merges=8
+        for i in range(40):
+            counts[alpha[10 + (2 * i) % 50] + alpha[11 + (2 * i + 17) % 50] + alpha[(3 * i) % 50]] = 1
+        text = " ".join(w for w, c in counts.items() for _ in range(c))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = bpe_train(df, n_merges=12, min_pair_count=3, batch_merges=8)
+        want = self._reference_bpe(counts, 12, min_count=3)
+        assert got == want
+        assert all(m[4] >= 3 for m in got)
+
+    def test_backslash_e_symbols_survive_quoting(self, spark):
+        """Review regression: merged symbols containing a literal \\E
+        must not terminate the \\Q..\\E regex quoting early (java
+        Pattern.quote split semantics)."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import bpe_train
+
+        counts = {"\\E\\E": 7, "\\EX": 4, "qr": 3}
+        text = " ".join(w for w, c in counts.items() for _ in range(c))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = bpe_train(df, n_merges=6, batch_merges=4)
+        want = self._reference_bpe(counts, 6)
+        assert got == want
+        assert any("\\E" in m[3] for m in got)  # the hazard actually occurs
+
     def test_batched_fixture_corpus_matches_reference(self, spark, docs):
         from textract_farmdata_pipeline_spark.operators.text_analysis import bpe_train
 

@@ -257,17 +257,32 @@ def _plane(table: int, p: int, dim: int) -> F.Column:
     return F.array(*comps)
 
 
+# Sign decisions for LSH bits use a -1e-9 margin instead of exact 0:
+# the projection is a float SUM whose association order differs between
+# numpy (pairwise/SIMD) and a SQL engine's sequential fold, so a value
+# within summation error (~1e-13 here) of the threshold could flip a
+# bucket bit between engines and fail the hash oracle.  Zero is a
+# structural attractor (zero vectors, symmetric data); -1e-9 is not —
+# it sits ~4 orders above the error bound and ~5 below real projection
+# magnitudes, so both engines always agree.  Kept identical in the
+# DuckDB oracle (_ANN_LSH_ORACLE).
+_SIGN_EPS = -1e-9
+
+
 def lsh_buckets(
     vectors: DataFrame, n_planes: int = 16, dim: int = 64, table: int = 0
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (one hash table).
 
-    Bucket = sign-bit string of the n_planes projections; ``table``
-    seeds an independent plane family (for OR-amplification).
+    Bucket = sign-bit string of the n_planes projections (with the
+    ``_SIGN_EPS`` engine-stability margin); ``table`` seeds an
+    independent plane family (for OR-amplification).
     """
     v = _as_double(F.col("embedding"))
     bits = [
-        F.when(dot(v, _plane(table, p, dim)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(dot(v, _plane(table, p, dim)) >= _SIGN_EPS, F.lit("1")).otherwise(
+            F.lit("0")
+        )
         for p in range(n_planes)
     ]
     return vectors.select("vec_id", F.concat(*bits).alias("bucket"))
@@ -310,7 +325,7 @@ def _multi_buckets(v: Column, n_planes: int, n_tables: int, dim: int) -> Column:
         out = []
         for vec in col:
             arr = np.asarray(vec, dtype=np.float64)
-            bits = (planes @ arr) >= 0
+            bits = (planes @ arr) >= _SIGN_EPS
             out.append(
                 [
                     "".join("1" if b else "0" for b in bits[t * n_planes : (t + 1) * n_planes])
@@ -1151,9 +1166,10 @@ def _cap_cells(
         if not hot:
             break
         next_id = assigned.agg(F.max("cell_id")).first()[0] + 1
-        cold = assigned.filter(~F.col("cell_id").isin(hot))
+        cold = assigned.filter(~F.col("cell_id").isin(hot)).withColumn(
+            "_src", F.lit(None).cast("int")
+        )
         rebuilt = [cold]
-        progressed = False
         for c in hot:
             members = assigned.filter(F.col("cell_id") == c)
             sub_cents, _ = kmeans_train(
@@ -1164,22 +1180,37 @@ def _cap_cells(
                 max_iter=4,
                 persist=False,
             )
-            sub = members.select(
-                "rid",
-                "v",
-                (
-                    nearest_cell(centroid_scores(F.col("v"), sub_cents)).cast("int")
-                    + F.lit(next_id - 1)
-                ).alias("cell_id"),
+            rebuilt.append(
+                members.select(
+                    "rid",
+                    "v",
+                    (
+                        nearest_cell(centroid_scores(F.col("v"), sub_cents)).cast(
+                            "int"
+                        )
+                        + F.lit(next_id - 1)
+                    ).alias("cell_id"),
+                    F.lit(c).alias("_src"),
+                )
             )
-            if sub.select("cell_id").distinct().count() > 1:
-                progressed = True
-            rebuilt.append(sub)
             next_id += split_k
         out = rebuilt[0]
         for part in rebuilt[1:]:
             out = out.unionByName(part)
-        assigned, _ = tracked_local_checkpoint(out)
+        out, _ = tracked_local_checkpoint(out)
+        # ONE progressed-aggregate per round (was one distinct-count
+        # job per hot cell): a hot cell progressed iff its members now
+        # span more than one sub-cell.
+        progressed = (
+            out.filter(F.col("_src").isNotNull())
+            .groupBy("_src")
+            .agg(F.count_distinct("cell_id").alias("nd"))
+            .filter(F.col("nd") > 1)
+            .limit(1)
+            .count()
+            > 0
+        )
+        assigned = out.drop("_src")
         if not progressed:
             break  # inseparable cells: retrying cannot improve
     return assigned

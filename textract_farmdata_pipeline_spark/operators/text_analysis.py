@@ -566,6 +566,15 @@ def cms_estimate(
 _BPE_SEP = "\x1e"
 
 
+def _rx_quote(s: str) -> str:
+    """Literal-quote ``s`` for a Java regex, exactly as
+    ``java.util.regex.Pattern.quote`` does: wrap in ``\\Q..\\E`` and
+    split around any embedded ``\\E`` (which would otherwise terminate
+    the quoting early and silently corrupt the pattern — reachable once
+    merged symbols contain backslash-E sequences, e.g. code corpora)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def _apply_bpe_merges(s_col: Column, pairs: list[tuple[str, str]]) -> Column:
     """Greedy left-to-right application of a SET of symbol-disjoint
     merges on the separator-encoded symbol string.
@@ -585,9 +594,7 @@ def _apply_bpe_merges(s_col: Column, pairs: list[tuple[str, str]]) -> Column:
     executor-side per-row cost by several ×.
     """
     for a, b in pairs:
-        pattern = (
-            "\\Q" + _BPE_SEP + a + _BPE_SEP + b + "\\E(?=" + _BPE_SEP + ")"
-        )
+        pattern = _rx_quote(_BPE_SEP + a + _BPE_SEP + b) + "(?=" + _BPE_SEP + ")"
         repl = (_BPE_SEP + a + b).replace("\\", "\\\\").replace("$", "\\$")
         s_col = F.regexp_replace(s_col, pattern, repl)
     return s_col
@@ -753,8 +760,13 @@ def bpe_train(
         # truncated collection: pairs beyond the slice can count up to
         # the last collected value, so that value bounds the cutoff;
         # a complete collection lets the cutoff fall to the stop floor.
-        floor = (
-            ranked[-1]["pair_count"] if len(ranked) == top_m else min_pair_count - 1
+        # ... and in BOTH cases the floor never drops below
+        # min_pair_count - 1: sequential training stops at the first
+        # sub-threshold best pair, so a batch member that fails to
+        # strictly beat min_pair_count - 1 must not be emitted either.
+        floor = max(
+            ranked[-1]["pair_count"] if len(ranked) == top_m else 0,
+            min_pair_count - 1,
         )
         k = min(batch_merges, n_merges - len(merges))
         batch = _select_disjoint_batch(ranked, k, floor)
@@ -777,6 +789,47 @@ def bpe_train(
             since_ck = 0
     release(spark, ck_ids)
     return merges
+
+
+def _kn_bigrams(d: DataFrame, text_col: str, *extra: str) -> DataFrame:
+    """Adjacent-token bigram explode shared by KN estimation and KN
+    scoring — ONE definition so model and scorer can never drift on
+    tokenization (empty tokens dropped, docs shorter than 2 tokens
+    contribute nothing)."""
+    toks = F.split(F.col(text_col), " ")
+    return (
+        d.select(
+            *extra,
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select(*extra, "p.w1", "p.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+
+
+def _kn_stats(train: DataFrame, text_col: str):
+    """The four Kneser-Ney statistic tables from a training corpus:
+    ``(pairs, ctx, cont, total)`` = bigram counts c(w1,w2), context
+    totals/fan-outs (c1, N1+(w1,.)), continuation fan-ins N1+(.,w2),
+    and the scalar bigram-type count — shared by :func:`kn_bigram_lm`
+    (estimation) and :func:`kn_doc_score` (inference)."""
+    pairs = (
+        _kn_bigrams(train, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    ctx = pairs.groupBy("w1").agg(
+        F.sum("pair_count").alias("c1"), F.count("*").alias("n1_fwd")
+    )
+    cont = pairs.groupBy("w2").agg(F.count("*").alias("n1_bwd"))
+    total = pairs.agg(F.count("*").alias("n_types"))
+    return pairs, ctx, cont, total
 
 
 def kn_bigram_lm(
@@ -806,27 +859,7 @@ def kn_bigram_lm(
     Returns the ``top`` bigrams by count (ties broken on words):
     ``(w1, w2, pair_count, p_kn)``.
     """
-    toks = F.split(F.col(text_col), " ")
-    pairs = (
-        docs.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
-            ).alias("p")
-        )
-        .select("p.w1", "p.w2")
-        .filter((F.col("w1") != "") & (F.col("w2") != ""))
-        .groupBy("w1", "w2")
-        .agg(F.count("*").alias("pair_count"))
-    )
-    ctx = pairs.groupBy("w1").agg(
-        F.sum("pair_count").alias("c1"), F.count("*").alias("n1_fwd")
-    )
-    cont = pairs.groupBy("w2").agg(F.count("*").alias("n1_bwd"))
-    total = pairs.agg(F.count("*").alias("n_types"))
+    pairs, ctx, cont, total = _kn_stats(docs, text_col)
     d = F.lit(discount)
     p_kn = (
         F.greatest(F.col("pair_count") - d, F.lit(0.0)) / F.col("c1")
@@ -1085,33 +1118,10 @@ def kn_doc_score(
     """
     if train is None:
         train = docs
-
-    def bigrams(d: DataFrame, *extra: str) -> DataFrame:
-        toks = F.split(F.col(text_col), " ")
-        return (
-            d.select(
-                *extra,
-                F.explode(
-                    F.zip_with(
-                        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                    )
-                ).alias("p"),
-            )
-            .select(*extra, "p.w1", "p.w2")
-            .filter((F.col("w1") != "") & (F.col("w2") != ""))
-        )
-
-    pairs = bigrams(train).groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
-    ctx = pairs.groupBy("w1").agg(
-        F.sum("pair_count").alias("c1"), F.count("*").alias("n1_fwd")
-    )
-    cont = pairs.groupBy("w2").agg(F.count("*").alias("n1_bwd"))
-    total = pairs.agg(F.count("*").alias("n_types"))
+    pairs, ctx, cont, total = _kn_stats(train, text_col)
 
     scored = (
-        bigrams(docs, id_col)
+        _kn_bigrams(docs, text_col, id_col)
         .join(pairs, ["w1", "w2"], "left")
         .join(ctx, "w1", "left")
         .join(cont, "w2", "left")

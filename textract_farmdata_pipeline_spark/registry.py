@@ -1464,30 +1464,44 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-doc minimums as the signature, and string band keys, reproducing
 # dedup.minhash_signatures (hash_family="md5") +
 # band_buckets(portable=True) bit-for-bit.
-_MINHASH_PORTABLE_CTES = """
-toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
-sh AS (
+def _mh_side_ctes(pfx: str, src: str) -> str:
+    """ONE definition of the portable-minhash signature SQL (3-gram
+    shingles → four 32-bit slices per md5 → 8-hash min-signature →
+    2-hash bands → shingle-set sizes), parameterized by CTE prefix so
+    two-sided oracles (incremental: new vs corpus) and single-table
+    oracles compose the IDENTICAL chain — a portability fix here
+    cannot silently leave a composed oracle checking stale semantics."""
+    return f"""\
+{pfx}toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
+{pfx}sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
-  FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)
+  FROM {pfx}toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)
 ),
-hv AS (
-  SELECT doc_id, s, k,
-    CAST(('0x' || substr(md5('mh' || (k // 4) || '|' || s),
-                         (k % 4) * 8 + 1, 8)) AS BIGINT) AS h
-  FROM sh, UNNEST(range(8)) AS u(k)
+{pfx}hv AS (
+  SELECT doc_id, k,
+    min(CAST(('0x' || substr(md5('mh' || (k // 4) || '|' || s),
+                             (k % 4) * 8 + 1, 8)) AS BIGINT)) AS m
+  FROM {pfx}sh, UNNEST(range(8)) AS u(k) GROUP BY doc_id, k
 ),
-sig AS (SELECT doc_id, k, min(h) AS m FROM hv GROUP BY doc_id, k),
-banded AS (
+{pfx}banded AS (
   SELECT doc_id, k // 2 AS band,
     string_agg(CAST(m AS VARCHAR), ',' ORDER BY k) AS bucket
-  FROM sig GROUP BY doc_id, k // 2
+  FROM {pfx}hv GROUP BY doc_id, k // 2
 ),
+{pfx}sz AS (SELECT doc_id, count(*) AS sz FROM {pfx}sh GROUP BY doc_id)"""
+
+
+def _mh_pair_ctes(src: str) -> str:
+    """Single-table pair path on top of :func:`_mh_side_ctes`:
+    band-bucket candidates → exact-Jaccard verification at 0.5."""
+    return (
+        _mh_side_ctes("", src)
+        + """,
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM banded x JOIN banded y
     ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
 ),
-szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS i
   FROM cand c
@@ -1499,15 +1513,17 @@ verified AS (
   SELECT doc_a, doc_b,
     CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
   FROM inter
-  JOIN szs sa ON sa.doc_id = doc_a
-  JOIN szs sb ON sb.doc_id = doc_b
+  JOIN sz sa ON sa.doc_id = doc_a
+  JOIN sz sb ON sb.doc_id = doc_b
   WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
 )
 """
+    )
+
 
 _MINHASH_PORTABLE_ORACLE = (
     "WITH "
-    + _MINHASH_PORTABLE_CTES.format(src="documents")
+    + _mh_pair_ctes("documents")
     + "SELECT doc_a, doc_b, jaccard FROM verified"
 )
 
@@ -1599,7 +1615,7 @@ WITH rep_map AS (
 ),
 reps AS (SELECT doc_id, text FROM rep_map WHERE doc_id = rep_id),
 """
-    + _MINHASH_PORTABLE_CTES.format(src="reps")
+    + _mh_pair_ctes("reps")
     + """,
 e AS (
   SELECT doc_a AS src, doc_b AS dst FROM verified
@@ -2179,7 +2195,7 @@ proj AS (
 ),
 buckets AS (
   SELECT vec_id, t,
-    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+    string_agg(CASE WHEN s >= -1e-9 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
   FROM proj GROUP BY vec_id, t
 ),
 qb AS (SELECT * FROM buckets WHERE vec_id < 20),
@@ -4404,41 +4420,19 @@ def orders_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (new × corpus) ∪ (new × new), Jaccard re-verified on raw shingles,
 # and the member mapping reproduces the min-id dup_of contract —
 # least(min matching corpus rep, min earlier-new id).
-_INCREMENTAL_PORTABLE_ORACLE = r"""
+_INCREMENTAL_PORTABLE_ORACLE = (
+    """
 WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
 corpd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
 newg AS (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep_id FROM newd),
 new_reps AS (SELECT doc_id, text FROM newg WHERE doc_id = rep_id),
 corpg AS (SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep_id FROM corpd),
 corp_reps AS (SELECT doc_id, text FROM corpg WHERE doc_id = rep_id),
-ntoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM new_reps),
-nsh AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
-  FROM ntoks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)
-),
-ctoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM corp_reps),
-csh AS (
-  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
-  FROM ctoks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)
-),
-nhv AS (
-  SELECT doc_id, k, min(CAST(('0x' || substr(md5('mh' || (k // 4) || '|' || s),
-                                             (k % 4) * 8 + 1, 8)) AS BIGINT)) AS m
-  FROM nsh, UNNEST(range(8)) AS u(k) GROUP BY doc_id, k
-),
-chv AS (
-  SELECT doc_id, k, min(CAST(('0x' || substr(md5('mh' || (k // 4) || '|' || s),
-                                             (k % 4) * 8 + 1, 8)) AS BIGINT)) AS m
-  FROM csh, UNNEST(range(8)) AS u(k) GROUP BY doc_id, k
-),
-nbanded AS (
-  SELECT doc_id, k // 2 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY k) AS bucket
-  FROM nhv GROUP BY doc_id, k // 2
-),
-cbanded AS (
-  SELECT doc_id, k // 2 AS band, string_agg(CAST(m AS VARCHAR), ',' ORDER BY k) AS bucket
-  FROM chv GROUP BY doc_id, k // 2
-),
+"""
+    + _mh_side_ctes("n", "new_reps")
+    + ",\n"
+    + _mh_side_ctes("c", "corp_reps")
+    + """,
 vs_corpus AS (
   SELECT DISTINCT x.doc_id, y.doc_id AS cand
   FROM nbanded x JOIN cbanded y ON x.band = y.band AND x.bucket = y.bucket
@@ -4448,8 +4442,6 @@ vs_batch AS (
   FROM nbanded x JOIN nbanded y
     ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id <> y.doc_id
 ),
-nsz AS (SELECT doc_id, count(*) AS sz FROM nsh GROUP BY doc_id),
-csz AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY doc_id),
 corp_verified AS (
   SELECT iv.doc_id AS rep_id, min(iv.cand) AS corp_min
   FROM (
@@ -4494,6 +4486,7 @@ FROM members m
 LEFT JOIN corp_verified cv ON cv.rep_id = m.rep_id
 LEFT JOIN new_min nm ON nm.doc_id = m.doc_id
 """
+)
 
 
 @register("dedup_incremental_portable", _INCREMENTAL_PORTABLE_ORACLE)
@@ -6186,8 +6179,12 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KN_SCORE_ORACLE = """
-WITH train AS (SELECT text FROM documents WHERE lang = 'en'),
+# Shared KN-LM scoring CTE chain (train on 'en', score every doc):
+# ONE definition consumed by both _KN_SCORE_ORACLE and
+# _CORPUS_BUILD_LM_ORACLE so the model/scorer SQL can never drift from
+# itself (the _bpe_chain_sql / _MINHASH_PORTABLE_CTES discipline).
+_KN_CHAIN_CTES = """\
+train AS (SELECT text FROM documents WHERE lang = 'en'),
 tt AS (SELECT string_split(text, ' ') AS t FROM train),
 tb AS (SELECT t[i] AS w1, t[i + 1] AS w2
        FROM tt, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
@@ -6200,7 +6197,7 @@ dt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 db AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
        FROM dt, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
        WHERE t[i] <> '' AND t[i + 1] <> ''),
-sc AS (
+scn AS (
   SELECT doc_id,
     CASE WHEN c.c1 IS NULL THEN NULL
          WHEN p.pair_count IS NOT NULL
@@ -6208,13 +6205,16 @@ sc AS (
          ELSE 3 * c.n1_fwd * COALESCE(k.n1_bwd, 0) END AS num,
     CASE WHEN c.c1 IS NULL THEN NULL ELSE 4 * n_types * c.c1 END AS den
   FROM db b LEFT JOIN pairs p USING (w1, w2) LEFT JOIN ctx c USING (w1)
-  LEFT JOIN cont k USING (w2) CROSS JOIN total)
+  LEFT JOIN cont k USING (w2) CROSS JOIN total)"""
+
+_KN_SCORE_ORACLE = f"""
+WITH {_KN_CHAIN_CTES}
 SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(num) AS n_scored,
   COUNT(*) - COUNT(num) AS n_oov,
   CAST(SUM(num) AS BIGINT) AS kn_num, CAST(SUM(den) AS BIGINT) AS kn_den,
   CAST(CAST(SUM(num) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(den) AS BIGINT) AS DOUBLE)
     AS kn_score
-FROM sc GROUP BY doc_id
+FROM scn GROUP BY doc_id
 """
 
 
@@ -6243,28 +6243,7 @@ _LM_GATE_THRESHOLD = 0.033
 # threshold, then the 4-stage _CORPUS_BUILD_ORACLE chain re-rooted on
 # the LM-gated documents.
 _CORPUS_BUILD_LM_ORACLE = f"""
-WITH train AS (SELECT text FROM documents WHERE lang = 'en'),
-tt AS (SELECT string_split(text, ' ') AS t FROM train),
-tb AS (SELECT t[i] AS w1, t[i + 1] AS w2
-       FROM tt, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
-       WHERE t[i] <> '' AND t[i + 1] <> ''),
-pairs AS (SELECT w1, w2, COUNT(*) AS pair_count FROM tb GROUP BY w1, w2),
-ctx AS (SELECT w1, SUM(pair_count) AS c1, COUNT(*) AS n1_fwd FROM pairs GROUP BY w1),
-cont AS (SELECT w2, COUNT(*) AS n1_bwd FROM pairs GROUP BY w2),
-total AS (SELECT COUNT(*) AS n_types FROM pairs),
-dt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-db AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-       FROM dt, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
-       WHERE t[i] <> '' AND t[i + 1] <> ''),
-scn AS (
-  SELECT doc_id,
-    CASE WHEN c.c1 IS NULL THEN NULL
-         WHEN p.pair_count IS NOT NULL
-           THEN n_types * (4 * p.pair_count - 3) + 3 * c.n1_fwd * COALESCE(k.n1_bwd, 0)
-         ELSE 3 * c.n1_fwd * COALESCE(k.n1_bwd, 0) END AS num,
-    CASE WHEN c.c1 IS NULL THEN NULL ELSE 4 * n_types * c.c1 END AS den
-  FROM db b LEFT JOIN pairs p USING (w1, w2) LEFT JOIN ctx c USING (w1)
-  LEFT JOIN cont k USING (w2) CROSS JOIN total),
+WITH {_KN_CHAIN_CTES},
 lmpass AS (
   SELECT doc_id FROM scn GROUP BY doc_id
   HAVING CAST(CAST(SUM(num) AS BIGINT) AS DOUBLE)
