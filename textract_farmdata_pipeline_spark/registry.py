@@ -2177,9 +2177,11 @@ def embedding_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regenerates the identical projection matrix and the whole ANN path —
 # sign bits, per-table bucket strings, OR-amplified candidate union,
 # cosine re-rank — is hash-checkable.  Dot-product sums differ only in
-# float association order (numpy matmul vs SQL SUM); a sign flip needs
-# |projection| ≲ 1e-13, never observed on the fixtures, and cosine
-# itself is rounded to 4 decimals like every float oracle here.
+# float association order (numpy matmul vs SQL SUM), bounded ~1e-13;
+# sign bits therefore threshold at similarity._SIGN_EPS (-1e-9, kept
+# identical in the CASE below) instead of exact 0, so no data — not
+# just the current fixture — can flip a bucket between engines.
+# Cosine itself is rounded to 4 decimals like every float oracle here.
 _ANN_LSH_ORACLE = r"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 planes AS (
@@ -6438,3 +6440,105 @@ def doc_quality_gate_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(losses[0]).alias("loss_first"),
         F.lit(losses[-1]).alias("loss_final"),
     )
+
+
+_HLL_REPLAY_ORACLE = f"""
+WITH regs AS (
+  SELECT
+    CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % {_HLL_M} AS register,
+    CASE WHEN CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT) = 0
+         THEN 33
+         ELSE 33 - length(bin(CAST('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 9, 8) AS BIGINT)))
+    END AS rho
+  FROM events),
+mx AS (SELECT register, MAX(rho) AS max_rho FROM regs GROUP BY register),
+packed AS (
+  SELECT COUNT(*) AS n_used_registers,
+    string_agg(CAST(register AS VARCHAR) || ':' || CAST(max_rho AS VARCHAR),
+               ',' ORDER BY register) AS registers,
+    0.709::DOUBLE * {float(_HLL_M * _HLL_M)!r}::DOUBLE
+      / (SUM(power(2.0, -max_rho)) + CAST({_HLL_M} - COUNT(*) AS DOUBLE))
+      AS hll_estimate
+  FROM mx),
+ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events)
+SELECT n_used_registers, registers, hll_estimate, n_exact FROM packed, ex
+"""
+
+
+@register("events_hll_stream_replay", _HLL_REPLAY_ORACLE)
+def events_hll_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING HLL, driver-checkable: replay the events table
+    through ``streaming.hll_stream`` as K file-micro-batches
+    (``maxFilesPerTrigger=1`` + ``availableNow``), then hash-check the
+    final max-merged register state — every register and the estimate —
+    against the batch SQL sketch of the same rows.  Max-merge is
+    commutative and idempotent, so the streamed state equals the batch
+    registers REGARDLESS of batch order or replays; that exact equality
+    is what lets a streaming operator carry a full hash oracle (the
+    CMS twin merges additively and needs replay guards; this one gets
+    exactly-once for free)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .streaming import hll_stream
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    workdir = tempfile.mkdtemp(prefix="hll_replay_")
+    try:
+        src = os.path.join(workdir, "incoming")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        writer, state = hll_stream(stream, "user_id", m=_HLL_M)
+        q = (
+            writer.option(
+                "checkpointLocation", os.path.join(workdir, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the state dict is driver-side; nothing downstream reads the
+        # replay files — safe to remove immediately.
+        shutil.rmtree(workdir, ignore_errors=True)
+    regs = spark.createDataFrame(
+        sorted(state.items()), "register long, max_rho long"
+    )
+    n_exact = ev.distinct().count()
+    packed = regs.agg(
+        F.count("*").alias("n_used_registers"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("register", "max_rho"))
+                ),
+                lambda s: F.concat(
+                    s["register"].cast("string"),
+                    F.lit(":"),
+                    s["max_rho"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("registers"),
+        (
+            F.lit(_hll_alpha_m())
+            * F.lit(float(_HLL_M * _HLL_M))
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+                + (F.lit(_HLL_M) - F.count("*")).cast("double")
+            )
+        ).alias("hll_estimate"),
+    )
+    return packed.withColumn("n_exact", F.lit(n_exact).cast("long"))
+
+
+def _hll_alpha_m() -> float:
+    from .operators.approx import _hll_alpha
+
+    return _hll_alpha(_HLL_M)

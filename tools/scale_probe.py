@@ -96,6 +96,7 @@ PROBE = (
     "corpus_build_lm_gated",
     "corpus_tokenizer_fertility",
     "doc_quality_gate_trained",
+    "events_hll_stream_replay",
 )
 
 KEYED = {
