@@ -540,3 +540,66 @@ class TestBuildCorpusLmGated:
         assert sorted(map(key, composed.collect())) == sorted(
             map(key, manual.collect())
         )
+
+
+class TestWeightedMixtureResample:
+    def test_light_group_kept_whole_heavy_downsampled(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            weighted_mixture_resample,
+        )
+
+        rows = [(i, "big", 100) for i in range(40)] + [
+            (100 + i, "small", 10) for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+        out = weighted_mixture_resample(df, "w", by="source", key_col="doc_id")
+        got = out.groupBy("source").agg(
+            F.count("*").alias("n"), F.sum("w").alias("w")
+        ).collect()
+        by = {r["source"]: r for r in got}
+        assert by["small"]["n"] == 4  # rate 1.0: under-budget group whole
+        # big: rate = (4040/2)/4000 = 0.505 -> expected token share ~ 2020
+        assert 0 < by["big"]["n"] < 40
+        assert abs(by["big"]["w"] - 2020) < 800  # Bernoulli, generous band
+
+    def test_deterministic_across_runs(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            weighted_mixture_resample,
+        )
+
+        rows = [(i, "a" if i % 3 else "b", 1 + i % 7) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+        one = {r["doc_id"] for r in weighted_mixture_resample(df, "w").collect()}
+        two = {r["doc_id"] for r in weighted_mixture_resample(df, "w").collect()}
+        assert one == two and one
+
+
+class TestContaminationProfile:
+    def test_hand_computed_fractions(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            contamination_profile,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d"),        # 3-grams: 'a b c', 'b c d'
+                (2, "x y z"),          # 'x y z'
+                (3, "a b c"),          # 'a b c'
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame([(9, "a b c q")], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in contamination_profile(docs, ev, n=3).collect()}
+        assert got[1]["n_distinct_ngrams"] == 2 and got[1]["n_hit_distinct"] == 1
+        assert got[1]["contamination"] == 0.5
+        assert got[2]["n_hit_distinct"] == 0 and got[2]["contamination"] == 0.0
+        assert got[3]["contamination"] == 1.0
+
+    def test_every_doc_reported(self, spark, sf_dir):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            contamination_profile,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = contamination_profile(docs, docs.limit(5), n=3)
+        assert out.count() == docs.count()  # clean docs included with 0.0

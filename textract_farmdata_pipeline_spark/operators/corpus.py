@@ -530,3 +530,89 @@ def span_self_dedup(
             .alias("n_spans_dropped"),
         )
     )
+
+
+def weighted_mixture_resample(
+    df: DataFrame,
+    weight_col: str,
+    by: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Mixture resample where the balanced unit is a per-row WEIGHT
+    (tokens, bytes, chars) instead of the document count: domain *d*
+    keeps rows at rate ``min(1, (Σw_total / n_domains) / Σw_d)`` so
+    every domain contributes ≈ the same EXPECTED weight after
+    sampling.
+
+    Docs-vs-tokens is not a nicety: languages differ 2-5× in tokenizer
+    fertility (see ``corpus_tokenizer_fertility``), so a doc-balanced
+    mixture silently over-trains low-fertility languages in token
+    terms — the unit a training run actually budgets.  Same shapes as
+    :func:`mixture_resample`: one integer-sum aggregate (map-side
+    combinable), #domains broadcast rows, md5-deterministic Bernoulli
+    keep — engine-exact end to end.
+    """
+    sums = df.groupBy(by).agg(F.sum(weight_col).alias("w_d"))
+    tot = sums.agg(F.sum("w_d").alias("w_total"), F.count("*").alias("n_groups"))
+    rates = F.broadcast(
+        sums.crossJoin(F.broadcast(tot)).select(
+            by,
+            F.least(
+                F.lit(1.0),
+                F.col("w_total").cast("double")
+                / F.col("n_groups")
+                / F.col("w_d").cast("double"),
+            ).alias("sample_rate"),
+        )
+    )
+    kept = df.join(rates, by).filter(
+        md5_bucket(F.col(key_col), 1_000_000, seed)
+        < F.col("sample_rate") * 1_000_000
+    )
+    return kept.drop("sample_rate")
+
+
+def contamination_profile(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document eval-overlap REPORT — the graded version of the
+    binary :func:`decontaminate` gate: for EVERY corpus document, how
+    many of its distinct n-grams appear in the eval set and what
+    fraction of the document that represents.  The standard
+    contamination audit (report overlap percentiles before choosing a
+    drop threshold) rather than the drop itself.
+
+    Same plan as :func:`decontaminate` (broadcast eval shingles, one
+    corpus explode, per-doc partial-aggregated counts) plus a per-doc
+    distinct-shingle total; the fraction is one IEEE division of two
+    exact integers, so the whole profile is hash-checkable.
+    """
+    corpus_sh = ngram_shingles(docs, n, text_col, id_col).select(
+        id_col, "shingle"
+    ).distinct()
+    eval_sh = (
+        ngram_shingles(
+            eval_docs.select(text_col), n, text_col=text_col, id_col=text_col
+        )
+        .select("shingle")
+        .distinct()
+    )
+    hit = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+    return (
+        corpus_sh.join(
+            F.broadcast(eval_sh.withColumn("_hit", F.lit(1))), "shingle", "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_distinct_ngrams"),
+            F.sum(hit).alias("n_hit_distinct"),
+            (
+                F.sum(hit).cast("double") / F.count("*").cast("double")
+            ).alias("contamination"),
+        )
+    )

@@ -6542,3 +6542,94 @@ def _hll_alpha_m() -> float:
     from .operators.approx import _hll_alpha
 
     return _hll_alpha(_HLL_M)
+
+
+_CONTAM_PROFILE_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+),
+evtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0
+),
+evsh AS (
+  SELECT DISTINCT array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM evtoks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+)
+SELECT s.doc_id,
+  COUNT(*) AS n_distinct_ngrams,
+  CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_hit_distinct,
+  CAST(CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS contamination
+FROM sh s LEFT JOIN evsh e USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
+@register("doc_contamination_profile", _CONTAM_PROFILE_ORACLE)
+def doc_contamination_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded contamination audit: for EVERY document, the fraction of
+    its distinct 3-grams that appear in the doc_id%97 eval holdout —
+    the report a pipeline studies BEFORE choosing the drop threshold
+    that ``doc_decontaminate`` then enforces (binary gates hide how
+    contaminated the survivors are).  Broadcast eval shingles, one
+    corpus explode, per-doc integer counts + one division: no
+    corpus-sized shuffle, hash-checked exactly."""
+    from .operators.corpus import contamination_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_profile(
+        docs, docs.filter(F.col("doc_id") % 97 == 0), n=3
+    )
+
+
+def _token_budget_oracle() -> str:
+    """bpe_encode chain → per-language BPE-token sums → token-budget
+    rates → md5 Bernoulli keep, mirroring weighted_mixture_resample."""
+    l = "\x1e"
+    s = _bpe_chain_sql()
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, replace(replace(text, '{l}', ''), '\x1f', '') AS clean
+  FROM documents
+),
+enc AS (
+  SELECT doc_id, lang,
+    CAST(length({s}) - length(replace({s}, '{l}', '')) AS BIGINT) AS n_bpe_tokens
+  FROM (SELECT doc_id, lang, clean, clean AS t0 FROM base)
+),
+sums AS (SELECT lang, SUM(n_bpe_tokens) AS w_d FROM enc GROUP BY lang),
+tot AS (SELECT SUM(w_d) AS w_total, COUNT(*) AS n_groups FROM sums),
+rates AS (
+  SELECT lang, LEAST(1.0, CAST(w_total AS DOUBLE) / n_groups / CAST(w_d AS DOUBLE))
+    AS sample_rate
+  FROM sums, tot
+)
+SELECT e.doc_id, e.lang, e.n_bpe_tokens
+FROM enc e JOIN rates r USING (lang)
+WHERE CAST('0x' || substr(md5(CAST(e.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 1000000 < r.sample_rate * 1000000
+"""
+
+
+@register("doc_mixture_token_budget", _token_budget_oracle())
+def doc_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-balanced language mixture: resample so every
+    language contributes ≈ the same number of BPE TOKENS (the unit a
+    training run budgets), not the same number of documents — the
+    composition of ``corpus_tokenizer_fertility``'s insight (fertility
+    differs per language, so doc-balanced ≠ token-balanced) with the
+    deterministic md5 mixture machinery.  One shuffle-free encode
+    scan, one integer-sum aggregate, broadcast rates, md5 Bernoulli
+    keep; hash-checked end to end."""
+    from .operators.corpus import weighted_mixture_resample
+    from .operators.text_analysis import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, _BPE_ENCODE_MERGES).select("doc_id", "n_bpe_tokens")
+    weighted = docs.select("doc_id", "lang").join(enc, "doc_id")
+    return weighted_mixture_resample(
+        weighted, "n_bpe_tokens", by="lang", key_col="doc_id"
+    ).select("doc_id", "lang", "n_bpe_tokens")

@@ -97,6 +97,8 @@ PROBE = (
     "corpus_tokenizer_fertility",
     "doc_quality_gate_trained",
     "events_hll_stream_replay",
+    "doc_contamination_profile",
+    "doc_mixture_token_budget",
 )
 
 KEYED = {
