@@ -2389,3 +2389,83 @@ class TestClassifierTrain:
 
         with _pytest.raises(ValueError):
             hashed_classifier_score(docs, weights=[0.0] * 10)
+
+
+class TestHardNegatives:
+    def test_band_semantics(self, spark):
+        """Neighbors at/above the near-dup bound are excluded, below-lo
+        excluded, in-band kept and ranked by cosine desc."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        rows = [
+            (0, [1.0, 0.0]),            # query
+            (1, [1.0, 0.0]),            # cosine 1.0 — near-dup, excluded
+            (2, [1.0, 0.4]),            # cosine ~0.93 — above hi, excluded
+            (3, [1.0, 1.0]),            # cosine ~0.71 — in band
+            (4, [0.5, 1.0]),            # cosine ~0.45 — below lo, excluded
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = hard_negatives(
+            df, df.filter(F.col("vec_id") == 0), lo=0.5, hi=0.9, k=5
+        ).collect()
+        assert [(r["neighbor_id"], r["rank"]) for r in got] == [(3, 1)]
+
+    def test_disjoint_from_near_dup_band(self, spark, emb):
+        """The mined negatives must all fall strictly below the repo's
+        0.4 near-dup threshold — no false negatives by construction."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        got = hard_negatives(
+            emb, emb.filter(F.col("vec_id") < 5), lo=0.15, hi=0.4, k=5
+        ).collect()
+        assert got and all(0.15 <= r["cosine"] < 0.4 for r in got)
+
+
+class TestBm25MaxP:
+    def test_equals_doc_bm25_when_docs_fit_one_chunk(self, spark):
+        """chunk_size >= every doc length -> the passage collection IS
+        the document collection, so MaxP scores equal document BM25
+        exactly (same stats, same components)."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            bm25_maxp,
+            bm25_topk,
+        )
+
+        rows = [
+            (1, "hash scan merge join"),
+            (2, "hash hash filter sort"),
+            (3, "group order window limit"),
+            (4, "scan scan scan probe"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        terms = ("hash", "scan")
+        maxp = {
+            r["doc_id"]: r["bm25_maxp"]
+            for r in bm25_maxp(df, terms, chunk_size=64, k=10).collect()
+        }
+        doc = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_topk(df, terms, k=10).collect()
+        }
+        assert maxp == doc and set(maxp) == {1, 2, 4}
+
+    def test_concentration_beats_dilution(self, spark):
+        """MaxP's point: a doc whose best PASSAGE is term-dense must
+        outrank a longer doc with the same total term count diluted
+        one-per-chunk."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            bm25_maxp,
+        )
+
+        filler = lambda n, tag: " ".join(f"{tag}{i:02d}" for i in range(n))
+        dense = f"hash hash hash {filler(5, 'd')}"            # one hot chunk
+        diluted = " ".join(f"hash {filler(7, f'x{c}')}" for c in range(3))
+        df = spark.createDataFrame(
+            [(1, dense), (2, diluted)], "doc_id long, text string"
+        )
+        got = bm25_maxp(df, ("hash",), chunk_size=8, k=2).collect()
+        assert got[0]["doc_id"] == 1

@@ -46,21 +46,16 @@ def guarded_cosine(dot_col: Column, na: Column, nb: Column) -> Column:
     return F.when(denom > 0, dot_col / denom)
 
 
-def cosine_topk(
+def _cosine_scored(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     round_digits: int | None = 4,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
-
-    ``queries`` (vec_id, embedding) is broadcast; the corpus streams
-    through one map stage computing scores, then a per-query top-k via
-    window rank.  At 100 TB the corpus never shuffles — only the
-    (tiny) scored candidates move.  Self-matches are excluded.
-    """
-    from pyspark.sql.window import Window
-
+    """All (query, neighbor, cosine) pairs — the shared scoring core
+    of :func:`cosine_topk` and :func:`hard_negatives` (one definition,
+    so retrieval and negative mining can never drift on the arithmetic
+    the oracles pin).  Queries broadcast; the corpus never shuffles;
+    self-matches excluded."""
     q = F.broadcast(
         queries.select(
             F.col("vec_id").alias("query_id"),
@@ -85,17 +80,67 @@ def cosine_topk(
     )
     if round_digits is not None:
         score = F.round(score, round_digits)
-    scored = (
+    return (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", score.alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+
+
+def _rank_per_query(scored: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` (vec_id, embedding) is broadcast; the corpus streams
+    through one map stage computing scores, then a per-query top-k via
+    window rank.  At 100 TB the corpus never shuffles — only the
+    (tiny) scored candidates move.  Self-matches are excluded.
+    """
+    return _rank_per_query(_cosine_scored(corpus, queries, round_digits), k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    lo: float = 0.5,
+    hi: float = 0.9,
+    k: int = 5,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k corpus vectors whose cosine falls in ``[lo, hi)`` — similar
+    enough to be informative negatives, below the near-duplicate band
+    that would make them false negatives (the standard dense-retrieval
+    recipe: mine negatives from the retriever's own confusable
+    neighborhood, exclude the near-dup top).
+
+    Same plan as :func:`cosine_topk` (broadcast queries, scan-side
+    scoring, window rank over the tiny banded candidate set) with the
+    band as a pushed filter; scores round to 4 dp before banding and
+    ranking on BOTH sides, so the band edges and order are
+    engine-exact.
+    """
+    banded = _cosine_scored(corpus, queries, round_digits).filter(
+        (F.col("cosine") >= F.lit(lo)) & (F.col("cosine") < F.lit(hi))
+    )
+    return _rank_per_query(banded, k)
 
 
 def near_dup_pairs(vectors: DataFrame, threshold: float = 0.95) -> DataFrame:

@@ -301,15 +301,19 @@ def lm_support_score(
     )
 
 
-def bm25_topk(
+def bm25_scores(
     docs: DataFrame,
     terms: tuple[str, ...],
     k1: float = 1.2,
     b: float = 0.75,
-    k: int = 20,
     text_col: str = "text",
-    id_col: str = "doc_id",
+    id_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
+    """Per-unit BM25 scores for every unit containing ≥ 1 query term —
+    the shared scoring core of :func:`bm25_topk` (unit = document) and
+    :func:`bm25_maxp` (unit = passage chunk, hence the multi-column
+    ``id_cols``).  Same portability contract as bm25_topk: rational
+    IDF, fixed-order component sum."""
     """BM25 top-k retrieval over a whitespace-tokenized corpus.
 
     The standard lexical-retrieval scorer (Robertson/Sparck Jones), with
@@ -333,11 +337,12 @@ def bm25_topk(
     """
     from functools import reduce
 
+    ids = list(id_cols)
     toks = docs.select(
-        id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+        *ids, F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     dl = docs.select(
-        id_col, F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl")
+        *ids, F.size(F.split(F.col(text_col), " ")).cast("long").alias("dl")
     )
     stats = dl.agg(
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -345,11 +350,11 @@ def bm25_topk(
     )
     tf = (
         toks.filter(F.col("tok").isin(list(terms)))
-        .groupBy(id_col, "tok")
+        .groupBy(*ids, "tok")
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    wide = tf.groupBy(id_col).agg(
+    wide = tf.groupBy(*ids).agg(
         *[
             F.coalesce(
                 F.max(F.when(F.col("tok") == t, F.col("tf"))),
@@ -364,7 +369,7 @@ def bm25_topk(
             for t in terms
         ]
     ).crossJoin(stats)
-    joined = wide.join(dl, id_col).crossJoin(F.broadcast(scal))
+    joined = wide.join(dl, ids).crossJoin(F.broadcast(scal))
     comps = []
     for t in terms:
         tf_c, df_c = F.col(f"tf_{t}"), F.col(f"df_{t}")
@@ -374,11 +379,70 @@ def bm25_topk(
         )
         comps.append(idf * (tf_c * F.lit(k1 + 1.0)) / denom)
     score = reduce(lambda a, c: a + c, comps)
+    return joined.select(*ids, *[f"tf_{t}" for t in terms], score.alias("bm25"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k retrieval over a whitespace-tokenized corpus — the
+    per-document ranking head over :func:`bm25_scores` (see it for the
+    scoring semantics and the two engine-portability choices: rational
+    odds IDF without the monotone log wrapper, and per-term components
+    added in the FIXED order of ``terms``)."""
     return (
-        joined.select(
-            id_col, *[f"tf_{t}" for t in terms], score.alias("bm25")
-        )
+        bm25_scores(docs, terms, k1=k1, b=b, text_col=text_col, id_cols=(id_col,))
         .orderBy(F.col("bm25").desc(), id_col)
+        .limit(k)
+    )
+
+
+def bm25_maxp(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    chunk_size: int = 32,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Passage-level BM25 with MaxP document aggregation (Dai & Callan
+    2019): split each document into fixed-size token chunks, score
+    CHUNKS against the query (chunk-level df/avgdl — the passage corpus
+    is the retrieval collection), and rank documents by their best
+    passage.  Long documents stop winning on raw term accumulation —
+    the standard fix once documents exceed a retrieval granularity.
+
+    MAX over float chunk scores is order-independent (unlike SUM), so
+    MaxP is exactly as hash-checkable as document BM25.  Shapes: the
+    chunk explode is a Generate, scoring is :func:`bm25_scores` over
+    the chunk table (word-count-shaped aggregations), and the doc
+    rollup is one map-side-combinable MAX per doc.
+    """
+    from .preprocess import chunk_tokens
+
+    chunks = chunk_tokens(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        chunk_size=chunk_size,
+    ).select("doc_id", "chunk_idx", F.col("chunk_text").alias("text"))
+    scored = bm25_scores(
+        chunks, terms, k1=k1, b=b, text_col="text",
+        id_cols=("doc_id", "chunk_idx"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_scored_chunks"),
+            F.max("bm25").alias("bm25_maxp"),
+        )
+        .orderBy(F.col("bm25_maxp").desc(), F.col("doc_id"))
         .limit(k)
     )
 

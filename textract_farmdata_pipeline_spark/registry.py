@@ -6633,3 +6633,118 @@ def doc_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_mixture_resample(
         weighted, "n_bpe_tokens", by="lang", key_col="doc_id"
     ).select("doc_id", "lang", "n_bpe_tokens")
+
+
+_HARD_NEG_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(q.e, c.e)
+          / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 4)
+      AS cosine
+  FROM v c, q
+  WHERE c.vec_id <> q.vec_id
+),
+banded AS (
+  SELECT * FROM scored WHERE cosine >= 0.15::DOUBLE AND cosine < 0.4::DOUBLE
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM banded
+) ranked
+WHERE rank <= 5
+"""
+
+
+@register("embedding_hard_negatives", _HARD_NEG_ORACLE)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector
+    (vec_id < 20), the top-5 corpus vectors with cosine in [0.15, 0.4)
+    — the confusable band below the repo's near-duplicate threshold
+    (``embedding_near_dup_pairs`` gates at 0.4), which is exactly what
+    a dense-retrieval training loop wants as negatives (informative,
+    not false).  Same broadcast-query scan as ``embedding_cosine_topk``
+    with the band pushed as a filter; 4 dp rounding on both sides makes
+    band edges and ranks engine-exact."""
+    from .operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 20), lo=0.15, hi=0.4, k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def _bm25_maxp_oracle() -> str:
+    """Chunked-passage BM25 + MaxP twin: the doc_chunk_tokens chunk CTE
+    at chunk_size=32, the bm25 component chain over (doc, chunk) with
+    chunk-level df/avgdl, then per-doc MAX (order-independent) and the
+    document ranking."""
+    terms = _BM25_TERMS
+    k1, b = _BM25_K1, _BM25_B
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    tf_cols = ",\n    ".join(
+        f"COALESCE(MAX(CASE WHEN tok = '{t}' THEN tf END), 0) AS tf_{t}"
+        for t in terms
+    )
+    df_cols = ", ".join(
+        f"MAX(CASE WHEN tok = '{t}' THEN df END) AS df_{t}" for t in terms
+    )
+    comps = [
+        f"(n - df_{t} + 0.5::DOUBLE) / (df_{t} + 0.5::DOUBLE)"
+        f" * (tf_{t} * {k1 + 1.0!r}::DOUBLE)"
+        f" / (tf_{t} + {k1!r}::DOUBLE * ({1.0 - b!r}::DOUBLE"
+        f" + {b!r}::DOUBLE * (dl / avgdl)))"
+        for t in terms
+    ]
+    score = "\n    + ".join(comps)
+    return f"""
+WITH chunks AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_idx,
+    array_to_string(toks[(i-1)*32 + 1 : (i-1)*32 + 32], ' ') AS text
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+      greatest(CAST(ceil(len(string_split(text, ' ')) / 32.0) AS BIGINT), 1) AS nc
+    FROM documents
+  ) d, LATERAL unnest(generate_series(1, nc)) AS t(i)
+),
+ctoks AS (
+  SELECT doc_id, chunk_idx, unnest(string_split(text, ' ')) AS tok FROM chunks
+),
+dl AS (SELECT doc_id, chunk_idx, len(string_split(text, ' ')) AS dl FROM chunks),
+stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n FROM dl),
+tf AS (SELECT doc_id, chunk_idx, tok, COUNT(*) AS tf FROM ctoks
+       WHERE tok IN ({in_list}) GROUP BY doc_id, chunk_idx, tok),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+wide AS (SELECT doc_id, chunk_idx,
+    {tf_cols}
+  FROM tf GROUP BY doc_id, chunk_idx),
+scal AS (SELECT {df_cols} FROM dfreq),
+cscore AS (
+  SELECT w.doc_id,
+    {score} AS bm25
+  FROM wide w JOIN dl USING (doc_id, chunk_idx), stats, scal)
+SELECT doc_id, n_scored_chunks, bm25_maxp FROM (
+  SELECT doc_id, COUNT(*) AS n_scored_chunks, MAX(bm25) AS bm25_maxp
+  FROM cscore GROUP BY doc_id
+) s
+ORDER BY bm25_maxp DESC, doc_id
+LIMIT 20
+"""
+
+
+@register("doc_bm25_maxp", _bm25_maxp_oracle())
+def doc_bm25_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level retrieval with MaxP document aggregation (Dai &
+    Callan 2019): 32-token chunks scored as the BM25 collection
+    (chunk-level df/avgdl), documents ranked by their best passage —
+    the standard fix for long-document term accumulation, and
+    hash-checkable because MAX over float chunk scores (unlike SUM) is
+    combine-order-independent."""
+    from .operators.text_analysis import bm25_maxp
+
+    return bm25_maxp(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS,
+        chunk_size=32, k1=_BM25_K1, b=_BM25_B, k=20,
+    )

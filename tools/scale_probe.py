@@ -99,6 +99,8 @@ PROBE = (
     "events_hll_stream_replay",
     "doc_contamination_profile",
     "doc_mixture_token_budget",
+    "embedding_hard_negatives",
+    "doc_bm25_maxp",
 )
 
 KEYED = {
