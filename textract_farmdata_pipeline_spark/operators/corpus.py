@@ -171,6 +171,27 @@ def shuffle_shards(
     )
 
 
+def _budget_rate(total: Column, n_groups: Column, unit: Column) -> Column:
+    """The one mixture-rate formula: ``min(1, (total/n_groups)/unit)``
+    — unit = docs (:func:`mixture_weights`) or any per-row weight sum
+    (:func:`weighted_mixture_resample`).  One definition so the two
+    resamplers and their oracles cannot drift."""
+    return F.least(F.lit(1.0), total.cast("double") / n_groups / unit)
+
+
+def _rate_keep(
+    df: DataFrame, rates: DataFrame, by: str, key_col: str, seed: str
+) -> DataFrame:
+    """Deterministic Bernoulli keep at a per-group rate COLUMN: the
+    shared tail of every mixture resampler (broadcast rates onto the
+    corpus, md5-bucket comparison, retry-stable)."""
+    kept = df.join(rates, by).filter(
+        md5_bucket(F.col(key_col), 1_000_000, seed)
+        < F.col("sample_rate") * 1_000_000
+    )
+    return kept.drop("sample_rate")
+
+
 def mixture_weights(df: DataFrame, by: str = "source") -> DataFrame:
     """Per-domain sampling rates targeting a uniform mixture.
 
@@ -188,7 +209,9 @@ def mixture_weights(df: DataFrame, by: str = "source") -> DataFrame:
         by,
         "n_docs",
         target.alias("target_n"),
-        F.least(F.lit(1.0), target / F.col("n_docs")).alias("sample_rate"),
+        _budget_rate(
+            F.col("total"), F.col("n_groups"), F.col("n_docs")
+        ).alias("sample_rate"),
     )
 
 
@@ -243,11 +266,7 @@ def mixture_resample(
     with the rate a *column*, not a literal.  Rows out ≈ uniform across
     domains; assignment reproducible on any engine."""
     rates = F.broadcast(mixture_weights(df, by).select(by, "sample_rate"))
-    kept = df.join(rates, by).filter(
-        md5_bucket(F.col(key_col), 1_000_000, seed)
-        < F.col("sample_rate") * 1_000_000
-    )
-    return kept.drop("sample_rate")
+    return _rate_keep(df, rates, by, key_col, seed)
 
 
 def corpus_ngram_counts(
@@ -558,19 +577,12 @@ def weighted_mixture_resample(
     rates = F.broadcast(
         sums.crossJoin(F.broadcast(tot)).select(
             by,
-            F.least(
-                F.lit(1.0),
-                F.col("w_total").cast("double")
-                / F.col("n_groups")
-                / F.col("w_d").cast("double"),
+            _budget_rate(
+                F.col("w_total"), F.col("n_groups"), F.col("w_d")
             ).alias("sample_rate"),
         )
     )
-    kept = df.join(rates, by).filter(
-        md5_bucket(F.col(key_col), 1_000_000, seed)
-        < F.col("sample_rate") * 1_000_000
-    )
-    return kept.drop("sample_rate")
+    return _rate_keep(df, rates, by, key_col, seed)
 
 
 def contamination_profile(

@@ -309,30 +309,26 @@ def bm25_scores(
     text_col: str = "text",
     id_cols: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
-    """Per-unit BM25 scores for every unit containing ≥ 1 query term —
-    the shared scoring core of :func:`bm25_topk` (unit = document) and
-    :func:`bm25_maxp` (unit = passage chunk, hence the multi-column
-    ``id_cols``).  Same portability contract as bm25_topk: rational
-    IDF, fixed-order component sum."""
-    """BM25 top-k retrieval over a whitespace-tokenized corpus.
-
-    The standard lexical-retrieval scorer (Robertson/Sparck Jones), with
-    two deliberate engine-portability choices:
+    """Per-unit BM25 scores (Robertson/Sparck Jones) for every unit
+    containing ≥ 1 query term — the shared scoring core of
+    :func:`bm25_topk` (unit = document) and :func:`bm25_maxp` (unit =
+    passage chunk, hence the multi-column ``id_cols``), with two
+    deliberate engine-portability choices:
 
     * IDF uses the *rational* odds form ``(N - df + 0.5) / (df + 0.5)``
       without the log wrapper: ``log`` is libm-implementation-specific
       (not correctly rounded), while the odds ratio is a single IEEE
-      division of exact integers.  ``log`` is monotone, so the top-k SET
+      division of exact integers.  ``log`` is monotone, so top-k sets
       and per-term ordering are unchanged.
-    * The per-document score sums its per-term components in the FIXED
+    * The per-unit score sums its per-term components in the FIXED
       order of ``terms`` (explicit column addition, not a SUM aggregate),
       so the float result is bit-identical across engines and runs.
 
     Shape: one token explode, one corpus-length aggregate (scalar,
-    broadcast), one (doc, term) count shuffled on the doc key, a row-count
-    per term folded into the same scalar broadcast, then a map-side score
-    and a global top-k.  Only documents containing at least one query
-    term survive (retrieval semantics) — the big corpus is never scored
+    broadcast), one (unit, term) count shuffled on the unit key, a
+    row-count per term folded into the same scalar broadcast, then a
+    map-side score.  Only units containing at least one query term
+    survive (retrieval semantics) — the big corpus is never scored
     row-by-row against terms it doesn't contain.
     """
     from functools import reduce

@@ -6507,12 +6507,18 @@ def events_hll_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the state dict is driver-side; nothing downstream reads the
         # replay files — safe to remove immediately.
         shutil.rmtree(workdir, ignore_errors=True)
+    from .operators.approx import hll_estimate
+
     regs = spark.createDataFrame(
         sorted(state.items()), "register long, max_rho long"
     )
     n_exact = ev.distinct().count()
+    # the estimator is operators.approx.hll_estimate VERBATIM (one
+    # definition — the stream replay must not drift from the batch
+    # sketch it claims to equal); only the register-string packing,
+    # which lets one hashed row pin every register, is local.
+    est = hll_estimate(regs, m=_HLL_M).select("n_used_registers", "hll_estimate")
     packed = regs.agg(
-        F.count("*").alias("n_used_registers"),
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -6526,22 +6532,12 @@ def events_hll_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("registers"),
-        (
-            F.lit(_hll_alpha_m())
-            * F.lit(float(_HLL_M * _HLL_M))
-            / (
-                F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
-                + (F.lit(_HLL_M) - F.count("*")).cast("double")
-            )
-        ).alias("hll_estimate"),
     )
-    return packed.withColumn("n_exact", F.lit(n_exact).cast("long"))
-
-
-def _hll_alpha_m() -> float:
-    from .operators.approx import _hll_alpha
-
-    return _hll_alpha(_HLL_M)
+    return (
+        packed.crossJoin(F.broadcast(est))
+        .withColumn("n_exact", F.lit(n_exact).cast("long"))
+        .select("n_used_registers", "registers", "hll_estimate", "n_exact")
+    )
 
 
 _CONTAM_PROFILE_ORACLE = """

@@ -125,7 +125,10 @@ def replay_ingest_batches(
     stage = os.path.join(workdir, "_stage")
     (
         docs.select("doc_id", "text")
-        .withColumn("b", (F.col("doc_id") % k_batches).cast("int"))
+        # pmod, not %: Spark's % follows the sign of doc_id, and a
+        # negative id would land in a b=-1.. dir the glob below never
+        # reads — a silently dropped row.
+        .withColumn("b", F.pmod(F.col("doc_id"), F.lit(k_batches)).cast("int"))
         .repartition(k_batches, "b")
         .write.mode("overwrite")
         .partitionBy("b")
@@ -134,6 +137,15 @@ def replay_ingest_batches(
     for i in range(k_batches):
         parts = glob.glob(os.path.join(stage, f"b={i}", "part-*.parquet"))
         path = os.path.join(src, f"batch_{i}.parquet")
+        if len(parts) > 1:
+            # one task per residue class (repartition by b) normally
+            # writes one file; writer configs like maxRecordsPerFile
+            # can split it, and taking parts[0] would silently drop
+            # the rest of the batch.
+            raise ValueError(
+                f"batch {i} split into {len(parts)} files — "
+                "unset spark.sql.files.maxRecordsPerFile for the replay"
+            )
         if parts:
             os.replace(parts[0], path)
         else:  # an empty residue class still needs a batch file
@@ -167,15 +179,19 @@ def replay_ingest_batches(
         .start()
     )
     q.awaitTermination()
-    from ..operators.checkpoints import tracked_local_checkpoint
+    import atexit
+
     from ..operators.merge import ParquetMergeTable
 
-    out = ParquetMergeTable(spark, corpus_path).read().select("doc_id", "text")
-    # decouple the result from the on-disk replay state, then remove
-    # the workdir — repeated bench/probe invocations must not
-    # accumulate batch files + checkpoints under /tmp.  The admitted
-    # corpus is what a real deployment would keep as a table anyway;
-    # locally it is bounded by the input.
-    out, _ = tracked_local_checkpoint(out)
-    shutil.rmtree(workdir, ignore_errors=True)
-    return out
+    # Reclaim the bulky replay state (batch files + stream checkpoint)
+    # immediately; keep only the admitted-corpus table and return a
+    # LAZY read over it — an eager localCheckpoint here would pin an
+    # admitted-corpus-sized block per invocation with no release point
+    # (the caller owns the frame), exactly the orphan-block pressure
+    # the checkpoints module exists to avoid.  The corpus dir itself
+    # is removed at interpreter exit, so repeated bench/probe runs
+    # accumulate nothing across sessions.
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return ParquetMergeTable(spark, corpus_path).read().select("doc_id", "text")
