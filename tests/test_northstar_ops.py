@@ -2469,3 +2469,94 @@ class TestBm25MaxP:
         )
         got = bm25_maxp(df, ("hash",), chunk_size=8, k=2).collect()
         assert got[0]["doc_id"] == 1
+
+
+class TestPortableMathTwins:
+    """Pure-Python reference twins of the portable md5 math: the Spark
+    operators must reproduce these EXACTLY (integer/bit equality), the
+    same contract the DuckDB oracles check from the SQL side."""
+
+    @staticmethod
+    def _md5_32(seed: str, key) -> int:
+        import hashlib
+
+        return int(hashlib.md5(f"{seed}{key}".encode()).hexdigest()[:8], 16)
+
+    def test_hll_registers_match_python(self, spark):
+        from textract_farmdata_pipeline_spark.operators.approx import hll_registers
+
+        keys = list(range(123))
+        want: dict[int, int] = {}
+        import hashlib
+
+        for k in keys:
+            h = hashlib.md5(f"hll|{k}".encode()).hexdigest()
+            reg = int(h[:8], 16) % 64
+            w = int(h[8:16], 16)
+            rho = 33 if w == 0 else 33 - w.bit_length()
+            want[reg] = max(want.get(reg, 0), rho)
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {
+            r["register"]: r["max_rho"]
+            for r in hll_registers(df, "k", m=64).collect()
+        }
+        assert got == want
+
+    def test_bloom_words_match_python(self, spark):
+        from textract_farmdata_pipeline_spark.operators.approx import bloom_build
+
+        keys = list(range(50, 90))
+        want: dict[int, int] = {}
+        for k in keys:
+            for i in range(4):
+                pos = self._md5_32(f"bloom|{i}|", k) % 1024
+                want[pos // 32] = want.get(pos // 32, 0) | (1 << (pos % 32))
+        df = spark.createDataFrame([(k,) for k in keys], "key long")
+        got = {
+            r["word_id"]: r["bits"]
+            for r in bloom_build(df, "key", m_bits=1024, k=4).collect()
+        }
+        assert got == want
+
+    def test_kn_doc_score_matches_fraction_arithmetic(self, spark):
+        """Exact rational reference: recompute kn_num/kn_den with
+        Python ints from first principles (KN formula scaled by
+        4·N·c1) on a corpus with seen pairs, backoff pairs, and an OOV
+        context — the Spark BIGINT sums must match exactly."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            kn_doc_score,
+        )
+
+        train_text = "a b a c b a"
+        score_text = "a b b b q a"  # seen (a,b); unseen pair (b,b); OOV (q,a)? q unseen ctx
+        # build reference stats
+        tb = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "b"), ("b", "a")]
+        pairs: dict = {}
+        for w1, w2 in tb:
+            pairs[(w1, w2)] = pairs.get((w1, w2), 0) + 1
+        c1: dict = {}
+        n1f: dict = {}
+        n1b: dict = {}
+        for (w1, w2), c in pairs.items():
+            c1[w1] = c1.get(w1, 0) + c
+            n1f[w1] = n1f.get(w1, 0) + 1
+            n1b[w2] = n1b.get(w2, 0) + 1
+        N = len(pairs)
+        num = den = 0
+        n_oov = 0
+        doc_bigrams = [("a", "b"), ("b", "b"), ("b", "b"), ("b", "q"), ("q", "a")]
+        for w1, w2 in doc_bigrams:
+            if w1 not in c1:
+                n_oov += 1
+                continue
+            backoff = 3 * n1f[w1] * n1b.get(w2, 0)
+            if (w1, w2) in pairs:
+                num += N * (4 * pairs[(w1, w2)] - 3) + backoff
+            else:
+                num += backoff
+            den += 4 * N * c1[w1]
+        train = spark.createDataFrame([(1, train_text)], "doc_id long, text string")
+        score = spark.createDataFrame([(2, score_text)], "doc_id long, text string")
+        r = kn_doc_score(score, train=train).collect()[0]
+        assert (r["kn_num"], r["kn_den"], r["n_oov"]) == (num, den, n_oov)
+        assert r["kn_score"] == num / den
