@@ -2560,3 +2560,46 @@ class TestPortableMathTwins:
         r = kn_doc_score(score, train=train).collect()[0]
         assert (r["kn_num"], r["kn_den"], r["n_oov"]) == (num, den, n_oov)
         assert r["kn_score"] == num / den
+
+
+class TestGroupedKmeans:
+    def test_matches_per_group_training(self, spark):
+        """Grouped Lloyd must produce the same codebook per group as
+        training each group alone with kmeans_train (same seeds, same
+        assignment/update rules) on well-separated data."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            kmeans_train,
+            kmeans_train_grouped,
+        )
+
+        import math
+
+        rows = []
+        # group 0: two tight clusters on axes x and y; group 1: on -x, -y
+        for i in range(20):
+            e = 0.01 * (i % 5)
+            rows.append((0, i, [1.0, e, 0.0]))
+            rows.append((0, 100 + i, [e, 1.0, 0.0]))
+            rows.append((1, 200 + i, [-1.0, -e, 0.0]))
+            rows.append((1, 300 + i, [-e, -1.0, 0.0]))
+        df = spark.createDataFrame(rows, "g int, rid long, v array<double>")
+        grouped = kmeans_train_grouped(df, "g", k=2, max_iter=6)
+        for g in (0, 1):
+            solo, _ = kmeans_train(
+                df.filter(F.col("g") == g).select(
+                    F.col("rid").alias("vec_id"), F.col("v").alias("embedding")
+                ),
+                k=2,
+                max_iter=6,
+                persist=False,
+            )
+            for a, b in zip(grouped[g], solo):
+                assert math.dist(a, b) < 1e-9, (g, a, b)
+
+    def test_empty_input_returns_empty(self, spark):
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            kmeans_train_grouped,
+        )
+
+        df = spark.createDataFrame([], "g int, rid long, v array<double>")
+        assert kmeans_train_grouped(df, "g", k=2) == {}

@@ -1214,25 +1214,26 @@ def _cap_cells(
         cold = assigned.filter(~F.col("cell_id").isin(hot)).withColumn(
             "_src", F.lit(None).cast("int")
         )
+        # ALL hot cells' codebooks train together: grouped Lloyd costs
+        # O(iterations) driver round trips however many cells went hot
+        # (the sequential per-cell form cost O(hot_cells · iterations)
+        # — the many-boilerplate-families case this cap exists for is
+        # exactly the case that made it slow).
+        hot_members = assigned.filter(F.col("cell_id").isin(hot))
+        sub_cents = kmeans_train_grouped(
+            hot_members, "cell_id", k=split_k, max_iter=4
+        )
         rebuilt = [cold]
         for c in hot:
             members = assigned.filter(F.col("cell_id") == c)
-            sub_cents, _ = kmeans_train(
-                members.select(
-                    F.col("rid").alias("vec_id"), F.col("v").alias("embedding")
-                ),
-                k=split_k,
-                max_iter=4,
-                persist=False,
-            )
             rebuilt.append(
                 members.select(
                     "rid",
                     "v",
                     (
-                        nearest_cell(centroid_scores(F.col("v"), sub_cents)).cast(
-                            "int"
-                        )
+                        nearest_cell(
+                            centroid_scores(F.col("v"), sub_cents[c])
+                        ).cast("int")
                         + F.lit(next_id - 1)
                     ).alias("cell_id"),
                     F.lit(c).alias("_src"),
@@ -1421,3 +1422,129 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(top)
     )
+
+
+def kmeans_train_grouped(
+    vectors: DataFrame,
+    group_col: str,
+    k: int = 4,
+    max_iter: int = 8,
+    tol: float = 1e-4,
+    vec_col: str = "v",
+    id_col: str = "rid",
+) -> dict:
+    """Spherical Lloyd over MANY disjoint groups at once: one codebook
+    per distinct ``group_col`` value, all trained in the SAME jobs.
+
+    This exists for :func:`_cap_cells`: re-clustering each oversized
+    SemDeDup cell with its own :func:`kmeans_train` costs
+    O(hot_cells · max_iter) sequential driver round trips; grouped
+    Lloyd folds every group's partials into ONE ``mapInPandas`` pass
+    per iteration (each Arrow batch matmuls per-group slices against
+    that group's codebook), so the driver cost is O(max_iter)
+    regardless of how many cells went hot.  Per-iteration driver state
+    is ``groups · k · (dim + 2)`` numbers — bounded by the hot-cell
+    count, not the corpus.
+
+    Same semantics as :func:`kmeans_train` per group: deterministic
+    xxhash64 seeding, dot-product assignment, sphere-renormalized
+    means, empty clusters keep their centroid; a group whose max
+    centroid shift drops under ``tol`` freezes (its rows still flow
+    through the pass — cheaper than re-filtering the frame).
+    Returns ``{group: centroids}``.
+    """
+    from pyspark.sql.window import Window
+
+    df = vectors.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+
+    def _unit(vec):
+        nrm = sum(x * x for x in vec) ** 0.5 or 1.0
+        return [x / nrm for x in vec]
+
+    w = Window.partitionBy("_g").orderBy(F.xxhash64(F.col("_id")))
+    seed_rows = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("_g", "v")
+        .collect()
+    )
+    cents: dict = {}
+    for r in seed_rows:
+        cents.setdefault(r["_g"], []).append(_unit(r["v"]))
+    if not cents:
+        return {}
+    dim = len(next(iter(cents.values()))[0])
+    live = set(cents)
+    gv = df.select("_g", "v")
+    for _ in range(max_iter):
+        if not live:
+            break
+        cent_map = {g: [list(c) for c in cs] for g, cs in cents.items()}
+
+        def _partials(batches):
+            import numpy as np
+
+            acc: dict = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for g, sub in pdf.groupby("_g"):
+                    C = np.array(cent_map[g]).T  # dim x k_g
+                    V = np.array(sub["v"].tolist())
+                    S = V @ C
+                    cl = S.argmax(axis=1)
+                    best = S[np.arange(len(S)), cl]
+                    a = acc.setdefault(
+                        g,
+                        [
+                            np.zeros((C.shape[1], C.shape[0])),
+                            np.zeros(C.shape[1], dtype="int64"),
+                            np.zeros(C.shape[1]),
+                        ],
+                    )
+                    for j in np.unique(cl):
+                        m = cl == j
+                        a[0][j] += V[m].sum(axis=0)
+                        a[1][j] += int(m.sum())
+                        a[2][j] += float(best[m].sum())
+            rows = {"g": [], "cl": [], "n": [], "obj": [], "s": []}
+            for g, (sums, cnt, obj) in acc.items():
+                for j in range(len(cnt)):
+                    rows["g"].append(g)
+                    rows["cl"].append(j + 1)
+                    rows["n"].append(int(cnt[j]))
+                    rows["obj"].append(float(obj[j]))
+                    rows["s"].append(list(sums[j]))
+            yield pd.DataFrame(rows)
+
+        stats = gv.mapInPandas(
+            _partials, "g long, cl int, n long, obj double, s array<double>"
+        ).collect()
+        agg: dict = {}
+        for r in stats:
+            key = (r["g"], r["cl"] - 1)
+            cur = agg.setdefault(key, [0, [0.0] * dim])
+            cur[0] += r["n"]
+            cur[1] = [a + b for a, b in zip(cur[1], r["s"])]
+        next_live = set()
+        for g in live:
+            shift = 0.0
+            new_cs = list(cents[g])
+            for j in range(len(new_cs)):
+                n_j, s_j = agg.get((g, j), (0, None))
+                if not n_j:
+                    continue
+                cand = _unit([x / n_j for x in s_j])
+                shift = max(
+                    shift, max(abs(a - b) for a, b in zip(cand, new_cs[j]))
+                )
+                new_cs[j] = cand
+            cents[g] = new_cs
+            if shift >= tol:
+                next_live.add(g)
+        live = next_live
+    return cents
