@@ -354,13 +354,13 @@ class TestStreamingCensus:
 class TestStreamingEvents:
     @pytest.fixture(scope="class")
     def batch_events(self, spark, sf_dir):
-        from textract_farmdata_pipeline_spark.streaming.events import EVENTS_SCHEMA
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        # the SAME derivation the stream uses (a separately hand-rolled
+        # transform once let a 1000x time error pass stream-equals-batch)
+        from textract_farmdata_pipeline_spark.streaming.events import (
+            read_events_batch,
         )
+
+        return read_events_batch(spark, sf_dir)
 
     def _run_stream(self, spark, sf_dir, build, tmp_path, name):
         from textract_farmdata_pipeline_spark.streaming.events import read_events_stream
@@ -404,9 +404,9 @@ class TestStreamingEvents:
 
         got = self._run_stream(spark, sf_dir, session_windows, tmp_path, "sessions_mem")
 
-        w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        gap_us = F.expr("ts_ns div 1000") - F.lag(F.expr("ts_ns div 1000")).over(w)
+        gap_us = F.col("ts_us") - F.lag(F.col("ts_us")).over(w)
         is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
         want = (
             batch_events.withColumn("session_id", F.sum(is_new).over(cum))

@@ -6744,3 +6744,78 @@ def doc_bm25_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), _BM25_TERMS,
         chunk_size=32, k1=_BM25_K1, b=_BM25_B, k=20,
     )
+
+
+_SESSION_REPLAY_ORACLE = """
+WITH lagged AS (
+  SELECT *,
+    epoch_us(ts) AS ts_us,
+    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM lagged
+),
+sessioned AS (
+  SELECT *,
+    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged
+)
+SELECT user_id,
+  COUNT(*) AS n_events,
+  CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+  CAST(MAX(ts_us) + 1800000000 AS BIGINT) AS session_end_us,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessioned
+GROUP BY user_id, session_id
+"""
+
+
+@register("events_session_stream_replay", _SESSION_REPLAY_ORACLE)
+def events_session_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING session windows, driver-checkable: run the
+    watermarked ``F.session_window`` aggregation (streaming.events.
+    session_windows — real Structured Streaming state, not the batch
+    twin) over the events file as an ``availableNow`` stream into a
+    complete-mode memory sink, and hash-check every emitted session
+    against the gaps-and-islands SQL.  Boundary semantics differ from
+    ``events_sessionize`` deliberately: ``session_window`` starts a NEW
+    session when the gap is >= 30 min (window ends are exclusive), and
+    a session's end is last-event + gap — the oracle encodes exactly
+    that, so the check pins the streaming operator's real semantics,
+    not the batch approximation.  Complete-mode memory sink is the
+    replay harness (state is session-count-bounded); production runs
+    append mode with the watermark expiring state."""
+    import tempfile
+    import uuid
+
+    from .streaming.events import read_events_stream, session_windows
+
+    name = f"sess_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_windows(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="sess_replay_ckpt_"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out.select(
+        "user_id",
+        "n_events",
+        (F.unix_micros(F.col("session_start"))).alias("session_start_us"),
+        (F.unix_micros(F.col("session_end"))).alias("session_end_us"),
+        "session_value",
+    )

@@ -98,21 +98,66 @@ def sliding_windows(
     )
 
 
+def _events_ts_is_nanos(spark: SparkSession, sf_dir: str) -> bool:
+    """Sniff the events file's timestamp physical precision with a
+    driver-side batch read (one footer).  The driver has shipped BOTH
+    TIMESTAMP(NANOS) (arrives as bigint under ``nanosAsLong``) and
+    µs-native files across rounds; assuming one of them silently
+    corrupts event time by 1000× — caught when the session-replay
+    ORACLE disagreed with a stream the stream-equals-batch test had
+    been validating against an identically-wrong batch transform."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dict(probe.dtypes).get("ts") == "bigint"
+
+
+def _derive_event_time(raw: DataFrame, is_nanos: bool) -> DataFrame:
+    """Shared raw-int64 → µs TimestampType derivation for the batch
+    fixture and the stream (ONE definition so they cannot be
+    consistently-wrong together again)."""
+    us = F.expr("ts_raw div 1000") if is_nanos else F.col("ts_raw")
+    return (
+        raw.withColumnRenamed("ts", "ts_raw")
+        .withColumn("ts_us", us)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's events parquet as a bounded stream (availableNow
-    backfill source).  The ns timestamp is read raw and re-derived at
-    µs, matching registry._events."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the streaming file source wants a directory; glob down to the one
-    # events file inside the sf dir
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-    )
+    backfill source).  The int64 timestamp is read raw (works for both
+    NANOS-as-long and µs-native storage) and re-derived at µs after a
+    precision sniff, matching registry._events."""
+    import os
+
+    is_ns = _events_ts_is_nanos(spark, sf_dir)
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        # Spark-written table: a DIRECTORY of part files — point the
+        # file-stream source straight at it.  (The glob-filter form
+        # below would match no files here and silently stream nothing
+        # — caught when the ×10 probe ran "faster" than base on an
+        # empty stream.)
+        raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    else:
+        # single-file layout: the file source wants a directory; glob
+        # down to the one events file inside the sf dir
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    return _derive_event_time(raw, is_ns)
+
+
+def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of :func:`read_events_stream` with the identical
+    event-time derivation — what stream-equals-batch tests must compare
+    against (a separate hand-rolled transform is how a 1000× time
+    error stayed invisible)."""
+    is_ns = _events_ts_is_nanos(spark, sf_dir)
+    raw = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return _derive_event_time(raw, is_ns)
 
 
 def enrich_stream(

@@ -101,6 +101,7 @@ PROBE = (
     "doc_mixture_token_budget",
     "embedding_hard_negatives",
     "doc_bm25_maxp",
+    "events_session_stream_replay",
 )
 
 KEYED = {
