@@ -76,6 +76,8 @@ HEADLINE = (
     "doc_hybrid_rrf",
     "doc_kn_score",
     "events_hll_portable",
+    "corpus_build_lm_gated",
+    "events_session_stream_replay",
 )
 
 

@@ -6819,3 +6819,57 @@ def events_session_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("session_end"))).alias("session_end_us"),
         "session_value",
     )
+
+
+_CURRICULUM_ORACLE = f"""
+WITH {_KN_CHAIN_CTES},
+scores AS (
+  SELECT doc_id,
+    CAST(CAST(SUM(num) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(den) AS BIGINT) AS DOUBLE)
+      AS kn_score
+  FROM scn GROUP BY doc_id
+  HAVING SUM(den) IS NOT NULL
+),
+phased AS (
+  SELECT doc_id, kn_score,
+    CAST(NTILE(4) OVER (ORDER BY kn_score ASC, doc_id ASC) AS INT) AS phase
+  FROM scores
+)
+SELECT phase, COUNT(*) AS n_docs,
+  MIN(kn_score) AS min_score, MAX(kn_score) AS max_score
+FROM phased GROUP BY phase
+"""
+
+
+@register("doc_curriculum_phases", _CURRICULUM_ORACLE)
+def doc_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum phases: order the corpus by the trained-LM
+    score (``doc_kn_score``) and NTILE it into 4 training phases —
+    low-scoring (hard/noisy) docs in phase 1, best-modeled in phase 4,
+    the curriculum-learning layout a loader consumes stage by stage.
+    NTILE over a TOTAL order (score, doc_id) is engine-deterministic,
+    and min/max per phase are order-independent, so the phase
+    assignment is hash-checked; docs the LM cannot score (all-OOV)
+    are excluded like the LM gate excludes them.  At scale the global
+    sort is one range-partitioned exchange — the same shape as any
+    ORDER BY write."""
+    from pyspark.sql.window import Window as W
+
+    from .operators.text_analysis import kn_doc_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = kn_doc_score(docs, train=docs.filter(F.col("lang") == "en")).filter(
+        F.col("kn_score").isNotNull()
+    )
+    phased = scored.select(
+        "doc_id",
+        "kn_score",
+        F.ntile(4)
+        .over(W.orderBy(F.asc("kn_score"), F.asc("doc_id")))
+        .alias("phase"),
+    )
+    return phased.groupBy("phase").agg(
+        F.count("*").alias("n_docs"),
+        F.min("kn_score").alias("min_score"),
+        F.max("kn_score").alias("max_score"),
+    )

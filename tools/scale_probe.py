@@ -102,6 +102,7 @@ PROBE = (
     "embedding_hard_negatives",
     "doc_bm25_maxp",
     "events_session_stream_replay",
+    "doc_curriculum_phases",
 )
 
 KEYED = {
