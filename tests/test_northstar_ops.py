@@ -2603,3 +2603,63 @@ class TestGroupedKmeans:
 
         df = spark.createDataFrame([], "g int, rid long, v array<double>")
         assert kmeans_train_grouped(df, "g", k=2) == {}
+
+
+class TestCurriculumNtile:
+    @staticmethod
+    def _phases_via_registry(spark, sf_dir):
+        from textract_farmdata_pipeline_spark.registry import QUERIES
+
+        return {
+            r["phase"]: r["n_docs"]
+            for r in QUERIES["doc_curriculum_phases"](spark, sf_dir).collect()
+        }
+
+    def test_closed_form_matches_sql_ntile(self, spark, sf_dir):
+        """The distributed two-phase rank + closed-form bucket must
+        equal plain NTILE(4) over the same total order — checked via
+        Spark's own ntile on the same scored set (covers the
+        n % 4 != 0 big-buckets-first rule at the fixture's n)."""
+        from pyspark.sql.window import Window
+
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            kn_doc_score,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scored = kn_doc_score(docs, train=docs.filter(F.col("lang") == "en")).filter(
+            F.col("kn_score").isNotNull()
+        )
+        want = {
+            r["phase"]: r["n"]
+            for r in scored.select(
+                F.ntile(4)
+                .over(Window.orderBy(F.asc("kn_score"), F.asc("doc_id")))
+                .alias("phase")
+            )
+            .groupBy("phase")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        got = self._phases_via_registry(spark, sf_dir)
+        assert got == want
+
+    def test_ntile_closed_form_all_remainders(self, spark):
+        """The closed-form bucket rule vs SQL NTILE for every n % 4:
+        first (n mod 4) buckets get the extra row."""
+        for n, want_sizes in [
+            (8, [2, 2, 2, 2]),
+            (9, [3, 2, 2, 2]),
+            (10, [3, 3, 2, 2]),
+            (11, [3, 3, 3, 2]),
+        ]:
+            q, r = divmod(n, 4)
+            sizes = [0, 0, 0, 0]
+            for rn in range(1, n + 1):
+                big = r * (q + 1)
+                if rn <= big:
+                    phase = -(-rn // (q + 1))
+                else:
+                    phase = r + (-(-(rn - big) // max(q, 1)))
+                sizes[phase - 1] += 1
+            assert sizes == want_sizes, (n, sizes)

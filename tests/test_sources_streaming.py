@@ -407,7 +407,12 @@ class TestStreamingEvents:
         w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         gap_us = F.col("ts_us") - F.lag(F.col("ts_us")).over(w)
-        is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+        # >= : session_window's end is EXCLUSIVE (an event exactly gap
+        # after the last one starts a NEW session) — the boundary the
+        # events_session_stream_replay oracle pins; '>' here was a
+        # latent flake that only passed because the fixture's µs jitter
+        # never lands an exact 30:00.000000 gap.
+        is_new = F.when(gap_us.isNull() | (gap_us >= 1_800_000_000), 1).otherwise(0)
         want = (
             batch_events.withColumn("session_id", F.sum(is_new).over(cum))
             .groupBy("user_id", "session_id")

@@ -1460,6 +1460,13 @@ def kmeans_train_grouped(
         F.col(id_col).alias("_id"),
         _as_double(F.col(vec_col)).alias("v"),
     )
+    # the partials schema declares the group as LONG; a string group
+    # would fail Arrow conversion deep in the pass, and a NULL group
+    # would seed a codebook that pandas groupby then silently skips
+    # every iteration (never converges) — reject both up front.
+    if dict(df.dtypes)["_g"] not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(f"group_col must be integral, got {dict(df.dtypes)['_g']}")
+    df = df.filter(F.col("_g").isNotNull())
 
     def _unit(vec):
         nrm = sum(x * x for x in vec) ** 0.5 or 1.0
@@ -1497,32 +1504,28 @@ def kmeans_train_grouped(
                     V = np.array(sub["v"].tolist())
                     S = V @ C
                     cl = S.argmax(axis=1)
-                    best = S[np.arange(len(S)), cl]
                     a = acc.setdefault(
                         g,
                         [
                             np.zeros((C.shape[1], C.shape[0])),
                             np.zeros(C.shape[1], dtype="int64"),
-                            np.zeros(C.shape[1]),
                         ],
                     )
                     for j in np.unique(cl):
                         m = cl == j
                         a[0][j] += V[m].sum(axis=0)
                         a[1][j] += int(m.sum())
-                        a[2][j] += float(best[m].sum())
-            rows = {"g": [], "cl": [], "n": [], "obj": [], "s": []}
-            for g, (sums, cnt, obj) in acc.items():
+            rows = {"g": [], "cl": [], "n": [], "s": []}
+            for g, (sums, cnt) in acc.items():
                 for j in range(len(cnt)):
                     rows["g"].append(g)
                     rows["cl"].append(j + 1)
                     rows["n"].append(int(cnt[j]))
-                    rows["obj"].append(float(obj[j]))
                     rows["s"].append(list(sums[j]))
             yield pd.DataFrame(rows)
 
         stats = gv.mapInPandas(
-            _partials, "g long, cl int, n long, obj double, s array<double>"
+            _partials, "g long, cl int, n long, s array<double>"
         ).collect()
         agg: dict = {}
         for r in stats:

@@ -6847,26 +6847,55 @@ def doc_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     score (``doc_kn_score``) and NTILE it into 4 training phases —
     low-scoring (hard/noisy) docs in phase 1, best-modeled in phase 4,
     the curriculum-learning layout a loader consumes stage by stage.
-    NTILE over a TOTAL order (score, doc_id) is engine-deterministic,
-    and min/max per phase are order-independent, so the phase
-    assignment is hash-checked; docs the LM cannot score (all-OOV)
-    are excluded like the LM gate excludes them.  At scale the global
-    sort is one range-partitioned exchange — the same shape as any
-    ORDER BY write."""
-    from pyspark.sql.window import Window as W
+    Docs the LM cannot score (all-OOV) are excluded, like the LM gate
+    excludes them.
 
+    The global rank is computed the DISTRIBUTED way, not with a naive
+    unpartitioned window (which Spark plans as Exchange
+    SinglePartition — the whole scored corpus sorted in one task):
+    ``repartitionByRange`` on the (score, id) total order, a per-range
+    local row_number, and the collected per-range counts (≤ #ranges
+    rows) as broadcast offsets — the standard two-phase global-rank
+    shape (same family as ``orders_topk_two_phase``).  The NTILE
+    bucket is then a closed-form expression over the global rank
+    (first ``n mod 4`` phases get the extra row, matching SQL NTILE
+    exactly), so the result still hash-checks against the oracle's
+    plain NTILE."""
     from .operators.text_analysis import kn_doc_score
 
+    n_ranges = 8
     docs = _t(spark, sf_dir, "documents")
     scored = kn_doc_score(docs, train=docs.filter(F.col("lang") == "en")).filter(
         F.col("kn_score").isNotNull()
+    ).select("doc_id", "kn_score")
+    ranged = scored.repartitionByRange(
+        n_ranges, F.asc("kn_score"), F.asc("doc_id")
+    ).withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.localCheckpoint()  # pin the range assignment for both passes
+    sizes = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
     )
-    phased = scored.select(
-        "doc_id",
-        "kn_score",
-        F.ntile(4)
-        .over(W.orderBy(F.asc("kn_score"), F.asc("doc_id")))
-        .alias("phase"),
+    w = Window.partitionBy("_pid").orderBy(F.asc("kn_score"), F.asc("doc_id"))
+    rn = (off_map[F.col("_pid")] + F.row_number().over(w)).alias("rn")
+    q, r = divmod(n, 4) if n else (0, 0)
+    # SQL NTILE: the first r buckets hold q+1 rows, the rest q.
+    big = F.lit(r * (q + 1))
+    phase = F.when(
+        F.col("rn") <= big, F.ceil(F.col("rn") / F.lit(q + 1))
+    ).otherwise(
+        F.lit(r) + F.ceil((F.col("rn") - big) / F.lit(max(q, 1)))
+    ).cast("int")
+    phased = ranged.select("doc_id", "kn_score", rn).select(
+        "doc_id", "kn_score", phase.alias("phase")
     )
     return phased.groupBy("phase").agg(
         F.count("*").alias("n_docs"),

@@ -128,11 +128,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     backfill source).  The int64 timestamp is read raw (works for both
     NANOS-as-long and µs-native storage) and re-derived at µs after a
     precision sniff, matching registry._events."""
-    import os
-
     is_ns = _events_ts_is_nanos(spark, sf_dir)
     path = f"{sf_dir}/events.parquet"
-    if os.path.isdir(path):
+    # Hadoop-FS directory check, not os.path.isdir: sf_dir may be any
+    # filesystem Spark can read (s3a://, hdfs://) and a local-only
+    # check would silently fall into the glob branch and stream
+    # nothing — the empty-stream failure mode all over again.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.getFileStatus(hpath).isDirectory():
         # Spark-written table: a DIRECTORY of part files — point the
         # file-stream source straight at it.  (The glob-filter form
         # below would match no files here and silently stream nothing
@@ -154,7 +159,14 @@ def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of :func:`read_events_stream` with the identical
     event-time derivation — what stream-equals-batch tests must compare
     against (a separate hand-rolled transform is how a 1000× time
-    error stayed invisible)."""
+    error stayed invisible).
+
+    Both readers force ``EVENTS_SCHEMA`` (ts as LongType): under
+    ``nanosAsLong`` a TIMESTAMP(NANOS) column arrives as raw ns, and
+    this Spark version also hands back a µs-native INT64 TIMESTAMP
+    column as its raw µs long under the user schema — both pinned by
+    the hash-green ``events_session_stream_replay`` oracle and the
+    stream-equals-batch tests on the current (µs-native) fixtures."""
     is_ns = _events_ts_is_nanos(spark, sf_dir)
     raw = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
     return _derive_event_time(raw, is_ns)
