@@ -2663,3 +2663,77 @@ class TestCurriculumNtile:
                     phase = r + (-(-(rn - big) // max(q, 1)))
                 sizes[phase - 1] += 1
             assert sizes == want_sizes, (n, sizes)
+
+
+class TestSqAnn:
+    """SQ8 scalar-quantization ANN: code bounds, the constant-dimension
+    guard, shortlist recall with exact-cosine rerank, and exact parity
+    with the DuckDB oracle (the driver's own comparison, pinned so a
+    portability regression fails fast locally)."""
+
+    def test_codes_bounds_and_constant_dim(self, spark):
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            sq_encode,
+            sq_train,
+        )
+
+        rows = [
+            (1, [0.0, 5.0, -2.0]),
+            (2, [10.0, 5.0, 2.0]),
+            (3, [5.0, 5.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        mins, maxs = sq_train(df)
+        assert mins == [0.0, 5.0, -2.0] and maxs == [10.0, 5.0, 2.0]
+        codes = {r["vec_id"]: r["codes"] for r in sq_encode(df, mins, maxs).collect()}
+        # extremes land on 0 / 255; the constant dim (index 1) encodes 0
+        assert codes[1] == [0, 0, 0]
+        assert codes[2] == [255, 0, 255]
+        assert codes[3][0] == 127 and codes[3][1] == 0
+        assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+        with pytest.raises(ValueError, match="mismatch"):
+            sq_encode(df, mins, maxs[:2])
+
+    def test_recall_and_exact_rerank(self, spark, emb):
+        """Two-stage SQ recall vs brute force (measured 1.0 on the
+        fixture with a 50-deep code-cosine shortlist — pin ≥ 0.9), and
+        every returned cosine is the EXACT brute-force score."""
+        from pyspark.sql import functions as F
+
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            cosine_topk,
+            sq_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 20)
+        exact = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in cosine_topk(emb, q, k=emb.count()).collect()
+        }
+        truth: dict[int, set[int]] = {}
+        for r in cosine_topk(emb, q, k=5).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        got: dict[int, set[int]] = {}
+        for r in sq_topk(emb, q, k=5, shortlist=50).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            assert r["cosine"] == exact[(r["query_id"], r["neighbor_id"])]
+        hits = sum(len(got.get(k_, set()) & t) for k_, t in truth.items())
+        recall = hits / sum(len(t) for t in truth.values())
+        assert recall >= 0.9, recall
+
+    def test_matches_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        srows = sorted(
+            tuple(r) for r in QUERIES["embedding_sq_topk"](spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["embedding_sq_topk"]).fetchall())
+        assert srows == drows
+        assert len(srows) == 100  # 20 queries x k=5

@@ -2250,6 +2250,74 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+_SQ_TOPK_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vd AS (
+  SELECT vec_id, i, e[i] AS x
+  FROM v, LATERAL unnest(generate_series(1, len(e))) AS u(i)
+),
+st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM vd GROUP BY i),
+cd AS (
+  SELECT vd.vec_id, vd.i,
+    CASE WHEN st.mx - st.mn > 0
+         THEN least(255, greatest(0,
+              CAST(floor((vd.x - st.mn) * 255.0 / (st.mx - st.mn)) AS INT)))
+         ELSE 0 END AS c
+  FROM vd JOIN st USING (i)
+),
+qd AS (SELECT vec_id AS query_id, i, c FROM cd WHERE vec_id < 20),
+nm AS (SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS sn FROM cd GROUP BY vec_id),
+isc AS (
+  SELECT qd.query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(qd.c * cd.c) AS BIGINT) AS score_sq
+  FROM cd JOIN qd ON cd.i = qd.i AND cd.vec_id <> qd.query_id
+  GROUP BY qd.query_id, cd.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id, score_sq FROM (
+    SELECT isc.*,
+      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+        CASE WHEN cnm.sn > 0 AND qnm.sn > 0
+             THEN score_sq / (sqrt(cnm.sn) * sqrt(qnm.sn)) END DESC,
+        neighbor_id ASC) AS srank
+    FROM isc
+    JOIN nm cnm ON cnm.vec_id = isc.neighbor_id
+    JOIN nm qnm ON qnm.vec_id = isc.query_id) s
+  WHERE srank <= 50
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.score_sq,
+    round(list_dot_product(q.e, c.e)
+          / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 4)
+      AS cosine
+  FROM short s
+  JOIN v c ON c.vec_id = s.neighbor_id
+  JOIN v q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score_sq, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rer) r
+WHERE rank <= 5
+"""
+
+
+@register("embedding_sq_topk", _SQ_TOPK_ORACLE)
+def embedding_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization ANN (SQ8), two-stage: per-dim MIN/MAX
+    bounds (order-exact, unlike float sums), uint8 encode of corpus +
+    queries (4x compression; three IEEE ops + floor per element),
+    integer-code-dot shortlist of 50 (associative INTEGER math — so,
+    unlike PQ's float ADC, the whole compressed scan is hash-checked
+    against DuckDB), then exact-cosine rerank to top 5.  The first
+    oracle-green member of the compressed-ANN family; queries
+    vec_id < 20, ties broken by neighbor id at both stages."""
+    from .operators.similarity import sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, shortlist=50)
+
+
 @register("embedding_pq_ann")  # no oracle: iterative float codebook training
 def embedding_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-domain ANN via product quantization, two-stage: train
