@@ -2059,6 +2059,34 @@ FROM (
 """
 
 
+_JSONL_ROUNDTRIP_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+@register("doc_jsonl_roundtrip", _JSONL_ROUNDTRIP_ORACLE)
+def doc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-interchange fidelity for the JSONL source/sink (the
+    format LLM corpora ship in): write ``documents`` as 8 deterministic
+    hash shards of JSONL, read them back schema-pinned (no inference
+    scan), return the full table — hash-checked against the parquet
+    source, so the JSON encode/decode (unicode escapes, quotes,
+    embedded control chars) is proven lossless, not assumed."""
+    import tempfile
+
+    from .sources.jsonl import read_jsonl, write_jsonl_shards
+
+    out = tempfile.mkdtemp(prefix="jsonl_rt_")
+    docs = _t(spark, sf_dir, "documents")
+    write_jsonl_shards(docs, f"{out}/documents", shard_col="doc_id", n_shards=8)
+    back = read_jsonl(
+        spark,
+        f"{out}/documents",
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
 @register("doc_shuffle_shards", _SHARDS_ORACLE)
 def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard layout: uniform md5 shard pick +
