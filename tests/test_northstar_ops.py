@@ -2737,3 +2737,78 @@ class TestSqAnn:
         drows = sorted(con.execute(ORACLES["embedding_sq_topk"]).fetchall())
         assert srows == drows
         assert len(srows) == 100  # 20 queries x k=5
+
+
+class TestJaccardPrefixJoin:
+    """Prefix-filtered exact Jaccard self-join: equals brute force on
+    adversarial fixtures (threshold-boundary pairs, size-ratio edges),
+    and matches the DuckDB oracle on the corpus fixture."""
+
+    def _brute(self, rows, t):
+        out = set()
+        for i, (ida, sa) in enumerate(rows):
+            for idb, sb in rows[i + 1 :]:
+                a, b = set(sa), set(sb)
+                if not a or not b:
+                    continue
+                j = len(a & b) / len(a | b)
+                if j >= t:
+                    out.add((min(ida, idb), max(ida, idb), round(j, 9)))
+        return out
+
+    @pytest.mark.parametrize("t", [0.5, 0.8])
+    def test_matches_brute_force(self, spark, t):
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            jaccard_prefix_join,
+        )
+
+        w = [f"w{i}" for i in range(9)]
+        docs = [
+            (1, " ".join(w)),                          # 9 tokens
+            (2, " ".join(w[:8] + ["x1"])),             # J(1,2)=8/10=0.8 exact
+            (3, " ".join(w[:7] + ["x2", "x3"])),       # J(1,3)=7/11≈0.64
+            (4, " ".join(w)),                          # exact dup of 1
+            (5, "w0 w1 w2"),                           # small set, size filter
+            (6, "w0 w1 w2 w3"),                        # J(5,6)=3/4=0.75
+            (7, "zz"),                                 # singleton
+            (8, "zz"),                                 # J(7,8)=1.0
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in jaccard_prefix_join(df, threshold=t, shingle_n=1).collect()
+        }
+        toks = [(i, txt.split(" ")) for i, txt in docs]
+        assert got == self._brute(toks, t)
+
+    def test_boundary_pair_included(self, spark):
+        """A pair at exactly J == t survives the ceil-based prefix and
+        the length filter (the two places an off-by-one would drop it)."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            jaccard_prefix_join,
+        )
+
+        w = [f"w{i}" for i in range(8)]
+        df = spark.createDataFrame(
+            [(1, " ".join(w + ["a1"])), (2, " ".join(w + ["b1"]))],
+            "doc_id long, text string",
+        )
+        rows = jaccard_prefix_join(df, threshold=0.8, shingle_n=1).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
+        assert rows[0]["jaccard"] == 0.8
+
+    def test_matches_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        srows = sorted(
+            tuple(r) for r in QUERIES["dedup_jaccard_prefix"](spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["dedup_jaccard_prefix"]).fetchall())
+        assert srows == drows and srows

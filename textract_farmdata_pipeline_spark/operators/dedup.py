@@ -743,3 +743,87 @@ def near_dup_clusters(
             F.coalesce(F.col("cluster_id"), F.col("rep_id")).alias("cluster_id"),
         )
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ ``threshold`` self-join without the
+    cross product: prefix filtering (AllPairs, Bayardo et al. WWW'07;
+    the PPJoin family) — the scalable exact counterpart to the
+    MinHash/SimHash *approximations* in this module.
+
+    Why it's exact: order every document's token set by a global total
+    order (rarest token first) and keep only the first
+    ``|s| - ceil(t·|s|) + 1`` tokens as its *prefix*.  Two sets with
+    Jaccard ≥ t overlap in ≥ ceil(t·|s|) tokens, so skipping the prefix
+    of either set cannot skip ALL shared tokens — every qualifying pair
+    must collide on at least one prefix token.  Candidates are then
+    length-filtered (J ≥ t forces ``t·|a| ≤ |b| ≤ |a|/t``) and verified
+    with the true intersection/union, so output = brute force, always.
+
+    Scale shape (the reason this beats the blocked brute-force
+    ``ngram_jaccard_pairs``): every stage is an equality-key shuffle —
+    token doc-frequency count, a token→df join, one per-doc sort, and a
+    candidate join keyed on PREFIX tokens, which are the globally
+    rarest by construction (the frequency order exists to keep that
+    join's key cardinality high and its skew low).  No global rank is
+    materialized: the total order is realized per-document by sorting
+    ``struct(df, token)`` arrays locally, so there is no single-
+    partition window anywhere.  The full token arrays travel only for
+    verified candidates.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), shingle_n).alias("s"),
+    ).filter(F.size("s") > 0)
+    ex = toks.select(
+        "doc_id", F.size("s").alias("sz"), F.explode("s").alias("tok")
+    )
+    dfreq = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    pre_len = (
+        F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+    ).cast("int")
+    prefix = (
+        ex.join(dfreq, "tok")
+        .groupBy("doc_id", "sz")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("ordered"))
+        .select(
+            "doc_id",
+            "sz",
+            F.transform(
+                F.slice(F.col("ordered"), F.lit(1), pre_len), lambda s: s["tok"]
+            ).alias("pref"),
+        )
+    )
+    pa = prefix.select("doc_id", "sz", F.explode("pref").alias("tok"))
+    t = float(threshold)
+    cands = (
+        pa.alias("a")
+        .join(
+            pa.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t bounds both sizes relative to the other
+            & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(t) * F.col("b.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = toks.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = toks.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b"))).cast("double")
+    union = F.size(F.array_union(F.col("s_a"), F.col("s_b"))).cast("double")
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(t))
+    )

@@ -1458,6 +1458,46 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=1, threshold=0.8, block_col="source")
 
 
+_JACCARD_PREFIX_ORACLE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+ix AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+    CAST(ix.i AS DOUBLE) / (sa.sz + sb.sz - ix.i) AS jaccard
+  FROM ix
+  JOIN sz sa ON sa.doc_id = ix.doc_a
+  JOIN sz sb ON sb.doc_id = ix.doc_b
+) p
+WHERE jaccard >= 0.8
+"""
+
+
+@register("dedup_jaccard_prefix", _JACCARD_PREFIX_ORACLE)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBLOCKED exact 3-gram Jaccard ≥ 0.8 self-join via prefix
+    filtering (AllPairs/PPJoin): candidates only from collisions on
+    each doc's rarest-shingle prefix + length filter, then exact
+    verification — the oracle is brute force over every shingle-sharing
+    pair (a superset of J ≥ 0.8), so the match proves the prefix filter
+    lost nothing.  The scalable exact twin of ``dedup_token_jaccard``
+    (which needs a blocking key to avoid n²) and of the approximate
+    minhash family (same shingles, exact answer)."""
+    from .operators.dedup import jaccard_prefix_join
+
+    return jaccard_prefix_join(
+        _t(spark, sf_dir, "documents"), threshold=0.8, shingle_n=3
+    )
+
+
 # Engine-portable minhash family: the shared CTE prefix computes
 # 3-gram shingles, the sliced-digest hash family (four 32-bit hashes
 # per md5 digest — 8-hex slices, exact in any signed-64 engine),
