@@ -78,6 +78,13 @@ HEADLINE = (
     "events_hll_portable",
     "corpus_build_lm_gated",
     "events_session_stream_replay",
+    # r05 additions (this session): the oracle-checked compressed-ANN
+    # member (SQ8 integer scan + exact rerank), the exact prefix-
+    # filtered Jaccard join (the most expensive new registration —
+    # tracked here, not hidden in the probe), and JSONL interchange.
+    "embedding_sq_topk",
+    "dedup_jaccard_prefix",
+    "doc_jsonl_roundtrip",
 )
 
 
