@@ -113,3 +113,28 @@ class TestJsonlRegistryParity:
         )
         drows = sorted(con.execute(ORACLES["doc_jsonl_roundtrip"]).fetchall())
         assert srows == drows and srows
+
+
+class TestCorruptColNameCollision:
+    def test_contained_name_does_not_suppress_capture(self, spark):
+        """Review regression: a data column whose name merely CONTAINS
+        '_corrupt_record' must not suppress corrupt-record capture."""
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jsonl_cc_")
+        with open(os.path.join(d, "part-00000.json"), "w") as fh:
+            fh.write('{"id": 1, "pre_corrupt_record_text": "ok"}\n')
+            fh.write("not json at all\n")
+        back = read_jsonl(spark, d, "id long, pre_corrupt_record_text string")
+        assert "_corrupt_record" in back.columns
+        bad = [r for r in back.collect() if r["_corrupt_record"] is not None]
+        assert len(bad) == 1 and bad[0]["_corrupt_record"] == "not json at all"
+
+    def test_explicit_corrupt_col_in_schema_not_duplicated(self, spark):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jsonl_cd_")
+        with open(os.path.join(d, "part-00000.json"), "w") as fh:
+            fh.write('{"id": 1}\n')
+        back = read_jsonl(spark, d, "id long, _corrupt_record string")
+        assert back.columns.count("_corrupt_record") == 1

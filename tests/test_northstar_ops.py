@@ -2812,3 +2812,22 @@ class TestJaccardPrefixJoin:
         )
         drows = sorted(con.execute(ORACLES["dedup_jaccard_prefix"]).fetchall())
         assert srows == drows and srows
+
+    def test_float_boundary_threshold_not_dropped(self, spark):
+        """Review regression: fl(0.07·100) = 7.000000000000001, so a
+        naive ceil/length-filter drops the J = 7/100 = 0.07 pair that
+        exact verification accepts.  The epsilon-slackened prefix and
+        length filter must keep it."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            jaccard_prefix_join,
+        )
+
+        common = [f"c{i}" for i in range(7)]
+        filler = [f"f{i}" for i in range(93)]
+        df = spark.createDataFrame(
+            [(1, " ".join(common + filler)), (2, " ".join(common))],
+            "doc_id long, text string",
+        )
+        rows = jaccard_prefix_join(df, threshold=0.07, shingle_n=1).collect()
+        assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
+        assert rows[0]["jaccard"] == 0.07

@@ -766,6 +766,14 @@ def jaccard_prefix_join(
     length-filtered (J ≥ t forces ``t·|a| ≤ |b| ≤ |a|/t``) and verified
     with the true intersection/union, so output = brute force, always.
 
+    The ceil and the length filter run on ``t·sz - 1e-9``: double
+    multiplication can round ``t·sz`` UP past an exact integer (e.g.
+    fl(0.07·100) = 7.000000000000001), which would shorten the prefix /
+    tighten the filter enough to drop a pair sitting exactly at J = t.
+    The epsilon only ever ADMITS borderline candidates — the exact
+    verification then decides — so completeness is preserved for any
+    threshold, not just ones that happen to multiply cleanly.
+
     Scale shape (the reason this beats the blocked brute-force
     ``ngram_jaccard_pairs``): every stage is an equality-key shuffle —
     token doc-frequency count, a token→df join, one per-doc sort, and a
@@ -786,7 +794,9 @@ def jaccard_prefix_join(
     )
     dfreq = ex.groupBy("tok").agg(F.count("*").alias("df"))
     pre_len = (
-        F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz")) + 1
+        F.col("sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
+        + 1
     ).cast("int")
     prefix = (
         ex.join(dfreq, "tok")
@@ -808,9 +818,10 @@ def jaccard_prefix_join(
             pa.alias("b"),
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            # length filter: J >= t bounds both sizes relative to the other
-            & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
-            & (F.col("a.sz") >= F.lit(t) * F.col("b.sz")),
+            # length filter: J >= t bounds both sizes relative to the
+            # other (epsilon-slack: see docstring — admit, then verify)
+            & (F.col("b.sz") >= F.lit(t) * F.col("a.sz") - F.lit(1e-9))
+            & (F.col("a.sz") >= F.lit(t) * F.col("b.sz") - F.lit(1e-9)),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

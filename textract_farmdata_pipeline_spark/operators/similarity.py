@@ -87,16 +87,26 @@ def _cosine_scored(
     )
 
 
-def _rank_per_query(scored: DataFrame, k: int) -> DataFrame:
+def _rank_per_query(
+    scored: DataFrame,
+    k: int,
+    extra_cols: Sequence[str] = (),
+    rank_type: str | None = None,
+) -> DataFrame:
+    """The ONE definition of the repo-wide per-query ranking rule
+    (cosine desc, neighbor_id asc — the tie-break every oracle pins).
+    ``extra_cols`` carries additional score columns through;
+    ``rank_type`` optionally casts the rank (oracles emit BIGINT)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
+    rank = F.row_number().over(w)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", rank.cast(rank_type) if rank_type else rank)
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select("query_id", "neighbor_id", "rank", *extra_cols, "cosine")
     )
 
 
@@ -1700,17 +1710,4 @@ def sq_topk(
             "cosine", F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
         )
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        rer.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.col("rank").cast("long").alias("rank"),
-            "score_sq",
-            "cosine",
-        )
-    )
+    return _rank_per_query(rer, k, extra_cols=("score_sq",), rank_type="long")

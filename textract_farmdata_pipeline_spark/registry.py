@@ -2112,11 +2112,18 @@ def doc_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan), return the full table — hash-checked against the parquet
     source, so the JSON encode/decode (unicode escapes, quotes,
     embedded control chars) is proven lossless, not assumed."""
+    import os
     import tempfile
 
     from .sources.jsonl import read_jsonl, write_jsonl_shards
 
-    out = tempfile.mkdtemp(prefix="jsonl_rt_")
+    # deterministic per-sf_dir path + overwrite mode: reruns (bench
+    # best-of-3, scale probe, rotation) reuse ONE corpus-sized copy
+    # instead of leaking a fresh mkdtemp per invocation
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"tfp_jsonl_rt_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
     docs = _t(spark, sf_dir, "documents")
     write_jsonl_shards(docs, f"{out}/documents", shard_col="doc_id", n_shards=8)
     back = read_jsonl(

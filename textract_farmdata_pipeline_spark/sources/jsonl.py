@@ -51,8 +51,14 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", corrupt_col)
     )
     full = schema
-    if mode.upper() == "PERMISSIVE" and corrupt_col not in schema:
-        full = f"{schema}, {corrupt_col} string"
+    if mode.upper() == "PERMISSIVE":
+        # parse the DDL for real field names — a substring test would
+        # let a column merely CONTAINING the corrupt-col name suppress
+        # corrupt-record capture silently
+        from pyspark.sql.types import StructType
+
+        if corrupt_col not in StructType.fromDDL(schema).fieldNames():
+            full = f"{schema}, {corrupt_col} string"
     return reader.schema(full).json(path)
 
 
