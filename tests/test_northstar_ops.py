@@ -2831,3 +2831,49 @@ class TestJaccardPrefixJoin:
         rows = jaccard_prefix_join(df, threshold=0.07, shingle_n=1).collect()
         assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(1, 2)]
         assert rows[0]["jaccard"] == 0.07
+
+    def test_clusters_linear_and_exact(self, spark, docs):
+        """The product twin: one output row per input doc; exact
+        duplicates share a cluster; pairs above threshold land in one
+        cluster (edges are the TRUE J >= t graph, not an LSH sample)."""
+        from pyspark.sql import functions as F
+
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            jaccard_prefix_clusters,
+            jaccard_prefix_join,
+        )
+
+        n = docs.count()
+        out = jaccard_prefix_clusters(docs, threshold=0.8, shingle_n=3)
+        rows = out.collect()
+        assert len(rows) == n
+        cluster = {r["doc_id"]: r["cluster_id"] for r in rows}
+        # every exact-dup pair must co-cluster
+        for grp in (
+            docs.groupBy("text")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids") > 1)
+            .collect()
+        ):
+            ids = grp["ids"]
+            assert len({cluster[i] for i in ids}) == 1
+        # every true J>=0.8 pair must co-cluster
+        for r in jaccard_prefix_join(docs, threshold=0.8, shingle_n=3).collect():
+            assert cluster[r["doc_a"]] == cluster[r["doc_b"]]
+
+    def test_clusters_match_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        srows = sorted(
+            tuple(r)
+            for r in QUERIES["dedup_jaccard_clusters"](spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["dedup_jaccard_clusters"]).fetchall())
+        assert srows == drows and srows

@@ -1498,6 +1498,67 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_ROUND = """,
+l{n} AS (
+  SELECT l.node, LEAST(MIN(l.label), COALESCE(MIN(nl.label), MIN(l.label))) AS label
+  FROM l{p} l
+  LEFT JOIN e ON e.src = l.node
+  LEFT JOIN l{p} nl ON nl.node = e.dst
+  GROUP BY l.node
+)"""
+
+_JACCARD_PREFIX_CLUSTERS_ORACLE = (
+    """
+WITH rep_map AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id, text FROM documents
+),
+reps AS (SELECT doc_id, text FROM rep_map WHERE doc_id = rep_id),
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM reps),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+ix AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT doc_a, doc_b FROM ix
+  JOIN sz sa ON sa.doc_id = ix.doc_a
+  JOIN sz sb ON sb.doc_id = ix.doc_b
+  WHERE CAST(ix.i AS DOUBLE) / (sa.sz + sb.sz - ix.i) >= 0.8
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"""
+    + "".join(_CC_ROUND.format(n=n, p=n - 1) for n in range(1, 5))
+    + """
+SELECT m.doc_id, CAST(COALESCE(lf.label, m.rep_id) AS BIGINT) AS cluster_id
+FROM rep_map m LEFT JOIN l4 lf ON lf.node = m.rep_id
+"""
+)
+
+
+@register("dedup_jaccard_clusters", _JACCARD_PREFIX_CLUSTERS_ORACLE)
+def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR product twin of ``dedup_jaccard_prefix``: exact-
+    collapse → prefix-filtered EXACT Jaccard edges over representatives
+    → min-label connected components → members mapped back.  Unlike the
+    minhash twin (``dedup_clusters_portable``) the cluster graph is the
+    TRUE J ≥ 0.8 graph — no s-curve recall caveat anywhere — and the
+    whole pipeline including the CC fixpoint is hash-checked (the
+    oracle unrolls 4 min-label rounds, converged on the fixture)."""
+    from .operators.dedup import jaccard_prefix_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_clusters(docs, threshold=0.8, shingle_n=3)
+
+
 # Engine-portable minhash family: the shared CTE prefix computes
 # 3-gram shingles, the sliced-digest hash family (four 32-bit hashes
 # per md5 digest — 8-hex slices, exact in any signed-64 engine),
@@ -1639,15 +1700,6 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on both pytest fixtures and the driver's sf0.01 data.  Spark's
 # connected_components iterates to an exact converged fixpoint, so the
 # two sides agree exactly when the unrolled depth suffices.
-_CC_ROUND = """,
-l{n} AS (
-  SELECT l.node, LEAST(MIN(l.label), COALESCE(MIN(nl.label), MIN(l.label))) AS label
-  FROM l{p} l
-  LEFT JOIN e ON e.src = l.node
-  LEFT JOIN l{p} nl ON nl.node = e.dst
-  GROUP BY l.node
-)"""
-
 _NEARDUP_CLUSTERS_PORTABLE_ORACLE = (
     """
 WITH rep_map AS (
