@@ -138,3 +138,30 @@ class TestCorruptColNameCollision:
             fh.write('{"id": 1}\n')
         back = read_jsonl(spark, d, "id long, _corrupt_record string")
         assert back.columns.count("_corrupt_record") == 1
+
+
+class TestJsonlOptions:
+    def test_gzip_roundtrip(self, spark):
+        """compression='gzip' shards read back transparently (Spark
+        resolves .gz by extension) with content intact."""
+        df = spark.range(50).select(
+            F.col("id"), F.concat(F.lit("téxt"), F.col("id")).alias("text")
+        )
+        out = tempfile.mkdtemp(prefix="jsonl_gz_")
+        write_jsonl_shards(df, out, shard_col="id", n_shards=2, compression="gzip")
+        assert any(p.endswith(".gz") for p in os.listdir(out))
+        back = read_jsonl(spark, out, "id long, text string")
+        got = sorted((r["id"], r["text"]) for r in back.collect())
+        assert got == [(i, f"téxt{i}") for i in range(50)]
+
+    def test_multiline_document(self, spark):
+        """multiline=True parses a pretty-printed JSON array file (the
+        other common interchange layout)."""
+        d = tempfile.mkdtemp(prefix="jsonl_ml_")
+        with open(os.path.join(d, "data.json"), "w") as fh:
+            fh.write('[\n  {"id": 1, "text": "a"},\n  {"id": 2, "text": "b"}\n]\n')
+        back = read_jsonl(spark, d, "id long, text string", multiline=True)
+        assert sorted((r["id"], r["text"]) for r in back.collect()) == [
+            (1, "a"),
+            (2, "b"),
+        ]
