@@ -563,7 +563,11 @@ class TestStatefulStreaming:
         end-to-end run skips here.  The processor logic and the
         TTL/time-mode contract are still exercised unconditionally by
         the ungated tests below (fake-handle drive +
-        plan-construction time-mode pin)."""
+        plan-construction time-mode pin).
+
+        Re-probed 2026-08-14 (round 6): ``import google.protobuf``
+        still raises ModuleNotFoundError in this container and
+        installs remain disallowed, so the gate stands unchanged."""
         import datetime as dt
 
         pytest.importorskip(

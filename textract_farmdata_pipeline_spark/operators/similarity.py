@@ -1405,13 +1405,18 @@ def rrf_fuse(
     rankers scanned.  All the heavy lifting stays in the upstream
     rankers, which is the point of fusing ranks instead of raw scores
     (no cross-ranker score calibration, no rescanning).
+
+    Duplicate ids within one input list would otherwise fan out
+    multiplicatively through the chained full-outer joins (duplicate
+    fused rows, skewed top-N), so each list is collapsed to its BEST
+    (minimum) rank per id first — the standard RRF reading of a
+    repeated candidate, and a no-op shuffle on already-unique top-k
+    lists of ≤ k rows.
     """
     from functools import reduce
 
     renamed = [
-        df.select(
-            F.col(id_col), F.col(rank_col).alias(f"rank_{i}")
-        )
+        df.groupBy(id_col).agg(F.min(rank_col).alias(f"rank_{i}"))
         for i, df in enumerate(ranked)
     ]
     joined = reduce(lambda a, b: a.join(b, id_col, "full_outer"), renamed)

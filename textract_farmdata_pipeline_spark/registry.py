@@ -6215,9 +6215,11 @@ SELECT COUNT(*) AS n_probed,
     AS n_false_negatives,
   CAST(SUM(CASE WHEN true_member IS NULL AND bloom_member THEN 1 ELSE 0 END) AS BIGINT)
     AS n_false_positives,
-  CAST(SUM(CASE WHEN true_member IS NULL AND bloom_member THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
-    / CAST(COUNT(*) - SUM(CASE WHEN true_member THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
-    AS fp_rate
+  CASE WHEN COUNT(*) - SUM(CASE WHEN true_member THEN 1 ELSE 0 END) = 0
+       THEN NULL
+       ELSE CAST(SUM(CASE WHEN true_member IS NULL AND bloom_member THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+            / CAST(COUNT(*) - SUM(CASE WHEN true_member THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+       END AS fp_rate
 FROM member LEFT JOIN truth USING (key)
 """
 
@@ -6262,9 +6264,13 @@ def orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("true_member") & ~F.col("bloom_member"), 1).otherwise(0)
         ).cast("long").alias("n_false_negatives"),
         fp.cast("long").alias("n_false_positives"),
-        (
+        # explicit NULL when every probed key is a true member — Spark
+        # and DuckDB disagree on float 0/0 (NULL vs IEEE NaN), so the
+        # degenerate denominator is guarded identically on both sides.
+        F.when(
+            (F.count("*") - n_true.cast("long")) != 0,
             fp.cast("long").cast("double")
-            / (F.count("*") - n_true.cast("long")).cast("double")
+            / (F.count("*") - n_true.cast("long")).cast("double"),
         ).alias("fp_rate"),
     )
 
@@ -6986,27 +6992,38 @@ def events_session_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     that, so the check pins the streaming operator's real semantics,
     not the batch approximation.  Complete-mode memory sink is the
     replay harness (state is session-count-bounded); production runs
-    append mode with the watermark expiring state."""
+    append mode with the watermark expiring state.
+
+    The memory sink holds the complete-mode result on the driver
+    already, so re-materializing it via ``createDataFrame`` is free —
+    and it lets the try/finally drop the uuid-named temp view and
+    remove the checkpoint dir before returning (repeated bench/probe
+    runs previously accumulated one full session table + one mkdtemp
+    checkpoint per invocation)."""
+    import shutil
     import tempfile
     import uuid
 
     from .streaming.events import read_events_stream, session_windows
 
     name = f"sess_replay_{uuid.uuid4().hex[:8]}"
-    q = (
-        session_windows(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="sess_replay_ckpt_"),
+    ckpt = tempfile.mkdtemp(prefix="sess_replay_ckpt_")
+    try:
+        q = (
+            session_windows(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name)
+        q.awaitTermination()
+        sink = spark.table(name)
+        out = spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return out.select(
         "user_id",
         "n_events",
@@ -7056,6 +7073,7 @@ def doc_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first ``n mod 4`` phases get the extra row, matching SQL NTILE
     exactly), so the result still hash-checks against the oracle's
     plain NTILE."""
+    from .operators.checkpoints import release, tracked_local_checkpoint
     from .operators.text_analysis import kn_doc_score
 
     n_ranges = 8
@@ -7066,7 +7084,11 @@ def doc_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranged = scored.repartitionByRange(
         n_ranges, F.asc("kn_score"), F.asc("doc_id")
     ).withColumn("_pid", F.spark_partition_id())
-    ranged = ranged.localCheckpoint()  # pin the range assignment for both passes
+    # pin the range assignment for both passes; tracked so the
+    # scored-corpus-sized block is released once the 4-row result is
+    # materialized (was the package's one untracked localCheckpoint —
+    # repeated bench/probe runs accumulated orphan blocks).
+    ranged, ck_ids = tracked_local_checkpoint(ranged)
     sizes = {
         r["_pid"]: r["n"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
@@ -7092,8 +7114,12 @@ def doc_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     phased = ranged.select("doc_id", "kn_score", rn).select(
         "doc_id", "kn_score", phase.alias("phase")
     )
-    return phased.groupBy("phase").agg(
+    out = phased.groupBy("phase").agg(
         F.count("*").alias("n_docs"),
         F.min("kn_score").alias("min_score"),
         F.max("kn_score").alias("max_score"),
     )
+    # 4-row result: materialize it, then the checkpoint is releasable.
+    final = spark.createDataFrame(out.collect(), out.schema)
+    release(spark, ck_ids)
+    return final

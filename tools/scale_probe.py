@@ -206,7 +206,7 @@ def main() -> int:
     }
     print(json.dumps(summary))
 
-    lines = [
+    template = [
         "# SCALE — 10× blow-up probe",
         "",
         f"`tools/scale_probe.py --k {args.k}` replicates sf0.1 {args.k}× with",
@@ -222,10 +222,10 @@ def main() -> int:
         "|---|---|---|---|---|",
     ]
     for n, r in results.items():
-        lines.append(
+        template.append(
             f"| {n} | {r['t_sf01_sec']} | {r[f't_x{args.k}_sec']} | {r['ratio']} | {verdicts[n]} |"
         )
-    lines += [
+    template += [
         "",
         f"Worst ratio: **{summary['worst_ratio']}** — "
         + ("all plans scale linearly or better." if summary["all_linear_or_better"]
@@ -268,29 +268,122 @@ def main() -> int:
         "",
     ]
     os.makedirs(os.path.dirname(args.md), exist_ok=True)
-    if args.addendum:
-        add = [
-            "",
-            f"## ×{args.k} validation — do the ×10 ratios extrapolate?",
-            "",
-            f"Same probe at ×{args.k} (sf0.1 replicated {args.k}×, ≈"
-            f"{args.k * 600_000 // 1_000_000}M lineitem rows): a plan whose"
-            " ×10 ratio was honest should scale by ≈K again, not blow up.",
-            "",
-            f"| query | t(sf0.1) s | t(×{args.k}) s | ratio | verdict |",
-            "|---|---|---|---|---|",
-        ]
-        for n, r in results.items():
-            add.append(
-                f"| {n} | {r['t_sf01_sec']} | {r[f't_x{args.k}_sec']} | {r['ratio']} | {verdicts[n]} |"
+    if os.path.exists(args.md):
+        merged, appended = merge_rows(args.md, results, verdicts, args.k)
+        if appended and args.addendum:
+            # no ×k table exists yet: append the validation section once;
+            # subsequent --addendum runs at the same k merge into it.
+            add = [
+                "",
+                f"## ×{args.k} validation — do the ×10 ratios extrapolate?",
+                "",
+                f"Same probe at ×{args.k} (sf0.1 replicated {args.k}×, ≈"
+                f"{args.k * 600_000 // 1_000_000}M lineitem rows): a plan whose"
+                " ×10 ratio was honest should scale by ≈K again, not blow up.",
+                "",
+                f"| query | t(sf0.1) s | t(×{args.k}) s | ratio | verdict |",
+                "|---|---|---|---|---|",
+            ]
+            for n in appended:
+                r = results[n]
+                add.append(
+                    f"| {n} | {r['t_sf01_sec']} | {r[f't_x{args.k}_sec']} | {r['ratio']} | {verdicts[n]} |"
+                )
+            add.append("")
+            with open(args.md, "a") as fh:
+                fh.write("\n".join(add))
+        print(
+            json.dumps(
+                {"md_merged": sorted(merged), "md_appended": sorted(appended)}
             )
-        add.append("")
-        with open(args.md, "a") as fh:
-            fh.write("\n".join(add))
+        )
     else:
         with open(args.md, "w") as fh:
-            fh.write("\n".join(lines))
+            fh.write("\n".join(template))
     return 0
+
+
+def merge_rows(
+    md_path: str, results: dict, verdicts: dict, k: int
+) -> tuple[set, set]:
+    """Merge probe rows into an existing SCALE.md BY QUERY KEY — never
+    append a duplicate row for a query the file already carries.
+
+    A markdown table "belongs" to scale k iff its header row contains
+    ``t(×k)`` (the ×10 probe tables and the ×100 validation table have
+    distinct headers, so one rule scopes both).  For each probed query:
+
+    * already present in a matching table → its FIRST row is updated in
+      place and any later duplicate rows are dropped (the residue the
+      old append-style ``--only`` runs left behind);
+    * present with an annotated verdict cell (``OK (pair primitive)``)
+      whose classification still matches → the annotation is kept;
+    * absent → appended to the LAST matching table.
+
+    Returns ``(merged_names, appended_names)``; ``appended`` also
+    signals the caller when NO matching table exists at all (addendum
+    bootstrap).  Idempotent: re-running the same probe rewrites the
+    same rows.
+    """
+    import re
+
+    with open(md_path) as fh:
+        lines = fh.read().split("\n")
+
+    header_re = re.compile(r"^\|\s*query\s*\|.*t\(×%d\)" % k)
+    row_re = re.compile(r"^\|\s*([^|]+?)\s*\|")
+    in_table = False
+    # name -> list of line indexes holding a row for it (may span tables)
+    locations: dict[str, list[int]] = {}
+    last_table_end = None  # index AFTER the last data row of the last ×k table
+    for i, ln in enumerate(lines):
+        if header_re.match(ln):
+            in_table = True
+            last_table_end = i + 1
+            continue
+        if in_table:
+            if ln.startswith("|"):
+                last_table_end = i + 1
+                m = row_re.match(ln)
+                if m and m.group(1) != "---":
+                    # strip a "(r04)"-style suffix so the key is the query name
+                    name = re.sub(r"\s*\(.*\)$", "", m.group(1))
+                    locations.setdefault(name, []).append(i)
+            else:
+                in_table = False
+
+    def fmt(name: str, old_verdict: str | None) -> str:
+        r = results[name]
+        v = verdicts[name]
+        if old_verdict and old_verdict.split(" ")[0] == v:
+            v = old_verdict  # keep hand annotations like "OK (pair primitive)"
+        return f"| {name} | {r['t_sf01_sec']} | {r[f't_x{k}_sec']} | {r['ratio']} | {v} |"
+
+    merged, appended = set(), set()
+    drop: set[int] = set()
+    for name in results:
+        if name in locations:
+            first, *rest = locations[name]
+            old = [c.strip() for c in lines[first].split("|")]
+            old_verdict = old[5] if len(old) > 6 else None
+            lines[first] = fmt(name, old_verdict)
+            drop.update(rest)
+            merged.add(name)
+        else:
+            appended.add(name)
+    lines = [ln for i, ln in enumerate(lines) if i not in drop]
+    if appended and last_table_end is not None:
+        # dropped lines shift indexes; recompute the insertion point as
+        # the end of the last ×k table in the post-drop line list
+        shift = sum(1 for i in drop if i < last_table_end)
+        at = last_table_end - shift
+        lines[at:at] = [fmt(n, None) for n in sorted(appended)]
+        appended_into_file = set(appended)
+        appended = set()  # nothing left for the addendum bootstrap
+        merged |= appended_into_file
+    with open(md_path, "w") as fh:
+        fh.write("\n".join(lines))
+    return merged, appended
 
 
 if __name__ == "__main__":
