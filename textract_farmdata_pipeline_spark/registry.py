@@ -2377,8 +2377,11 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
-_SQ_TOPK_ORACLE = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+# Shared SQ8 oracle pieces: the bounds/encode chain (v..cd) and the
+# shortlist+rerank tail are identical for the full scan and the
+# IVF-gated scan — only the candidate CTE (`isc`) differs, so both
+# oracles compose from ONE definition and cannot drift.
+_SQ_CD_CTES = """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 vd AS (
   SELECT vec_id, i, e[i] AS x
   FROM v, LATERAL unnest(generate_series(1, len(e))) AS u(i)
@@ -2393,14 +2396,9 @@ cd AS (
   FROM vd JOIN st USING (i)
 ),
 qd AS (SELECT vec_id AS query_id, i, c FROM cd WHERE vec_id < 20),
-nm AS (SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS sn FROM cd GROUP BY vec_id),
-isc AS (
-  SELECT qd.query_id, cd.vec_id AS neighbor_id,
-         CAST(SUM(qd.c * cd.c) AS BIGINT) AS score_sq
-  FROM cd JOIN qd ON cd.i = qd.i AND cd.vec_id <> qd.query_id
-  GROUP BY qd.query_id, cd.vec_id
-),
-short AS (
+nm AS (SELECT vec_id, CAST(SUM(c * c) AS BIGINT) AS sn FROM cd GROUP BY vec_id)"""
+
+_SQ_TAIL = """short AS (
   SELECT query_id, neighbor_id, score_sq FROM (
     SELECT isc.*,
       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
@@ -2428,6 +2426,62 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score_sq, cosine FRO
 WHERE rank <= 5
 """
 
+_SQ_TOPK_ORACLE = f"""
+WITH {_SQ_CD_CTES},
+isc AS (
+  SELECT qd.query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(qd.c * cd.c) AS BIGINT) AS score_sq
+  FROM cd JOIN qd ON cd.i = qd.i AND cd.vec_id <> qd.query_id
+  GROUP BY qd.query_id, cd.vec_id
+),
+{_SQ_TAIL}"""
+
+# IVF-gated twin: md5-sampled anchor vectors become the coarse
+# quantizer IN CODE SPACE — every cell score is
+# idot(codes, anchor)/sqrt(idot(anchor, anchor)), exact integers into
+# one IEEE divide, so assignment/probe argmaxes are bit-stable and
+# the entire gated scan (cells, probe lists, pruned candidates,
+# shortlist, rerank) replays exactly.
+_SQ_IVF_ORACLE = f"""
+WITH {_SQ_CD_CTES},
+a16 AS (
+  SELECT aid, j FROM (
+    SELECT vec_id AS aid,
+      ROW_NUMBER() OVER (ORDER BY
+        CAST(('0x' || substr(md5('sqivf|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+        vec_id ASC) AS j
+    FROM v) ranked
+  WHERE j <= 16
+),
+acd AS (SELECT a16.j, cd.i, cd.c FROM cd JOIN a16 ON cd.vec_id = a16.aid),
+an AS (SELECT j, CAST(SUM(c * c) AS BIGINT) AS an FROM acd GROUP BY j),
+cellscore AS (
+  SELECT cd.vec_id, acd.j, CAST(SUM(cd.c * acd.c) AS BIGINT) AS ad
+  FROM cd JOIN acd ON acd.i = cd.i
+  GROUP BY cd.vec_id, acd.j
+),
+rankedcells AS (
+  SELECT cs.vec_id, cs.j,
+    ROW_NUMBER() OVER (PARTITION BY cs.vec_id
+      ORDER BY CAST(cs.ad AS DOUBLE) / sqrt(CAST(an.an AS DOUBLE)) DESC,
+               cs.j ASC) AS rk
+  FROM cellscore cs JOIN an USING (j)
+),
+cells AS (SELECT vec_id, j AS cell FROM rankedcells WHERE rk = 1),
+qcells AS (SELECT vec_id AS query_id, j AS cell
+           FROM rankedcells WHERE rk <= 4 AND vec_id < 20),
+isc AS (
+  SELECT qd.query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(qd.c * cd.c) AS BIGINT) AS score_sq
+  FROM cd
+  JOIN cells ce ON ce.vec_id = cd.vec_id
+  JOIN qcells qc ON qc.cell = ce.cell
+  JOIN qd ON qd.query_id = qc.query_id AND qd.i = cd.i
+  WHERE cd.vec_id <> qd.query_id
+  GROUP BY qd.query_id, cd.vec_id
+),
+{_SQ_TAIL}"""
+
 
 @register("embedding_sq_topk", _SQ_TOPK_ORACLE)
 def embedding_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2443,6 +2497,152 @@ def embedding_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return sq_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, shortlist=50)
+
+
+@register("embedding_sq_ivf_topk")  # no oracle: iterative float kmeans cells
+def embedding_sq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-gated SQ8 ANN (round-5 directive #1): the k-means coarse
+    quantizer (16 cells, shared ``nearest_cell`` semantics) cell-tags
+    the int8 codes at encode time, and each query's code-cosine
+    shortlist scans only its ``n_probe=4`` highest-dot cells through a
+    cell-id equality join — ≈ n_probe/k_coarse of the compressed
+    corpus instead of the full ADC scan ``sq_topk`` does.  Exact-
+    cosine rerank of the 50-deep shortlist is the same stage-2
+    function as the full scan.  Rows-only (iterative float centroid
+    training); recall ≥ 0.9 vs full ``sq_topk`` on clustered data,
+    the pruned scan fraction, and the no-cross-product plan are
+    pinned by pytest (TestSqIvf)."""
+    from .operators.similarity import (
+        kmeans_train,
+        sq_encode_ivf,
+        sq_ivf_topk,
+        sq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mins, maxs = sq_train(emb)
+    cents, _ = kmeans_train(emb, k=16, max_iter=4)
+    codes = sq_encode_ivf(emb, mins, maxs, cents)
+    return sq_ivf_topk(
+        codes, cents, emb, emb.filter(F.col("vec_id") < 20),
+        mins, maxs, k=5, n_probe=4, shortlist=50,
+    )
+
+
+@register("embedding_sq_ivf_portable", _SQ_IVF_ORACLE)
+def embedding_sq_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASH-CHECKED IVF-gated compressed scan: coarse cells come
+    from 16 md5-sampled anchor vectors scored in the same exact-
+    integer code space as the scan (``idot/sqrt(idot)`` — the
+    ``embedding_sq_topk`` portability argument applied to the cell
+    gate), so the DuckDB oracle replays cell assignment, per-query
+    probe lists, the pruned candidate set, the integer-dot shortlist,
+    and the exact rerank bit-for-bit.  The first oracle-green GATED
+    ANN: the driver checks not just what the scan returns but what it
+    was allowed to scan."""
+    from .operators.similarity import sq_ivf_topk_portable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq_ivf_topk_portable(
+        emb, emb.filter(F.col("vec_id") < 20),
+        k=5, n_probe=4, shortlist=50, k_coarse=16,
+    )
+
+
+# Frozen-codebook PQ ADC (round-5 directive #2): sub-codebook s = the
+# unit-subvector slices of the 16 md5-ranked anchor vectors for that
+# subspace, so DuckDB regenerates the codebooks from the data itself.
+# Every float op — unit norm, L2 code assignment, LUT dots, the ADC
+# sum — is a fixed-order left-fold chain in BOTH engines (DuckDB
+# list_reduce == Spark aggregate(0.0, +): verified 0.0+t1 rounds to
+# t1), so assignment argmins and final ranks are bit-stable without
+# any margin.  The m per-subspace contributions re-assemble through
+# the MAX(CASE)-pivot + explicit fixed-order '+' chain (the BM25
+# trick), never a float SUM aggregate.
+_PQ_ADC_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+nrm AS (SELECT vec_id,
+    sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nr
+  FROM v),
+u AS (
+  SELECT v.vec_id,
+    CASE WHEN nr > 0 THEN list_transform(e, x -> x / nr) ELSE e END AS ue
+  FROM v JOIN nrm USING (vec_id)
+),
+anch AS (
+  SELECT s, j, aid FROM (
+    SELECT ss.s, vec_id AS aid,
+      ROW_NUMBER() OVER (PARTITION BY ss.s ORDER BY
+        CAST(('0x' || substr(md5('pqcb|' || CAST(ss.s AS VARCHAR) || '|'
+              || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+        vec_id ASC) AS j
+    FROM v, range(8) ss(s)) r
+  WHERE j <= 16
+),
+cb AS (
+  SELECT a.s, a.j, u.ue[a.s * 8 + 1 : a.s * 8 + 8] AS w
+  FROM anch a JOIN u ON u.vec_id = a.aid
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT u.vec_id, cb.s, cb.j,
+      ROW_NUMBER() OVER (PARTITION BY u.vec_id, cb.s ORDER BY
+        list_reduce(list_transform([1, 2, 3, 4, 5, 6, 7, 8],
+          d -> (u.ue[cb.s * 8 + d] - cb.w[d]) * (u.ue[cb.s * 8 + d] - cb.w[d])),
+          (a, b) -> a + b) ASC,
+        cb.j ASC) AS rk
+    FROM u, cb) rr
+  WHERE rk = 1
+),
+qlut AS (
+  SELECT q.vec_id AS query_id, cb.s, cb.j,
+    list_reduce(list_transform([1, 2, 3, 4, 5, 6, 7, 8],
+      d -> q.ue[cb.s * 8 + d] * cb.w[d]), (a, b) -> a + b) AS l
+  FROM u q, cb WHERE q.vec_id < 20
+),
+contrib AS (
+  SELECT ql.query_id, c.vec_id AS neighbor_id, c.s, ql.l
+  FROM codes c
+  JOIN qlut ql ON ql.s = c.s AND ql.j = c.code AND c.vec_id <> ql.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(MAX(CASE WHEN s = 0 THEN l END)
+        + MAX(CASE WHEN s = 1 THEN l END)
+        + MAX(CASE WHEN s = 2 THEN l END)
+        + MAX(CASE WHEN s = 3 THEN l END)
+        + MAX(CASE WHEN s = 4 THEN l END)
+        + MAX(CASE WHEN s = 5 THEN l END)
+        + MAX(CASE WHEN s = 6 THEN l END)
+        + MAX(CASE WHEN s = 7 THEN l END), 4) AS adc_score
+  FROM contrib GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_score DESC, neighbor_id ASC) AS rank
+  FROM scored) r
+WHERE rank <= 5
+"""
+
+
+@register("embedding_pq_adc", _PQ_ADC_ORACLE)
+def embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED product-quantization ADC scan: frozen md5-anchor
+    codebooks (8 subspaces × 16 codes, unit-subvector entries), JVM
+    left-fold encode/LUT/score chains, per-query top-5 — the DuckDB
+    oracle replays the entire compressed-domain scoring pipeline
+    bit-for-bit, closing the "PQ ADC is float so rows-only" gap
+    (Lloyd-TRAINED codebooks honestly remain rows-only in
+    ``embedding_pq_ann``/``embedding_pq_ivf_ann``; the sample
+    codebook's honest quality contract — cluster-level retrieval +
+    shortlist capture for exact rerank — is pinned by pytest
+    TestPqAdc)."""
+    from .operators.similarity import pq_adc_topk_portable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk_portable(
+        emb, emb.filter(F.col("vec_id") < 20), m=8, ks=16, k=5
+    )
 
 
 @register("embedding_pq_ann")  # no oracle: iterative float codebook training

@@ -103,6 +103,10 @@ PROBE = (
     "doc_bm25_maxp",
     "events_session_stream_replay",
     "doc_curriculum_phases",
+    # round-6 additions
+    "embedding_sq_ivf_topk",
+    "embedding_sq_ivf_portable",
+    "embedding_pq_adc",
 )
 
 KEYED = {
