@@ -91,6 +91,10 @@ HEADLINE = (
     "embedding_sq_ivf_topk",
     "embedding_sq_ivf_portable",
     "embedding_pq_adc",
+    # r06: the end-to-end JSONL->CCNet->pack->JSONL flagship and the
+    # fully hash-checked gated IVFADC
+    "corpus_jsonl_pipeline",
+    "embedding_pq_ivf_portable",
 )
 
 

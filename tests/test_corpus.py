@@ -603,3 +603,49 @@ class TestContaminationProfile:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         out = contamination_profile(docs, docs.limit(5), n=3)
         assert out.count() == docs.count()  # clean docs included with 0.0
+
+
+class TestJsonlPipeline:
+    """The composed JSONL→CCNet→pack→JSONL flagship: beyond the
+    driver's CTE-chain oracle, pin the structural invariants the
+    composition must preserve (sequence budgets, manifest membership,
+    JSONL round-trip of the packed rows)."""
+
+    def test_composed_invariants(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from textract_farmdata_pipeline_spark.registry import QUERIES
+
+        out = QUERIES["corpus_jsonl_pipeline"](spark, sf_dir)
+        rows = out.collect()
+        assert rows, "pipeline produced no spans"
+        # spans of every non-final sequence total exactly the 512
+        # budget; every span is positive and within its doc
+        by_seq: dict[int, int] = {}
+        for r in rows:
+            assert r["n_tokens"] > 0 and r["tok_start"] >= 0
+            by_seq[r["seq_id"]] = by_seq.get(r["seq_id"], 0) + r["n_tokens"]
+        last = max(by_seq)
+        for seq, tot in by_seq.items():
+            if seq != last:
+                assert tot == 512, f"seq {seq} packed {tot} != 512"
+        assert 0 < by_seq[last] <= 512
+        # every packed doc carries its manifest shard (0..15) + source
+        assert all(0 <= r["shard"] < 16 and r["source"] for r in rows)
+        # the packed set equals the CCNet manifest's doc set (no doc
+        # lost or invented between the gate and the pack)
+        from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        manifest_ids = {
+            r["doc_id"]
+            for r in build_corpus(
+                docs,
+                docs.filter(F.col("doc_id") % 97 == 0),
+                num_shards=16,
+                decontam_n=3,
+                lm_train=docs.filter(F.col("lang") == "en"),
+                lm_threshold=0.033,
+            ).select("doc_id").collect()
+        }
+        assert {r["doc_id"] for r in rows} == manifest_ids

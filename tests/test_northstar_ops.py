@@ -2946,6 +2946,54 @@ class TestPqAdc:
         capture = len(truth & short) / len(truth)
         assert capture >= 0.9, f"shortlist-50 capture {capture}"
 
+    def test_ivf_gated_matches_oracle(self, spark, sf_dir):
+        """The gated IVFADC twin: DuckDB replays cell assignment AND
+        the pruned candidate set — a pruning regression (scanning the
+        wrong cells) hash-mismatches, not just a scoring one."""
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        srows = sorted(
+            tuple(r)
+            for r in QUERIES["embedding_pq_ivf_portable"](spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        drows = sorted(
+            con.execute(ORACLES["embedding_pq_ivf_portable"]).fetchall()
+        )
+        assert srows == drows
+        assert len(srows) == 100
+
+    def test_ivf_gated_recall_vs_full_adc(self, spark):
+        """On clustered data the n_probe=4/16 gate keeps ≥ 0.9 of the
+        full portable ADC scan's top-10 — the IVF recall property for
+        the frozen composition (mirrors TestIvfAdc for trained PQ)."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            pq_adc_ivf_topk_portable,
+            pq_adc_topk_portable,
+        )
+
+        df = TestSqIvf._clustered(TestSqIvf(), spark)
+        queries = df.orderBy("vec_id").limit(10)
+        full = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_adc_topk_portable(df, queries, m=8, ks=16, k=10).collect()
+        }
+        gated = {
+            (r["query_id"], r["neighbor_id"])
+            for r in pq_adc_ivf_topk_portable(
+                df, queries, m=8, ks=16, k=10, n_probe=4
+            ).collect()
+        }
+        assert len(full) == 100
+        recall = len(full & gated) / len(full)
+        assert recall >= 0.9, f"gated-vs-full ADC recall {recall}"
+
     def test_codebook_shape_and_determinism(self, spark, emb):
         from textract_farmdata_pipeline_spark.operators.similarity import (
             pq_anchor_codebooks,

@@ -2076,6 +2076,125 @@ def pq_adc_topk_portable(
     )
 
 
+def pq_adc_ivf_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 5,
+    n_probe: int = 4,
+    k_coarse: int = 16,
+    seed: str = "pqcb|",
+    cell_seed: str = "pqivf|",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """The fully hash-checkable IVFADC composition (Jégou et al. 2011
+    shape, frozen end to end): md5-sampled unit ANCHOR vectors form
+    the coarse quantizer — cell = argmax of a left-fold dot chain,
+    bit-portable by the same argument as the ADC chain itself — and
+    the frozen :func:`pq_anchor_codebooks` ADC scan runs ONLY inside
+    each query's ``n_probe`` best cells via a cell-id equality join.
+    Every stage (cells, probe lists, codes, LUTs, gated candidates,
+    scores, ranks) replays in DuckDB, so the oracle checks what the
+    scan was ALLOWED to touch, not just what it returned.  The
+    Lloyd-trained composition (:func:`pq_ivf_topk`) stays the quality
+    path; recall of this frozen variant is pinned by pytest."""
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_long
+
+    dim_probe = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not dim_probe:
+        raise ValueError("empty corpus")
+    # coarse anchors: the k_coarse smallest md5(cell_seed || id) unit
+    # vectors — one distributed top-k, collected bounded
+    anchors = [
+        list(r["ue"])
+        for r in corpus.select(
+            F.col(id_col).alias("vec_id"), unit_vector(F.col(vec_col)).alias("ue")
+        )
+        .withColumn("_b", md5_long(F.col("vec_id").cast("string"), cell_seed))
+        .orderBy(F.asc("_b"), F.asc("vec_id"))
+        .limit(k_coarse)
+        .collect()
+    ]
+
+    def _cell_scores(uv: Column) -> Column:
+        # dot(unit(v), anchor_j) as ONE transform over the literal
+        # anchor matrix — a left-fold chain per cell, portable
+        return F.transform(
+            _book_literal(anchors),
+            lambda a: F.aggregate(
+                F.zip_with(uv, a, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        )
+
+    books = pq_anchor_codebooks(corpus, m, ks, seed, vec_col, id_col)
+    dsub = len(books[0][0])
+    # Stage order matters for interpreted-HOF cost: compute (id, cell,
+    # ue) FIRST (≈17 unit-vector evaluations per row — the 16 anchor
+    # lambdas plus the carried column), shuffle on the cell id (the
+    # IVF posting-list layout — this is the index-build exchange), and
+    # only THEN derive the 128-branch PQ codes from the MATERIALIZED
+    # unit vector.  Deriving codes pre-barrier re-inlines the norm
+    # fold ~256× per row (the sq_ivf lesson).
+    pre = corpus.select(
+        F.col(id_col).alias("neighbor_id"), unit_vector(F.col(vec_col)).alias("ue")
+    )
+    cs = _cell_scores(F.col("ue"))
+    staged = pre.select(
+        "neighbor_id",
+        F.array_position(cs, F.array_max(cs)).cast("int").alias("cell"),
+        "ue",
+    ).repartition("cell")
+    cols = []
+    for s, book in enumerate(books):
+        us = F.slice(F.col("ue"), s * dsub + 1, dsub)
+        d2s = F.transform(
+            _book_literal(book),
+            lambda c: F.aggregate(
+                F.zip_with(us, c, lambda x, w: (x - w) * (x - w)),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            ),
+        )
+        cols.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
+    codes = staged.select("neighbor_id", "cell", F.array(*cols).alias("codes"))
+
+    q_pre = queries.select(
+        F.col(id_col).alias("vec_id"), unit_vector(F.col(vec_col)).alias("ue")
+    )
+    probe = _probe_cells(q_pre, _cell_scores(F.col("ue")), n_probe, "vec_id")
+    luts = _pq_portable_luts(queries, books, vec_col, id_col)
+    q = F.broadcast(probe.join(luts, "query_id"))
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"), lambda c, row: F.element_at(row, c)
+        ),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        codes.join(q, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(score, round_digits).alias("adc_score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_score")
+    )
+
+
 def sq_anchor_codes(
     corpus: DataFrame,
     mins: Sequence[float],

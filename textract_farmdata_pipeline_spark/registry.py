@@ -2559,8 +2559,7 @@ def embedding_sq_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # any margin.  The m per-subspace contributions re-assemble through
 # the MAX(CASE)-pivot + explicit fixed-order '+' chain (the BM25
 # trick), never a float SUM aggregate.
-_PQ_ADC_ORACLE = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+_PQ_PORT_CTES = """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 nrm AS (SELECT vec_id,
     sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nr
   FROM v),
@@ -2599,13 +2598,9 @@ qlut AS (
     list_reduce(list_transform([1, 2, 3, 4, 5, 6, 7, 8],
       d -> q.ue[cb.s * 8 + d] * cb.w[d]), (a, b) -> a + b) AS l
   FROM u q, cb WHERE q.vec_id < 20
-),
-contrib AS (
-  SELECT ql.query_id, c.vec_id AS neighbor_id, c.s, ql.l
-  FROM codes c
-  JOIN qlut ql ON ql.s = c.s AND ql.j = c.code AND c.vec_id <> ql.query_id
-),
-scored AS (
+)"""
+
+_PQ_ADC_TAIL = """scored AS (
   SELECT query_id, neighbor_id,
     round(MAX(CASE WHEN s = 0 THEN l END)
         + MAX(CASE WHEN s = 1 THEN l END)
@@ -2623,6 +2618,54 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adc_score FROM (
   FROM scored) r
 WHERE rank <= 5
 """
+
+_PQ_ADC_ORACLE = f"""
+WITH {_PQ_PORT_CTES},
+contrib AS (
+  SELECT ql.query_id, c.vec_id AS neighbor_id, c.s, ql.l
+  FROM codes c
+  JOIN qlut ql ON ql.s = c.s AND ql.j = c.code AND c.vec_id <> ql.query_id
+),
+{_PQ_ADC_TAIL}"""
+
+# Gated IVFADC twin: md5-sampled UNIT anchor vectors are the coarse
+# quantizer; cell = argmax of a left-fold dot chain — portable by the
+# same fixed-order-IEEE argument the ADC chain itself rests on — and
+# the contrib CTE scans only (query probe-cell = corpus cell) pairs.
+_PQ_IVF_PORT_ORACLE = f"""
+WITH {_PQ_PORT_CTES},
+ca AS (
+  SELECT cj, aid FROM (
+    SELECT vec_id AS aid,
+      ROW_NUMBER() OVER (ORDER BY
+        CAST(('0x' || substr(md5('pqivf|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+        vec_id ASC) AS cj
+    FROM v) r
+  WHERE cj <= 16
+),
+cellscore AS (
+  SELECT u.vec_id, ca.cj,
+    list_reduce(list_transform(generate_series(1, 64),
+      d -> u.ue[d] * au.ue[d]), (a, b) -> a + b) AS sc
+  FROM u, ca JOIN u au ON au.vec_id = ca.aid
+),
+rankedcells AS (
+  SELECT vec_id, cj,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cj ASC) AS rk
+  FROM cellscore
+),
+cells AS (SELECT vec_id, cj AS cell FROM rankedcells WHERE rk = 1),
+qcells AS (SELECT vec_id AS query_id, cj AS cell
+           FROM rankedcells WHERE rk <= 4 AND vec_id < 20),
+contrib AS (
+  SELECT ql.query_id, c.vec_id AS neighbor_id, c.s, ql.l
+  FROM codes c
+  JOIN cells ce ON ce.vec_id = c.vec_id
+  JOIN qcells qc ON qc.cell = ce.cell
+  JOIN qlut ql ON ql.query_id = qc.query_id AND ql.s = c.s AND ql.j = c.code
+  WHERE c.vec_id <> ql.query_id
+),
+{_PQ_ADC_TAIL}"""
 
 
 @register("embedding_pq_adc", _PQ_ADC_ORACLE)
@@ -2642,6 +2685,26 @@ def embedding_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return pq_adc_topk_portable(
         emb, emb.filter(F.col("vec_id") < 20), m=8, ks=16, k=5
+    )
+
+
+@register("embedding_pq_ivf_portable", _PQ_IVF_PORT_ORACLE)
+def embedding_pq_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED IVFADC — the full Jégou-shape composition (coarse
+    quantizer gate + compressed ADC scan) frozen end to end: 16
+    md5-sampled unit anchors as cells (argmax of left-fold dot chains,
+    portable like every chain in ``embedding_pq_adc``), frozen PQ
+    codebooks, per-query n_probe=4 cell gate via equality join, ADC
+    LUT scoring inside probed cells only.  The oracle replays cell
+    assignment AND the pruned candidate set, so the driver verifies
+    the scan's PRUNING, not just its output — the strongest check an
+    ANN index here carries.  Lloyd-trained IVFADC
+    (``embedding_pq_ivf_ann``) remains the quality path, rows-only."""
+    from .operators.similarity import pq_adc_ivf_topk_portable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_ivf_topk_portable(
+        emb, emb.filter(F.col("vec_id") < 20), m=8, ks=16, k=5, n_probe=4
     )
 
 
@@ -6641,13 +6704,10 @@ def doc_kn_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LM_GATE_THRESHOLD = 0.033
 
-# The CCNet-shaped build: the KN-LM scoring chain from _KN_SCORE_ORACLE
-# (train on 'en', score all) reduced to a pass-list at the fixed
-# threshold, then the 4-stage _CORPUS_BUILD_ORACLE chain re-rooted on
-# the LM-gated documents.
-_CORPUS_BUILD_LM_ORACLE = f"""
-WITH {_KN_CHAIN_CTES},
-lmpass AS (
+# The CCNet gate + 4-stage build CTE chain, shared between the
+# manifest oracle (_CORPUS_BUILD_LM_ORACLE) and the end-to-end JSONL
+# pipeline oracle (_JSONL_PIPELINE_ORACLE) — one definition, no drift.
+_LM_BUILD_CTES = f"""lmpass AS (
   SELECT doc_id FROM scn GROUP BY doc_id
   HAVING CAST(CAST(SUM(num) AS BIGINT) AS DOUBLE)
          / CAST(CAST(SUM(den) AS BIGINT) AS DOUBLE) >= {_LM_GATE_THRESHOLD!r}::DOUBLE
@@ -6686,7 +6746,15 @@ sampled AS (
   SELECT c.doc_id, c.source FROM clean c JOIN rates r USING (source)
   WHERE CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         % 1000000 < r.rate * 1000000
-)
+)"""
+
+# The CCNet-shaped build: the KN-LM scoring chain from _KN_SCORE_ORACLE
+# (train on 'en', score all) reduced to a pass-list at the fixed
+# threshold, then the 4-stage _CORPUS_BUILD_ORACLE chain re-rooted on
+# the LM-gated documents.
+_CORPUS_BUILD_LM_ORACLE = f"""
+WITH {_KN_CHAIN_CTES},
+{_LM_BUILD_CTES}
 SELECT doc_id, source, shard,
   CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS INTEGER) AS shard_pos
 FROM (
@@ -6722,6 +6790,101 @@ def corpus_build_lm_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontam_n=3,
         lm_train=docs.filter(F.col("lang") == "en"),
         lm_threshold=_LM_GATE_THRESHOLD,
+    )
+
+
+# End-to-end JSONL training-data pipeline (round-5 directive #5): the
+# shared CCNet build chain through `sampled`, then concat-then-chunk
+# packing (the _PACK_SPANS_ORACLE shape, budget 512) restricted to the
+# sampled survivors, re-joined to their shard assignment.  The JSONL
+# write/read legs are exercised on the Spark side (bootstrap shards in,
+# packed shards out, schema-pinned read-back); the oracle expresses
+# the LOGIC over the parquet views — interchange losslessness is
+# independently pinned by doc_jsonl_roundtrip's hash oracle.
+_JSONL_PIPELINE_ORACLE = f"""
+WITH {_KN_CHAIN_CTES},
+{_LM_BUILD_CTES},
+shards AS (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5('|shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 16 AS shard
+  FROM sampled
+),
+ptoks AS (
+  SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents d JOIN sampled USING (doc_id)
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+  FROM ptoks
+),
+spans AS (
+  SELECT doc_id, n_tokens, start,
+    unnest(generate_series(start // 512, (start + n_tokens - 1) // 512)) AS seq_id
+  FROM cum
+)
+SELECT s.doc_id, CAST(s.seq_id AS BIGINT) AS seq_id,
+  CAST(greatest(s.seq_id * 512, s.start) - s.start AS BIGINT) AS tok_start,
+  CAST(least((s.seq_id + 1) * 512, s.start + s.n_tokens)
+       - greatest(s.seq_id * 512, s.start) AS BIGINT) AS n_tokens,
+  sh.source, CAST(sh.shard AS BIGINT) AS shard
+FROM spans s JOIN shards sh USING (doc_id)
+"""
+
+
+@register("corpus_jsonl_pipeline", _JSONL_PIPELINE_ORACLE)
+def corpus_jsonl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The product a 100 TB training-data user actually runs, end to
+    end: JSONL shards in → schema-pinned read (no inference scan) →
+    CCNet build (KN-LM gate → exact dedup → decontamination → uniform
+    mixture → 16-shard manifest) → concat-then-chunk packing into
+    512-token training sequences (two-level distributed prefix sum —
+    no single-partition window) → deterministic JSONL shards out →
+    read-back.  Every stage was independently hash-green
+    (doc_jsonl_roundtrip, corpus_build_lm_gated, doc_pack_sequences);
+    this registers the COMPOSITION under one CTE-chain oracle, so the
+    driver checks the glue — join keys, packing order, shard columns —
+    not just the pieces.  Returns one row per (document, sequence)
+    span: ``doc_id, seq_id, tok_start, n_tokens, source, shard``."""
+    import os
+    import tempfile
+
+    from .operators.corpus import build_corpus
+    from .operators.packing import pack_token_spans
+    from .sources.jsonl import read_jsonl, write_jsonl_shards
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"tfp_jsonl_pipe_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    ddl = "doc_id long, text string, lang string, source string, n_chars long"
+    write_jsonl_shards(
+        _t(spark, sf_dir, "documents"), f"{out}/in", shard_col="doc_id", n_shards=8
+    )
+    docs = read_jsonl(spark, f"{out}/in", ddl).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    manifest = build_corpus(
+        docs,
+        docs.filter(F.col("doc_id") % 97 == 0),
+        num_shards=16,
+        decontam_n=3,
+        lm_train=docs.filter(F.col("lang") == "en"),
+        lm_threshold=_LM_GATE_THRESHOLD,
+    ).select("doc_id", "source", F.col("shard").cast("long").alias("shard"))
+    selected = docs.join(manifest.select("doc_id"), "doc_id")
+    spans = pack_token_spans(selected, budget=512, bucket_docs=64)
+    packed = spans.join(manifest, "doc_id")
+    write_jsonl_shards(packed, f"{out}/packed", shard_col="seq_id", n_shards=8)
+    back = read_jsonl(
+        spark,
+        f"{out}/packed",
+        "doc_id long, seq_id long, tok_start long, n_tokens long, source string, shard long",
+    )
+    return back.select(
+        "doc_id", "seq_id", "tok_start", "n_tokens", "source", "shard"
     )
 
 

@@ -107,6 +107,8 @@ PROBE = (
     "embedding_sq_ivf_topk",
     "embedding_sq_ivf_portable",
     "embedding_pq_adc",
+    "corpus_jsonl_pipeline",
+    "embedding_pq_ivf_portable",
 )
 
 KEYED = {
