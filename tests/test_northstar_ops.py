@@ -2874,11 +2874,17 @@ class TestSqIvf:
         assert len(srows) == 100  # 20 queries x k=5
 
     def test_portable_prunes_vs_full_sq(self, spark, emb):
-        """The portable gate really prunes: every (query, neighbor)
-        it scores lies in a probed cell, so the scored-candidate count
-        is strictly below the full |corpus|·|queries| cross size."""
+        """The portable gate really prunes: rebuild the candidate set
+        with the same stages ``sq_ivf_topk_portable`` composes and
+        check every scored (query, neighbor) lies in a probed cell —
+        the scored count is bounded by the probed-cell mass and
+        strictly below the full |corpus|·|queries| cross size."""
         from textract_farmdata_pipeline_spark.operators.similarity import (
+            _anchor_cell_scores,
+            _probe_cells,
+            _sq_gated_scan,
             sq_anchor_codes,
+            sq_encode,
             sq_train,
         )
 
@@ -2886,6 +2892,32 @@ class TestSqIvf:
         anchors = sq_anchor_codes(emb, mins, maxs, k_coarse=16)
         assert len(anchors) == 16
         assert all(len(a) == 64 for a in anchors)
+
+        enc = sq_encode(emb, mins, maxs)
+        codes = enc.select(
+            "vec_id",
+            F.array_position(
+                (sc := _anchor_cell_scores(F.col("codes"), anchors)),
+                F.array_max(sc),
+            ).cast("int").alias("cell"),
+            "codes",
+        )
+        n_q = 8
+        q_enc = sq_encode(emb.orderBy("vec_id").limit(n_q), mins, maxs)
+        probe = _probe_cells(
+            q_enc, _anchor_cell_scores(F.col("codes"), anchors), 4, "vec_id"
+        )
+        q_codes = q_enc.select(
+            F.col("vec_id").alias("query_id"), F.col("codes").alias("q_codes")
+        )
+        n_scored = _sq_gated_scan(codes, probe, q_codes).count()
+        cell_sizes = {
+            r["cell"]: r["n"]
+            for r in codes.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+        allowed = sum(cell_sizes.get(r["cell"], 0) for r in probe.collect())
+        assert 0 < n_scored <= allowed
+        assert n_scored < emb.count() * n_q
 
 
 class TestPqAdc:

@@ -1980,12 +1980,22 @@ def _pq_portable_codes(df: DataFrame, books, vec_col: str, id_col: str) -> DataF
     (ties → lowest code, the oracle's ROW_NUMBER rule)."""
     m, dsub = len(books), len(books[0][0])
     staged = _pq_subvectors(df, "neighbor_id", m, dsub, vec_col, id_col)
+    cols = _pq_code_cols(books, lambda s: F.col(f"us{s}"))
+    return staged.select("neighbor_id", F.array(*cols).alias("codes"))
+
+
+def _pq_code_cols(books, sub) -> list:
+    """Per-subspace 1-based argmin code columns — THE single definition
+    of the portable PQ encode arithmetic (``sub(s)`` yields the s-th
+    unit subvector column; staged ``us{s}`` columns or post-barrier
+    slices of a materialized unit vector both route here, so the full
+    and the cell-tagged encode paths cannot drift).  ONE transform over
+    the literal codebook instead of ks copies of the aggregate body —
+    ~10× smaller expression tree, same left-fold arithmetic (transform
+    preserves element order)."""
     cols = []
     for s, book in enumerate(books):
-        us = F.col(f"us{s}")
-        # ONE transform over the literal codebook instead of ks copies
-        # of the aggregate body — ~10× smaller expression tree, same
-        # left-fold arithmetic (transform preserves element order)
+        us = sub(s)
         d2s = F.transform(
             _book_literal(book),
             lambda c: F.aggregate(
@@ -1995,7 +2005,38 @@ def _pq_portable_codes(df: DataFrame, books, vec_col: str, id_col: str) -> DataF
             ),
         )
         cols.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
-    return staged.select("neighbor_id", F.array(*cols).alias("codes"))
+    return cols
+
+
+def _pq_adc_rank(cand: DataFrame, k: int, round_digits: int) -> DataFrame:
+    """ADC score + per-query top-k tail over ``(query_id, neighbor_id,
+    codes, lut)`` candidates — shared by the full and the IVF-gated
+    portable scans so the gated path cannot drift from the full path on
+    scoring or tie-break rules (the ``_sq_shortlist_rerank``
+    argument)."""
+    from pyspark.sql.window import Window
+
+    score = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"), lambda c, row: F.element_at(row, c)
+        ),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(score, round_digits).alias("adc_score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_score")
+    )
 
 
 def _book_literal(book) -> Column:
@@ -2047,33 +2088,10 @@ def pq_adc_topk_portable(
     rows-only to a hash oracle).  Same scan shape as :func:`pq_topk`:
     LUTs broadcast, the code table never shuffles, one window for the
     per-query top-k."""
-    from pyspark.sql.window import Window
-
     books = pq_anchor_codebooks(corpus, m, ks, seed, vec_col, id_col)
     codes = _pq_portable_codes(corpus, books, vec_col, id_col)
     luts = _pq_portable_luts(queries, books, vec_col, id_col)
-    score = F.aggregate(
-        F.zip_with(
-            F.col("codes"), F.col("lut"), lambda c, row: F.element_at(row, c)
-        ),
-        F.lit(0.0),
-        lambda a, t: a + t,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_score"), F.asc("neighbor_id")
-    )
-    return (
-        codes.crossJoin(F.broadcast(luts))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(score, round_digits).alias("adc_score"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc_score")
-    )
+    return _pq_adc_rank(codes.crossJoin(F.broadcast(luts)), k, round_digits)
 
 
 def pq_adc_ivf_topk_portable(
@@ -2101,15 +2119,12 @@ def pq_adc_ivf_topk_portable(
     scan was ALLOWED to touch, not just what it returned.  The
     Lloyd-trained composition (:func:`pq_ivf_topk`) stays the quality
     path; recall of this frozen variant is pinned by pytest."""
-    from pyspark.sql.window import Window
-
     from .dedup import md5_long
 
-    dim_probe = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    if not dim_probe:
-        raise ValueError("empty corpus")
     # coarse anchors: the k_coarse smallest md5(cell_seed || id) unit
-    # vectors — one distributed top-k, collected bounded
+    # vectors — one distributed top-k, collected bounded.  Cell scores
+    # are centroid_scores (the shared left-fold dot chain), portable by
+    # the same argument as the ADC chain itself.
     anchors = [
         list(r["ue"])
         for r in corpus.select(
@@ -2120,18 +2135,8 @@ def pq_adc_ivf_topk_portable(
         .limit(k_coarse)
         .collect()
     ]
-
-    def _cell_scores(uv: Column) -> Column:
-        # dot(unit(v), anchor_j) as ONE transform over the literal
-        # anchor matrix — a left-fold chain per cell, portable
-        return F.transform(
-            _book_literal(anchors),
-            lambda a: F.aggregate(
-                F.zip_with(uv, a, lambda x, w: x * w),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            ),
-        )
+    if not anchors:
+        raise ValueError("empty corpus")
 
     books = pq_anchor_codebooks(corpus, m, ks, seed, vec_col, id_col)
     dsub = len(books[0][0])
@@ -2145,54 +2150,24 @@ def pq_adc_ivf_topk_portable(
     pre = corpus.select(
         F.col(id_col).alias("neighbor_id"), unit_vector(F.col(vec_col)).alias("ue")
     )
-    cs = _cell_scores(F.col("ue"))
+    cs = centroid_scores(F.col("ue"), anchors)
     staged = pre.select(
         "neighbor_id",
-        F.array_position(cs, F.array_max(cs)).cast("int").alias("cell"),
+        nearest_cell(cs).cast("int").alias("cell"),
         "ue",
     ).repartition("cell")
-    cols = []
-    for s, book in enumerate(books):
-        us = F.slice(F.col("ue"), s * dsub + 1, dsub)
-        d2s = F.transform(
-            _book_literal(book),
-            lambda c: F.aggregate(
-                F.zip_with(us, c, lambda x, w: (x - w) * (x - w)),
-                F.lit(0.0),
-                lambda a, t: a + t,
-            ),
-        )
-        cols.append(F.array_position(d2s, F.array_min(d2s)).cast("int"))
+    cols = _pq_code_cols(books, lambda s: F.slice(F.col("ue"), s * dsub + 1, dsub))
     codes = staged.select("neighbor_id", "cell", F.array(*cols).alias("codes"))
 
     q_pre = queries.select(
         F.col(id_col).alias("vec_id"), unit_vector(F.col(vec_col)).alias("ue")
     )
-    probe = _probe_cells(q_pre, _cell_scores(F.col("ue")), n_probe, "vec_id")
+    probe = _probe_cells(
+        q_pre, centroid_scores(F.col("ue"), anchors), n_probe, "vec_id"
+    )
     luts = _pq_portable_luts(queries, books, vec_col, id_col)
     q = F.broadcast(probe.join(luts, "query_id"))
-    score = F.aggregate(
-        F.zip_with(
-            F.col("codes"), F.col("lut"), lambda c, row: F.element_at(row, c)
-        ),
-        F.lit(0.0),
-        lambda a, t: a + t,
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_score"), F.asc("neighbor_id")
-    )
-    return (
-        codes.join(q, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(score, round_digits).alias("adc_score"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc_score")
-    )
+    return _pq_adc_rank(codes.join(q, "cell"), k, round_digits)
 
 
 def sq_anchor_codes(

@@ -7452,6 +7452,15 @@ def doc_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized (was the package's one untracked localCheckpoint —
     # repeated bench/probe runs accumulated orphan blocks).
     ranged, ck_ids = tracked_local_checkpoint(ranged)
+    try:
+        return _curriculum_phases_from(spark, ranged)
+    finally:
+        # exception-safe: a failed collect must not orphan the
+        # scored-corpus-sized checkpoint blocks this site exists to free
+        release(spark, ck_ids)
+
+
+def _curriculum_phases_from(spark, ranged):
     sizes = {
         r["_pid"]: r["n"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
@@ -7483,6 +7492,4 @@ def doc_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("kn_score").alias("max_score"),
     )
     # 4-row result: materialize it, then the checkpoint is releasable.
-    final = spark.createDataFrame(out.collect(), out.schema)
-    release(spark, ck_ids)
-    return final
+    return spark.createDataFrame(out.collect(), out.schema)

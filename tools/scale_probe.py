@@ -158,7 +158,8 @@ def main() -> int:
     parser.add_argument(
         "--addendum",
         action="store_true",
-        help="append a '×K validation' section to --md instead of rewriting it",
+        help="accepted for compatibility; a '×K validation' section is "
+        "now appended automatically whenever --md lacks a ×K table",
     )
     args = parser.parse_args()
 
@@ -276,9 +277,11 @@ def main() -> int:
     os.makedirs(os.path.dirname(args.md), exist_ok=True)
     if os.path.exists(args.md):
         merged, appended = merge_rows(args.md, results, verdicts, args.k)
-        if appended and args.addendum:
-            # no ×k table exists yet: append the validation section once;
-            # subsequent --addendum runs at the same k merge into it.
+        if appended:
+            # no ×k table exists yet: append the validation section once
+            # (with or without --addendum — measurements must never be
+            # silently dropped); subsequent runs at the same k merge
+            # into it.
             add = [
                 "",
                 f"## ×{args.k} validation — do the ×10 ratios extrapolate?",
@@ -341,6 +344,7 @@ def merge_rows(
     in_table = False
     # name -> list of line indexes holding a row for it (may span tables)
     locations: dict[str, list[int]] = {}
+    labels: dict[str, str] = {}  # name -> cell text incl. "(r04)" suffix
     last_table_end = None  # index AFTER the last data row of the last ×k table
     for i, ln in enumerate(lines):
         if header_re.match(ln):
@@ -355,6 +359,7 @@ def merge_rows(
                     # strip a "(r04)"-style suffix so the key is the query name
                     name = re.sub(r"\s*\(.*\)$", "", m.group(1))
                     locations.setdefault(name, []).append(i)
+                    labels.setdefault(name, m.group(1))
             else:
                 in_table = False
 
@@ -363,7 +368,8 @@ def merge_rows(
         v = verdicts[name]
         if old_verdict and old_verdict.split(" ")[0] == v:
             v = old_verdict  # keep hand annotations like "OK (pair primitive)"
-        return f"| {name} | {r['t_sf01_sec']} | {r[f't_x{k}_sec']} | {r['ratio']} | {v} |"
+        label = labels.get(name, name)  # keep "(r04)"-style provenance suffixes
+        return f"| {label} | {r['t_sf01_sec']} | {r[f't_x{k}_sec']} | {r['ratio']} | {v} |"
 
     merged, appended = set(), set()
     drop: set[int] = set()
@@ -387,9 +393,56 @@ def merge_rows(
         appended_into_file = set(appended)
         appended = set()  # nothing left for the addendum bootstrap
         merged |= appended_into_file
+    _refresh_summaries(lines, header_re)
     with open(md_path, "w") as fh:
         fh.write("\n".join(lines))
     return merged, appended
+
+
+def _refresh_summaries(lines: list, header_re) -> None:
+    """Recompute any 'Worst ratio: …' line that follows a merged ×k
+    table from the table it now summarizes — a merge that updates rows
+    must not leave the headline verdict asserting a worst ratio (or an
+    all-linear claim) its own table contradicts."""
+    import re
+
+    i = 0
+    while i < len(lines):
+        if not header_re.match(lines[i]):
+            i += 1
+            continue
+        ratios, verdict_ok = [], True
+        j = i + 1
+        while j < len(lines) and lines[j].startswith("|"):
+            cells = [c.strip() for c in lines[j].split("|")]
+            # | name | t_small | t_big | ratio | verdict | → 7 cells
+            if len(cells) >= 7 and cells[1] != "---":
+                try:
+                    ratios.append(float(cells[4]))
+                except ValueError:
+                    pass
+                else:
+                    verdict_ok &= cells[5].split(" ")[0] == "OK"
+            j += 1
+        # the summary sits in the prose after the table, before the
+        # next heading; rewrite it in place if present
+        while j < len(lines) and not lines[j].startswith("#"):
+            if lines[j].startswith("Worst ratio:") and ratios:
+                # surgical rewrite: swap the number and (if the verdict
+                # flipped) the claim clause, keeping any trailing prose
+                ln = re.sub(
+                    r"\*\*[0-9.]+\*\*", f"**{max(ratios)}**", lines[j], count=1
+                )
+                ok_txt = "all plans scale linearly or better."
+                bad_txt = "super-linear plans listed above need attention."
+                if verdict_ok:
+                    ln = ln.replace(bad_txt, ok_txt)
+                else:
+                    ln = ln.replace(ok_txt, bad_txt)
+                lines[j] = ln
+                break
+            j += 1
+        i += 1
 
 
 if __name__ == "__main__":
