@@ -95,6 +95,13 @@ HEADLINE = (
     # fully hash-checked gated IVFADC
     "corpus_jsonl_pipeline",
     "embedding_pq_ivf_portable",
+    # r06: directional containment dedup (pair primitive + linear cover
+    # map — the expensive one is tracked, not hidden), cross-source
+    # overlap matrix, and hash-checked IVF ingest maintenance
+    "dedup_containment_prefix",
+    "dedup_containment_map",
+    "corpus_source_overlap",
+    "embedding_ivf_ingest_delta",
 )
 
 

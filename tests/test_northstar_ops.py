@@ -3176,3 +3176,216 @@ class TestJaccardPrefixJoin:
         )
         drows = sorted(con.execute(ORACLES["dedup_jaccard_clusters"]).fetchall())
         assert srows == drows and srows
+
+
+class TestContainmentJoin:
+    """Directional set-containment near-dup: exact vs brute force on
+    excerpt/truncation fixtures (the pairs Jaccard structurally
+    misses), linear cover map vs the per-doc argmax, DuckDB parity."""
+
+    def _brute(self, rows, t):
+        out = set()
+        for ida, sa in rows:
+            for idb, sb in rows:
+                if ida == idb:
+                    continue
+                a, b = set(sa), set(sb)
+                if not a:
+                    continue
+                c = len(a & b) / len(a)
+                if c >= t:
+                    out.add((ida, idb, round(c, 9)))
+        return out
+
+    @pytest.mark.parametrize("t", [0.5, 0.8])
+    def test_matches_brute_force(self, spark, t):
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            containment_prefix_join,
+        )
+
+        w = [f"w{i}" for i in range(10)]
+        docs = [
+            (1, " ".join(w)),                     # the "big" doc
+            (2, " ".join(w[:8])),                 # excerpt: C(2→1)=1.0, C(1→2)=0.8
+            (3, " ".join(w[:4] + ["x1"])),        # C(3→1)=0.8 exact boundary
+            (4, " ".join(w)),                     # exact dup of 1
+            (5, "zz yy"),                         # disjoint
+            (6, " ".join(w[:2] + ["zz", "yy"])),  # C(6→1)=0.5 boundary
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"], round(r["containment"], 9))
+            for r in containment_prefix_join(df, threshold=t, shingle_n=1).collect()
+        }
+        toks = [(i, txt.split(" ")) for i, txt in docs]
+        assert got == self._brute(toks, t)
+
+    def test_catches_excerpt_jaccard_misses(self, spark):
+        """The motivating case: a 10-token excerpt of a 100-token doc
+        has containment 1.0 but Jaccard 0.1 — the directional join
+        finds it at 0.8 while the symmetric join cannot."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            containment_prefix_join,
+            jaccard_prefix_join,
+        )
+
+        big = [f"w{i}" for i in range(100)]
+        df = spark.createDataFrame(
+            [(1, " ".join(big)), (2, " ".join(big[:10]))],
+            "doc_id long, text string",
+        )
+        cont = containment_prefix_join(df, threshold=0.8, shingle_n=1).collect()
+        assert [(r["doc_a"], r["doc_b"], r["containment"]) for r in cont] == [
+            (2, 1, 1.0)
+        ]
+        assert jaccard_prefix_join(df, threshold=0.8, shingle_n=1).count() == 0
+
+    def test_cover_map_linear_and_correct(self, spark):
+        """One row per covered doc under duplication; rep covers
+        members (1.0), the rep itself is covered by the second-smallest
+        member; argmax equals brute force over all ordered pairs."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            containment_cover_map,
+        )
+
+        w = [f"w{i}" for i in range(10)]
+        docs = [
+            (1, " ".join(w)),
+            (4, " ".join(w)),        # dup group {1, 4, 9}
+            (9, " ".join(w)),
+            (2, " ".join(w[:8])),    # excerpt of the group text
+            (5, "zz yy"),            # uncovered
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["covered_by"], round(r["containment"], 9))
+            for r in containment_cover_map(df, threshold=0.8, shingle_n=1).collect()
+        }
+        # brute-force argmax (containment desc, id asc), threshold 0.8
+        toks = {i: set(t.split(" ")) for i, t in docs}
+        expect = {}
+        for a in toks:
+            best = None
+            for b in toks:
+                if a == b or not toks[a]:
+                    continue
+                c = len(toks[a] & toks[b]) / len(toks[a])
+                if best is None or (-c, b) < (-best[1], best[0]):
+                    best = (b, c)
+            if best and best[1] >= 0.8:
+                expect[a] = (best[0], round(best[1], 9))
+        assert got == expect
+        assert 5 not in got and got[4] == (1, 1.0) and got[1] == (4, 1.0)
+
+    def test_pair_and_map_match_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        for q in ("dedup_containment_prefix", "dedup_containment_map"):
+            srows = sorted(tuple(r) for r in QUERIES[q](spark, sf_dir).collect())
+            drows = sorted(con.execute(ORACLES[q]).fetchall())
+            assert srows == drows and srows, q
+
+
+class TestSourceOverlap:
+    def test_known_overlap(self, spark):
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            source_shingle_overlap,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d", "s1"),
+                (2, "c d e f", "s2"),   # shares shingles with s1 and s3
+                (3, "e f g h", "s3"),   # shares with s2 only
+                (4, "x y z q", "s4"),   # disjoint
+            ],
+            "doc_id long, text string, source string",
+        )
+        rows = {
+            (r["source_a"], r["source_b"]): (r["n_shared"], r["containment"])
+            for r in source_shingle_overlap(df, shingle_n=1).collect()
+        }
+        # each source has 4 distinct unigram shingles; s1∩s2 = {c,d}
+        assert rows[("s1", "s2")] == (2, 0.5)
+        assert rows[("s2", "s1")] == (2, 0.5)
+        assert rows[("s2", "s3")] == (2, 0.5)
+        assert ("s1", "s3") not in rows  # no shared shingle → no row
+        assert not any("s4" in k for k in rows)
+
+    def test_matches_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        srows = sorted(
+            tuple(r)
+            for r in QUERIES["corpus_source_overlap"](spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["corpus_source_overlap"]).fetchall())
+        assert srows == drows and srows
+
+
+class TestIvfIngestDelta:
+    def test_matches_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        srows = sorted(
+            tuple(r)
+            for r in QUERIES["embedding_ivf_ingest_delta"](spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["embedding_ivf_ingest_delta"]).fetchall())
+        assert srows == drows and srows
+
+    def test_quantizer_frozen_and_hot_flag(self, spark, emb):
+        """Bounds/anchors come from the existing side only: adding an
+        out-of-range batch must not change existing assignments, batch
+        codes clamp into the existing code space, and a batch aimed at
+        one cell trips (only) that cell's hot flag."""
+        from pyspark.sql import functions as F
+
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            ivf_ingest_delta,
+        )
+
+        existing = emb
+        base = ivf_ingest_delta(existing, existing.limit(0), k_coarse=8)
+        before = {r["cell"]: r["n_before"] for r in base.collect()}
+
+        # batch = 30 copies of one existing vector, ids shifted, values
+        # scaled 100× out of the trained range (clamping exercises the
+        # frozen bounds; direction is preserved so they land in one cell)
+        one = emb.orderBy("vec_id").limit(1)
+        batch = (
+            one.crossJoin(spark.range(30).select(F.col("id").alias("_r")))
+            .select(
+                (F.col("vec_id") + F.col("_r") + 1_000_000).alias("vec_id"),
+                F.transform("embedding", lambda x: x * 100.0).alias("embedding"),
+            )
+        )
+        out = ivf_ingest_delta(existing, batch, k_coarse=8).collect()
+        after = {r["cell"]: r["n_before"] for r in out}
+        assert after == before  # frozen quantizer: existing side unmoved
+        added = {r["cell"]: r["n_added"] for r in out}
+        assert sum(added.values()) == 30
+        hot = [r["cell"] for r in out if r["hot"]]
+        concentrated = [c for c, n in added.items() if n == 30]
+        assert len(concentrated) == 1 and hot == concentrated

@@ -886,3 +886,224 @@ def jaccard_prefix_clusters(
             F.coalesce(F.col("cluster_id"), F.col("rep_id")).alias("cluster_id"),
         )
     )
+
+
+def containment_prefix_join(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT all-pairs set-CONTAINMENT self-join: every directional
+    pair ``(doc_a, doc_b)`` with ``|A∩B| / |A| ≥ threshold`` (A's
+    shingles mostly inside B's).  Containment is the asymmetric twin
+    of :func:`jaccard_prefix_join` — it catches the near-dups Jaccard
+    structurally misses: excerpts, truncations, and boilerplate-wrapped
+    copies, where the small document is almost entirely contained in
+    the large one but the union is dominated by the large side.
+
+    Exactness argument (probe-prefix containment join, the set-
+    containment variant of AllPairs): with tokens ordered rarest-first
+    globally, ``|A∩B| ≥ ceil(t·|A|)`` forces at least one shared token
+    within A's first ``|A| - ceil(t·|A|) + 1`` tokens — so probing only
+    A's prefix against B's FULL posting list finds every qualifying
+    pair.  Unlike the symmetric join, B's side cannot be prefix-
+    truncated (containment puts no lower bound on where the shared
+    token falls in B's order), so B posts all tokens; the size filter
+    ``|B| ≥ t·|A|`` still prunes.  Candidates are verified with the
+    true intersection, so output = brute force, always.  The ceil and
+    size filter run on ``t·sz - 1e-9`` (admit-then-verify float-
+    boundary slack, same as the Jaccard join).
+
+    Scale shape: token df count, df join, per-doc local sort (no
+    global window), and a candidate join keyed on A's globally rarest
+    tokens against B's posting list.  Pair OUTPUT is quadratic under
+    duplication by declaration — :func:`containment_cover_map` is the
+    linear product twin.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), shingle_n).alias("s"),
+    ).filter(F.size("s") > 0)
+    ex = toks.select(
+        "doc_id", F.size("s").alias("sz"), F.explode("s").alias("tok")
+    )
+    dfreq = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    t = float(threshold)
+    pre_len = (
+        F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
+    ).cast("int")
+    prefix = (
+        ex.join(dfreq, "tok")
+        .groupBy("doc_id", "sz")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("ordered"))
+        .select(
+            "doc_id",
+            "sz",
+            F.transform(
+                F.slice(F.col("ordered"), F.lit(1), pre_len), lambda s: s["tok"]
+            ).alias("pref"),
+        )
+    )
+    pa = prefix.select("doc_id", "sz", F.explode("pref").alias("tok"))
+    cands = (
+        pa.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            # C ≥ t forces |B| ≥ |A∩B| ≥ t·|A| (epsilon-slack: admit,
+            # then verify)
+            & (F.col("b.sz") >= F.lit(t) * F.col("a.sz") - F.lit(1e-9)),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = toks.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = toks.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b"))).cast("double")
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / F.size(F.col("s_a")).cast("double")).alias("containment"),
+        )
+        .filter(F.col("containment") >= F.lit(t))
+    )
+
+
+def containment_cover_map(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The LINEAR product twin of :func:`containment_prefix_join`: for
+    every document with at least one cover, its BEST covering document
+    — ``(doc_id, covered_by, containment)`` with max containment, ties
+    broken by the smallest covering id.  One row per covered document
+    at any duplication rate; equals the brute-force per-document argmax
+    over ALL other documents.
+
+    Product decomposition (duplication never reaches the pair join):
+
+    1. exact-collapse identical texts (md5 groupBy → min-id rep);
+       identical texts have identical shingle sets, so a member's
+       containment against any document equals its representative's;
+    2. directional prefix-join edges over REPRESENTATIVES only;
+    3. rep-level covers fan back to every member of the covered
+       group — for tie purposes the minimum id inside a covering group
+       is its representative, so rep edges alone realize the global
+       (containment DESC, id ASC) argmax for cross-group covers;
+    4. own-group covers are closed-form: a non-rep member's best
+       same-text cover is its rep (containment 1.0); the REP of a
+       group of size ≥ 2 is covered by the group's second-smallest id;
+    5. one per-doc top-1 window over the union.
+    """
+    t = float(threshold)
+    rep = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("_h"),
+        F.col(text_col).alias("text"),
+    ).withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("_h")))
+    reps = rep.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
+    edges = containment_prefix_join(
+        reps, threshold=t, shingle_n=shingle_n
+    )
+    member_edges = (
+        rep.select("doc_id", "rep_id")
+        .join(
+            edges.select(
+                F.col("doc_a").alias("rep_id"),
+                F.col("doc_b").alias("covered_by"),
+                "containment",
+            ),
+            "rep_id",
+        )
+        .select("doc_id", "covered_by", "containment")
+    )
+    own_member = (
+        rep.filter(F.col("doc_id") != F.col("rep_id"))
+        .select(
+            "doc_id",
+            F.col("rep_id").alias("covered_by"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    second = (
+        rep.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("_h").orderBy("doc_id"))
+        )
+        .filter(F.col("_rn") == 2)
+        .select(
+            F.col("rep_id").alias("doc_id"),
+            F.col("doc_id").alias("covered_by"),
+            F.lit(1.0).alias("containment"),
+        )
+    )
+    allc = member_edges.unionByName(own_member).unionByName(second)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("containment"), F.asc("covered_by")
+    )
+    return (
+        allc.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", "covered_by", "containment")
+    )
+
+
+def source_shingle_overlap(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level cross-source overlap matrix: for every ordered
+    source pair that shares at least one distinct shingle,
+    ``(source_a, source_b, n_shared, containment)`` where containment
+    is ``|S_a ∩ S_b| / |S_a|`` over each source's DISTINCT shingle
+    set — the between-source diagnostic you run before mixing crawls
+    (a high row means source_a is largely redundant given source_b).
+
+    Scale shape: one distinct on ``(source, shingle)`` (linear in
+    corpus shingles, map-side combinable), a self-join keyed on the
+    SHINGLE whose per-key fan-out is bounded by ``|sources|²`` — not
+    document count — and a ``|sources|²``-row aggregate.  No document
+    pair is ever formed, so duplication inflates nothing."""
+    ss = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+        )
+        .distinct()
+    )
+    sz = ss.groupBy("source").agg(F.count("*").alias("n"))
+    shared = (
+        ss.alias("a")
+        .join(
+            ss.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(sz.withColumnRenamed("source", "source_a"), "source_a")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n").cast("double")).alias(
+                "containment"
+            ),
+        )
+    )

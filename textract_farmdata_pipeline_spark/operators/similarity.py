@@ -2266,3 +2266,60 @@ def sq_ivf_topk_portable(
     return _sq_shortlist_rerank(
         scored, corpus, queries, k, shortlist, vec_col, id_col, round_digits
     )
+
+
+def ivf_ingest_delta(
+    existing: DataFrame,
+    batch: DataFrame,
+    k_coarse: int = 16,
+    seed: str = "sqivf|",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF index MAINTENANCE: assign an ingest batch to the cells of an
+    index built on the EXISTING corpus (bounds + anchors frozen from
+    the existing side only — new data must not silently re-train the
+    quantizer) and report per-cell growth: ``(cell, n_before, n_added,
+    growth, hot)``.  ``hot`` flags cells absorbing more than 2× their
+    fair share of the batch (``n_added · k_coarse > 2 · total_added``,
+    pure integer arithmetic) — the signal that a cell needs splitting
+    (the SemDeDup hot-cell treatment) before the next rebuild.
+
+    The whole chain is the :func:`sq_ivf_topk_portable` portability
+    argument applied to index maintenance: SQ8 bounds/codes and
+    anchor-cell argmax are exact-integer chains, so a DuckDB oracle
+    replays the split, the assignment, and the growth report.  Scale
+    shape: two scans + two k_coarse-row aggregates; the batch never
+    joins the corpus row-wise (cell ids only).  ``growth`` is one IEEE
+    division of exact integers (n_before floored at 1)."""
+    from pyspark.sql.window import Window
+
+    mins, maxs = sq_train(existing, vec_col)
+    anchors = sq_anchor_codes(existing, mins, maxs, k_coarse, seed, vec_col, id_col)
+
+    def assign(df: DataFrame) -> DataFrame:
+        enc = sq_encode(df, mins, maxs, vec_col, id_col)
+        sc = _anchor_cell_scores(F.col("codes"), anchors)
+        return enc.select(
+            F.array_position(sc, F.array_max(sc)).cast("int").alias("cell")
+        )
+
+    before = assign(existing).groupBy("cell").agg(F.count("*").alias("n_before"))
+    added = assign(batch).groupBy("cell").agg(F.count("*").alias("n_added"))
+    cells = before.join(added, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("n_before", F.lit(0)).alias("n_before"),
+        F.coalesce("n_added", F.lit(0)).alias("n_added"),
+    )
+    # ≤ k_coarse rows from here on: the unpartitioned window is bounded
+    total = F.sum("n_added").over(Window.partitionBy())
+    return cells.withColumn("_tot", total).select(
+        "cell",
+        "n_before",
+        "n_added",
+        (
+            F.col("n_added").cast("double")
+            / F.greatest(F.col("n_before"), F.lit(1)).cast("double")
+        ).alias("growth"),
+        (F.col("n_added") * F.lit(k_coarse) > F.lit(2) * F.col("_tot")).alias("hot"),
+    )

@@ -1559,6 +1559,111 @@ def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_clusters(docs, threshold=0.8, shingle_n=3)
 
 
+# Shared brute-force containment CTEs: shingles → sizes → shared-shingle
+# pair counts → directional containment i/|A| — the oracle for both the
+# pair primitive and the per-doc argmax cover map, one definition.
+_CONTAINMENT_CTES = """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+ix AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+cv AS (
+  SELECT doc_a, doc_b, CAST(ix.i AS DOUBLE) / sa.sz AS containment
+  FROM ix JOIN sz sa ON sa.doc_id = ix.doc_a
+)"""
+
+_CONTAINMENT_PREFIX_ORACLE = f"""
+WITH {_CONTAINMENT_CTES}
+SELECT doc_a, doc_b, containment FROM cv WHERE containment >= 0.8
+"""
+
+
+@register("dedup_containment_prefix", _CONTAINMENT_PREFIX_ORACLE)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directional set-CONTAINMENT ≥ 0.8 self-join (|A∩B|/|A| —
+    the asymmetric twin of ``dedup_jaccard_prefix``): catches excerpts,
+    truncations, and boilerplate-wrapped copies whose Jaccard is
+    diluted by the larger side's union.  Candidates come from probing
+    each doc's rarest-shingle prefix against FULL posting lists (the
+    set-containment variant of AllPairs — B's side cannot be prefix-
+    truncated), then exact verification; the oracle is brute force
+    over every shingle-sharing ordered pair, so the match proves the
+    probe-prefix filter lost nothing.  Pair primitive by declaration
+    (output quadratic under duplication); ``dedup_containment_map`` is
+    the linear product twin."""
+    from .operators.dedup import containment_prefix_join
+
+    return containment_prefix_join(
+        _t(spark, sf_dir, "documents"), threshold=0.8, shingle_n=3
+    )
+
+
+_CONTAINMENT_MAP_ORACLE = f"""
+WITH {_CONTAINMENT_CTES}
+SELECT doc_a AS doc_id, doc_b AS covered_by, containment FROM (
+  SELECT cv.*, ROW_NUMBER() OVER (
+    PARTITION BY doc_a ORDER BY containment DESC, doc_b ASC) AS rn
+  FROM cv) r
+WHERE rn = 1 AND containment >= 0.8
+"""
+
+
+@register("dedup_containment_map", _CONTAINMENT_MAP_ORACLE)
+def dedup_containment_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR product twin of ``dedup_containment_prefix``: each
+    covered document's single BEST cover (max containment, ties → min
+    covering id), one row per covered doc at any duplication rate.
+    Exact-collapse confines the directional pair join to distinct
+    texts; own-group covers are closed-form (member → rep at 1.0, rep →
+    second-smallest member), and a per-doc top-1 window realizes the
+    brute-force argmax the oracle computes over ALL ordered pairs —
+    the hash match proves the rep-level decomposition is lossless."""
+    from .operators.dedup import containment_cover_map
+
+    return containment_cover_map(
+        _t(spark, sf_dir, "documents"), threshold=0.8, shingle_n=3
+    )
+
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+ss AS (
+  SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS s
+  FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)
+),
+sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM ss a JOIN ss b ON a.s = b.s AND a.source <> b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+  CAST(n_shared AS DOUBLE) / CAST(sz.n AS DOUBLE) AS containment
+FROM shared JOIN sz ON sz.source = shared.source_a
+"""
+
+
+@register("corpus_source_overlap", _SOURCE_OVERLAP_ORACLE)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix — ``|S_a ∩ S_b| / |S_a|``
+    over each source's DISTINCT 3-gram shingle set, for every ordered
+    source pair sharing at least one shingle.  The before-you-mix
+    diagnostic for crawl redundancy (a high containment row means
+    source_a adds little over source_b).  Scale shape: a distinct on
+    (source, shingle), a shingle-keyed self-join whose per-key fan-out
+    is bounded by |sources|² (never document count), and a
+    |sources|²-row aggregate — duplication inflates nothing."""
+    from .operators.dedup import source_shingle_overlap
+
+    return source_shingle_overlap(_t(spark, sf_dir, "documents"), shingle_n=3)
+
+
 # Engine-portable minhash family: the shared CTE prefix computes
 # 3-gram shingles, the sliced-digest hash family (four 32-bit hashes
 # per md5 digest — 8-hex slices, exact in any signed-64 engine),
@@ -2546,6 +2651,90 @@ def embedding_sq_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_ivf_topk_portable(
         emb, emb.filter(F.col("vec_id") < 20),
         k=5, n_probe=4, shortlist=50, k_coarse=16,
+    )
+
+
+# IVF maintenance oracle: md5 80/20 split, bounds + anchors trained on
+# the EXISTING side only, cell argmax in exact-integer code space (the
+# _SQ_IVF_ORACLE chain with a split column threaded through), then the
+# per-cell growth report in pure integer arithmetic.
+_IVF_INGEST_DELTA_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+    CAST(('0x' || substr(md5('ingest|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0 AS is_new
+  FROM embeddings
+),
+vd AS (
+  SELECT vec_id, is_new, i, e[i] AS x
+  FROM v, LATERAL unnest(generate_series(1, len(e))) AS u(i)
+),
+st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM vd WHERE NOT is_new GROUP BY i),
+cd AS (
+  SELECT vd.vec_id, vd.is_new, vd.i,
+    CASE WHEN st.mx - st.mn > 0
+         THEN least(255, greatest(0,
+              CAST(floor((vd.x - st.mn) * 255.0 / (st.mx - st.mn)) AS INT)))
+         ELSE 0 END AS c
+  FROM vd JOIN st USING (i)
+),
+a16 AS (
+  SELECT aid, j FROM (
+    SELECT vec_id AS aid,
+      ROW_NUMBER() OVER (ORDER BY
+        CAST(('0x' || substr(md5('sqivf|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+        vec_id ASC) AS j
+    FROM v WHERE NOT is_new) ranked
+  WHERE j <= 16
+),
+acd AS (SELECT a16.j, cd.i, cd.c FROM cd JOIN a16 ON cd.vec_id = a16.aid),
+an AS (SELECT j, CAST(SUM(c * c) AS BIGINT) AS an FROM acd GROUP BY j),
+cellscore AS (
+  SELECT cd.vec_id, cd.is_new, acd.j, CAST(SUM(cd.c * acd.c) AS BIGINT) AS ad
+  FROM cd JOIN acd ON acd.i = cd.i
+  GROUP BY cd.vec_id, cd.is_new, acd.j
+),
+cells AS (
+  SELECT vec_id, is_new, j AS cell FROM (
+    SELECT cs.vec_id, cs.is_new, cs.j,
+      ROW_NUMBER() OVER (PARTITION BY cs.vec_id
+        ORDER BY CAST(cs.ad AS DOUBLE) / sqrt(CAST(an.an AS DOUBLE)) DESC,
+                 cs.j ASC) AS rk
+    FROM cellscore cs JOIN an USING (j)) r
+  WHERE rk = 1
+),
+agg AS (
+  SELECT cell,
+    COUNT(*) FILTER (WHERE NOT is_new) AS n_before,
+    COUNT(*) FILTER (WHERE is_new) AS n_added
+  FROM cells GROUP BY cell
+),
+tot AS (SELECT SUM(n_added) AS t FROM agg)
+SELECT CAST(cell AS INT) AS cell, n_before, n_added,
+  CAST(n_added AS DOUBLE) / greatest(n_before, 1) AS growth,
+  n_added * 16 > 2 * tot.t AS hot
+FROM agg, tot
+"""
+
+
+@register("embedding_ivf_ingest_delta", _IVF_INGEST_DELTA_ORACLE)
+def embedding_ivf_ingest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance, hash-checked end to end: an md5-keyed
+    80/20 split plays existing corpus vs ingest batch, SQ8 bounds and
+    the 16 anchor cells are frozen from the EXISTING side only (new
+    data must not re-train the quantizer), the batch is assigned
+    through the same exact-integer cell argmax the gated scans use,
+    and the per-cell growth report (n_before, n_added, growth, hot)
+    flags cells absorbing > 2× their fair share of the batch — the
+    split signal feeding the SemDeDup hot-cell treatment.  The oracle
+    replays split, bounds, anchors, assignment, and the report."""
+    from .operators.similarity import ivf_ingest_delta
+
+    emb = _t(spark, sf_dir, "embeddings")
+    from .operators.dedup import md5_long
+
+    bucket = F.pmod(md5_long(F.col("vec_id").cast("string"), "ingest|"), F.lit(5))
+    return ivf_ingest_delta(
+        emb.filter(bucket != 0), emb.filter(bucket == 0), k_coarse=16
     )
 
 

@@ -109,6 +109,10 @@ PROBE = (
     "embedding_pq_adc",
     "corpus_jsonl_pipeline",
     "embedding_pq_ivf_portable",
+    "dedup_containment_prefix",
+    "dedup_containment_map",
+    "corpus_source_overlap",
+    "embedding_ivf_ingest_delta",
 )
 
 KEYED = {
