@@ -102,6 +102,10 @@ HEADLINE = (
     "dedup_containment_map",
     "corpus_source_overlap",
     "embedding_ivf_ingest_delta",
+    # r06: streaming IVF maintenance replay (shares the batch twin's
+    # oracle) and the portable bottom-k quantile sketch
+    "embedding_ivf_stream_replay",
+    "events_quantile_sketch",
 )
 
 

@@ -3389,3 +3389,57 @@ class TestIvfIngestDelta:
         hot = [r["cell"] for r in out if r["hot"]]
         concentrated = [c for c, n in added.items() if n == 30]
         assert len(concentrated) == 1 and hot == concentrated
+
+
+class TestQuantileSketch:
+    def test_accuracy_and_shape(self, spark, sf_dir):
+        """Nine decile rows, estimates monotone in the decile, and the
+        self-reported rank error within the O(1/sqrt(k)) envelope
+        (k=512 → ~0.044 at 1 sigma; assert a loose 3-sigma bound)."""
+        from textract_farmdata_pipeline_spark.operators.approx import (
+            bottomk_quantile_sketch,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        rows = sorted(
+            bottomk_quantile_sketch(ev, "value", "event_id", k=512).collect(),
+            key=lambda r: r["decile"],
+        )
+        assert [r["decile"] for r in rows] == list(range(1, 10))
+        vals = [r["est_value"] for r in rows]
+        assert vals == sorted(vals)
+        assert all(0.0 < r["rank_frac"] < 1.0 for r in rows)
+        assert all(r["rank_err"] < 0.14 for r in rows)
+
+    def test_small_table_sample_is_exact(self, spark):
+        """When the table fits inside k the 'sample' is the table and
+        every decile's true rank equals its target exactly."""
+        from textract_farmdata_pipeline_spark.operators.approx import (
+            bottomk_quantile_sketch,
+        )
+
+        df = spark.range(100).select(
+            F.col("id").alias("event_id"), (F.col("id") * 2.0).alias("value")
+        )
+        rows = bottomk_quantile_sketch(df, "value", "event_id", k=512).collect()
+        assert all(r["rank_err"] == 0.0 for r in rows)
+        assert {r["decile"]: r["n_le"] for r in rows} == {
+            d: 10 * d for d in range(1, 10)
+        }
+
+    def test_matches_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        srows = sorted(
+            tuple(r)
+            for r in QUERIES["events_quantile_sketch"](spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["events_quantile_sketch"]).fetchall())
+        assert srows == drows and len(srows) == 9

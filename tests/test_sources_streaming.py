@@ -1187,3 +1187,86 @@ class TestStreamingHll:
             for reg, rho in part.items():
                 state[reg] = max(state.get(reg, 0), rho)
         assert state == part
+
+
+class TestStreamingIvfIngest:
+    def test_ivf_stream_equals_batch(self, spark, tmp_path, sf_dir):
+        """Streamed per-cell admission counts must equal the one-shot
+        batch assignment of the same rows — additive merge correctness
+        through foreachBatch, multiple batches forced."""
+        from pyspark.sql import functions as F
+
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            sq_anchor_codes,
+            sq_assign_cells,
+            sq_train,
+        )
+        from textract_farmdata_pipeline_spark.streaming import ivf_ingest_stream
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        mins, maxs = sq_train(emb)
+        anchors = sq_anchor_codes(emb, mins, maxs, k_coarse=8)
+        src = str(tmp_path / "emb_src")
+        emb.repartition(4).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        batch_ids: list[int] = []
+        writer, state = ivf_ingest_stream(
+            stream, mins, maxs, anchors, sink=lambda _s, bid: batch_ids.append(bid)
+        )
+        q = (
+            writer.option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert len(batch_ids) >= 2, "expected multiple micro-batches"
+        expected = {
+            r["cell"]: r["n"]
+            for r in sq_assign_cells(emb, mins, maxs, anchors)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert state == expected
+
+    def test_replay_guard_skips_covered_batches(self, spark, tmp_path, sf_dir):
+        """A batch id in ``bootstrap_batch_ids`` must merge as a no-op:
+        covering every id up front leaves the state exactly at its
+        bootstrap — the additive sketch's at-least-once protection."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            sq_anchor_codes,
+            sq_train,
+        )
+        from textract_farmdata_pipeline_spark.streaming import ivf_ingest_stream
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+        mins, maxs = sq_train(emb)
+        anchors = sq_anchor_codes(emb, mins, maxs, k_coarse=8)
+        src = str(tmp_path / "emb_src_guard")
+        emb.repartition(3).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        writer, state = ivf_ingest_stream(
+            stream,
+            mins,
+            maxs,
+            anchors,
+            bootstrap={3: 7},
+            bootstrap_batch_ids=set(range(100)),
+        )
+        q = (
+            writer.option("checkpointLocation", str(tmp_path / "ckpt-guard"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert state == {3: 7}

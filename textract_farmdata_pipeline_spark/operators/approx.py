@@ -219,3 +219,91 @@ def bloom_probe(
         .agg((F.sum("hit") == F.count("*")).alias("bloom_member"))
     )
     return candidates.join(hits, key_col, "left")
+
+
+def bottomk_quantile_sketch(
+    df: DataFrame,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 512,
+    seed: str = "qs|",
+) -> DataFrame:
+    """Deterministic bottom-k quantile sketch with built-in rank
+    validation: estimate the nine deciles of ``value_col`` from the
+    ``k`` rows with the smallest ``md5(seed || id)`` (a uniform sample
+    independent of the value column, since the hash sees only the id),
+    then measure each estimate's TRUE rank against the full table —
+    ``(decile, est_value, n_le, rank_frac, rank_err)``.
+
+    Unlike ``percentile_approx`` (whose GK-sketch internals are
+    engine-specific), every step here is engine-exact: the sample is a
+    deterministic distributed top-k (``orderBy().limit()`` — no global
+    sort of the data), the decile index into the sorted sample is
+    ``ceil(d·k/10)`` via floored exact-integer division, and the
+    validation is nine broadcast thresholds counted against one scan
+    (total-order tie-break on ``(value, id)``).  The sketch
+    self-reports its error — ``rank_err`` ~ O(1/sqrt(k)) — instead of
+    asking to be trusted.
+
+    Scale shape: one TakeOrdered for the sample (k rows to the
+    driver-side plan, never collected here), one window over k rows,
+    one scan with a 9-row broadcast nested-loop count (bounded 9×
+    multiplier), one scalar total.  State is k rows — mergeable the
+    same way any bottom-k is (union → re-limit).
+    """
+    from .dedup import md5_long
+
+    ev = df.select(
+        F.col(id_col).alias("_id"), F.col(value_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    samp = (
+        ev.withColumn("_b", md5_long(F.col("_id").cast("string"), seed))
+        .orderBy(F.asc("_b"), F.asc("_id"))
+        .limit(k)
+        .select("_id", "_v")
+    )
+    from pyspark.sql.window import Window
+
+    # k-row window: bounded by the sketch size, not the data
+    ranked = samp.select(
+        "_id",
+        "_v",
+        F.row_number().over(Window.orderBy(F.asc("_v"), F.asc("_id"))).alias("_r"),
+        F.count("*").over(Window.partitionBy()).alias("_ns"),
+    )
+    decs = F.broadcast(
+        ranked.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    )
+    est = decs.join(
+        ranked,
+        F.col("_r")
+        == F.floor(
+            (F.col("decile") * F.col("_ns") + F.lit(9)) / F.lit(10.0)
+        ).cast("long"),
+    ).select(
+        "decile",
+        F.col("_v").alias("est_value"),
+        F.col("_id").alias("est_id"),
+    )
+    n_le = (
+        ev.join(
+            F.broadcast(est),
+            (F.col("_v") < F.col("est_value"))
+            | ((F.col("_v") == F.col("est_value")) & (F.col("_id") <= F.col("est_id"))),
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_le"))
+    )
+    total = ev.agg(F.count("*").alias("_n"))
+    rank_frac = F.col("n_le").cast("double") / F.col("_n").cast("double")
+    return (
+        est.join(n_le, "decile")
+        .crossJoin(F.broadcast(total))  # 1-row scalar
+        .select(
+            "decile",
+            "est_value",
+            "n_le",
+            rank_frac.alias("rank_frac"),
+            F.abs(rank_frac - F.col("decile") / F.lit(10.0)).alias("rank_err"),
+        )
+    )

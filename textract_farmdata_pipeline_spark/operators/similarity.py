@@ -2292,20 +2292,48 @@ def ivf_ingest_delta(
     shape: two scans + two k_coarse-row aggregates; the batch never
     joins the corpus row-wise (cell ids only).  ``growth`` is one IEEE
     division of exact integers (n_before floored at 1)."""
-    from pyspark.sql.window import Window
-
     mins, maxs = sq_train(existing, vec_col)
     anchors = sq_anchor_codes(existing, mins, maxs, k_coarse, seed, vec_col, id_col)
+    before = (
+        sq_assign_cells(existing, mins, maxs, anchors, vec_col, id_col)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_before"))
+    )
+    added = (
+        sq_assign_cells(batch, mins, maxs, anchors, vec_col, id_col)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_added"))
+    )
+    return ivf_growth_report(before, added, k_coarse)
 
-    def assign(df: DataFrame) -> DataFrame:
-        enc = sq_encode(df, mins, maxs, vec_col, id_col)
-        sc = _anchor_cell_scores(F.col("codes"), anchors)
-        return enc.select(
-            F.array_position(sc, F.array_max(sc)).cast("int").alias("cell")
-        )
 
-    before = assign(existing).groupBy("cell").agg(F.count("*").alias("n_before"))
-    added = assign(batch).groupBy("cell").agg(F.count("*").alias("n_added"))
+def sq_assign_cells(
+    df: DataFrame,
+    mins: Sequence[float],
+    maxs: Sequence[float],
+    anchors: Sequence[Sequence[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(vec_id, cell)`` — frozen-quantizer cell assignment (SQ8
+    encode with the given bounds, first-max integer-dot anchor argmax).
+    THE single definition of assignment for the batch delta and its
+    streaming replay twin, so the two cannot drift."""
+    enc = sq_encode(df, mins, maxs, vec_col, id_col)
+    sc = _anchor_cell_scores(F.col("codes"), anchors)
+    return enc.select(
+        "vec_id", F.array_position(sc, F.array_max(sc)).cast("int").alias("cell")
+    )
+
+
+def ivf_growth_report(
+    before: DataFrame, added: DataFrame, k_coarse: int
+) -> DataFrame:
+    """The per-cell growth report over ``(cell, n_before)`` ×
+    ``(cell, n_added)`` — shared tail of :func:`ivf_ingest_delta` and
+    the streaming replay."""
+    from pyspark.sql.window import Window
+
     cells = before.join(added, "cell", "full_outer").select(
         "cell",
         F.coalesce("n_before", F.lit(0)).alias("n_before"),

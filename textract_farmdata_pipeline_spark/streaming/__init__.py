@@ -1,6 +1,6 @@
 from .census import stream_census_pipeline  # noqa: F401
 from .ingest import dedup_ingest_stream, replay_ingest_batches  # noqa: F401
-from .sketches import cms_stream, hll_stream  # noqa: F401
+from .sketches import cms_stream, hll_stream, ivf_ingest_stream  # noqa: F401
 from .stateful import (  # noqa: F401
     dedup_stream,
     dedup_stream_tws,

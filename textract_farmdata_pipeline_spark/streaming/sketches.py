@@ -77,6 +77,57 @@ def cms_stream(
     return docs.writeStream.foreachBatch(process), state
 
 
+def ivf_ingest_stream(
+    df: DataFrame,
+    mins,
+    maxs,
+    anchors,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sink=None,
+    bootstrap: dict[int, int] | None = None,
+    bootstrap_batch_ids: set[int] | None = None,
+):
+    """Streaming IVF index maintenance: running per-cell admission
+    counts for an embedding ingest stream against a FROZEN quantizer
+    (SQ8 bounds + anchor cells trained on the pre-existing corpus —
+    the stream must not re-train the index it is filling).
+
+    Each micro-batch assigns its own rows with
+    :func:`..operators.similarity.sq_assign_cells` (distributed; the
+    collect is the ≤ k_coarse-row per-cell count) and merges
+    additively into ``state`` (``cell -> n_added``).  Additive merges
+    inherit the CMS restart contract, not the HLL one: replayed batch
+    ids are no-ops via the ``merged_ids`` guard, and a driver restart
+    needs ``bootstrap`` (+ covered batch ids) persisted from ``sink``.
+    Compose the final state with the before-counts through
+    :func:`..operators.similarity.ivf_growth_report` — the streamed
+    report then hash-equals the batch :func:`..operators.similarity.
+    ivf_ingest_delta` of the same split (pinned by the driver oracle
+    of ``embedding_ivf_stream_replay``).
+    """
+    from ..operators.similarity import sq_assign_cells
+
+    state: dict[int, int] = dict(bootstrap) if bootstrap else {}
+    merged_ids: set[int] = set(bootstrap_batch_ids) if bootstrap_batch_ids else set()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id not in merged_ids:
+            part = (
+                sq_assign_cells(batch_df, mins, maxs, anchors, vec_col, id_col)
+                .groupBy("cell")
+                .count()
+                .collect()
+            )
+            for r in part:
+                state[r["cell"]] = state.get(r["cell"], 0) + r["count"]
+            merged_ids.add(batch_id)
+        if sink is not None:
+            sink(state, batch_id)
+
+    return df.writeStream.foreachBatch(process), state
+
+
 def hll_stream(
     df: DataFrame,
     key_col: str,

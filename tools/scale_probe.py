@@ -113,6 +113,8 @@ PROBE = (
     "dedup_containment_map",
     "corpus_source_overlap",
     "embedding_ivf_ingest_delta",
+    "embedding_ivf_stream_replay",
+    "events_quantile_sketch",
 )
 
 KEYED = {
