@@ -106,6 +106,10 @@ HEADLINE = (
     # oracle) and the portable bottom-k quantile sketch
     "embedding_ivf_stream_replay",
     "events_quantile_sketch",
+    # r06: matryoshka truncation-recall profile and the measured
+    # LSH-vs-exact quality report
+    "embedding_matryoshka_recall",
+    "dedup_lsh_eval",
 )
 
 

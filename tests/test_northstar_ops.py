@@ -3443,3 +3443,75 @@ class TestQuantileSketch:
         )
         drows = sorted(con.execute(ORACLES["events_quantile_sketch"]).fetchall())
         assert srows == drows and len(srows) == 9
+
+
+class TestMatryoshkaRecall:
+    def test_full_dim_recall_is_one_and_monotone_shape(self, spark, emb):
+        """Truncating to the full dimension is the identity — recall
+        must be exactly 1.0 there; shorter prefixes can only be
+        measured, but every recall must be a valid fraction of
+        |queries|·k."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            matryoshka_recall,
+        )
+
+        queries = emb.filter(F.col("vec_id") < 10)
+        rows = {
+            r["dim"]: r
+            for r in matryoshka_recall(
+                emb, queries, dims=(64, 16), k=5
+            ).collect()
+        }
+        assert rows[64]["recall"] == 1.0 and rows[64]["n_hits"] == 50
+        assert 0.0 <= rows[16]["recall"] <= 1.0
+        assert rows[16]["n_hits"] <= 50
+
+    def test_matches_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        srows = sorted(
+            tuple(r)
+            for r in QUERIES["embedding_matryoshka_recall"](spark, sf_dir).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["embedding_matryoshka_recall"]).fetchall())
+        assert srows == drows and len(srows) == 3
+
+
+class TestLshEval:
+    def test_identical_docs_fully_recalled(self, spark):
+        """Byte-identical texts share every minhash, so they collide in
+        every band: a corpus of dup groups + disjoint singletons must
+        report recall 1.0 and consistent count ordering."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            lsh_eval_report,
+        )
+
+        t1 = "the quick brown fox jumps over the lazy dog again and again"
+        t2 = "совершенно другой текст без общих слов вообще ни одного тут"
+        docs = spark.createDataFrame(
+            [(1, t1), (2, t1), (3, t1), (4, t2), (5, "unrelated words only here")],
+            "doc_id long, text string",
+        )
+        r = lsh_eval_report(docs, n_hashes=8, bands=4, threshold=0.5).collect()[0]
+        assert r["n_exact_pairs"] == 3  # C(3,2) identical pairs
+        assert r["n_verified"] == 3 and r["recall"] == 1.0
+        assert r["n_verified"] <= r["n_candidates"]
+        assert r["candidate_precision"] == 1.0  # no spurious band collisions
+
+    def test_counts_consistent_on_corpus(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            lsh_eval_report,
+        )
+
+        r = lsh_eval_report(docs, n_hashes=8, bands=4, threshold=0.5).collect()[0]
+        assert r["n_verified"] <= r["n_candidates"]
+        assert r["n_verified"] <= r["n_exact_pairs"]
+        if r["n_exact_pairs"]:
+            assert 0.0 <= r["recall"] <= 1.0

@@ -126,6 +126,58 @@ def cosine_topk(
     return _rank_per_query(_cosine_scored(corpus, queries, round_digits), k)
 
 
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: Sequence[int] = (32, 16, 8),
+    k: int = 5,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Matryoshka truncation-recall profile (the Kusupati et al. 2022
+    evaluation): for each prefix dimension ``d``, how much of the
+    FULL-dimension exact top-k survives when both sides are truncated
+    to their first ``d`` components — ``(dim, n_hits, recall)`` with
+    ``recall = n_hits / (|queries|·k)``.  The report that decides how
+    far an MRL-style embedding can be truncated for cheap first-stage
+    retrieval before the full-dim rerank.
+
+    Every per-dim top-k is :func:`cosine_topk` on prefix-sliced
+    vectors — same broadcast-queries/scan-side-scoring plan (the
+    corpus is scanned once per dim, never shuffled; a handful of dims
+    is a handful of scans), same 4dp rounding and tie rules, so the
+    whole profile inherits the ``embedding_cosine_topk`` portability
+    argument and hash-checks end to end."""
+    from functools import reduce
+
+    def trunc(df: DataFrame, d: int) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.slice(_as_double(F.col("embedding")), 1, d).alias("embedding"),
+        )
+
+    full = cosine_topk(corpus, queries, k, round_digits).select(
+        "query_id", "neighbor_id"
+    )
+    per_dim = [
+        cosine_topk(trunc(corpus, d), trunc(queries, d), k, round_digits)
+        .select("query_id", "neighbor_id")
+        .join(full, ["query_id", "neighbor_id"])
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.lit(int(d)).alias("dim"), "n_hits")
+        for d in dims
+    ]
+    hits = reduce(lambda a, b: a.unionByName(b), per_dim)
+    nq = queries.select("vec_id").distinct().agg(F.count("*").alias("_nq"))
+    return hits.crossJoin(F.broadcast(nq)).select(  # 1-row scalar
+        "dim",
+        "n_hits",
+        (
+            F.col("n_hits").cast("double")
+            / (F.col("_nq") * F.lit(k)).cast("double")
+        ).alias("recall"),
+    )
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1752,6 +1752,59 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Eval-harness oracle: the portable minhash chain's own cand/verified
+# CTEs (shared template — the counted sets ARE the product's sets) plus
+# a brute-force exact-pairs CTE reusing the same sh/sz shingle tables.
+_LSH_EVAL_ORACLE = (
+    "WITH "
+    + _mh_pair_ctes("documents")
+    + """,
+ixall AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b FROM ixall
+  JOIN sz sa ON sa.doc_id = ixall.doc_a
+  JOIN sz sb ON sb.doc_id = ixall.doc_b
+  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
+),
+s AS (
+  SELECT (SELECT COUNT(*) FROM exact) AS n_exact_pairs,
+         (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM verified) AS n_verified
+)
+SELECT n_exact_pairs, n_candidates, n_verified,
+  CASE WHEN n_exact_pairs > 0
+       THEN CAST(n_verified AS DOUBLE) / CAST(n_exact_pairs AS DOUBLE) END
+    AS recall,
+  CASE WHEN n_candidates > 0
+       THEN CAST(n_verified AS DOUBLE) / CAST(n_candidates AS DOUBLE) END
+    AS candidate_precision
+FROM s
+"""
+)
+
+
+@register("dedup_lsh_eval", _LSH_EVAL_ORACLE)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality MEASURED against exact ground truth: candidate
+    volume, verified pairs, and true J ≥ 0.5 pairs (from the exact
+    prefix join — no cross product) in one row, with recall and
+    candidate precision.  The (n_hashes, bands) s-curve is an analytic
+    promise; this report prices it on the actual corpus — the number
+    you check before trusting the approximate dedup stack at 100 TB.
+    The oracle reuses the portable-minhash cand/verified CTE template
+    itself, so the counted sets are definitionally the product's."""
+    from .operators.dedup import lsh_eval_report
+
+    return lsh_eval_report(
+        _t(spark, sf_dir, "documents"), n_hashes=8, bands=4, threshold=0.5,
+        shingle_n=3,
+    )
+
+
 _DEDUP_REPORT_ORACLE = """
 WITH h AS (
   SELECT md5(text) AS k, COUNT(*) AS n, COUNT(DISTINCT source) AS n_sources
@@ -2354,6 +2407,64 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5).withColumn(
         "rank", F.col("rank").cast("long")
+    )
+
+
+_MRL_DIMS = (32, 16, 8)
+
+
+def _matryoshka_oracle() -> str:
+    """Per-dim truncated top-5 CTEs (the ``_TOPK_ORACLE`` chain on
+    DuckDB inclusive prefix slices ``e[1:d]``) joined against the
+    full-dim top-5 — one overlap row per dim."""
+
+    def tk(tag: str, expr: str) -> str:
+        return f"""sc{tag} AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(q.{expr}, c.{expr})
+          / (sqrt(list_dot_product(q.{expr}, q.{expr}))
+             * sqrt(list_dot_product(c.{expr}, c.{expr}))), 4) AS cosine
+  FROM v c, q WHERE c.vec_id <> q.vec_id
+),
+tk{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM sc{tag}) r
+  WHERE rank <= 5
+)"""
+
+    ctes = [tk("full", "e")] + [tk(str(d), f"e[1:{d}]") for d in _MRL_DIMS]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {d} AS dim, COUNT(*) AS n_hits "
+        f"FROM tk{d} JOIN tkfull USING (query_id, neighbor_id)"
+        for d in _MRL_DIMS
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
+{",".join(ctes)},
+nq AS (SELECT COUNT(*) AS _nq FROM q),
+hits AS ({unions})
+SELECT CAST(dim AS INT) AS dim, n_hits,
+  CAST(n_hits AS DOUBLE) / CAST(nq._nq * 5 AS DOUBLE) AS recall
+FROM hits, nq
+"""
+
+
+@register("embedding_matryoshka_recall", _matryoshka_oracle())
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation-recall profile: exact top-5 at prefix
+    dims 32/16/8 vs the full 64-dim top-5, one overlap row per dim —
+    the report that decides how far an MRL-style embedding can be
+    truncated for cheap first-stage retrieval.  Each per-dim top-k is
+    the ``embedding_cosine_topk`` plan on sliced vectors (broadcast
+    queries, corpus scanned once per dim, never shuffled), so the
+    whole profile hash-checks under the same portability argument."""
+    from .operators.similarity import matryoshka_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_recall(
+        emb, emb.filter(F.col("vec_id") < 20), dims=_MRL_DIMS, k=5
     )
 
 

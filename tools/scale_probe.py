@@ -115,6 +115,8 @@ PROBE = (
     "embedding_ivf_ingest_delta",
     "embedding_ivf_stream_replay",
     "events_quantile_sketch",
+    "embedding_matryoshka_recall",
+    "dedup_lsh_eval",
 )
 
 KEYED = {
