@@ -290,19 +290,35 @@ def minhash_lsh_pairs(
     hash-oracle-checkable (the xxhash64 default stays the fast product
     path).
     """
-    portable = hash_family == "md5"
     cand = lsh_candidates(docs, n_hashes, bands, shingle_n, hash_family)
-    # Verify: equi-joins the candidate stream against the doc→shingle
-    # sets; when that side fits the broadcast threshold (as here) AQE
-    # picks a broadcast join and the candidates never shuffle, and at
-    # corpus sizes beyond it the same plan degrades to sort-merge.
-    # Shingle sets are xxhash64-hashed to array<long> first — set
-    # intersection over fixed-width longs instead of strings — and
-    # |A∪B| = |A|+|B|−|A∩B| halves the per-pair set work vs
-    # materializing the union array.  (Jaccard over 64-bit-hashed
-    # shingles equals exact Jaccard up to a ~2⁻⁶⁴ collision rate.)
-    # The portable family verifies on the raw strings so the oracle's
-    # string-equality join counts the identical intersection.
+    return _verify_jaccard(
+        cand, docs, threshold, shingle_n, portable=hash_family == "md5"
+    )
+
+
+def _verify_jaccard(
+    cand: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    shingle_n: int,
+    portable: bool,
+) -> DataFrame:
+    """Exact-Jaccard verification of a ``(doc_a, doc_b)`` candidate
+    stream — the shared verify stage of :func:`minhash_lsh_pairs` and
+    :func:`lsh_eval_report` (so the eval verifies the SAME candidate
+    DataFrame it counts, instead of rebuilding the signature pipeline).
+
+    Equi-joins the candidates against the doc→shingle sets; when that
+    side fits the broadcast threshold AQE picks a broadcast join and
+    the candidates never shuffle, and at corpus sizes beyond it the
+    same plan degrades to sort-merge.  Shingle sets are
+    xxhash64-hashed to array<long> first — set intersection over
+    fixed-width longs instead of strings — and |A∪B| = |A|+|B|−|A∩B|
+    halves the per-pair set work vs materializing the union array.
+    (Jaccard over 64-bit-hashed shingles equals exact Jaccard up to a
+    ~2⁻⁶⁴ collision rate.)  The portable family verifies on the raw
+    strings so the oracle's string-equality join counts the identical
+    intersection."""
     if portable:
         hashed_sh = shingles(F.col("text"), shingle_n)
     else:
@@ -800,32 +816,7 @@ def jaccard_prefix_join(
     partition window anywhere.  The full token arrays travel only for
     verified candidates.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), shingle_n).alias("s"),
-    ).filter(F.size("s") > 0)
-    ex = toks.select(
-        "doc_id", F.size("s").alias("sz"), F.explode("s").alias("tok")
-    )
-    dfreq = ex.groupBy("tok").agg(F.count("*").alias("df"))
-    pre_len = (
-        F.col("sz")
-        - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
-        + 1
-    ).cast("int")
-    prefix = (
-        ex.join(dfreq, "tok")
-        .groupBy("doc_id", "sz")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("ordered"))
-        .select(
-            "doc_id",
-            "sz",
-            F.transform(
-                F.slice(F.col("ordered"), F.lit(1), pre_len), lambda s: s["tok"]
-            ).alias("pref"),
-        )
-    )
-    pa = prefix.select("doc_id", "sz", F.explode("pref").alias("tok"))
+    toks, ex, pa = _prefix_scaffold(docs, threshold, shingle_n, id_col, text_col)
     t = float(threshold)
     cands = (
         pa.alias("a")
@@ -853,6 +844,50 @@ def jaccard_prefix_join(
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(t))
     )
+
+
+def _prefix_scaffold(
+    docs: DataFrame,
+    threshold: float,
+    shingle_n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``(toks, ex, pa)`` — THE single definition of the rarest-first
+    prefix machinery shared by the symmetric Jaccard join and the
+    directional containment join: shingle sets, the exploded
+    ``(doc_id, sz, tok)`` posting table, and the df-ordered prefix
+    postings of length ``|s| - ceil(t·|s| - 1e-9) + 1`` (the epsilon
+    only ever ADMITS boundary candidates; exact verification decides).
+    A future fix to the slack or the tie order lands in both joins or
+    neither — the same drift argument as ``lsh_candidates``."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(F.col(text_col), shingle_n).alias("s"),
+    ).filter(F.size("s") > 0)
+    ex = toks.select(
+        "doc_id", F.size("s").alias("sz"), F.explode("s").alias("tok")
+    )
+    dfreq = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    pre_len = (
+        F.col("sz")
+        - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    prefix = (
+        ex.join(dfreq, "tok")
+        .groupBy("doc_id", "sz")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("ordered"))
+        .select(
+            "doc_id",
+            "sz",
+            F.transform(
+                F.slice(F.col("ordered"), F.lit(1), pre_len), lambda s: s["tok"]
+            ).alias("pref"),
+        )
+    )
+    pa = prefix.select("doc_id", "sz", F.explode("pref").alias("tok"))
+    return toks, ex, pa
 
 
 def jaccard_prefix_clusters(
@@ -937,31 +972,8 @@ def containment_prefix_join(
     duplication by declaration — :func:`containment_cover_map` is the
     linear product twin.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), shingle_n).alias("s"),
-    ).filter(F.size("s") > 0)
-    ex = toks.select(
-        "doc_id", F.size("s").alias("sz"), F.explode("s").alias("tok")
-    )
-    dfreq = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    toks, ex, pa = _prefix_scaffold(docs, threshold, shingle_n, id_col, text_col)
     t = float(threshold)
-    pre_len = (
-        F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
-    ).cast("int")
-    prefix = (
-        ex.join(dfreq, "tok")
-        .groupBy("doc_id", "sz")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("ordered"))
-        .select(
-            "doc_id",
-            "sz",
-            F.transform(
-                F.slice(F.col("ordered"), F.lit(1), pre_len), lambda s: s["tok"]
-            ).alias("pref"),
-        )
-    )
-    pa = prefix.select("doc_id", "sz", F.explode("pref").alias("tok"))
     cands = (
         pa.alias("a")
         .join(
@@ -1152,12 +1164,14 @@ def lsh_eval_report(
     a per-batch product stage.  All counts are integers; the two
     ratios are guarded single divisions."""
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    n_cand = lsh_candidates(docs, n_hashes, bands, shingle_n, "md5").agg(
-        F.count("*").alias("n_candidates")
+    # ONE candidate DataFrame feeds both counts: the verified leg
+    # consumes the same subtree the candidate count aggregates, so the
+    # signature/banding exchange is reused instead of rebuilt.
+    cand = lsh_candidates(docs, n_hashes, bands, shingle_n, "md5")
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_ver = _verify_jaccard(cand, docs, threshold, shingle_n, portable=True).agg(
+        F.count("*").alias("n_verified")
     )
-    n_ver = minhash_lsh_pairs(
-        docs, n_hashes, bands, threshold, shingle_n, "md5"
-    ).agg(F.count("*").alias("n_verified"))
     n_exact = jaccard_prefix_join(docs, threshold, shingle_n).agg(
         F.count("*").alias("n_exact_pairs")
     )

@@ -155,8 +155,18 @@ def matryoshka_recall(
             F.slice(_as_double(F.col("embedding")), 1, d).alias("embedding"),
         )
 
-    full = cosine_topk(corpus, queries, k, round_digits).select(
+    full_lazy = cosine_topk(corpus, queries, k, round_digits).select(
         "query_id", "neighbor_id"
+    )
+    # materialize the full-dim reference ONCE — it is ≤ |queries|·k
+    # rows by construction, and joining the lazy plan into every
+    # per-dim branch would re-run the full-dimension corpus scoring
+    # len(dims) times (Catalyst does not share subplans across
+    # branches); the tiny pair set re-enters as a broadcast literal
+    full = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            full_lazy.collect(), full_lazy.schema
+        )
     )
     per_dim = [
         cosine_topk(trunc(corpus, d), trunc(queries, d), k, round_digits)
