@@ -348,3 +348,51 @@ class TestRound2Batch2PlanShapes:
         s = plan_summary(QUERIES["doc_normalize_dedup"](spark, SF))
         assert s["python_eval"] == 0
         assert s["exchanges"] <= 2, "two distincts share the source key"
+
+
+class TestR06Plans:
+    def test_containment_joins_all_equality_keyed(self, spark):
+        """Both containment operators must candidate-generate through
+        equality joins on prefix/posting tokens — never a nested-loop
+        or cartesian pass over document pairs."""
+        for name in ("dedup_containment_prefix", "dedup_containment_map"):
+            s = plan_summary(QUERIES[name](spark, SF))
+            assert s["bnlj"] == 0, name
+            assert s["python_eval"] == 0, name
+
+    def test_source_overlap_shingle_join_no_nested_loop(self, spark):
+        s = plan_summary(QUERIES["corpus_source_overlap"](spark, SF))
+        assert s["bnlj"] == 0 and s["python_eval"] == 0
+
+    def test_ivf_ingest_delta_jvm_only(self, spark):
+        """Maintenance is two encode scans into two k_coarse-row
+        aggregates — all JVM, no Python island, no nested loop over
+        the corpus."""
+        s = plan_summary(QUERIES["embedding_ivf_ingest_delta"](spark, SF))
+        assert s["python_eval"] == 0
+        assert s["bnlj"] == 0
+
+    def test_quantile_sketch_validation_is_broadcast(self, spark):
+        """The 9-threshold rank validation is an inequality join and
+        must run as a BROADCAST nested loop (9-row side shipped), never
+        a shuffled cartesian of the events table."""
+        from textract_farmdata_pipeline_spark.plans.inspect import plan_text
+
+        df = QUERIES["events_quantile_sketch"](spark, SF)
+        s = plan_summary(df)
+        assert s["bnlj"] >= 1
+        assert "CartesianProduct" not in plan_text(df)
+        assert s["python_eval"] == 0
+
+    def test_matryoshka_reference_is_local_relation(self, spark):
+        """The full-dim reference set enters as a materialized bounded
+        relation (collected once), not as a re-executed scoring plan
+        per truncated dim."""
+        from textract_farmdata_pipeline_spark.plans.inspect import plan_text
+
+        df = QUERIES["embedding_matryoshka_recall"](spark, SF)
+        text = plan_text(df)
+        # createDataFrame(collected rows) plans as Scan ExistingRDD —
+        # the reference is a materialized bounded relation either way
+        assert "Scan ExistingRDD" in text or "LocalTableScan" in text
+        assert plan_summary(df)["python_eval"] == 0
