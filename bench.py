@@ -110,6 +110,8 @@ HEADLINE = (
     # LSH-vs-exact quality report
     "embedding_matryoshka_recall",
     "dedup_lsh_eval",
+    # r06: the zlib compressibility quality signal (Arrow island)
+    "doc_compressibility",
 )
 
 

@@ -3515,3 +3515,55 @@ class TestLshEval:
         assert r["n_verified"] <= r["n_exact_pairs"]
         if r["n_exact_pairs"]:
             assert 0.0 <= r["recall"] <= 1.0
+
+
+class TestCompressibility:
+    def test_bands_and_determinism(self, spark):
+        """Repetitive text compresses below natural prose, which
+        compresses below high-entropy noise; empty text yields NULL;
+        and two runs are byte-identical (the rows-only check's
+        substitute for an oracle)."""
+        import random
+
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            compressibility,
+        )
+
+        rng = random.Random(7)
+        noise = " ".join(
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+            for _ in range(60)
+        )
+        prose = (
+            "the quick brown fox jumps over the lazy dog while the farmer "
+            "records acres of improved land and the value of livestock in "
+            "careful column entries for every family on the page "
+        ) * 5
+        docs = spark.createDataFrame(
+            [
+                (1, "spam " * 300),
+                (2, prose),
+                (3, noise),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in compressibility(docs).collect()}
+        assert rows[1]["zlib_ratio"] < rows[2]["zlib_ratio"] < rows[3]["zlib_ratio"]
+        assert rows[1]["zlib_ratio"] < 0.1  # pathological repetition
+        assert rows[4]["zlib_ratio"] is None and rows[4]["n_bytes"] == 0
+        again = {r["doc_id"]: r for r in compressibility(docs).collect()}
+        assert {k: tuple(v) for k, v in rows.items()} == {
+            k: tuple(v) for k, v in again.items()
+        }
+
+    def test_registry_rows(self, spark, sf_dir):
+        from textract_farmdata_pipeline_spark.registry import QUERIES
+
+        out = QUERIES["doc_compressibility"](spark, sf_dir)
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        rows = out.collect()
+        assert len(rows) == n_docs
+        assert all(
+            r["zlib_ratio"] is None or 0.0 < r["zlib_ratio"] <= 1.5 for r in rows
+        )

@@ -1362,3 +1362,58 @@ def classifier_train(
     if math.isnan(bias):
         raise ValueError("divergence: lower lr")
     return weights, bias, losses
+
+
+def compressibility(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility — the Dolma-family quality
+    signal the Column-expression scorers cannot express: machine-
+    generated boilerplate, repeated templates, and gibberish all
+    compress far outside natural prose's band (natural English at
+    level 6 lands ~0.35–0.6; near-zero means pathological repetition,
+    near-1 means high-entropy noise).  Returns ``(id, n_bytes,
+    n_zlib, zlib_ratio)`` with ``zlib_ratio = n_zlib / n_bytes``
+    (NULL for empty text).
+
+    One Arrow-batched ``mapInPandas`` island: each batch's texts run
+    through zlib's C deflate without per-row Python overhead beyond
+    the call itself, and nothing returns to the driver.  Deterministic
+    for a fixed zlib (pytest pins ordering between repetitive and
+    natural fixtures plus run-to-run equality) but intentionally
+    rows-only at the driver: DEFLATE output is library-defined, not
+    replayable in ANSI SQL — the honest check strength for this
+    signal.  Scale shape: a pure map stage; partitioning, pushdown,
+    and column pruning are untouched.
+    """
+    import pandas as pd
+
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["_id"].tolist(), pdf["_t"].tolist()):
+                raw = (text or "").encode("utf-8")
+                if not raw:
+                    rows.append((doc_id, 0, 0, None))
+                    continue
+                n_z = len(zlib.compress(raw, level))
+                rows.append((doc_id, len(raw), n_z, n_z / len(raw)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_bytes", "n_zlib", "zlib_ratio"]
+            )
+
+    return docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).mapInPandas(
+        run,
+        schema="doc_id long, n_bytes long, n_zlib long, zlib_ratio double",
+    )

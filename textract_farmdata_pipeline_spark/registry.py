@@ -2054,6 +2054,20 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(_t(spark, sf_dir, "documents"))
 
 
+@register("doc_compressibility")  # rows-only: DEFLATE output is
+# library-defined, not replayable in ANSI SQL (pytest pins the
+# repetitive-vs-natural ordering and run-to-run determinism)
+def doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compressibility ratio — the Dolma-family
+    quality signal Column expressions cannot express (boilerplate and
+    gibberish compress far outside natural prose's band).  One
+    Arrow-batched ``mapInPandas`` island over (id, text); pure map
+    stage, nothing to the driver."""
+    from .operators.text_analysis import compressibility
+
+    return compressibility(_t(spark, sf_dir, "documents"))
+
+
 _LANG_ORACLE = """
 SELECT doc_id, lang,
   CASE WHEN CAST(len(list_filter(string_split(text, ' '),

@@ -117,6 +117,7 @@ PROBE = (
     "events_quantile_sketch",
     "embedding_matryoshka_recall",
     "dedup_lsh_eval",
+    "doc_compressibility",
 )
 
 KEYED = {
