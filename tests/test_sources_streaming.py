@@ -565,7 +565,7 @@ class TestStatefulStreaming:
         the ungated tests below (fake-handle drive +
         plan-construction time-mode pin).
 
-        Re-probed 2026-08-14 (round 6): ``import google.protobuf``
+        Re-probed 2026-08-14 (round 7): ``import google.protobuf``
         still raises ModuleNotFoundError in this container and
         installs remain disallowed, so the gate stands unchanged."""
         import datetime as dt
@@ -1270,3 +1270,22 @@ class TestStreamingIvfIngest:
         )
         q.awaitTermination(180)
         assert state == {3: 7}
+
+    def test_additive_bootstrap_halves_must_travel_together(self, spark, sf_dir):
+        """Passing persisted cells without the batch ids they cover (or
+        vice versa) silently violates the additive restart contract —
+        dropped counts or double-merged replays — so both additive
+        streams must refuse the lone half loudly at construction."""
+        import pytest
+
+        from textract_farmdata_pipeline_spark.streaming import (
+            cms_stream,
+            ivf_ingest_stream,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(4)
+        stream = spark.readStream.schema(emb.schema).parquet(str(sf_dir))
+        with pytest.raises(ValueError, match="passed together"):
+            ivf_ingest_stream(stream, [0.0], [1.0], None, bootstrap={3: 7})
+        with pytest.raises(ValueError, match="passed together"):
+            cms_stream(stream, bootstrap_batch_ids={0, 1})

@@ -163,11 +163,16 @@ def matryoshka_recall(
     # per-dim branch would re-run the full-dimension corpus scoring
     # len(dims) times (Catalyst does not share subplans across
     # branches); the tiny pair set re-enters as a broadcast literal
+    full_rows = full_lazy.collect()
     full = F.broadcast(
-        corpus.sparkSession.createDataFrame(
-            full_lazy.collect(), full_lazy.schema
-        )
+        corpus.sparkSession.createDataFrame(full_rows, full_lazy.schema)
     )
+    # recall denominator = the reference pair count we actually
+    # materialized, NOT |queries|·k: with fewer than k+1 corpus
+    # vectors (or a query shorter than k neighbors) the reference has
+    # fewer rows, and |queries|·k would report recall < 1 even for a
+    # perfect truncation
+    n_ref = max(len(full_rows), 1)
     per_dim = [
         cosine_topk(trunc(corpus, d), trunc(queries, d), k, round_digits)
         .select("query_id", "neighbor_id")
@@ -177,14 +182,10 @@ def matryoshka_recall(
         for d in dims
     ]
     hits = reduce(lambda a, b: a.unionByName(b), per_dim)
-    nq = queries.select("vec_id").distinct().agg(F.count("*").alias("_nq"))
-    return hits.crossJoin(F.broadcast(nq)).select(  # 1-row scalar
+    return hits.select(
         "dim",
         "n_hits",
-        (
-            F.col("n_hits").cast("double")
-            / (F.col("_nq") * F.lit(k)).cast("double")
-        ).alias("recall"),
+        (F.col("n_hits").cast("double") / F.lit(float(n_ref))).alias("recall"),
     )
 
 

@@ -2457,11 +2457,14 @@ tk{tag} AS (
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
 {",".join(ctes)},
-nq AS (SELECT COUNT(*) AS _nq FROM q),
+-- recall denominator = the realized full-dim reference pair count
+-- (mirrors the Spark side: with < k+1 corpus vectors the reference
+-- has fewer than |q|*k rows, and |q|*k would under-report recall)
+nref AS (SELECT greatest(COUNT(*), 1) AS _nref FROM tkfull),
 hits AS ({unions})
 SELECT CAST(dim AS INT) AS dim, n_hits,
-  CAST(n_hits AS DOUBLE) / CAST(nq._nq * 5 AS DOUBLE) AS recall
-FROM hits, nq
+  CAST(n_hits AS DOUBLE) / CAST(nref._nref AS DOUBLE) AS recall
+FROM hits, nref
 """
 
 
@@ -7279,18 +7282,25 @@ def corpus_jsonl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     this registers the COMPOSITION under one CTE-chain oracle, so the
     driver checks the glue — join keys, packing order, shard columns —
     not just the pieces.  Returns one row per (document, sequence)
-    span: ``doc_id, seq_id, tok_start, n_tokens, source, shard``."""
+    span: ``doc_id, seq_id, tok_start, n_tokens, source, shard``.
+
+    Workdir contract: a per-invocation ``mkdtemp`` (concurrent runs at
+    the same scale factor can never clobber each other's shards); the
+    full-corpus input-shard copy is deleted eagerly once the packed
+    write has consumed it, and the small packed-span dir — which the
+    returned DataFrame reads lazily, so it must outlive this call — is
+    removed at interpreter exit."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from .operators.corpus import build_corpus
     from .operators.packing import pack_token_spans
     from .sources.jsonl import read_jsonl, write_jsonl_shards
 
-    out = os.path.join(
-        tempfile.gettempdir(),
-        f"tfp_jsonl_pipe_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    out = tempfile.mkdtemp(prefix="tfp_jsonl_pipe_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     ddl = "doc_id long, text string, lang string, source string, n_chars long"
     write_jsonl_shards(
         _t(spark, sf_dir, "documents"), f"{out}/in", shard_col="doc_id", n_shards=8
@@ -7310,6 +7320,9 @@ def corpus_jsonl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = pack_token_spans(selected, budget=512, bucket_docs=64)
     packed = spans.join(manifest, "doc_id")
     write_jsonl_shards(packed, f"{out}/packed", shard_col="seq_id", n_shards=8)
+    # the packed write is an action that fully drained the input shards;
+    # drop the corpus-sized copy now rather than at exit
+    shutil.rmtree(f"{out}/in", ignore_errors=True)
     back = read_jsonl(
         spark,
         f"{out}/packed",

@@ -22,6 +22,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _check_additive_bootstrap(bootstrap, bootstrap_batch_ids) -> None:
+    """Additive merges are only restart-safe when the persisted cells
+    AND the batch ids they cover are reloaded together: cells without
+    the id set double-merge a checkpoint-replayed batch on top of its
+    own counts, and an id set without the cells silently drops every
+    previously merged count.  Both halves come from the same ``sink``
+    call, so receiving exactly one is always a caller bug — fail loud
+    rather than corrupt the state quietly."""
+    if (bootstrap is None) != (bootstrap_batch_ids is None):
+        raise ValueError(
+            "bootstrap and bootstrap_batch_ids must be passed together: "
+            "an additive-merge restart needs the persisted cells AND the "
+            "batch ids they already cover (both come from the same sink "
+            "call); passing only one silently violates the restart "
+            "contract (dropped counts or double-merged replays)"
+        )
+
+
 def cms_stream(
     docs: DataFrame,
     n: int = 2,
@@ -52,6 +70,7 @@ def cms_stream(
     """
     from ..operators.text_analysis import cms_sketch
 
+    _check_additive_bootstrap(bootstrap, bootstrap_batch_ids)
     # bootstrap = cells persisted by a previous run's ``sink`` (plus the
     # batch ids they already cover, so a checkpoint-replayed batch isn't
     # double-merged on top of them).
@@ -108,6 +127,7 @@ def ivf_ingest_stream(
     """
     from ..operators.similarity import sq_assign_cells
 
+    _check_additive_bootstrap(bootstrap, bootstrap_batch_ids)
     state: dict[int, int] = dict(bootstrap) if bootstrap else {}
     merged_ids: set[int] = set(bootstrap_batch_ids) if bootstrap_batch_ids else set()
 

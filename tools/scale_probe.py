@@ -332,8 +332,9 @@ def merge_rows(
     distinct headers, so one rule scopes both).  For each probed query:
 
     * already present in a matching table → its FIRST row is updated in
-      place and any later duplicate rows are dropped (the residue the
-      old append-style ``--only`` runs left behind);
+      place and later duplicate rows IN THAT SAME TABLE are dropped
+      (the residue the old append-style ``--only`` runs left behind);
+      intentional duplicates in a different same-k table survive;
     * present with an annotated verdict cell (``OK (pair primitive)``)
       whose classification still matches → the annotation is kept;
     * absent → appended to the LAST matching table.
@@ -351,13 +352,15 @@ def merge_rows(
     header_re = re.compile(r"^\|\s*query\s*\|.*t\(×%d\)" % k)
     row_re = re.compile(r"^\|\s*([^|]+?)\s*\|")
     in_table = False
-    # name -> list of line indexes holding a row for it (may span tables)
-    locations: dict[str, list[int]] = {}
+    table_idx = -1  # ordinal of the ×k table the current row belongs to
+    # name -> list of (line index, table ordinal) holding a row for it
+    locations: dict[str, list[tuple[int, int]]] = {}
     labels: dict[str, str] = {}  # name -> cell text incl. "(r04)" suffix
     last_table_end = None  # index AFTER the last data row of the last ×k table
     for i, ln in enumerate(lines):
         if header_re.match(ln):
             in_table = True
+            table_idx += 1
             last_table_end = i + 1
             continue
         if in_table:
@@ -365,9 +368,11 @@ def merge_rows(
                 last_table_end = i + 1
                 m = row_re.match(ln)
                 if m and m.group(1) != "---":
-                    # strip a "(r04)"-style suffix so the key is the query name
-                    name = re.sub(r"\s*\(.*\)$", "", m.group(1))
-                    locations.setdefault(name, []).append(i)
+                    # strip ONLY a "(r04)"-style provenance suffix so the
+                    # key is the query name; a hand-written variant row
+                    # like "foo (sampled)" stays a distinct key
+                    name = re.sub(r"\s*\(r\d+\)$", "", m.group(1))
+                    locations.setdefault(name, []).append((i, table_idx))
                     labels.setdefault(name, m.group(1))
             else:
                 in_table = False
@@ -384,11 +389,14 @@ def merge_rows(
     drop: set[int] = set()
     for name in results:
         if name in locations:
-            first, *rest = locations[name]
+            (first, first_tbl), *rest = locations[name]
             old = [c.strip() for c in lines[first].split("|")]
             old_verdict = old[5] if len(old) > 6 else None
             lines[first] = fmt(name, old_verdict)
-            drop.update(rest)
+            # only de-dup residue WITHIN the first occurrence's table —
+            # an intentional duplicate row in a different same-k table
+            # (e.g. a hand-curated recap) must survive the merge
+            drop.update(i for i, tbl in rest if tbl == first_tbl)
             merged.add(name)
         else:
             appended.add(name)
