@@ -1325,6 +1325,68 @@ class TestIvfAdc:
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
 
+    def test_query_lut_build_is_distributed_and_bit_identical(
+        self, spark, emb, fitted
+    ):
+        """The per-query ADC LUT table must come from a mapInPandas
+        stage over the queries DataFrame — NOT a driver ``collect()``
+        loop (a 10⁵-query production batch has to partition like any
+        other table) — and its rows must be bit-identical to the
+        driver-side gemv loop it replaced (reproduced inline here):
+        same unit vector, same ``B[s] @ q_slice`` matmul shape, same
+        stable-argsort cell probing."""
+        import numpy as np
+
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            _query_luts,
+            unit_vector,
+        )
+
+        cents, books, codes = fitted
+        n_probe = 4
+        queries = emb.orderBy("vec_id").limit(7)
+        luts = _query_luts(queries, books, cents, n_probe)
+        plan = luts._jdf.queryExecution().analyzed().toString()
+        assert "mapInPandas" in plan or "MapInPandas" in plan
+        assert "LocalRelation" not in plan  # nothing was collected
+        got = {(r["query_id"], r["cell"]): r["lut"] for r in luts.collect()}
+
+        B = np.array([[list(c) for c in b] for b in books])
+        C = np.array([list(c) for c in cents])
+        mm, kk, dd = B.shape
+        q_rows = queries.select(
+            F.col("vec_id").alias("query_id"),
+            unit_vector(F.col("embedding")).alias("v"),
+        ).collect()
+        want = {}
+        for r in q_rows:
+            q = np.array(r["v"])
+            lut = [
+                [float(x) for x in (B[s] @ q[s * dd : (s + 1) * dd])]
+                for s in range(mm)
+            ]
+            for cell in np.argsort(-(C @ q), kind="stable")[:n_probe] + 1:
+                want[(r["query_id"], int(cell))] = lut
+        assert got.keys() == want.keys()
+        for key, lut in want.items():
+            assert got[key] == lut  # exact float equality, row by row
+
+    def test_ungated_lut_build_is_distributed(self, spark, emb, fitted):
+        """Same contract for the ungated :func:`pq_topk` path: LUTs
+        come back one row per query from the distributed build, with
+        no probed-cell column and no LocalRelation in the plan."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            _query_luts,
+        )
+
+        cents, books, codes = fitted
+        queries = emb.orderBy("vec_id").limit(5)
+        luts = _query_luts(queries, books)
+        assert "LocalRelation" not in luts._jdf.queryExecution().analyzed().toString()
+        rows = luts.collect()
+        assert sorted(r["query_id"] for r in rows) == [0, 1, 2, 3, 4]
+        assert all(len(r["lut"]) == 8 and len(r["lut"][0]) == 16 for r in rows)
+
     def test_cells_match_shared_nearest_cell_semantics(self, spark, emb, fitted):
         from textract_farmdata_pipeline_spark.operators.similarity import (
             centroid_scores,

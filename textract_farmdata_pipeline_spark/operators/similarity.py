@@ -1023,6 +1023,81 @@ def pq_encode(
     )
 
 
+def _query_luts(
+    queries: DataFrame,
+    codebooks,
+    coarse_centroids=None,
+    n_probe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed per-query ADC lookup-table construction: the tiny
+    codebooks (m·ks·dsub floats — plus the k_coarse·dim coarse
+    centroids when gating) ship in the task closure, and each query
+    row builds its own m×ks LUT inside ONE ``mapInPandas`` stage over
+    the queries DataFrame — the query axis scales exactly like the
+    corpus axis (a 10⁵–10⁶-query production batch is a partitioned map
+    job, not a driver ``collect()`` loop serializing through one
+    process).
+
+    Float parity with the old driver-side build is exact: each LUT row
+    is the same ``B[s] @ q_slice`` gemv on the same Spark-side
+    unit-normalized vector (no reassociation — the per-query Python
+    loop is kept INSIDE the batch so the matmul shape, and therefore
+    the BLAS summation order, is unchanged), and cell probing is the
+    same stable argsort — pinned bit-identical by the parity tests.
+
+    Returns ``(query_id, lut)``, or ``(query_id, cell, lut)`` with one
+    row per probed cell when ``coarse_centroids``/``n_probe`` are
+    given.
+    """
+    book_rows = [[list(c) for c in b] for b in codebooks]
+    cent_rows = (
+        [list(c) for c in coarse_centroids]
+        if coarse_centroids is not None
+        else None
+    )
+    gated = cent_rows is not None
+
+    def _lut(batches):
+        import numpy as np
+
+        B = np.array(book_rows)  # m x ks x dsub
+        mm, kk, dd = B.shape
+        C = np.array(cent_rows) if gated else None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = {"query_id": [], "lut": []}
+            if gated:
+                out["cell"] = []
+            for qid, vec in zip(pdf["_id"], pdf["v"]):
+                q = np.asarray(vec, dtype="float64")
+                lut = [
+                    [float(x) for x in (B[s] @ q[s * dd : (s + 1) * dd])]
+                    for s in range(mm)
+                ]
+                if gated:
+                    # 1-based cells, ties → first max (stable argsort)
+                    for cell in np.argsort(-(C @ q), kind="stable")[:n_probe] + 1:
+                        out["query_id"].append(qid)
+                        out["cell"].append(int(cell))
+                        out["lut"].append(lut)
+                else:
+                    out["query_id"].append(qid)
+                    out["lut"].append(lut)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "query_id long, cell int, lut array<array<double>>"
+        if gated
+        else "query_id long, lut array<array<double>>"
+    )
+    return queries.select(
+        F.col(id_col).alias("_id"), unit_vector(F.col(vec_col)).alias("v")
+    ).mapInPandas(_lut, schema)
+
+
 def pq_topk(
     codes: DataFrame,
     codebooks,
@@ -1033,34 +1108,18 @@ def pq_topk(
     round_digits: int = 4,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: each query's per-
-    (subspace, code) dot-product lookup table is built driver-side
-    (bounded: #queries · m · ks doubles — queries are top-k requests,
-    inherently small) and broadcast; scoring is then pure JVM column
-    algebra — ``zip_with`` the corpus row's code array against the
-    query's LUT rows and sum — so the code table never leaves the JVM
-    and never shuffles.  Per-query top-k via window rank, ties broken
-    by neighbor id.  ``adc_score`` ≈ cosine for unit-normalized
-    training/query vectors."""
+    (subspace, code) dot-product lookup table is built in a
+    distributed map stage over the queries DataFrame
+    (:func:`_query_luts` — the query axis partitions like the corpus
+    axis) and the resulting |queries| × m·ks LUT table is broadcast;
+    scoring is then pure JVM column algebra — ``zip_with`` the corpus
+    row's code array against the query's LUT rows and sum — so the
+    code table never leaves the JVM and never shuffles.  Per-query
+    top-k via window rank, ties broken by neighbor id.  ``adc_score``
+    ≈ cosine for unit-normalized training/query vectors."""
     from pyspark.sql.window import Window
 
-    import numpy as np
-
-    B = np.array([[list(c) for c in b] for b in codebooks])  # m x ks x dsub
-    mm, kk, dd = B.shape
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), unit_vector(F.col(vec_col)).alias("v")
-    ).collect()
-    lut_rows = []
-    for r in q_rows:
-        q = np.array(r["v"])
-        lut = [
-            [float(x) for x in (B[s] @ q[s * dd : (s + 1) * dd])] for s in range(mm)
-        ]
-        lut_rows.append((r["query_id"], lut))
-    spark = codes.sparkSession
-    luts = spark.createDataFrame(
-        lut_rows, "query_id long, lut array<array<double>>"
-    )
+    luts = _query_luts(queries, codebooks, vec_col=vec_col, id_col=id_col)
     score = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -1198,9 +1257,11 @@ def pq_ivf_topk(
     join on the cell id — the scan fraction drops to roughly
     ``n_probe / k_coarse`` of the corpus.
 
-    Plan shape: the per-(query, probed-cell) LUT table is driver-built
-    (bounded: |queries| · n_probe rows of m·ks doubles — queries are
-    top-k requests, inherently small) and broadcast; the codes table
+    Plan shape: the per-(query, probed-cell) LUT table is built in a
+    distributed map stage over the queries DataFrame
+    (:func:`_query_luts` — |queries| · n_probe rows of m·ks doubles,
+    partitioned like any other table, so a 10⁶-query batch never
+    serializes through the driver) and broadcast; the codes table
     joins it on ``cell``, so Catalyst prunes every non-probed cell's
     rows at the join instead of cross-joining the corpus.  Scoring is
     the same JVM ``zip_with``/``aggregate`` LUT sum as :func:`pq_topk`
@@ -1218,26 +1279,8 @@ def pq_ivf_topk(
     """
     from pyspark.sql.window import Window
 
-    import numpy as np
-
-    B = np.array([[list(c) for c in b] for b in codebooks])  # m x ks x dsub
-    C = np.array([list(c) for c in coarse_centroids])  # k_coarse x dim
-    mm, kk, dd = B.shape
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), unit_vector(F.col(vec_col)).alias("v")
-    ).collect()
-    lut_rows = []
-    for r in q_rows:
-        q = np.array(r["v"])
-        cells = np.argsort(-(C @ q), kind="stable")[:n_probe] + 1  # 1-based
-        lut = [
-            [float(x) for x in (B[s] @ q[s * dd : (s + 1) * dd])] for s in range(mm)
-        ]
-        for cell in cells:
-            lut_rows.append((r["query_id"], int(cell), lut))
-    spark = codes.sparkSession
-    luts = spark.createDataFrame(
-        lut_rows, "query_id long, cell int, lut array<array<double>>"
+    luts = _query_luts(
+        queries, codebooks, coarse_centroids, n_probe, vec_col, id_col
     )
     score = F.aggregate(
         F.zip_with(
