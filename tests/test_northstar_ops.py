@@ -3578,6 +3578,30 @@ class TestLshEval:
         if r["n_exact_pairs"]:
             assert 0.0 <= r["recall"] <= 1.0
 
+    def test_sampled_form_is_deterministic_and_bounded(self, spark, docs):
+        """The declared run-on-a-sample knob: the md5 sample must be
+        deterministic (two runs byte-identical), must bound every
+        count by the full report's, and must equal the report over the
+        explicitly pre-filtered corpus (the sampling composes, not
+        approximates)."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            lsh_eval_report,
+            md5_long,
+        )
+
+        kw = dict(n_hashes=8, bands=4, threshold=0.5)
+        full = lsh_eval_report(docs, **kw).collect()[0]
+        s1 = lsh_eval_report(docs, sample_fraction=0.25, **kw).collect()[0]
+        s2 = lsh_eval_report(docs, sample_fraction=0.25, **kw).collect()[0]
+        assert s1 == s2
+        for c in ("n_exact_pairs", "n_candidates", "n_verified"):
+            assert s1[c] <= full[c]
+        pre = docs.filter(
+            F.pmod(md5_long(F.col("doc_id").cast("string"), "lshev|"), F.lit(10000))
+            < 2500
+        )
+        assert lsh_eval_report(pre, **kw).collect()[0] == s1
+
 
 class TestCompressibility:
     def test_bands_and_determinism(self, spark):

@@ -138,6 +138,7 @@ def minhash_signatures(
     n_hashes: int = 32,
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures from a deterministic shingle-hash family.
 
@@ -158,10 +159,19 @@ def minhash_signatures(
     ships one 8·n_hashes-byte partial per document, not its shingles.
 
     Documents with no shingles (empty text) produce no signature row.
+
+    ``shingle_sets`` — an optional precomputed ``(doc_id, s)`` shingle
+    table (the :func:`_shingle_sets` shape) — lets a caller that needs
+    the same shingles for several legs (:func:`lsh_eval_report`) build
+    and persist the scaffold ONCE instead of re-tokenizing the raw
+    text per leg.
     """
-    exploded = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("sh")
-    )
+    if shingle_sets is not None:
+        exploded = shingle_sets.select("doc_id", F.explode("s").alias("sh"))
+    else:
+        exploded = docs.select(
+            "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("sh")
+        )
     if hash_family == "md5":
         # One md5 digest yields FOUR independent 32-bit hashes (8-hex
         # slices of the 32-hex digest): h_i(s) = slice i%4 of
@@ -246,13 +256,17 @@ def lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Band-bucket LSH candidate pairs (pre-verification) — the shared
     candidate stage of :func:`minhash_lsh_pairs` and the evaluation
     harness :func:`lsh_eval_report`, factored so the candidate set the
     report counts is exactly the one the product verifies."""
     portable = hash_family == "md5"
-    sigs = minhash_signatures(docs, n_hashes, shingle_n, hash_family=hash_family)
+    sigs = minhash_signatures(
+        docs, n_hashes, shingle_n, hash_family=hash_family,
+        shingle_sets=shingle_sets,
+    )
     banded = band_buckets(sigs, n_hashes, bands, portable=portable)
     return (
         banded.alias("x")
@@ -302,6 +316,7 @@ def _verify_jaccard(
     threshold: float,
     shingle_n: int,
     portable: bool,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of a ``(doc_a, doc_b)`` candidate
     stream — the shared verify stage of :func:`minhash_lsh_pairs` and
@@ -318,14 +333,25 @@ def _verify_jaccard(
     (Jaccard over 64-bit-hashed shingles equals exact Jaccard up to a
     ~2⁻⁶⁴ collision rate.)  The portable family verifies on the raw
     strings so the oracle's string-equality join counts the identical
-    intersection."""
-    if portable:
-        hashed_sh = shingles(F.col("text"), shingle_n)
+    intersection.  ``shingle_sets`` (portable family only) reuses a
+    precomputed ``(doc_id, s)`` scaffold instead of re-shingling."""
+    if shingle_sets is not None:
+        assert portable, "precomputed shingle_sets are raw strings"
+        with_sh = shingle_sets.select(
+            "doc_id", F.col("s").alias("sh")
+        ).withColumn("sz", F.size("sh"))
     else:
-        hashed_sh = F.array_distinct(
-            F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
+        if portable:
+            hashed_sh = shingles(F.col("text"), shingle_n)
+        else:
+            hashed_sh = F.array_distinct(
+                F.transform(
+                    shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s)
+                )
+            )
+        with_sh = docs.select("doc_id", hashed_sh.alias("sh")).withColumn(
+            "sz", F.size("sh")
         )
-    with_sh = docs.select("doc_id", hashed_sh.alias("sh")).withColumn("sz", F.size("sh"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jaccard = inter.cast("double") / (F.col("sza") + F.col("szb") - inter).cast("double")
     return (
@@ -782,6 +808,7 @@ def jaccard_prefix_join(
     shingle_n: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard ≥ ``threshold`` self-join without the
     cross product: prefix filtering (AllPairs, Bayardo et al. WWW'07;
@@ -816,7 +843,9 @@ def jaccard_prefix_join(
     partition window anywhere.  The full token arrays travel only for
     verified candidates.
     """
-    toks, ex, pa = _prefix_scaffold(docs, threshold, shingle_n, id_col, text_col)
+    toks, ex, pa = _prefix_scaffold(
+        docs, threshold, shingle_n, id_col, text_col, shingle_sets
+    )
     t = float(threshold)
     cands = (
         pa.alias("a")
@@ -852,6 +881,7 @@ def _prefix_scaffold(
     shingle_n: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_sets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """``(toks, ex, pa)`` — THE single definition of the rarest-first
     prefix machinery shared by the symmetric Jaccard join and the
@@ -860,11 +890,16 @@ def _prefix_scaffold(
     postings of length ``|s| - ceil(t·|s| - 1e-9) + 1`` (the epsilon
     only ever ADMITS boundary candidates; exact verification decides).
     A future fix to the slack or the tie order lands in both joins or
-    neither — the same drift argument as ``lsh_candidates``."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), shingle_n).alias("s"),
-    ).filter(F.size("s") > 0)
+    neither — the same drift argument as ``lsh_candidates``.
+    ``shingle_sets`` substitutes a precomputed ``(doc_id, s)`` table
+    for the shingle scan."""
+    if shingle_sets is not None:
+        toks = shingle_sets.filter(F.size("s") > 0)
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), shingle_n).alias("s"),
+        ).filter(F.size("s") > 0)
     ex = toks.select(
         "doc_id", F.size("s").alias("sz"), F.explode("s").alias("tok")
     )
@@ -1144,6 +1179,8 @@ def lsh_eval_report(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sample_fraction: float | None = None,
+    sample_seed: str = "lshev|",
 ) -> DataFrame:
     """Measured LSH quality, not the s-curve promise: one row —
     ``(n_exact_pairs, n_candidates, n_verified, recall,
@@ -1162,35 +1199,68 @@ def lsh_eval_report(
     cross product), and honest because all three legs are declared
     pair computations — this is a diagnostic you run on a sample, not
     a per-batch product stage.  All counts are integers; the two
-    ratios are guarded single divisions."""
+    ratios are guarded single divisions.
+
+    ``sample_fraction`` is the declared run-on-a-sample knob made
+    concrete: a deterministic md5 document sample (``md5_long(seed ||
+    doc_id) % 10000 < fraction·10000`` — engine-portable, so the
+    sampled report still hash-checks) bounds all three pair legs to
+    the sample.  The shingle scaffold (doc → shingle set) is built
+    ONCE, localCheckpointed, and feeds the candidate, verify, and
+    exact legs — previously each leg re-tokenized the raw corpus.
+    The 1-row result is materialized so the scaffold blocks are
+    released before returning (exception-safe)."""
+    from .checkpoints import release, tracked_local_checkpoint
+
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    # ONE candidate DataFrame feeds both counts: the verified leg
-    # consumes the same subtree the candidate count aggregates, so the
-    # signature/banding exchange is reused instead of rebuilt.
-    cand = lsh_candidates(docs, n_hashes, bands, shingle_n, "md5")
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
-    n_ver = _verify_jaccard(cand, docs, threshold, shingle_n, portable=True).agg(
-        F.count("*").alias("n_verified")
-    )
-    n_exact = jaccard_prefix_join(docs, threshold, shingle_n).agg(
-        F.count("*").alias("n_exact_pairs")
-    )
-    return (
-        n_exact.crossJoin(F.broadcast(n_cand))  # 1-row scalars
-        .crossJoin(F.broadcast(n_ver))
-        .select(
-            "n_exact_pairs",
-            "n_candidates",
-            "n_verified",
-            F.when(
-                F.col("n_exact_pairs") > 0,
-                F.col("n_verified").cast("double")
-                / F.col("n_exact_pairs").cast("double"),
-            ).alias("recall"),
-            F.when(
-                F.col("n_candidates") > 0,
-                F.col("n_verified").cast("double")
-                / F.col("n_candidates").cast("double"),
-            ).alias("candidate_precision"),
+    if sample_fraction is not None:
+        cut = int(round(sample_fraction * 10000))
+        docs = docs.filter(
+            F.pmod(md5_long(F.col("doc_id").cast("string"), sample_seed), F.lit(10000))
+            < F.lit(cut)
         )
-    )
+    # The shared scaffold: every leg consumes THE SAME materialized
+    # (doc_id, s) shingle table — one tokenize/shingle pass instead of
+    # three (candidates via minhash explode, verify via set
+    # intersection, exact ground truth via the prefix machinery).
+    sh_sets = docs.select(
+        "doc_id", shingles(F.col("text"), shingle_n).alias("s")
+    ).filter(F.size("s") > 0)
+    sh_sets, ck_ids = tracked_local_checkpoint(sh_sets)
+    try:
+        # ONE candidate DataFrame feeds both counts: the verified leg
+        # consumes the same subtree the candidate count aggregates, so
+        # the signature/banding exchange is reused instead of rebuilt.
+        cand = lsh_candidates(
+            docs, n_hashes, bands, shingle_n, "md5", shingle_sets=sh_sets
+        )
+        n_cand = cand.agg(F.count("*").alias("n_candidates"))
+        n_ver = _verify_jaccard(
+            cand, docs, threshold, shingle_n, portable=True, shingle_sets=sh_sets
+        ).agg(F.count("*").alias("n_verified"))
+        n_exact = jaccard_prefix_join(
+            docs, threshold, shingle_n, shingle_sets=sh_sets
+        ).agg(F.count("*").alias("n_exact_pairs"))
+        out = (
+            n_exact.crossJoin(F.broadcast(n_cand))  # 1-row scalars
+            .crossJoin(F.broadcast(n_ver))
+            .select(
+                "n_exact_pairs",
+                "n_candidates",
+                "n_verified",
+                F.when(
+                    F.col("n_exact_pairs") > 0,
+                    F.col("n_verified").cast("double")
+                    / F.col("n_exact_pairs").cast("double"),
+                ).alias("recall"),
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.col("n_verified").cast("double")
+                    / F.col("n_candidates").cast("double"),
+                ).alias("candidate_precision"),
+            )
+        )
+        # 1-row result: materialize it so the scaffold is releasable
+        return docs.sparkSession.createDataFrame(out.collect(), out.schema)
+    finally:
+        release(docs.sparkSession, ck_ids)
