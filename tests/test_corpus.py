@@ -646,6 +646,7 @@ class TestJsonlPipeline:
                 decontam_n=3,
                 lm_train=docs.filter(F.col("lang") == "en"),
                 lm_threshold=0.033,
+                containment_t=0.8,
             ).select("doc_id").collect()
         }
         assert {r["doc_id"] for r in rows} == manifest_ids

@@ -3339,6 +3339,44 @@ class TestContainmentJoin:
         assert got == expect
         assert 5 not in got and got[4] == (1, 1.0) and got[1] == (4, 1.0)
 
+    def test_excerpt_drop_rule_and_survivor_guarantee(self, spark):
+        """The corpus-build removal stage: a doc drops iff covered
+        ≥ t by a doc strictly above it in the (set size ASC, id DESC)
+        order — excerpts drop while their source survives, mutual
+        covers keep the smaller id, and every cover cluster keeps at
+        least one member.  Equals the brute-force rule."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            containment_excerpt_drop,
+        )
+
+        w = [f"w{i}" for i in range(10)]
+        docs = [
+            (1, " ".join(w)),                # big doc — survives
+            (2, " ".join(w[:8])),            # excerpt of 1 → drops
+            (3, " ".join(w[:8]) + " w7"),    # same SET as 2, bigger id → drops
+            (5, "zz yy"),                    # disjoint — survives
+            (7, " ".join(w[2:] + w[:2])),    # same set as 1, reordered → drops (id 1 wins)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]
+            for r in containment_excerpt_drop(df, threshold=0.8, shingle_n=1).collect()
+        }
+        toks = {i: set(t.split(" ")) for i, t in docs}
+        expect = set()
+        for a in toks:
+            for b in toks:
+                if a == b:
+                    continue
+                c = len(toks[a] & toks[b]) / len(toks[a])
+                above = (len(toks[b]), -b) > (len(toks[a]), -a)
+                if c >= 0.8 and above:
+                    expect.add(a)
+        assert got == expect == {2, 3, 7}
+        # survivor guarantee: the order-maximal doc of the cover
+        # cluster (doc 1) and the disjoint doc are kept
+        assert {1, 5} & got == set()
+
     def test_pair_and_map_match_oracle(self, spark, sf_dir):
         import duckdb
 

@@ -304,11 +304,24 @@ def build_corpus(
     span_words: int | None = None,
     lm_train: DataFrame | None = None,
     lm_threshold: float = 0.0,
+    containment_t: float | None = None,
+    containment_n: int = 3,
 ) -> DataFrame:
     """The end-to-end corpus build: [KN-LM quality gate →] [Gopher
-    quality gate → cross-document span dedup →] exact dedup → eval-set
-    decontamination → uniform domain-mixture resample → training-shard
-    layout, composed from this module's operators into one lazy plan.
+    quality gate → cross-document span dedup →] exact dedup →
+    [containment excerpt removal →] eval-set decontamination → uniform
+    domain-mixture resample → training-shard layout, composed from
+    this module's operators into one lazy plan.
+
+    ``containment_t`` enables the excerpt-removal stage
+    (:func:`..operators.dedup.containment_excerpt_drop`) after exact
+    dedup: any surviving document whose ``containment_n``-gram shingle
+    set is covered ≥ t by a document strictly above it in the
+    (set-size ASC, id DESC) order is dropped — truncations, excerpts,
+    and boilerplate-wrapped copies that byte-level dedup cannot see.
+    Running it post-exact-dedup confines the directional pair join to
+    distinct texts (the declared product discipline for every pair
+    primitive in :mod:`..operators.dedup`).
 
     ``lm_train`` prepends the CCNet-style LM gate (Wenzek et al.
     2020): train :func:`..operators.text_analysis.kn_doc_score`'s
@@ -402,6 +415,22 @@ def build_corpus(
     # re-scanning 100 TB; at that size prefer staging-table writes,
     # which also survive executor loss.
     base = docs.join(keep, key_col)
+    if containment_t is not None:
+        from .dedup import containment_excerpt_drop
+
+        # the excerpt stage references base many times (shingle sets,
+        # posting/prefix tables, verification arrays) — stage it so the
+        # upstream subtree is computed once, not per reference (the
+        # STAGING BOUNDARIES argument above)
+        base, _ = tracked_local_checkpoint(base)
+        drop = containment_excerpt_drop(
+            base,
+            threshold=containment_t,
+            shingle_n=containment_n,
+            id_col=key_col,
+            text_col=text_col,
+        ).withColumnRenamed("doc_id", key_col)
+        base = base.join(drop, key_col, "left_anti")
     if persist_intermediate:
         base = base.persist()
     contaminated = decontaminate(

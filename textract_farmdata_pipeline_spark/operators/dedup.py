@@ -979,6 +979,7 @@ def containment_prefix_join(
     shingle_n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs set-CONTAINMENT self-join: every directional
     pair ``(doc_a, doc_b)`` with ``|A∩B| / |A| ≥ threshold`` (A's
@@ -1007,7 +1008,9 @@ def containment_prefix_join(
     duplication by declaration — :func:`containment_cover_map` is the
     linear product twin.
     """
-    toks, ex, pa = _prefix_scaffold(docs, threshold, shingle_n, id_col, text_col)
+    toks, ex, pa = _prefix_scaffold(
+        docs, threshold, shingle_n, id_col, text_col, shingle_sets
+    )
     t = float(threshold)
     cands = (
         pa.alias("a")
@@ -1117,6 +1120,80 @@ def containment_cover_map(
         allc.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .select("doc_id", "covered_by", "containment")
+    )
+
+
+def containment_excerpt_drop(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Excerpt-REMOVAL decision set: the ``doc_id`` of every document
+    to DROP because it is covered (containment ≥ ``threshold``) by a
+    document strictly ABOVE it in the ``(shingle-set size ASC, doc_id
+    DESC)`` total order — i.e. by a strictly larger document, or by an
+    equal-size document with a smaller id.  The removal stage a corpus
+    build composes after exact dedup: excerpts, truncations, and
+    boilerplate-wrapped copies vanish while their source survives.
+
+    Why this rule and not "covered by a kept doc": kept-ness is
+    recursive (whether B survives depends on what covers B), which
+    makes the stage order-dependent and un-oracle-able.  The strict
+    total order gives a closed form with the property that matters —
+    the order-maximal document of any cover cluster can only be
+    dropped by a document strictly above it, of which there is none,
+    so at least one member of every cluster always survives.  Mutual
+    covers (equal shingle sets under different token multiplicity /
+    order) resolve to the smaller id, matching the exact-dedup
+    keep-min-id convention.
+
+    Intended to run on a post-exact-dedup corpus: byte-identical
+    duplicates are already collapsed, so the directional pair join —
+    quadratic under duplication by declaration — is confined to
+    distinct texts (the :func:`containment_cover_map` argument).
+    Returns a one-column ``(doc_id)`` DataFrame; anti-join it against
+    the corpus.
+
+    Plan: the shared :func:`_prefix_scaffold` probe-prefix machinery
+    of :func:`containment_prefix_join`, but with the ORDER RULE pushed
+    into the candidate join — only pairs where b sits above a can
+    drop a, so roughly half the candidate volume (and its exact
+    verification) never materializes.  The prefix-completeness
+    argument is unchanged: the order rule only removes pairs the drop
+    decision would discard anyway.
+    """
+    toks, ex, pa = _prefix_scaffold(docs, threshold, shingle_n, id_col, text_col)
+    t = float(threshold)
+    above = (F.col("b.sz") > F.col("a.sz")) | (
+        (F.col("b.sz") == F.col("a.sz"))
+        & (F.col("b.doc_id") < F.col("a.doc_id"))
+    )
+    cands = (
+        pa.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            # C ≥ t forces |B| ≥ t·|A| (epsilon-slack: admit, verify)
+            & (F.col("b.sz") >= F.lit(t) * F.col("a.sz") - F.lit(1e-9))
+            & above,
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = toks.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = toks.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b"))).cast("double")
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(inter / F.size(F.col("s_a")).cast("double") >= F.lit(t))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
     )
 
 

@@ -1584,6 +1584,40 @@ SELECT doc_a, doc_b, containment FROM cv WHERE containment >= 0.8
 """
 
 
+def _containment_drop_ctes(src: str, text_col: str) -> str:
+    """Excerpt-removal CTE chain rooted on ``src(doc_id, {text_col})``
+    — ONE definition shared by every corpus-build oracle that composes
+    the containment stage, so the build oracles cannot drift from the
+    standalone ``_CONTAINMENT_CTES`` semantics.  Brute-force
+    directional containment ≥ 0.8 over distinct 3-gram shingle sets,
+    then the drop rule of ``containment_excerpt_drop``: a doc drops
+    iff covered by a doc strictly above it in the (set size ASC,
+    doc_id DESC) order.  Emits ``cbase`` = surviving ``src`` rows."""
+    return f"""ctoks AS (SELECT doc_id, string_split({text_col}, ' ') AS w FROM {src}),
+csh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+  FROM ctoks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)
+),
+csz AS (SELECT doc_id, COUNT(*) AS sz FROM csh GROUP BY doc_id),
+cix AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+cdrop AS (
+  SELECT DISTINCT cix.doc_a AS doc_id
+  FROM cix
+  JOIN csz sa ON sa.doc_id = cix.doc_a
+  JOIN csz sb ON sb.doc_id = cix.doc_b
+  WHERE CAST(cix.i AS DOUBLE) / sa.sz >= 0.8
+    AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND cix.doc_b < cix.doc_a))
+),
+cbase AS (
+  SELECT b.* FROM {src} b
+  WHERE NOT EXISTS (SELECT 1 FROM cdrop c WHERE c.doc_id = b.doc_id)
+)"""
+
+
 @register("dedup_containment_prefix", _CONTAINMENT_PREFIX_ORACLE)
 def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT directional set-CONTAINMENT ≥ 0.8 self-join (|A∩B|/|A| —
@@ -4786,7 +4820,7 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _GOPHER_ORACLE / _SPAN_DEDUP_ORACLE, re-rooted on the previous
 # stage's output; the tail is _CORPUS_BUILD_ORACLE on the span-cleaned
 # text (so dedup digests and decontamination shingles see clean_text).
-_CORPUS_BUILD_FULL_ORACLE = """
+_CORPUS_BUILD_FULL_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nch FROM documents
 ),
@@ -4855,7 +4889,8 @@ dedup AS (
 base AS (
   SELECT c.doc_id, c.clean_text, c.source FROM clean_docs c JOIN dedup USING (doc_id)
 ),
-toks2 AS (SELECT doc_id, string_split(clean_text, ' ') AS t FROM base),
+{_containment_drop_ctes("base", "clean_text")},
+toks2 AS (SELECT doc_id, string_split(clean_text, ' ') AS t FROM cbase),
 sh AS (
   SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
   FROM toks2, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
@@ -4869,7 +4904,7 @@ evsh AS (
 ),
 contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN evsh USING (shingle)),
 clean AS (
-  SELECT b.doc_id, b.source FROM base b
+  SELECT b.doc_id, b.source FROM cbase b
   WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = b.doc_id)
 ),
 counts AS (SELECT source, COUNT(*) AS n_docs FROM clean GROUP BY source),
@@ -4897,13 +4932,16 @@ FROM (
 
 @register("corpus_build_full", _CORPUS_BUILD_FULL_ORACLE)
 def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full 6-stage corpus build, one lazy plan: Gopher quality
+    """The full 7-stage corpus build, one lazy plan: Gopher quality
     gate → C4 10-word span dedup (later stages see the cleaned text) →
-    exact dedup → 3-gram decontamination against the doc_id%97
-    holdout → uniform source mixture → 16-shard training layout.
-    Hash-checked against the single-CTE-chain SQL composing the three
-    independently-green oracles (_GOPHER_ORACLE, _SPAN_DEDUP_ORACLE,
-    _CORPUS_BUILD_ORACLE)."""
+    exact dedup → containment excerpt removal (drop docs whose 3-gram
+    shingle set is covered ≥ 0.8 by a doc above them in the (size,
+    -id) order — the r06 cover-map primitive composed into the
+    product) → 3-gram decontamination against the doc_id%97 holdout →
+    uniform source mixture → 16-shard training layout.  Hash-checked
+    against the single-CTE-chain SQL composing the independently-green
+    oracles (_GOPHER_ORACLE, _SPAN_DEDUP_ORACLE, _CONTAINMENT_CTES'
+    drop chain, _CORPUS_BUILD_ORACLE)."""
     from .operators.corpus import build_corpus
 
     docs = _t(spark, sf_dir, "documents")
@@ -4914,6 +4952,7 @@ def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontam_n=3,
         quality_gate=True,
         span_words=10,
+        containment_t=0.8,
     )
 
 
@@ -7185,7 +7224,8 @@ dedup AS (
 base AS (
   SELECT d.doc_id, d.text, d.source FROM lmgated d JOIN dedup USING (doc_id)
 ),
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+{_containment_drop_ctes("base", "text")},
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM cbase),
 sh AS (
   SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
   FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
@@ -7199,7 +7239,7 @@ evsh AS (
 ),
 contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN evsh USING (shingle)),
 clean AS (
-  SELECT b.doc_id, b.source FROM base b
+  SELECT b.doc_id, b.source FROM cbase b
   WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = b.doc_id)
 ),
 counts AS (SELECT source, COUNT(*) AS n_docs FROM clean GROUP BY source),
@@ -7238,14 +7278,16 @@ def corpus_build_lm_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet-shaped corpus build (Wenzek et al. 2020): train the
     KN bigram LM on the trusted 'en' slice, gate the whole corpus at
     kn_score >= 0.033 (all-OOV docs fail — out-of-model text is
-    exactly what the gate exists to drop), then the 4-stage build
-    (exact dedup → decontamination → uniform mixture → 16 shards) over
-    the survivors.  One lazy plan with a staging boundary after the
-    gate (the scoring pass touches the corpus twice and downstream
-    stages reference it 2-3×).  Hash-checked end to end: the LM gate
-    predicate compares the exact ratio-of-integer-sums score, so the
-    composed chain inherits portability from its independently-green
-    pieces (_KN_SCORE_ORACLE + _CORPUS_BUILD_ORACLE)."""
+    exactly what the gate exists to drop), then the 5-stage build
+    (exact dedup → containment excerpt removal → decontamination →
+    uniform mixture → 16 shards) over the survivors.  One lazy plan
+    with staging boundaries after the gate and before the excerpt
+    stage (each heavy stage references its input several times).
+    Hash-checked end to end: the LM gate predicate compares the exact
+    ratio-of-integer-sums score and the excerpt stage replays the
+    shared _containment_drop_ctes chain, so the composed chain
+    inherits portability from its independently-green pieces
+    (_KN_SCORE_ORACLE + containment CTEs + _CORPUS_BUILD_ORACLE)."""
     from .operators.corpus import build_corpus
 
     docs = _t(spark, sf_dir, "documents")
@@ -7256,6 +7298,7 @@ def corpus_build_lm_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontam_n=3,
         lm_train=docs.filter(F.col("lang") == "en"),
         lm_threshold=_LM_GATE_THRESHOLD,
+        containment_t=0.8,
     )
 
 
@@ -7304,8 +7347,9 @@ FROM spans s JOIN shards sh USING (doc_id)
 def corpus_jsonl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The product a 100 TB training-data user actually runs, end to
     end: JSONL shards in → schema-pinned read (no inference scan) →
-    CCNet build (KN-LM gate → exact dedup → decontamination → uniform
-    mixture → 16-shard manifest) → concat-then-chunk packing into
+    CCNet build (KN-LM gate → exact dedup → containment excerpt
+    removal → decontamination → uniform mixture → 16-shard manifest) →
+    concat-then-chunk packing into
     512-token training sequences (two-level distributed prefix sum —
     no single-partition window) → deterministic JSONL shards out →
     read-back.  Every stage was independently hash-green
@@ -7346,6 +7390,7 @@ def corpus_jsonl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontam_n=3,
         lm_train=docs.filter(F.col("lang") == "en"),
         lm_threshold=_LM_GATE_THRESHOLD,
+        containment_t=0.8,
     ).select("doc_id", "source", F.col("shard").cast("long").alias("shard"))
     selected = docs.join(manifest.select("doc_id"), "doc_id")
     spans = pack_token_spans(selected, budget=512, bucket_docs=64)
