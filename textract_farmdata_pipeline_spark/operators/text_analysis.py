@@ -452,12 +452,16 @@ def gopher_quality_filter(
     min_distinct_stopwords: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compress_stats: DataFrame | None = None,
+    compress_lo: int = 25,
+    compress_hi: int = 75,
 ) -> DataFrame:
     """Gopher-style composite document-quality gate (Rae et al. 2021,
     appendix A1.1), adapted to this corpus's flat word streams.
 
-    Six rules, each evaluated from *integer* quantities so the verdict
-    is bit-identical in any engine (no float-threshold edge cases):
+    Six rules (plus an optional seventh), each evaluated from
+    *integer* quantities so the verdict is bit-identical in any engine
+    (no float-threshold edge cases):
 
     * ``too_short`` / ``too_long`` — word count outside
       ``[min_words, max_words]``.
@@ -471,6 +475,15 @@ def gopher_quality_filter(
       takes > 1/5 of all bigram instances (``top_cnt * 5 > total``).
     * ``dup_bigram_repetition`` — bigrams occurring more than once
       take > 1/2 of all instances (``dup_cnt * 2 > total``).
+    * ``compressibility_out_of_band`` (only when ``compress_stats`` is
+      given) — the Dolma-family band rule on a PRECOMPUTED
+      ``(id, n_bytes, n_zlib)`` table (from :func:`compressibility` or
+      a feature store): fail unless ``compress_lo · n_bytes ≤
+      100 · n_zlib ≤ compress_hi · n_bytes``.  Integer-cent
+      thresholds, so the GATING DECISION is exact arithmetic on the
+      stored integers — the float ratio never enters a comparison;
+      empty or missing stats fail the band (pathological by
+      definition).
 
     Output: one row per document with the integer evidence columns, a
     deterministic comma-joined ``failed_rules`` string (fixed rule
@@ -509,6 +522,12 @@ def gopher_quality_filter(
         )
     )
     j = base.join(grams, id_col, "left")
+    extra_cols: list = []
+    if compress_stats is not None:
+        j = j.join(
+            compress_stats.select(id_col, "n_bytes", "n_zlib"), id_col, "left"
+        )
+        extra_cols = ["n_bytes", "n_zlib"]
     too_short = F.col("n_tokens") < min_words
     too_long = F.col("n_tokens") > max_words
     word_len_bad = (
@@ -521,15 +540,26 @@ def gopher_quality_filter(
     dup_rep = F.coalesce(
         F.col("dup_bigram_cnt") * 2 > F.col("n_bigrams"), F.lit(False)
     )
-    failed = F.concat_ws(
-        ",",
+    rule_cols = [
         F.when(too_short, F.lit("too_short")),
         F.when(too_long, F.lit("too_long")),
         F.when(word_len_bad, F.lit("word_len_out_of_range")),
         F.when(low_stop, F.lit("low_stopword_diversity")),
         F.when(top_rep, F.lit("top_bigram_repetition")),
         F.when(dup_rep, F.lit("dup_bigram_repetition")),
-    )
+    ]
+    if compress_stats is not None:
+        # fail UNLESS lo·n_bytes ≤ 100·n_zlib ≤ hi·n_bytes — exact
+        # integer arithmetic on the stored columns; NULL/zero stats
+        # coalesce to out-of-band
+        in_band = F.coalesce(
+            (F.lit(compress_lo) * F.col("n_bytes") <= F.lit(100) * F.col("n_zlib"))
+            & (F.lit(100) * F.col("n_zlib") <= F.lit(compress_hi) * F.col("n_bytes"))
+            & (F.col("n_bytes") > 0),
+            F.lit(False),
+        )
+        rule_cols.append(F.when(~in_band, F.lit("compressibility_out_of_band")))
+    failed = F.concat_ws(",", *rule_cols)
     return j.select(
         id_col,
         "n_tokens",
@@ -538,6 +568,7 @@ def gopher_quality_filter(
         "n_bigrams",
         "top_bigram_cnt",
         "dup_bigram_cnt",
+        *extra_cols,
         failed.alias("failed_rules"),
         (failed == F.lit("")).alias("keep"),
     )

@@ -2133,6 +2133,148 @@ def doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compressibility(_t(spark, sf_dir, "documents"))
 
 
+def _compress_cents_link(sf_dir: str) -> str:
+    """The published-signal location for a scale factor: a fixed
+    symlink under the temp dir, atomically swapped by
+    :func:`_publish_parquet_atomic` — readers (the DuckDB oracle, a
+    concurrent run) always see a complete, consistent parquet dir."""
+    import os
+    import tempfile
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"tfp_compress_cents_{base}")
+
+
+def _publish_parquet_atomic(df: DataFrame, link_path: str) -> None:
+    """Materialize ``df`` as parquet and publish it at ``link_path``
+    via atomic symlink replacement: write into a fresh ``mkdtemp``,
+    swap the symlink with ``os.replace`` (atomic on POSIX), then
+    remove the superseded target.  Concurrent runs at the same scale
+    write identical deterministic content, and a reader mid-swap sees
+    either the old complete dir or the new complete dir — never a
+    half-written one (the failure mode the round-6 advisory flagged
+    for fixed temp paths)."""
+    import os
+    import shutil
+    import tempfile
+
+    new_root = tempfile.mkdtemp(prefix="tfp_cents_")
+    data = os.path.join(new_root, "data")
+    df.write.mode("overwrite").parquet(data)
+    tmp_link = os.path.join(new_root, "lnk")
+    os.symlink(data, tmp_link)
+    old_target = (
+        os.path.realpath(link_path) if os.path.islink(link_path) else None
+    )
+    os.replace(tmp_link, link_path)
+    if old_target and os.path.isdir(old_target):
+        shutil.rmtree(os.path.dirname(old_target), ignore_errors=True)
+
+
+def _compress_gate_oracle(link_path: str) -> str:
+    """The 7-rule quality-gate oracle: the six _GOPHER_ORACLE integer
+    rules recomputed from ``documents``, plus the compressibility band
+    applied to the PRECOMPUTED ``(doc_id, n_bytes, n_zlib)`` signal
+    published at ``link_path`` — the oracle checks the GATING DECISION
+    (exact integer-cent arithmetic ``25·n_bytes ≤ 100·n_zlib ≤
+    75·n_bytes``) and its composition with the other rules; the zlib
+    ratio itself honestly stays rows-only (``doc_compressibility``).
+    Registered with the driver's correctness scale (sf0.01 — the only
+    scale the oracle comparison ever runs at); tests regenerate the
+    template for their own scale."""
+
+    def rules(extra: str) -> str:
+        return f"""concat_ws(',',
+    CASE WHEN n_tokens < 30 THEN 'too_short' END,
+    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+    CASE WHEN n_word_chars < 3 * n_tokens OR n_word_chars > 10 * n_tokens
+         THEN 'word_len_out_of_range' END,
+    CASE WHEN n_distinct_stopwords < 2 THEN 'low_stopword_diversity' END,
+    CASE WHEN COALESCE(top_bigram_cnt * 5 > n_bigrams, FALSE)
+         THEN 'top_bigram_repetition' END,
+    CASE WHEN COALESCE(dup_bigram_cnt * 2 > n_bigrams, FALSE)
+         THEN 'dup_bigram_repetition' END{extra}
+  )"""
+
+    band = """,
+    CASE WHEN NOT COALESCE(
+           25 * n_bytes <= 100 * n_zlib AND 100 * n_zlib <= 75 * n_bytes
+           AND n_bytes > 0, FALSE)
+         THEN 'compressibility_out_of_band' END"""
+    failed = rules(band)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nch FROM documents
+),
+base AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_tokens,
+    CAST(nch - (len(t) - 1) AS BIGINT) AS n_word_chars,
+    CAST(len(list_distinct(list_filter(t,
+      w -> w IN ('the','a','of','and','to','in','is','on','for','with')
+    ))) AS BIGINT) AS n_distinct_stopwords
+  FROM tok
+),
+sh AS (
+  SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS shingle
+  FROM tok, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+per AS (
+  SELECT doc_id, shingle, COUNT(*) AS cnt FROM sh GROUP BY doc_id, shingle
+),
+grams AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+    CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt,
+    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_bigram_cnt
+  FROM per GROUP BY doc_id
+),
+cents AS (
+  SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+    CAST(n_zlib AS BIGINT) AS n_zlib
+  FROM read_parquet('{link_path}/*.parquet')
+),
+j AS (
+  SELECT b.*, g.n_bigrams, g.top_bigram_cnt, g.dup_bigram_cnt,
+    c.n_bytes, c.n_zlib
+  FROM base b LEFT JOIN grams g USING (doc_id)
+  LEFT JOIN cents c USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_word_chars, n_distinct_stopwords,
+  n_bigrams, top_bigram_cnt, dup_bigram_cnt, n_bytes, n_zlib,
+  {failed} AS failed_rules,
+  {failed} = '' AS keep
+FROM j
+"""
+
+
+@register(
+    "doc_quality_gate_compress",
+    _compress_gate_oracle(_compress_cents_link("/root/testdata/sf0.01")),
+)
+def doc_quality_gate_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher gate with the zlib compressibility band wired in as
+    the SEVENTH rule (round-6 directive #5): compute the signal once
+    (``compressibility`` — Arrow-batched deflate, integer n_bytes /
+    n_zlib), publish the precomputed stats atomically, then gate with
+    exact integer-cent thresholds ``25·n_bytes ≤ 100·n_zlib ≤
+    75·n_bytes`` composed into the six integer Gopher rules.  The
+    oracle reads the SAME published stats and replays the decision and
+    its composition — so what's hash-checked is the gate, while the
+    DEFLATE ratio itself honestly stays rows-only
+    (``doc_compressibility``).  Scale shape: one map-only zlib pass,
+    the Gopher plan unchanged, one equality join on the id."""
+    from .operators.text_analysis import compressibility, gopher_quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = compressibility(docs)
+    _publish_parquet_atomic(
+        stats.select("doc_id", "n_bytes", "n_zlib"), _compress_cents_link(sf_dir)
+    )
+    published = spark.read.parquet(_compress_cents_link(sf_dir))
+    return gopher_quality_filter(docs, compress_stats=published)
+
+
 _LANG_ORACLE = """
 SELECT doc_id, lang,
   CASE WHEN CAST(len(list_filter(string_split(text, ' '),
@@ -2851,8 +2993,12 @@ def embedding_sq_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the EXISTING side only, cell argmax in exact-integer code space (the
 # _SQ_IVF_ORACLE chain with a split column threaded through), then the
 # per-cell growth report in pure integer arithmetic.
-_IVF_INGEST_DELTA_ORACLE = """
-WITH v AS (
+# Shared frozen-quantizer assignment chain (80/20 md5 split, SQ8
+# bounds from the existing side, 16 md5 anchors, exact-integer cell
+# argmax, per-cell before/added counts) — ONE definition for the
+# growth-report oracle, its streaming twin, and the hot-split
+# maintenance oracle, so the three cannot drift.
+_IVF_ASSIGN_CTES = """v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
     CAST(('0x' || substr(md5('ingest|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 = 0 AS is_new
   FROM embeddings
@@ -2901,11 +3047,66 @@ agg AS (
     COUNT(*) FILTER (WHERE is_new) AS n_added
   FROM cells GROUP BY cell
 ),
-tot AS (SELECT SUM(n_added) AS t FROM agg)
+tot AS (SELECT SUM(n_added) AS t FROM agg)"""
+
+_IVF_INGEST_DELTA_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTES}
 SELECT CAST(cell AS INT) AS cell, n_before, n_added,
   CAST(n_added AS DOUBLE) / greatest(n_before, 1) AS growth,
   n_added * 16 > 2 * tot.t AS hot
 FROM agg, tot
+"""
+
+# The hot-split oracle is a FROM-SCRATCH REBUILD of the post-split
+# index: re-derive everything from the raw vectors — assignment, hot
+# detection, per-cell md5 sub-anchors over the post-ingest members,
+# exact-integer sub-assignment — while the Spark side runs the
+# incremental maintenance path.  The hash match IS the
+# incremental-equals-rebuild invariant.
+_IVF_HOT_SPLIT_ORACLE = f"""
+WITH {_IVF_ASSIGN_CTES},
+hot AS (SELECT cell FROM agg, tot WHERE n_added * 16 > 2 * tot.t),
+hotm AS (SELECT c.vec_id, c.cell FROM cells c JOIN hot USING (cell)),
+sanch AS (
+  SELECT cell, aid, j FROM (
+    SELECT hm.cell, hm.vec_id AS aid,
+      ROW_NUMBER() OVER (PARTITION BY hm.cell ORDER BY
+        CAST(('0x' || substr(md5('sqsplit|' || CAST(hm.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+        hm.vec_id ASC) AS j
+    FROM hotm hm) r
+  WHERE j <= 4
+),
+scd AS (SELECT s.cell, s.j, cd.i, cd.c FROM sanch s JOIN cd ON cd.vec_id = s.aid),
+san AS (SELECT cell, j, CAST(SUM(c * c) AS BIGINT) AS an FROM scd GROUP BY cell, j),
+subscore AS (
+  SELECT hm.vec_id, hm.cell, scd.j, CAST(SUM(mc.c * scd.c) AS BIGINT) AS ad
+  FROM hotm hm
+  JOIN cd mc ON mc.vec_id = hm.vec_id
+  JOIN scd ON scd.cell = hm.cell AND scd.i = mc.i
+  GROUP BY hm.vec_id, hm.cell, scd.j
+),
+subcell AS (
+  SELECT vec_id, cell, j AS sub_cell FROM (
+    SELECT ss.vec_id, ss.cell, ss.j,
+      ROW_NUMBER() OVER (PARTITION BY ss.vec_id
+        ORDER BY CAST(ss.ad AS DOUBLE) / sqrt(CAST(san.an AS DOUBLE)) DESC,
+                 ss.j ASC) AS rk
+    FROM subscore ss JOIN san ON san.cell = ss.cell AND san.j = ss.j) r
+  WHERE rk = 1
+),
+coldrows AS (
+  SELECT c.cell, 0 AS sub_cell, COUNT(*) AS n_members,
+    CAST(SUM(c.vec_id) AS BIGINT) AS sum_vec_id
+  FROM cells c WHERE c.cell NOT IN (SELECT cell FROM hot) GROUP BY c.cell
+),
+hotrows AS (
+  SELECT cell, sub_cell, COUNT(*) AS n_members,
+    CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+  FROM subcell GROUP BY cell, sub_cell
+)
+SELECT CAST(cell AS INT) AS cell, CAST(sub_cell AS INT) AS sub_cell,
+  n_members, sum_vec_id
+FROM (SELECT * FROM coldrows UNION ALL SELECT * FROM hotrows) u
 """
 
 
@@ -2990,6 +3191,50 @@ def embedding_ivf_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(state.items()), "cell int, n_added long"
     )
     return ivf_growth_report(before, added, k_coarse=16)
+
+
+@register("embedding_ivf_hot_split", _IVF_HOT_SPLIT_ORACLE)
+def embedding_ivf_hot_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF maintenance with the rebuild TRIGGERED, not just reported
+    (round-6 directive #4): the same 80/20 md5 ingest split as
+    ``embedding_ivf_ingest_delta``, but every cell the growth report
+    flags hot is actually SPLIT — its post-ingest members re-assign
+    among 4 per-cell md5 sub-anchors through the exact-integer
+    code-space argmax.  Returns the complete post-maintenance posting
+    layout ``(cell, sub_cell, n_members, sum_vec_id)``; the integer
+    id-sum pins each list's MEMBERSHIP, and the oracle rebuilds the
+    post-split index from scratch from the raw vectors — the hash
+    match proves incremental maintenance equals the offline rebuild.
+    The Lloyd-trained split (kmeans_train_grouped) stays the quality
+    path; pytest pins its invariants (kmeans↔anchor duality)."""
+    from .operators.dedup import md5_long
+    from .operators.similarity import ivf_hot_cell_split
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.pmod(md5_long(F.col("vec_id").cast("string"), "ingest|"), F.lit(5))
+    return ivf_hot_cell_split(
+        emb.filter(bucket != 0), emb.filter(bucket == 0), k_coarse=16, k_split=4
+    )
+
+
+@register("embedding_ivf_hot_split_kmeans")  # no oracle: iterative Lloyd
+def embedding_ivf_hot_split_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lloyd-trained QUALITY path of the hot-cell split: frozen
+    kmeans coarse codebook from the 80% existing side, same integer
+    hot rule, and one grouped-Lloyd pass training every hot cell's
+    sub-codebook together (kmeans_train_grouped — O(max_iter) driver
+    round trips however many cells split).  Same posting layout as the
+    hash-checked anchor twin; rows-only by nature (float training),
+    with membership-conservation / cold-list-untouched / rebuild-
+    equality invariants pinned by pytest."""
+    from .operators.dedup import md5_long
+    from .operators.similarity import ivf_hot_cell_split_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.pmod(md5_long(F.col("vec_id").cast("string"), "ingest|"), F.lit(5))
+    return ivf_hot_cell_split_kmeans(
+        emb.filter(bucket != 0), emb.filter(bucket == 0), k_coarse=16, k_split=4
+    )
 
 
 # Frozen-codebook PQ ADC (round-5 directive #2): sub-codebook s = the
