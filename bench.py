@@ -115,6 +115,11 @@ HEADLINE = (
     "dedup_lsh_eval_sampled",
     # r06: the zlib compressibility quality signal (Arrow island)
     "doc_compressibility",
+    # r07 additions: the triggered IVF hot-cell split (hash-checked
+    # incremental-equals-rebuild maintenance) and the 7-rule quality
+    # gate with the compressibility band composed in
+    "embedding_ivf_hot_split",
+    "doc_quality_gate_compress",
 )
 
 

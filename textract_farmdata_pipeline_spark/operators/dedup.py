@@ -336,7 +336,14 @@ def _verify_jaccard(
     intersection.  ``shingle_sets`` (portable family only) reuses a
     precomputed ``(doc_id, s)`` scaffold instead of re-shingling."""
     if shingle_sets is not None:
-        assert portable, "precomputed shingle_sets are raw strings"
+        if not portable:
+            # raw-string sets intersected against xxhash64-compressed
+            # expectations would silently deflate every jaccard — fail
+            # loud (a bare assert vanishes under python -O)
+            raise ValueError(
+                "shingle_sets carries raw shingle strings and is only "
+                "valid for the portable (md5) verify path"
+            )
         with_sh = shingle_sets.select(
             "doc_id", F.col("s").alias("sh")
         ).withColumn("sz", F.size("sh"))
@@ -1285,9 +1292,11 @@ def lsh_eval_report(
     the sample.  The shingle scaffold (doc → shingle set) is built
     ONCE, localCheckpointed, and feeds the candidate, verify, and
     exact legs — previously each leg re-tokenized the raw corpus.
-    The 1-row result is materialized so the scaffold blocks are
-    released before returning (exception-safe)."""
-    from .checkpoints import release, tracked_local_checkpoint
+    The returned frame stays LAZY (the plan-snapshot gate watches the
+    three pair legs for regressions); the scaffold checkpoint releases
+    with the frame via the ContextCleaner, the build_corpus convention
+    for staged tables the caller keeps reading."""
+    from .checkpoints import tracked_local_checkpoint
 
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     if sample_fraction is not None:
@@ -1303,41 +1312,36 @@ def lsh_eval_report(
     sh_sets = docs.select(
         "doc_id", shingles(F.col("text"), shingle_n).alias("s")
     ).filter(F.size("s") > 0)
-    sh_sets, ck_ids = tracked_local_checkpoint(sh_sets)
-    try:
-        # ONE candidate DataFrame feeds both counts: the verified leg
-        # consumes the same subtree the candidate count aggregates, so
-        # the signature/banding exchange is reused instead of rebuilt.
-        cand = lsh_candidates(
-            docs, n_hashes, bands, shingle_n, "md5", shingle_sets=sh_sets
+    sh_sets, _ = tracked_local_checkpoint(sh_sets)
+    # ONE candidate DataFrame feeds both counts: the verified leg
+    # consumes the same subtree the candidate count aggregates, so
+    # the signature/banding exchange is reused instead of rebuilt.
+    cand = lsh_candidates(
+        docs, n_hashes, bands, shingle_n, "md5", shingle_sets=sh_sets
+    )
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_ver = _verify_jaccard(
+        cand, docs, threshold, shingle_n, portable=True, shingle_sets=sh_sets
+    ).agg(F.count("*").alias("n_verified"))
+    n_exact = jaccard_prefix_join(
+        docs, threshold, shingle_n, shingle_sets=sh_sets
+    ).agg(F.count("*").alias("n_exact_pairs"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))  # 1-row scalars
+        .crossJoin(F.broadcast(n_ver))
+        .select(
+            "n_exact_pairs",
+            "n_candidates",
+            "n_verified",
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                F.col("n_verified").cast("double")
+                / F.col("n_exact_pairs").cast("double"),
+            ).alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_verified").cast("double")
+                / F.col("n_candidates").cast("double"),
+            ).alias("candidate_precision"),
         )
-        n_cand = cand.agg(F.count("*").alias("n_candidates"))
-        n_ver = _verify_jaccard(
-            cand, docs, threshold, shingle_n, portable=True, shingle_sets=sh_sets
-        ).agg(F.count("*").alias("n_verified"))
-        n_exact = jaccard_prefix_join(
-            docs, threshold, shingle_n, shingle_sets=sh_sets
-        ).agg(F.count("*").alias("n_exact_pairs"))
-        out = (
-            n_exact.crossJoin(F.broadcast(n_cand))  # 1-row scalars
-            .crossJoin(F.broadcast(n_ver))
-            .select(
-                "n_exact_pairs",
-                "n_candidates",
-                "n_verified",
-                F.when(
-                    F.col("n_exact_pairs") > 0,
-                    F.col("n_verified").cast("double")
-                    / F.col("n_exact_pairs").cast("double"),
-                ).alias("recall"),
-                F.when(
-                    F.col("n_candidates") > 0,
-                    F.col("n_verified").cast("double")
-                    / F.col("n_candidates").cast("double"),
-                ).alias("candidate_precision"),
-            )
-        )
-        # 1-row result: materialize it so the scaffold is releasable
-        return docs.sparkSession.createDataFrame(out.collect(), out.schema)
-    finally:
-        release(docs.sparkSession, ck_ids)
+    )

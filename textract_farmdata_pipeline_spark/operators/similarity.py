@@ -137,7 +137,10 @@ def matryoshka_recall(
     evaluation): for each prefix dimension ``d``, how much of the
     FULL-dimension exact top-k survives when both sides are truncated
     to their first ``d`` components — ``(dim, n_hits, recall)`` with
-    ``recall = n_hits / (|queries|·k)``.  The report that decides how
+    ``recall = n_hits / |full-dim reference pairs|`` (the realized
+    reference count, ≤ |queries|·k — so a perfect truncation reports
+    1.0 even when the corpus has fewer than k+1 vectors).  The report
+    that decides how
     far an MRL-style embedding can be truncated for cheap first-stage
     retrieval before the full-dim rerank.
 
@@ -2506,9 +2509,16 @@ def ivf_hot_cell_split(
     to hot-cell members × k_split (an equality join on the cell id
     with bounded fan-out, then a per-member top-1 window).  Nothing
     quadratic, nothing driver-side beyond the k_coarse anchor rows.
+    The assigned code table is STAGED (localCheckpoint) before the
+    downstream references — counts, cold lists, sub-anchor ranking,
+    and sub-scoring each consume it, and without the boundary Catalyst
+    re-expands the encode+argmax subtree per reference (~5 corpus
+    re-encodes; the build_corpus staging argument).  A real deployment
+    materializes exactly this table as the posting-list layout.
     """
     from pyspark.sql.window import Window
 
+    from .checkpoints import tracked_local_checkpoint
     from .dedup import md5_long
 
     mins, maxs = sq_train(existing, vec_col)
@@ -2523,6 +2533,9 @@ def ivf_hot_cell_split(
         )
     )
     assigned = enc.withColumn("cell", _cell_from_codes(anchors))
+    # checkpoint blocks release with the frame (ContextCleaner), the
+    # build_corpus convention for staged tables a caller keeps reading
+    assigned, _ = tracked_local_checkpoint(assigned)
     # hot detection: the ivf_growth_report integer rule over the same
     # counts (≤ k_coarse rows; the unpartitioned window is bounded)
     counts = assigned.groupBy("cell").agg(
@@ -2606,8 +2619,14 @@ def ivf_hot_cell_split_kmeans(
     invariants — membership conservation, untouched cold lists,
     sub-assignment equal to a from-scratch grouped re-clustering of
     the same members at the same k — are pinned by pytest instead.
+    The assigned table is STAGED before its many consumers (counts,
+    cold lists, grouped Lloyd's per-iteration passes) — the anchor
+    twin's staging argument, doubly important here because the
+    sub-codebook training rescans its input ``max_iter`` times.
     """
     from pyspark.sql.window import Window
+
+    from .checkpoints import tracked_local_checkpoint
 
     cents, _ = kmeans_train(
         existing, k=k_coarse, max_iter=max_iter, vec_col=vec_col, id_col=id_col
@@ -2627,6 +2646,7 @@ def ivf_hot_cell_split_kmeans(
             "cell", nearest_cell(centroid_scores(F.col("v"), cents)).cast("int")
         )
     )
+    assigned, _ = tracked_local_checkpoint(assigned)
     counts = assigned.groupBy("cell").agg(
         F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_added")
     )

@@ -1426,6 +1426,9 @@ def compressibility(
 
     ensure_package_shipped(docs.sparkSession)
 
+    out_id = id_col  # the output id column keeps the caller's name, so
+    # compress_stats feeds gopher_quality_filter for any id_col
+
     def run(batches):
         import zlib
 
@@ -1439,12 +1442,12 @@ def compressibility(
                 n_z = len(zlib.compress(raw, level))
                 rows.append((doc_id, len(raw), n_z, n_z / len(raw)))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "n_bytes", "n_zlib", "zlib_ratio"]
+                rows, columns=[out_id, "n_bytes", "n_zlib", "zlib_ratio"]
             )
 
     return docs.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
     ).mapInPandas(
         run,
-        schema="doc_id long, n_bytes long, n_zlib long, zlib_ratio double",
+        schema=f"{out_id} long, n_bytes long, n_zlib long, zlib_ratio double",
     )

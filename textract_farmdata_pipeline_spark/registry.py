@@ -2148,62 +2148,42 @@ def _compress_cents_link(sf_dir: str) -> str:
 def _publish_parquet_atomic(df: DataFrame, link_path: str) -> None:
     """Materialize ``df`` as parquet and publish it at ``link_path``
     via atomic symlink replacement: write into a fresh ``mkdtemp``,
-    swap the symlink with ``os.replace`` (atomic on POSIX), then
-    remove the superseded target.  Concurrent runs at the same scale
-    write identical deterministic content, and a reader mid-swap sees
-    either the old complete dir or the new complete dir — never a
-    half-written one (the failure mode the round-6 advisory flagged
-    for fixed temp paths)."""
+    then swap the symlink with ``os.replace`` (atomic on POSIX).
+    Concurrent runs at the same scale write identical deterministic
+    content, and a reader mid-swap sees either the old complete dir or
+    the new complete dir — never a half-written one (the failure mode
+    the round-6 advisory flagged for fixed temp paths).
+
+    Superseded dirs are NEVER deleted at publish time — a concurrent
+    reader that resolved the symlink a moment earlier may still be
+    mid-read in the old target (deleting it would reintroduce the
+    exact race the symlink exists to close).  Each process instead
+    removes only the dirs IT created, at interpreter exit; the data is
+    a few KB of integer stats per scale, so the per-process bound is
+    negligible."""
+    import atexit
     import os
     import shutil
     import tempfile
 
     new_root = tempfile.mkdtemp(prefix="tfp_cents_")
+    atexit.register(shutil.rmtree, new_root, ignore_errors=True)
     data = os.path.join(new_root, "data")
     df.write.mode("overwrite").parquet(data)
     tmp_link = os.path.join(new_root, "lnk")
     os.symlink(data, tmp_link)
-    old_target = (
-        os.path.realpath(link_path) if os.path.islink(link_path) else None
-    )
+    if os.path.lexists(link_path) and not os.path.islink(link_path):
+        # a stale plain dir at the link location would make os.replace
+        # fail with ENOTEMPTY — clear it once, then swap atomically
+        shutil.rmtree(link_path, ignore_errors=True)
     os.replace(tmp_link, link_path)
-    if old_target and os.path.isdir(old_target):
-        shutil.rmtree(os.path.dirname(old_target), ignore_errors=True)
 
 
-def _compress_gate_oracle(link_path: str) -> str:
-    """The 7-rule quality-gate oracle: the six _GOPHER_ORACLE integer
-    rules recomputed from ``documents``, plus the compressibility band
-    applied to the PRECOMPUTED ``(doc_id, n_bytes, n_zlib)`` signal
-    published at ``link_path`` — the oracle checks the GATING DECISION
-    (exact integer-cent arithmetic ``25·n_bytes ≤ 100·n_zlib ≤
-    75·n_bytes``) and its composition with the other rules; the zlib
-    ratio itself honestly stays rows-only (``doc_compressibility``).
-    Registered with the driver's correctness scale (sf0.01 — the only
-    scale the oracle comparison ever runs at); tests regenerate the
-    template for their own scale."""
-
-    def rules(extra: str) -> str:
-        return f"""concat_ws(',',
-    CASE WHEN n_tokens < 30 THEN 'too_short' END,
-    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
-    CASE WHEN n_word_chars < 3 * n_tokens OR n_word_chars > 10 * n_tokens
-         THEN 'word_len_out_of_range' END,
-    CASE WHEN n_distinct_stopwords < 2 THEN 'low_stopword_diversity' END,
-    CASE WHEN COALESCE(top_bigram_cnt * 5 > n_bigrams, FALSE)
-         THEN 'top_bigram_repetition' END,
-    CASE WHEN COALESCE(dup_bigram_cnt * 2 > n_bigrams, FALSE)
-         THEN 'dup_bigram_repetition' END{extra}
-  )"""
-
-    band = """,
-    CASE WHEN NOT COALESCE(
-           25 * n_bytes <= 100 * n_zlib AND 100 * n_zlib <= 75 * n_bytes
-           AND n_bytes > 0, FALSE)
-         THEN 'compressibility_out_of_band' END"""
-    failed = rules(band)
-    return f"""
-WITH tok AS (
+# ONE definition of the Gopher oracle machinery — the CTE chain and
+# the six integer rule predicates — shared by _GOPHER_ORACLE and the
+# compressibility-gated variant, so the two gates cannot drift (the
+# _LSH_EVAL_TAIL / _IVF_ASSIGN_CTES discipline).
+_GOPHER_CTES = """tok AS (
   SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nch FROM documents
 ),
 base AS (
@@ -2228,7 +2208,45 @@ grams AS (
     CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt,
     CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_bigram_cnt
   FROM per GROUP BY doc_id
-),
+)"""
+
+
+def _gopher_rules_sql(extra: str = "") -> str:
+    """The six integer Gopher rule predicates as a ``concat_ws``
+    failed-rules expression, with an optional extra rule appended."""
+    return f"""concat_ws(',',
+    CASE WHEN n_tokens < 30 THEN 'too_short' END,
+    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+    CASE WHEN n_word_chars < 3 * n_tokens OR n_word_chars > 10 * n_tokens
+         THEN 'word_len_out_of_range' END,
+    CASE WHEN n_distinct_stopwords < 2 THEN 'low_stopword_diversity' END,
+    CASE WHEN COALESCE(top_bigram_cnt * 5 > n_bigrams, FALSE)
+         THEN 'top_bigram_repetition' END,
+    CASE WHEN COALESCE(dup_bigram_cnt * 2 > n_bigrams, FALSE)
+         THEN 'dup_bigram_repetition' END{extra}
+  )"""
+
+
+def _compress_gate_oracle(link_path: str) -> str:
+    """The 7-rule quality-gate oracle: the shared _GOPHER_CTES six
+    integer rules recomputed from ``documents``, plus the
+    compressibility band applied to the PRECOMPUTED ``(doc_id,
+    n_bytes, n_zlib)`` signal published at ``link_path`` — the oracle
+    checks the GATING DECISION (exact integer-cent arithmetic
+    ``25·n_bytes ≤ 100·n_zlib ≤ 75·n_bytes``) and its composition
+    with the other rules; the zlib ratio itself honestly stays
+    rows-only (``doc_compressibility``).  Registered with the
+    driver's correctness scale (sf0.01 — the only scale the oracle
+    comparison ever runs at); tests regenerate the template for their
+    own scale."""
+    band = """,
+    CASE WHEN NOT COALESCE(
+           25 * n_bytes <= 100 * n_zlib AND 100 * n_zlib <= 75 * n_bytes
+           AND n_bytes > 0, FALSE)
+         THEN 'compressibility_out_of_band' END"""
+    failed = _gopher_rules_sql(band)
+    return f"""
+WITH {_GOPHER_CTES},
 cents AS (
   SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
     CAST(n_zlib AS BIGINT) AS n_zlib
@@ -6600,61 +6618,19 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_t(spark, sf_dir, "documents"), span_words=10, min_docs=2)
 
 
-_GOPHER_ORACLE = """
-WITH tok AS (
-  SELECT doc_id, string_split(text, ' ') AS t, length(text) AS nch FROM documents
-),
-base AS (
-  SELECT doc_id,
-    CAST(len(t) AS BIGINT) AS n_tokens,
-    CAST(nch - (len(t) - 1) AS BIGINT) AS n_word_chars,
-    CAST(len(list_distinct(list_filter(t,
-      w -> w IN ('the','a','of','and','to','in','is','on','for','with')
-    ))) AS BIGINT) AS n_distinct_stopwords
-  FROM tok
-),
-sh AS (
-  SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS shingle
-  FROM tok, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
-),
-per AS (
-  SELECT doc_id, shingle, COUNT(*) AS cnt FROM sh GROUP BY doc_id, shingle
-),
-grams AS (
-  SELECT doc_id,
-    CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
-    CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt,
-    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_bigram_cnt
-  FROM per GROUP BY doc_id
-),
+# Composed from the shared _GOPHER_CTES + _gopher_rules_sql (defined
+# next to the compressibility-gated variant) — one rule definition for
+# both gates.
+_GOPHER_ORACLE = f"""
+WITH {_GOPHER_CTES},
 j AS (
   SELECT b.*, g.n_bigrams, g.top_bigram_cnt, g.dup_bigram_cnt
   FROM base b LEFT JOIN grams g USING (doc_id)
 )
 SELECT doc_id, n_tokens, n_word_chars, n_distinct_stopwords,
   n_bigrams, top_bigram_cnt, dup_bigram_cnt,
-  concat_ws(',',
-    CASE WHEN n_tokens < 30 THEN 'too_short' END,
-    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
-    CASE WHEN n_word_chars < 3 * n_tokens OR n_word_chars > 10 * n_tokens
-         THEN 'word_len_out_of_range' END,
-    CASE WHEN n_distinct_stopwords < 2 THEN 'low_stopword_diversity' END,
-    CASE WHEN COALESCE(top_bigram_cnt * 5 > n_bigrams, FALSE)
-         THEN 'top_bigram_repetition' END,
-    CASE WHEN COALESCE(dup_bigram_cnt * 2 > n_bigrams, FALSE)
-         THEN 'dup_bigram_repetition' END
-  ) AS failed_rules,
-  concat_ws(',',
-    CASE WHEN n_tokens < 30 THEN 'too_short' END,
-    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
-    CASE WHEN n_word_chars < 3 * n_tokens OR n_word_chars > 10 * n_tokens
-         THEN 'word_len_out_of_range' END,
-    CASE WHEN n_distinct_stopwords < 2 THEN 'low_stopword_diversity' END,
-    CASE WHEN COALESCE(top_bigram_cnt * 5 > n_bigrams, FALSE)
-         THEN 'top_bigram_repetition' END,
-    CASE WHEN COALESCE(dup_bigram_cnt * 2 > n_bigrams, FALSE)
-         THEN 'dup_bigram_repetition' END
-  ) = '' AS keep
+  {_gopher_rules_sql()} AS failed_rules,
+  {_gopher_rules_sql()} = '' AS keep
 FROM j
 """
 
