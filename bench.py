@@ -116,10 +116,12 @@ HEADLINE = (
     # r06: the zlib compressibility quality signal (Arrow island)
     "doc_compressibility",
     # r07 additions: the triggered IVF hot-cell split (hash-checked
-    # incremental-equals-rebuild maintenance) and the 7-rule quality
-    # gate with the compressibility band composed in
+    # incremental-equals-rebuild maintenance), the 7-rule quality
+    # gate with the compressibility band composed in, and the
+    # standalone excerpt-removal decision stage the corpus builds run
     "embedding_ivf_hot_split",
     "doc_quality_gate_compress",
+    "dedup_containment_excerpts",
 )
 
 

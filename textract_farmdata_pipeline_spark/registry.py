@@ -1665,6 +1665,44 @@ def dedup_containment_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The excerpt-removal stage standalone: exact-collapse documents, then
+# the shared _containment_drop_ctes chain — one row per DROPPED doc.
+_CONTAINMENT_EXCERPTS_ORACLE = f"""
+WITH dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+base AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN dedup USING (doc_id)
+),
+{_containment_drop_ctes("base", "text")}
+SELECT doc_id FROM cdrop
+"""
+
+
+@register("dedup_containment_excerpts", _CONTAINMENT_EXCERPTS_ORACLE)
+def dedup_containment_excerpts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus builds' excerpt-removal stage as a standalone
+    decision query: exact-collapse byte-identical texts (keep-min-id),
+    then drop every surviving document whose 3-gram shingle set is
+    covered ≥ 0.8 by a document strictly above it in the (set size
+    ASC, id DESC) order — truncations, excerpts, and boilerplate-
+    wrapped copies, with a provable one-survivor-per-cluster
+    guarantee.  Returns the DROP set (one row per removed doc).  The
+    same ``containment_excerpt_drop`` operator and the same shared
+    ``_containment_drop_ctes`` oracle chain run inside
+    ``corpus_build_full`` / ``corpus_build_lm_gated`` /
+    ``corpus_jsonl_pipeline`` — this registration gives the stage its
+    own driver row so a composition bug cannot hide behind the
+    builds' later stages."""
+    from .operators.dedup import containment_excerpt_drop, exact_dedup_by_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = exact_dedup_by_hash(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    return containment_excerpt_drop(docs.join(keep, "doc_id"), threshold=0.8, shingle_n=3)
+
+
 _SOURCE_OVERLAP_ORACLE = """
 WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
 ss AS (
