@@ -122,6 +122,13 @@ HEADLINE = (
     "embedding_ivf_hot_split",
     "doc_quality_gate_compress",
     "dedup_containment_excerpts",
+    # r07: the source-level blocklist decision (domain-granularity
+    # curation, |sources| rows out) and the LSH eval under an absolute
+    # sample-size budget — the scale-invariant form of the sampled
+    # diagnostic (constant-fraction cost grows with the corpus; the
+    # integer-derived cut keeps the budget form's pair legs constant)
+    "corpus_source_gate",
+    "dedup_lsh_eval_budget",
 )
 
 

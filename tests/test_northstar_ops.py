@@ -3740,6 +3740,108 @@ class TestLshEval:
         )
         assert lsh_eval_report(pre, **kw).collect()[0] == s1
 
+    def test_budget_form_matches_equivalent_fraction(self, spark, docs):
+        """The absolute-size knob is the fraction knob with an
+        integer-derived cut: on the 500-doc fixture ``sample_rows=125``
+        must select cut 2500 — byte-identical to ``sample_fraction=
+        0.25`` (same seed, same filter).  A budget at or above the
+        corpus size must degenerate to the full report, and the two
+        knobs together must be rejected."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            lsh_eval_report,
+        )
+
+        kw = dict(n_hashes=8, bands=4, threshold=0.5)
+        assert (
+            lsh_eval_report(docs, sample_rows=125, **kw).collect()[0]
+            == lsh_eval_report(docs, sample_fraction=0.25, **kw).collect()[0]
+        )
+        assert (
+            lsh_eval_report(docs, sample_rows=10**9, **kw).collect()[0]
+            == lsh_eval_report(docs, **kw).collect()[0]
+        )
+        with pytest.raises(ValueError, match="not both"):
+            lsh_eval_report(docs, sample_fraction=0.1, sample_rows=10, **kw)
+
+
+class TestSourceGate:
+    def test_scraper_and_spam_sources_blocked(self, spark):
+        """A source whose docs are copies of another source's texts
+        trips the shared_bp leg (and symmetrically exposes its victim
+        — honest semantics: the signal can't know which side copied);
+        a source with no stopwords trips the stop_bp leg; a source
+        with stopword-bearing unique prose passes.  All thresholds
+        integer, so the expected rows are exact."""
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            source_quality_gate,
+        )
+
+        prose = [
+            "the cat sat on the mat and looked for a mouse in the barn",
+            "a long day of work is over and the crew is on the way home",
+            "the price of grain is up and the market is slow for now",
+            "rain fell on the field and the river rose to the old mark",
+        ]
+        spam = [
+            "buy cheap deals now click here best price",
+            "win big cash prizes instant winner claim today",
+        ]
+        rows = [(i, t, "clean") for i, t in enumerate(prose)]
+        # scraper: copies 3 of clean's 4 texts, adds one own doc
+        rows += [(100 + i, t, "scraper") for i, t in enumerate(prose[:3])]
+        rows.append(
+            (103, "the farm report for the week is out and the news is good",
+             "scraper")
+        )
+        rows += [(200 + i, t, "spam") for i, t in enumerate(spam)]
+        rows += [
+            (300, "the harvest came in early and the silo is full to the top",
+             "fresh"),
+            (301, "a quiet morning on the porch with a cup of coffee in hand",
+             "fresh"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {
+            r["source"]: r
+            for r in source_quality_gate(
+                docs, max_shared_bp=100, min_stop_bp=600
+            ).collect()
+        }
+        assert len(out) == 4
+        # scraper: 3/4 docs shared → 7500 bp, blocked
+        assert out["scraper"]["shared_bp"] == 7500 and out["scraper"]["blocked"]
+        # clean is symmetrically exposed by the scraper — blocked too
+        assert out["clean"]["n_docs"] == 4 and out["clean"]["distinct_texts"] == 4
+        assert out["clean"]["shared_bp"] == 7500 and out["clean"]["blocked"]
+        # spam: zero stopwords → stop_bp 0 < 600, blocked
+        assert out["spam"]["shared_bp"] == 0
+        assert out["spam"]["stop_bp"] == 0 and out["spam"]["blocked"]
+        # fresh: unique stopword-bearing prose → passes both legs
+        assert out["fresh"]["shared_bp"] == 0
+        assert out["fresh"]["stop_bp"] >= 600 and not out["fresh"]["blocked"]
+
+    def test_gate_is_integer_exact_vs_duckdb(self, spark, sf_dir):
+        """The registered query hash-matches its oracle at the fixture
+        scale (the driver replays this at sf0.01; this pins it at
+        sf0.001 so a registry/oracle drift fails fast in pytest)."""
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        sdf = QUERIES["corpus_source_gate"](spark, sf_dir)
+        srows = sorted(
+            (r["source"], r["n_docs"], r["distinct_texts"], r["shared_bp"],
+             r["stop_bp"], r["blocked"])
+            for r in sdf.collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["corpus_source_gate"]).fetchall())
+        assert srows == drows and len(srows) == 20
+
 
 class TestCompressibility:
     def test_bands_and_determinism(self, spark):

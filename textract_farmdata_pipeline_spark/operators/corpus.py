@@ -657,3 +657,75 @@ def contamination_profile(
             ).alias("contamination"),
         )
     )
+
+
+def source_quality_gate(
+    docs: DataFrame,
+    max_shared_bp: int = 100,
+    min_stop_bp: int = 600,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain-level curation DECISION — the source-granularity stage a
+    web-scale pipeline runs before any per-document work: block whole
+    sources whose content is mostly lifted from elsewhere or reads
+    like keyword spam (the RefinedWeb/Dolma "domain blocklist" step,
+    derived from the corpus itself instead of a hand list).
+
+    One row per source: ``(source, n_docs, distinct_texts, shared_bp,
+    stop_bp, blocked)`` where ``shared_bp`` is the fraction (integer
+    basis points) of the source's documents whose exact text also
+    appears under ANOTHER source — cross-source duplicate exposure,
+    the "scraper site" signal — and ``stop_bp`` is the mean per-doc
+    stopword rate in basis points, the cheapest natural-prose proxy.
+    ``blocked = shared_bp ≥ max_shared_bp OR stop_bp < min_stop_bp``.
+
+    Every number is pure integer arithmetic (counts, ``·10000`` and
+    integral division — truncation equals floor for the non-negative
+    operands here), so the gating decision hash-checks against ANSI
+    SQL exactly; no float threshold ever decides a block.
+
+    Scale shape: scan → per-doc Column math (codegen, no Python) →
+    ``groupBy(text-hash, source)`` with map-side combine collapses
+    duplication BEFORE the only other exchanges — a window over the
+    collapsed (hash, source) rows to count distinct sources per text,
+    then the |sources|-row final aggregate.  No joins, no pair work;
+    output is |sources| rows at any corpus size.
+    """
+    from .text_analysis import STOPWORDS
+
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        F.md5(F.col(text_col)).alias("_h"),
+        (F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) * F.lit(10000))
+        .cast("long")
+        .alias("_stop_n"),
+        F.size(toks).cast("long").alias("_tok_n"),
+    ).withColumn("stop_bp", F.expr("_stop_n div _tok_n"))
+    g = d.groupBy("_h", "source").agg(
+        F.count("*").alias("_n"), F.sum("stop_bp").alias("_ss")
+    )
+    g = g.withColumn("_ns", F.count("*").over(Window.partitionBy("_h")))
+    agg = g.groupBy("source").agg(
+        F.sum("_n").alias("n_docs"),
+        F.count("*").alias("distinct_texts"),
+        F.sum(F.when(F.col("_ns") > 1, F.col("_n")).otherwise(F.lit(0))).alias(
+            "_shared"
+        ),
+        F.sum("_ss").alias("_stop_sum"),
+    )
+    shared_bp = F.expr("(_shared * 10000) div n_docs")
+    stop_bp = F.expr("_stop_sum div n_docs")
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("distinct_texts").cast("long").alias("distinct_texts"),
+        shared_bp.cast("long").alias("shared_bp"),
+        stop_bp.cast("long").alias("stop_bp"),
+        (
+            (shared_bp >= F.lit(int(max_shared_bp)))
+            | (stop_bp < F.lit(int(min_stop_bp)))
+        ).alias("blocked"),
+    )

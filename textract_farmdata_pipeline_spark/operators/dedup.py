@@ -1265,6 +1265,7 @@ def lsh_eval_report(
     text_col: str = "text",
     sample_fraction: float | None = None,
     sample_seed: str = "lshev|",
+    sample_rows: int | None = None,
 ) -> DataFrame:
     """Measured LSH quality, not the s-curve promise: one row —
     ``(n_exact_pairs, n_candidates, n_verified, recall,
@@ -1289,7 +1290,17 @@ def lsh_eval_report(
     concrete: a deterministic md5 document sample (``md5_long(seed ||
     doc_id) % 10000 < fraction·10000`` — engine-portable, so the
     sampled report still hash-checks) bounds all three pair legs to
-    the sample.  The shingle scaffold (doc → shingle set) is built
+    the sample.  ``sample_rows`` is the production form of the same
+    knob: an ABSOLUTE sample-size budget, converted to a cut with pure
+    integer arithmetic (``cut = min(10000, ceil(rows·10000 / N))`` via
+    ``(rows·10000 + N - 1) // N`` — replayable in ANSI SQL, so the
+    budget form hash-checks too).  A constant fraction makes the
+    diagnostic's cost grow with the corpus; a constant budget makes it
+    CONSTANT — at 100× the data the cut shrinks 100× and the three
+    pair legs see the same ~``rows`` documents, leaving only the
+    sampling scan to grow.  The one extra ``docs.count()`` this needs
+    is a column-pruned scan of the id column, the cheapest full pass
+    there is.  Pass one of the two knobs, not both.  The shingle scaffold (doc → shingle set) is built
     ONCE, localCheckpointed, and feeds the candidate, verify, and
     exact legs — previously each leg re-tokenized the raw corpus.
     The returned frame stays LAZY (the plan-snapshot gate watches the
@@ -1299,8 +1310,15 @@ def lsh_eval_report(
     from .checkpoints import tracked_local_checkpoint
 
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    if sample_fraction is not None and sample_rows is not None:
+        raise ValueError("pass sample_fraction or sample_rows, not both")
+    cut: int | None = None
     if sample_fraction is not None:
         cut = int(round(sample_fraction * 10000))
+    elif sample_rows is not None:
+        n = docs.count()
+        cut = min(10000, (int(sample_rows) * 10000 + max(n, 1) - 1) // max(n, 1))
+    if cut is not None:
         docs = docs.filter(
             F.pmod(md5_long(F.col("doc_id").cast("string"), sample_seed), F.lit(10000))
             < F.lit(cut)

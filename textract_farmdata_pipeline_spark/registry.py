@@ -1736,6 +1736,50 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_shingle_overlap(_t(spark, sf_dir, "documents"), shingle_n=3)
 
 
+_SOURCE_GATE_ORACLE = """
+WITH d AS (
+  SELECT source, md5(text) AS h,
+    (len(list_filter(string_split(text, ' '),
+         t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+     * 10000) // len(string_split(text, ' ')) AS stop_bp
+  FROM documents
+),
+g AS (
+  SELECT h, source, COUNT(*) AS n, SUM(stop_bp) AS ss FROM d GROUP BY h, source
+),
+gg AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS ns FROM g),
+s AS (
+  SELECT source, SUM(n) AS n_docs, COUNT(*) AS distinct_texts,
+         SUM(CASE WHEN ns > 1 THEN n ELSE 0 END) AS shared, SUM(ss) AS stop_sum
+  FROM gg GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(distinct_texts AS BIGINT) AS distinct_texts,
+  CAST((shared * 10000) // n_docs AS BIGINT) AS shared_bp,
+  CAST(stop_sum // n_docs AS BIGINT) AS stop_bp,
+  ((shared * 10000) // n_docs >= 100 OR stop_sum // n_docs < 600) AS blocked
+FROM s
+"""
+
+
+@register("corpus_source_gate", _SOURCE_GATE_ORACLE)
+def corpus_source_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level blocklist DECISION derived from the corpus itself:
+    one row per source with its cross-source duplicate exposure and
+    mean stopword rate (both integer basis points) and the block
+    verdict — the source-granularity stage (RefinedWeb/Dolma domain
+    filtering) that runs before any per-document work, so a blocked
+    source never pays per-doc cleaning cost.  All-integer thresholds
+    (shared_bp ≥ 100, stop_bp < 600), so the gating decision itself
+    hash-checks; output is |sources| rows at any corpus size, and the
+    only exchanges touch text-hash-collapsed rows, never raw docs."""
+    from .operators.corpus import source_quality_gate
+
+    return source_quality_gate(
+        _t(spark, sf_dir, "documents"), max_shared_bp=100, min_stop_bp=600
+    )
+
+
 # Engine-portable minhash family: the shared CTE prefix computes
 # 3-gram shingles, the sliced-digest hash family (four 32-bit hashes
 # per md5 digest — 8-hex slices, exact in any signed-64 engine),
@@ -1905,6 +1949,42 @@ def dedup_lsh_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_eval_report(
         _t(spark, sf_dir, "documents"), n_hashes=8, bands=4, threshold=0.5,
         shingle_n=3, sample_fraction=0.25,
+    )
+
+
+# Budget variant: the cut is derived from the corpus size with pure
+# integer arithmetic (ceil via (rows·10000 + n - 1) // n), so the
+# absolute-sample-size form replays exactly in ANSI SQL too.  Same
+# seed as the fraction form: a smaller cut selects a strict subset.
+_LSH_EVAL_BUDGET_ORACLE = (
+    """WITH nn AS (SELECT GREATEST(COUNT(*), 1) AS n FROM documents),
+sampled AS (
+  SELECT doc_id, text FROM documents, nn
+  WHERE CAST(('0x' || substr(md5('lshev|' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % 10000
+        < LEAST(10000, (1250 * 10000 + n - 1) // n)
+),
+"""
+    + _mh_pair_ctes("sampled")
+    + _LSH_EVAL_TAIL
+)
+
+
+@register("dedup_lsh_eval_budget", _LSH_EVAL_BUDGET_ORACLE)
+def dedup_lsh_eval_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH eval under an ABSOLUTE sample-size budget (~1,250
+    docs) instead of a constant fraction — the form a production
+    pipeline actually pins, because a constant fraction still grows
+    the diagnostic linearly with the corpus while a constant budget
+    makes the three pair legs scale-invariant (at 100× the data the
+    integer-derived cut shrinks 100×; only the sampling scan grows).
+    The cut derivation is integer-exact and in the oracle, so even
+    the size-adaptive form stays hash-checked end to end."""
+    from .operators.dedup import lsh_eval_report
+
+    return lsh_eval_report(
+        _t(spark, sf_dir, "documents"), n_hashes=8, bands=4, threshold=0.5,
+        shingle_n=3, sample_rows=1250,
     )
 
 
