@@ -3740,25 +3740,34 @@ class TestLshEval:
         )
         assert lsh_eval_report(pre, **kw).collect()[0] == s1
 
-    def test_budget_form_matches_equivalent_fraction(self, spark, docs):
-        """The absolute-size knob is the fraction knob with an
-        integer-derived cut: on the 500-doc fixture ``sample_rows=125``
-        must select cut 2500 — byte-identical to ``sample_fraction=
-        0.25`` (same seed, same filter).  A budget at or above the
+    def test_budget_form_matches_equivalent_prefilter(self, spark, docs):
+        """The absolute-size knob composes, not approximates: on the
+        500-doc fixture ``sample_rows=125`` derives cut 25,000,000 on
+        the 10⁸ modulus, so the report must equal the full report over
+        the explicitly pre-filtered corpus.  A budget at or above the
         corpus size must degenerate to the full report, and the two
         knobs together must be rejected."""
         from textract_farmdata_pipeline_spark.operators.dedup import (
             lsh_eval_report,
+            md5_long,
         )
 
         kw = dict(n_hashes=8, bands=4, threshold=0.5)
-        assert (
-            lsh_eval_report(docs, sample_rows=125, **kw).collect()[0]
-            == lsh_eval_report(docs, sample_fraction=0.25, **kw).collect()[0]
+        pre = docs.filter(
+            F.pmod(
+                md5_long(F.col("doc_id").cast("string"), "lshev|"),
+                F.lit(100_000_000),
+            )
+            < 25_000_000
         )
+        assert 0 < pre.count() < docs.count()  # proper, non-empty sample
+        budget = lsh_eval_report(docs, sample_rows=125, **kw).collect()[0]
+        assert budget == lsh_eval_report(pre, **kw).collect()[0]
+        full = lsh_eval_report(docs, **kw).collect()[0]
+        for c in ("n_exact_pairs", "n_candidates", "n_verified"):
+            assert budget[c] <= full[c]
         assert (
-            lsh_eval_report(docs, sample_rows=10**9, **kw).collect()[0]
-            == lsh_eval_report(docs, **kw).collect()[0]
+            lsh_eval_report(docs, sample_rows=10**9, **kw).collect()[0] == full
         )
         with pytest.raises(ValueError, match="not both"):
             lsh_eval_report(docs, sample_fraction=0.1, sample_rows=10, **kw)

@@ -686,22 +686,31 @@ def source_quality_gate(
     operands here), so the gating decision hash-checks against ANSI
     SQL exactly; no float threshold ever decides a block.
 
-    Scale shape: scan → per-doc Column math (codegen, no Python) →
-    ``groupBy(text-hash, source)`` with map-side combine collapses
-    duplication BEFORE the only other exchanges — a window over the
-    collapsed (hash, source) rows to count distinct sources per text,
-    then the |sources|-row final aggregate.  No joins, no pair work;
-    output is |sources| rows at any corpus size.
-    """
-    from .text_analysis import STOPWORDS
+    Scale shape: scan → per-doc Column expressions (JVM-side; the
+    stopword filter's lambda is interpreted but runs once per doc in
+    the scan stage — no Python, no shuffle) → ``groupBy(text-hash,
+    source)`` with map-side combine collapses duplication BEFORE the
+    only other exchanges — a window over the collapsed (hash, source)
+    rows to count distinct sources per text, then the |sources|-row
+    final aggregate.  No joins, no pair work; output is |sources| rows
+    at any corpus size.
 
-    toks = F.split(F.col(text_col), " ")
+    NULL texts are pinned to ``''`` (one token after split, zero
+    stopword hits) so Spark and the ANSI-SQL oracle agree instead of
+    inheriting each engine's NULL-propagation quirks; the stopword
+    count is widened to long BEFORE the ``·10000``, so a multi-MB
+    document cannot overflow the int32 ``size()``.
+    """
+    from .text_analysis import stopword_filter
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(text, " ")
     d = docs.select(
         F.col(source_col).alias("source"),
-        F.md5(F.col(text_col)).alias("_h"),
-        (F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) * F.lit(10000))
-        .cast("long")
-        .alias("_stop_n"),
+        F.md5(text).alias("_h"),
+        (F.size(stopword_filter(toks)).cast("long") * F.lit(10000)).alias(
+            "_stop_n"
+        ),
         F.size(toks).cast("long").alias("_tok_n"),
     ).withColumn("stop_bp", F.expr("_stop_n div _tok_n"))
     g = d.groupBy("_h", "source").agg(

@@ -1292,13 +1292,18 @@ def lsh_eval_report(
     sampled report still hash-checks) bounds all three pair legs to
     the sample.  ``sample_rows`` is the production form of the same
     knob: an ABSOLUTE sample-size budget, converted to a cut with pure
-    integer arithmetic (``cut = min(10000, ceil(rows·10000 / N))`` via
-    ``(rows·10000 + N - 1) // N`` — replayable in ANSI SQL, so the
+    integer arithmetic (``cut = min(M, ceil(rows·M / N))`` via
+    ``(rows·M + N - 1) // N`` — replayable in ANSI SQL, so the
     budget form hash-checks too).  A constant fraction makes the
     diagnostic's cost grow with the corpus; a constant budget makes it
     CONSTANT — at 100× the data the cut shrinks 100× and the three
     pair legs see the same ~``rows`` documents, leaving only the
-    sampling scan to grow.  The one extra ``docs.count()`` this needs
+    sampling scan to grow.  The budget form uses modulus ``M = 10⁸``
+    (the fraction form keeps 10⁴ for oracle compatibility), so the
+    cut's floor of 1 — past which the sample grows linearly again —
+    is not reached until ``rows·10⁸`` documents instead of
+    ``rows·10⁴``; md5_long has 60 uniform bits, far more than either
+    modulus consumes.  The one extra ``docs.count()`` this needs
     is a column-pruned scan of the id column, the cheapest full pass
     there is.  Pass one of the two knobs, not both.  The shingle scaffold (doc → shingle set) is built
     ONCE, localCheckpointed, and feeds the candidate, verify, and
@@ -1312,15 +1317,17 @@ def lsh_eval_report(
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     if sample_fraction is not None and sample_rows is not None:
         raise ValueError("pass sample_fraction or sample_rows, not both")
+    mod = 10000
     cut: int | None = None
     if sample_fraction is not None:
         cut = int(round(sample_fraction * 10000))
     elif sample_rows is not None:
+        mod = 100_000_000
         n = docs.count()
-        cut = min(10000, (int(sample_rows) * 10000 + max(n, 1) - 1) // max(n, 1))
+        cut = min(mod, (int(sample_rows) * mod + max(n, 1) - 1) // max(n, 1))
     if cut is not None:
         docs = docs.filter(
-            F.pmod(md5_long(F.col("doc_id").cast("string"), sample_seed), F.lit(10000))
+            F.pmod(md5_long(F.col("doc_id").cast("string"), sample_seed), F.lit(mod))
             < F.lit(cut)
         )
     # The shared scaffold: every leg consumes THE SAME materialized

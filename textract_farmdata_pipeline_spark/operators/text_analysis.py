@@ -23,6 +23,17 @@ def _tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def stopword_filter(toks: Column) -> Column:
+    """The tokens of ``toks`` that are in :data:`STOPWORDS` — the ONE
+    definition of a stopword hit shared by every quality signal
+    (scores, the LID heuristic, the Gopher rule, the source gate), so
+    a list or tokenizer change cannot drift them apart.  ``filter``'s
+    lambda is interpreted (ArrayFilter is CodegenFallback), which is
+    acceptable here because every consumer evaluates it once per
+    document in a scan stage — never per token row or inside a join."""
+    return F.filter(toks, lambda t: t.isin(*STOPWORDS))
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token counting + distinct-token stats per document."""
     toks = _tokens(F.col(text_col))
@@ -40,7 +51,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality heuristics: stopword ratio, uniqueness ratio, length."""
     toks = _tokens(F.col(text_col))
     n = F.size(toks).cast("double")
-    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    stop_hits = F.size(stopword_filter(toks)).cast("double")
     uniq = F.size(F.array_distinct(toks)).cast("double")
     return docs.select(
         "doc_id",
@@ -54,7 +65,7 @@ def language_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-density language heuristic (n-gram-free LID stand-in):
     texts with enough English function words are tagged ``en``."""
     toks = _tokens(F.col(text_col))
-    ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double") / F.size(
+    ratio = F.size(stopword_filter(toks)).cast("double") / F.size(
         toks
     ).cast("double")
     return docs.select(
@@ -505,7 +516,7 @@ def gopher_quality_filter(
         n.alias("n_tokens"),
         (F.length(F.col(text_col)).cast("long") - (n - F.lit(1))).alias("n_word_chars"),
         F.size(
-            F.array_distinct(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+            F.array_distinct(stopword_filter(toks))
         ).cast("long").alias("n_distinct_stopwords"),
     )
     grams = (

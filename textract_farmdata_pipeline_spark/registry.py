@@ -1738,10 +1738,10 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SOURCE_GATE_ORACLE = """
 WITH d AS (
-  SELECT source, md5(text) AS h,
-    (len(list_filter(string_split(text, ' '),
+  SELECT source, md5(coalesce(text, '')) AS h,
+    (len(list_filter(string_split(coalesce(text, ''), ' '),
          t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
-     * 10000) // len(string_split(text, ' ')) AS stop_bp
+     * 10000) // len(string_split(coalesce(text, ''), ' ')) AS stop_bp
   FROM documents
 ),
 g AS (
@@ -1953,16 +1953,19 @@ def dedup_lsh_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Budget variant: the cut is derived from the corpus size with pure
-# integer arithmetic (ceil via (rows·10000 + n - 1) // n), so the
-# absolute-sample-size form replays exactly in ANSI SQL too.  Same
-# seed as the fraction form: a smaller cut selects a strict subset.
+# integer arithmetic (ceil via (rows·M + n - 1) // n), so the
+# absolute-sample-size form replays exactly in ANSI SQL too.  The
+# modulus M = 10⁸ (finer than the fraction form's 10⁴) keeps the
+# cut's floor of 1 — past which the sample grows linearly again —
+# out of reach until rows·10⁸ ≈ 10¹¹ documents; 1250·10⁸ stays well
+# inside BIGINT.
 _LSH_EVAL_BUDGET_ORACLE = (
     """WITH nn AS (SELECT GREATEST(COUNT(*), 1) AS n FROM documents),
 sampled AS (
   SELECT doc_id, text FROM documents, nn
   WHERE CAST(('0x' || substr(md5('lshev|' || CAST(doc_id AS VARCHAR)), 1, 15))
-             AS BIGINT) % 10000
-        < LEAST(10000, (1250 * 10000 + n - 1) // n)
+             AS BIGINT) % 100000000
+        < LEAST(100000000, (1250 * CAST(100000000 AS BIGINT) + n - 1) // n)
 ),
 """
     + _mh_pair_ctes("sampled")
