@@ -129,6 +129,9 @@ HEADLINE = (
     # integer-derived cut keeps the budget form's pair legs constant)
     "corpus_source_gate",
     "dedup_lsh_eval_budget",
+    # r07: the gate composed in FRONT of the 4-stage build — blocked
+    # sources exit before the dedup shuffle or shingle explode
+    "corpus_build_source_gated",
 )
 
 

@@ -5198,6 +5198,126 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The source-gated build: the domain-blocklist decision
+# (_SOURCE_GATE_ORACLE's CTEs, sg-prefixed) feeds a keep-list that
+# pre-filters the corpus BEFORE the 4-stage build — the stage order a
+# real pipeline wants, because a blocked source then never pays
+# per-document dedup/decontamination cost.  The build chain is
+# _CORPUS_BUILD_ORACLE verbatim, re-rooted on the gated corpus; the
+# eval holdout stays rooted on the FULL corpus (the eval set is
+# external to curation — gating the training side must not change
+# what you decontaminate against).
+_CORPUS_BUILD_SOURCE_GATED_ORACLE = """
+WITH sgd AS (
+  SELECT source, md5(coalesce(text, '')) AS h,
+    (len(list_filter(string_split(coalesce(text, ''), ' '),
+         t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+     * 10000) // len(string_split(coalesce(text, ''), ' ')) AS stop_bp
+  FROM documents
+),
+sgg AS (
+  SELECT h, source, COUNT(*) AS n, SUM(stop_bp) AS ss FROM sgd GROUP BY h, source
+),
+sggg AS (SELECT *, COUNT(*) OVER (PARTITION BY h) AS ns FROM sgg),
+sgs AS (
+  SELECT source, SUM(n) AS n_docs,
+         SUM(CASE WHEN ns > 1 THEN n ELSE 0 END) AS shared, SUM(ss) AS stop_sum
+  FROM sggg GROUP BY source
+),
+sgkeep AS (
+  SELECT source FROM sgs
+  WHERE NOT ((shared * 10000) // n_docs >= 100 OR stop_sum // n_docs < 600)
+),
+gated AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d JOIN sgkeep USING (source)
+),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+),
+base AS (
+  SELECT g.doc_id, g.text, g.source FROM gated g JOIN dedup USING (doc_id)
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+sh AS (
+  SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+),
+evtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0
+),
+evsh AS (
+  SELECT DISTINCT array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM evtoks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+),
+contaminated AS (SELECT DISTINCT s.doc_id FROM sh s JOIN evsh USING (shingle)),
+clean AS (
+  SELECT b.doc_id, b.source FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = b.doc_id)
+),
+counts AS (SELECT source, COUNT(*) AS n_docs FROM clean GROUP BY source),
+tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_groups FROM counts),
+rates AS (
+  SELECT source, LEAST(1.0, CAST(total AS DOUBLE) / n_groups / n_docs) AS rate
+  FROM counts, tot
+),
+sampled AS (
+  SELECT c.doc_id, c.source FROM clean c JOIN rates r USING (source)
+  WHERE CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 1000000 < r.rate * 1000000
+)
+SELECT doc_id, source, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS INTEGER) AS shard_pos
+FROM (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5('|shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 16 AS shard,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM sampled
+) s
+"""
+
+
+@register("corpus_build_source_gated", _CORPUS_BUILD_SOURCE_GATED_ORACLE)
+def corpus_build_source_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-stage corpus build with :func:`source_quality_gate`
+    composed in FRONT: the |sources|-row block decision broadcasts
+    into a semi-join that drops blocked sources before any per-doc
+    work, then the standard dedup → decontamination → mixture → shard
+    chain runs on the survivors.  Stage order is the scale argument —
+    at 100 TB the gate is one scan + tiny aggregates, and every
+    blocked source's documents exit the pipeline before the dedup
+    shuffle or the shingle explode ever see them.  The eval holdout
+    stays the FULL corpus's doc_id % 97 slice (curation must not
+    change what you decontaminate against).  The keep-list is
+    COLLECTED — bounded by |sources|, the same class as centroid/
+    codebook seeds — and applied as an ``isin`` filter, which reaches
+    the parquet scan as a pushed predicate (``In(source, ...)``):
+    blocked sources never leave storage, every downstream branch
+    re-expands only a filtered scan (no join, no lost statistics), and
+    in a source-partitioned layout the filter prunes whole partitions.
+    Alternatives measured: joining the lazy gate frame re-expands the
+    gate's three aggregates per build branch (61 exchanges vs the
+    ungated build's 23); a localCheckpoint stops the re-expansion but
+    its missing stats flip six downstream broadcasts to sort-merge.
+    The pushed IN-list is the 100 TB shape."""
+    from .operators.corpus import build_corpus, source_quality_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = [
+        r["source"]
+        for r in source_quality_gate(docs, max_shared_bp=100, min_stop_bp=600)
+        .filter(~F.col("blocked"))
+        .select("source")
+        .collect()
+    ]
+    gated = docs.filter(
+        F.col("source").isin(keep) if keep else F.lit(False)
+    )
+    return build_corpus(
+        gated, docs.filter(F.col("doc_id") % 97 == 0), num_shards=16, decontam_n=3
+    )
+
+
 # The full 6-stage build: the Gopher gate and C4 span dedup (both
 # independently oracle-green) prepended to the 4-stage build above, as
 # ONE CTE chain.  The gate/span CTEs are verbatim the ones from
