@@ -132,6 +132,12 @@ HEADLINE = (
     # r07: the gate composed in FRONT of the 4-stage build — blocked
     # sources exit before the dedup shuffle or shingle explode
     "corpus_build_source_gated",
+    # r07: binary-quantization ANN (integer-Hamming primitive + the
+    # two-stage Hamming-shortlist/exact-rerank product, both fully
+    # hash-checked) and the cluster-atomic leakage-safe dataset split
+    "embedding_bq_portable",
+    "embedding_bq_topk",
+    "doc_split_leakage_safe",
 )
 
 

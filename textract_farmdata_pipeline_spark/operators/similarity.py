@@ -2695,3 +2695,170 @@ def ivf_hot_cell_split_kmeans(
     return reduce(
         lambda a, b: a.unionByName(b), (p.select(*cols) for p in parts)
     )
+
+
+# =========================================================================
+# Binary quantization (1-bit sign) ANN — Hamming scan + exact rerank
+# =========================================================================
+
+
+def bq_signature(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """1-bit binary quantization: each dimension's SIGN (``x >= 0``)
+    packed 32 bits per BIGINT word — ``(vec_id, sig array<bigint>)``,
+    so a 64-dim float32 vector compresses 32:1 into two integer words.
+
+    Sign extraction is exact (no arithmetic touches the float beyond a
+    comparison against zero, and ``sign(float x) == sign(double x)``),
+    and the packing is pure integer addition of distinct powers of two
+    — every engine produces bit-identical words, which is what lets
+    the Hamming scan be hash-oracle-checked unlike float-score ANN.
+    32 bits per word, not 64: bit 63 would flip the BIGINT sign and
+    portable engines differ on ``1 << 63`` overflow; two positive
+    words sidestep the question entirely.
+
+    One map-only select — the corpus never shuffles to encode, same
+    contract as :func:`sq_encode`.  At 100 TB the signature table is
+    the thing you materialize: 16 bytes/row instead of 256.
+    """
+    weights = F.array(*[F.lit(1 << j).cast("bigint") for j in range(32)])
+    vec = _as_double(F.col(vec_col))
+    n_words = F.ceil(F.size(vec) / F.lit(32)).cast("int")
+    sig = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        # zip_with pads the short final slice with NULLs; NULL >= 0 is
+        # NULL, so tail bits fall through to the 0 branch — ragged
+        # dimensions never set phantom bits.
+        lambda w: F.aggregate(
+            F.zip_with(
+                F.slice(vec, w * 32 + 1, F.lit(32)),
+                weights,
+                lambda x, wt: F.when(x >= 0, wt).otherwise(
+                    F.lit(0).cast("bigint")
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc + b,
+        ),
+    )
+    return vectors.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed signatures: popcount of the
+    per-word XOR, folded left — all JVM integer ops inside codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _bq_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """All (query, neighbor, hamming) pairs over packed signatures —
+    the shared scan of :func:`bq_hamming_topk` and :func:`bq_topk`.
+    Query signatures broadcast; the corpus signature table streams
+    through one map stage (16 bytes/row at 64 dims) and never
+    shuffles; self-matches excluded."""
+    c_sig = bq_signature(corpus, vec_col, id_col).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    q_sig = F.broadcast(
+        bq_signature(queries, vec_col, id_col).select(
+            F.col("vec_id").alias("query_id"), F.col("sig").alias("q_sig")
+        )
+    )
+    return (
+        c_sig.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .crossJoin(q_sig)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            hamming(F.col("sig"), F.col("q_sig")).alias("hamming"),
+        )
+    )
+
+
+def bq_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pure-Hamming top-k over binary signatures — the fully
+    hash-checkable BQ primitive: every score is an integer, so rank
+    membership AND the score itself replay exactly in any engine
+    (ties → lower neighbor id, the repo-wide rule).  The quality
+    trade (1 bit/dim vs 8 for SQ8) is measured by the recall pytest,
+    not trusted."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        _bq_scored(corpus, queries, vec_col, id_col)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )
+
+
+def bq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-stage BQ ANN, the product shape: Hamming shortlist over the
+    32:1-compressed signature table, exact-cosine rerank of the
+    ``|queries| · shortlist`` survivors only (same 4-dp + neighbor-id
+    ranking rule as the SQ/PQ families).  Both stages are engine-exact
+    — integer Hamming decides shortlist membership, rounded cosine
+    decides final rank — so unlike PQ's float ADC the WHOLE two-stage
+    pipeline hash-checks against DuckDB.
+
+    At 100 TB: the full-precision corpus is read once to encode
+    (map-only) and once more for the tiny shortlist join; every
+    whole-collection scan touches 2 BIGINTs per row.  The same
+    IVF-gating that prunes the SQ scan composes here unchanged (cell
+    tags come from the float vectors, the in-cell scan from the
+    signatures)."""
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    short = (
+        _bq_scored(corpus, queries, vec_col, id_col)
+        .withColumn("srank", F.row_number().over(w1))
+        .filter(F.col("srank") <= shortlist)
+        .drop("srank")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    rer = (
+        short.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "cosine", F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
+        )
+    )
+    return _rank_per_query(rer, k, extra_cols=("hamming",), rank_type="long")

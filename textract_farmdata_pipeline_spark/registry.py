@@ -8476,3 +8476,142 @@ def _curriculum_phases_from(spark, ranged):
     )
     # 4-row result: materialize it, then the checkpoint is releasable.
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+# =========================================================================
+# Round 7: binary-quantization ANN + leakage-safe dataset split
+# =========================================================================
+
+# Sign bits packed 32/BIGINT word (bit 63 would flip the sign and
+# engines disagree on 1<<63 overflow; two positive words are portable),
+# Hamming = SUM(bit_count(xor)) per word pair — every score an exact
+# integer, so BQ is the second compressed-ANN family (after SQ8) whose
+# ranking the oracle replays outright rather than trusting recall.
+_BQ_SIG_CTES = """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vd AS (
+  SELECT vec_id, i, e[i] AS x
+  FROM v, LATERAL unnest(generate_series(1, len(e))) AS u(i)
+),
+sig AS (
+  SELECT vec_id, CAST((i - 1) // 32 AS INT) AS w,
+    CAST(SUM(CASE WHEN x >= 0
+         THEN CAST(1 AS BIGINT) << CAST((i - 1) % 32 AS INT)
+         ELSE 0 END) AS BIGINT) AS word
+  FROM vd GROUP BY vec_id, (i - 1) // 32
+),
+ham AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(SUM(bit_count(xor(c.word, q.word))) AS BIGINT) AS hamming
+  FROM sig c JOIN sig q ON c.w = q.w
+  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+)"""
+
+_BQ_PORTABLE_ORACLE = f"""
+WITH {_BQ_SIG_CTES}
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, hamming FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY hamming ASC, neighbor_id ASC) AS rank
+  FROM ham) r
+WHERE rank <= 5
+"""
+
+_BQ_TOPK_ORACLE = f"""
+WITH {_BQ_SIG_CTES},
+short AS (
+  SELECT query_id, neighbor_id, hamming FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY hamming ASC, neighbor_id ASC) AS srank
+    FROM ham) s
+  WHERE srank <= 50
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+    round(list_dot_product(q.e, c.e)
+          / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 4)
+      AS cosine
+  FROM short s
+  JOIN v c ON c.vec_id = s.neighbor_id
+  JOIN v q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, hamming, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rer) r
+WHERE rank <= 5
+"""
+
+
+@register("embedding_bq_portable", _BQ_PORTABLE_ORACLE)
+def embedding_bq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Hamming top-k over 1-bit binary signatures (32:1
+    compression at 64 dims) — the BQ primitive whose every score is an
+    exact integer, so the oracle hash-checks rank AND distance.  Sign
+    packing, XOR-popcount fold, and the (hamming asc, neighbor id asc)
+    tie-break all replay bit-identically in DuckDB."""
+    from .operators.similarity import bq_hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bq_hamming_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@register("embedding_bq_topk", _BQ_TOPK_ORACLE)
+def embedding_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage BQ ANN, the product shape: integer-Hamming shortlist
+    of 50 over the packed signature table (2 BIGINTs/row scanned
+    instead of 64 floats), exact-cosine rerank to top 5 (4 dp +
+    neighbor-id tie-break, the repo-wide rule).  Completes the
+    compressed-ANN family — SQ8 (8 bit/dim), PQ (codebook), BQ
+    (1 bit/dim) — with BOTH of BQ's stages hash-checked end to end;
+    recall vs the exact scan is measured by pytest, not trusted."""
+    from .operators.similarity import bq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bq_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, shortlist=50)
+
+
+# Same md5-bucket split as doc_dataset_split, keyed on the near-dup
+# CLUSTER id instead of the doc id: near-duplicates land in the same
+# split by construction, so a train doc can never leak into eval as a
+# 95%-identical twin.  The cluster stage is the hash-green
+# dedup_clusters_portable chain verbatim.
+_LEAKAGE_SPLIT_ORACLE = f"""
+SELECT doc_id, cluster_id,
+  CASE
+    WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT)
+         % 100 < 90 THEN 'train'
+    WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT)
+         % 100 < 95 THEN 'val'
+    ELSE 'test' END AS split
+FROM ({_NEARDUP_CLUSTERS_PORTABLE_ORACLE}) clusters
+"""
+
+
+@register("doc_split_leakage_safe", _LEAKAGE_SPLIT_ORACLE)
+def doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: documents are assigned to
+    splits BY NEAR-DUP CLUSTER (exact-collapse → portable-minhash LSH
+    → verified edges → connected components), then the deterministic
+    md5 bucket of the CLUSTER id picks the split — so a document and
+    its near-duplicates always land together and eval can't score
+    memorized twins of training docs.  ``doc_dataset_split`` is the
+    per-doc baseline this replaces when dedup has NOT already removed
+    near-dups from the corpus.  Scale shape: the cluster stage is the
+    proven linear near-dup chain; the split itself is one map-side
+    expression — no new shuffles."""
+    from .operators.dedup import near_dup_clusters
+    from .operators.preprocess import dataset_split
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(
+        docs,
+        n_hashes=8,
+        bands=4,
+        threshold=0.5,
+        shingle_n=3,
+        max_bucket_size=None,
+        hash_family="md5",
+    )
+    return dataset_split(clusters, id_col="cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )

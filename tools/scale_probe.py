@@ -118,6 +118,17 @@ PROBE = (
     "embedding_matryoshka_recall",
     "dedup_lsh_eval",
     "doc_compressibility",
+    # round-7 additions
+    "embedding_ivf_hot_split",
+    "doc_quality_gate_compress",
+    "dedup_containment_excerpts",
+    "corpus_source_gate",
+    "dedup_lsh_eval_sampled",
+    "dedup_lsh_eval_budget",
+    "corpus_build_source_gated",
+    "embedding_bq_portable",
+    "embedding_bq_topk",
+    "doc_split_leakage_safe",
 )
 
 KEYED = {
