@@ -138,6 +138,8 @@ HEADLINE = (
     "embedding_bq_portable",
     "embedding_bq_topk",
     "doc_split_leakage_safe",
+    # r07: the IVF gate composed over the BQ scan — all-integer stage 1
+    "embedding_bq_ivf_topk",
 )
 
 

@@ -4122,3 +4122,100 @@ class TestLeakageSafeSplit:
         )
         drows = sorted(con.execute(ORACLES[name]).fetchall())
         assert srows == drows
+
+
+class TestBqIvf:
+    """IVF-gated BQ: recall vs the full Hamming scan on clustered
+    data, the pruned scan fraction, and exact DuckDB parity for the
+    all-integer gated pipeline."""
+
+    def _clustered(self, spark):
+        def lcg(seed):
+            x = seed
+            while True:
+                x = (1103515245 * x + 12345) % (1 << 31)
+                yield x / (1 << 31)
+
+        rnd = lcg(7)
+        dim, n_clusters, per = 64, 12, 40
+        centers = [
+            [next(rnd) * 2 - 1 for _ in range(dim)] for _ in range(n_clusters)
+        ]
+        rows = []
+        vid = 0
+        for c in centers:
+            for _ in range(per):
+                rows.append((vid, [x + (next(rnd) - 0.5) * 0.15 for x in c]))
+                vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_recall_vs_full_scan_on_clustered_corpus(self, spark):
+        """Gated recall vs the FULL Hamming-shortlist scan (measured
+        1.0 at n_probe=2 on the planted clusters — pin ≥ 0.9 at 4)."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            bq_ivf_topk,
+            bq_topk,
+        )
+
+        df = self._clustered(spark)
+        queries = df.orderBy("vec_id").limit(10)
+        truth = {
+            (r["query_id"], r["neighbor_id"])
+            for r in bq_topk(df, queries, k=10, shortlist=50).collect()
+        }
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in bq_ivf_topk(
+                df, queries, k=10, n_probe=4, shortlist=50
+            ).collect()
+        }
+        assert len(truth) == 100
+        recall = len(truth & got) / len(truth)
+        assert recall >= 0.9, f"IVF-gated BQ recall {recall} < 0.9"
+
+    def test_scan_fraction_is_pruned(self, spark):
+        """The candidate rows actually scored are the probed cells'
+        members only — a strict subset of the corpus, not all of it."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            _anchor_hamming_array,
+            _probe_cells,
+            bq_anchor_signatures,
+            bq_encode_ivf,
+            bq_signature,
+        )
+
+        df = self._clustered(spark)
+        queries = df.orderBy("vec_id").limit(10)
+        anchors = bq_anchor_signatures(df, k_coarse=16)
+        codes = bq_encode_ivf(df, anchors)
+        sizes = codes.groupBy("cell").agg(F.count("*").alias("n"))
+        probe = _probe_cells(
+            bq_signature(queries),
+            F.transform(
+                _anchor_hamming_array(F.col("sig"), anchors), lambda d: -d
+            ),
+            4,
+            "vec_id",
+        )
+        scanned = probe.join(sizes, "cell").agg(F.sum("n")).first()[0]
+        total, nq = df.count(), 10
+        frac = scanned / (total * nq)
+        assert frac < 0.55, f"probed scan fraction {frac} — cells too unbalanced"
+
+    def test_matches_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        name = "embedding_bq_ivf_topk"
+        srows = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES[name]).fetchall())
+        assert srows == drows
+        assert len(srows) > 0 and len(srows) % 5 == 0

@@ -2833,18 +2833,35 @@ def bq_topk(
 
     At 100 TB: the full-precision corpus is read once to encode
     (map-only) and once more for the tiny shortlist join; every
-    whole-collection scan touches 2 BIGINTs per row.  The same
-    IVF-gating that prunes the SQ scan composes here unchanged (cell
-    tags come from the float vectors, the in-cell scan from the
-    signatures)."""
+    whole-collection scan touches 2 BIGINTs per row.  For the scan
+    itself to prune too, compose the IVF gate: :func:`bq_ivf_topk`."""
+    return _bq_shortlist_rerank(
+        _bq_scored(corpus, queries, vec_col, id_col),
+        corpus, queries, k, shortlist, vec_col, id_col, round_digits,
+    )
+
+
+def _bq_shortlist_rerank(
+    scored: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    shortlist: int,
+    vec_col: str,
+    id_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """Stage 2 shared by :func:`bq_topk` and :func:`bq_ivf_topk`:
+    integer-Hamming shortlist window, then exact-cosine rerank of the
+    ``|queries| · shortlist`` survivors only (one definition, so the
+    gated scan cannot drift from the full scan on ranking rules)."""
     from pyspark.sql.window import Window
 
     w1 = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("neighbor_id")
     )
     short = (
-        _bq_scored(corpus, queries, vec_col, id_col)
-        .withColumn("srank", F.row_number().over(w1))
+        scored.withColumn("srank", F.row_number().over(w1))
         .filter(F.col("srank") <= shortlist)
         .drop("srank")
     )
@@ -2862,3 +2879,121 @@ def bq_topk(
         )
     )
     return _rank_per_query(rer, k, extra_cols=("hamming",), rank_type="long")
+
+
+def bq_anchor_signatures(
+    corpus: DataFrame,
+    k_coarse: int = 16,
+    seed: str = "bqivf|",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[int]]:
+    """Engine-portable coarse quantizer for BQ-IVF: the ``k_coarse``
+    corpus vectors with the smallest ``md5(seed || id)`` buckets, as
+    packed binary signatures — the :func:`sq_anchor_codes` sampling
+    rule applied in HAMMING space, so cell assignment needs no float
+    at all (argmin of integer popcount distances, ties → lower anchor
+    index).  Selection is a distributed top-k (``orderBy().limit()``)
+    and the collect is exactly ``k_coarse`` tiny rows."""
+    from .dedup import md5_long
+
+    rows = (
+        bq_signature(corpus, vec_col, id_col)
+        .withColumn("_b", md5_long(F.col("vec_id").cast("string"), seed))
+        .orderBy(F.asc("_b"), F.asc("vec_id"))
+        .limit(k_coarse)
+        .select("sig")
+        .collect()
+    )
+    return [list(r["sig"]) for r in rows]
+
+
+def _anchor_hamming_array(
+    sig_col: Column, anchors: Sequence[Sequence[int]]
+) -> Column:
+    """Array of per-anchor Hamming distances (anchor signatures ship
+    as literals — k_coarse · words BIGINTs in the task closure)."""
+    return F.array(
+        *[
+            hamming(sig_col, F.array(*[F.lit(w).cast("bigint") for w in a]))
+            for a in anchors
+        ]
+    )
+
+
+def bq_encode_ivf(
+    vectors: DataFrame,
+    anchors: Sequence[Sequence[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cell-tagged binary signatures ``(vec_id, cell, sig)``: each
+    vector's nearest anchor by integer Hamming (1-based, ties → lower
+    anchor index — ``array_position`` returns the FIRST minimum, the
+    exact twin of the oracle's ``ROW_NUMBER ... d ASC, j ASC``).  One
+    map-only select, then ``repartition("cell")`` — the IVF posting-
+    list layout, and the projection barrier that keeps the packing
+    chain from being re-inlined into every downstream reference (the
+    :func:`sq_encode_ivf` lesson)."""
+    d = _anchor_hamming_array(F.col("sig"), anchors)
+    cell = F.array_position(d, F.array_min(d)).cast("int")
+    return (
+        bq_signature(vectors, vec_col, id_col)
+        .select("vec_id", cell.alias("cell"), "sig")
+        .repartition("cell")
+    )
+
+
+def bq_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 50,
+    k_coarse: int = 16,
+    seed: str = "bqivf|",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-gated BQ ANN — the fully hash-checkable gated compressed
+    scan with ZERO floats before the rerank: md5-sampled anchor
+    signatures are the coarse quantizer, cell assignment and query
+    probing are integer-Hamming argmins, and the gated scan joins the
+    cell-tagged signature table to the broadcast (query, probed cell)
+    table ON THE CELL ID — Catalyst prunes every non-probed cell at
+    the join, so ≈ n_probe/k_coarse of the 2-BIGINT rows are scored
+    instead of all of them (the gap :func:`bq_topk` leaves open).
+    Stage 2 is the shared exact-cosine rerank.  Every stage-1 quantity
+    is an exact integer — no IEEE chain at all, which makes this the
+    most portable gated scan in the compressed-ANN family (SQ's cell
+    scores still divide through a sqrt)."""
+    anchors = bq_anchor_signatures(corpus, k_coarse, seed, vec_col, id_col)
+    codes = bq_encode_ivf(corpus, anchors, vec_col, id_col)
+    q_sig = bq_signature(queries, vec_col, id_col)
+    # _probe_cells ranks score DESC; negated Hamming makes that
+    # (distance ASC, cell index ASC) — the oracle's probe order.
+    probe = _probe_cells(
+        q_sig,
+        F.transform(_anchor_hamming_array(F.col("sig"), anchors), lambda d: -d),
+        n_probe,
+        "vec_id",
+    )
+    q = probe.join(
+        q_sig.select(
+            F.col("vec_id").alias("query_id"), F.col("sig").alias("q_sig")
+        ),
+        "query_id",
+    )
+    scored = (
+        codes.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            hamming(F.col("sig"), F.col("q_sig")).alias("hamming"),
+        )
+    )
+    return _bq_shortlist_rerank(
+        scored, corpus, queries, k, shortlist, vec_col, id_col, round_digits
+    )

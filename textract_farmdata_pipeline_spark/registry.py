@@ -8487,7 +8487,7 @@ def _curriculum_phases_from(spark, ranged):
 # Hamming = SUM(bit_count(xor)) per word pair — every score an exact
 # integer, so BQ is the second compressed-ANN family (after SQ8) whose
 # ranking the oracle replays outright rather than trusting recall.
-_BQ_SIG_CTES = """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+_BQ_SIG_BASE = """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 vd AS (
   SELECT vec_id, i, e[i] AS x
   FROM v, LATERAL unnest(generate_series(1, len(e))) AS u(i)
@@ -8498,7 +8498,11 @@ sig AS (
          THEN CAST(1 AS BIGINT) << CAST((i - 1) % 32 AS INT)
          ELSE 0 END) AS BIGINT) AS word
   FROM vd GROUP BY vec_id, (i - 1) // 32
-),
+)"""
+
+_BQ_SIG_CTES = (
+    _BQ_SIG_BASE
+    + """,
 ham AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
     CAST(SUM(bit_count(xor(c.word, q.word))) AS BIGINT) AS hamming
@@ -8506,19 +8510,11 @@ ham AS (
   WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
   GROUP BY q.vec_id, c.vec_id
 )"""
+)
 
-_BQ_PORTABLE_ORACLE = f"""
-WITH {_BQ_SIG_CTES}
-SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, hamming FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY hamming ASC, neighbor_id ASC) AS rank
-  FROM ham) r
-WHERE rank <= 5
-"""
-
-_BQ_TOPK_ORACLE = f"""
-WITH {_BQ_SIG_CTES},
-short AS (
+# Shared tail: Hamming shortlist of 50, exact-cosine rerank to top 5
+# (4 dp + neighbor-id tie-break — the repo-wide ranking rule).
+_BQ_TAIL = """short AS (
   SELECT query_id, neighbor_id, hamming FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY hamming ASC, neighbor_id ASC) AS srank
@@ -8540,6 +8536,62 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, hamming, cosine FROM
   FROM rer) r
 WHERE rank <= 5
 """
+
+_BQ_PORTABLE_ORACLE = f"""
+WITH {_BQ_SIG_CTES}
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, hamming FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY hamming ASC, neighbor_id ASC) AS rank
+  FROM ham) r
+WHERE rank <= 5
+"""
+
+_BQ_TOPK_ORACLE = f"""
+WITH {_BQ_SIG_CTES},
+{_BQ_TAIL}"""
+
+# IVF-gated twin: md5-sampled anchor SIGNATURES are the coarse
+# quantizer, so cell assignment and query probing are integer-Hamming
+# argmins — zero IEEE ops anywhere in stage 1 (even SQ's cell gate
+# divides through a sqrt).  The oracle replays the PRUNED candidate
+# set: `ham` only covers (query, neighbor) pairs sharing a probed
+# cell, verifying what the gated scan was allowed to touch.
+_BQ_IVF_ORACLE = f"""
+WITH {_BQ_SIG_BASE},
+a16 AS (
+  SELECT aid, j FROM (
+    SELECT vec_id AS aid,
+      ROW_NUMBER() OVER (ORDER BY
+        CAST(('0x' || substr(md5('bqivf|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC,
+        vec_id ASC) AS j
+    FROM v) ranked
+  WHERE j <= 16
+),
+asig AS (SELECT a16.j, s.w, s.word FROM sig s JOIN a16 ON s.vec_id = a16.aid),
+celld AS (
+  SELECT s.vec_id, a.j, CAST(SUM(bit_count(xor(s.word, a.word))) AS BIGINT) AS d
+  FROM sig s JOIN asig a ON a.w = s.w
+  GROUP BY s.vec_id, a.j
+),
+rankedcells AS (
+  SELECT vec_id, j,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, j ASC) AS rk
+  FROM celld
+),
+cells AS (SELECT vec_id, j AS cell FROM rankedcells WHERE rk = 1),
+qcells AS (SELECT vec_id AS query_id, j AS cell
+           FROM rankedcells WHERE rk <= 4 AND vec_id < 20),
+ham AS (
+  SELECT qc.query_id, c.vec_id AS neighbor_id,
+    CAST(SUM(bit_count(xor(c.word, q.word))) AS BIGINT) AS hamming
+  FROM sig c
+  JOIN cells ce ON ce.vec_id = c.vec_id
+  JOIN qcells qc ON qc.cell = ce.cell
+  JOIN sig q ON q.vec_id = qc.query_id AND q.w = c.w
+  WHERE c.vec_id <> qc.query_id
+  GROUP BY qc.query_id, c.vec_id
+),
+{_BQ_TAIL}"""
 
 
 @register("embedding_bq_portable", _BQ_PORTABLE_ORACLE)
@@ -8568,6 +8620,27 @@ def embedding_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return bq_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, shortlist=50)
+
+
+@register("embedding_bq_ivf_topk", _BQ_IVF_ORACLE)
+def embedding_bq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-gated BQ ANN, hash-checked end to end: 16 md5-sampled
+    anchor SIGNATURES coarse-quantize the corpus in pure Hamming space
+    (integer argmin, ties → lower anchor index), each query scans only
+    its n_probe=4 nearest cells through a cell-id equality join
+    (≈ n_probe/k_coarse of the 2-BIGINT signature rows instead of the
+    full ``embedding_bq_topk`` scan), then the shared exact-cosine
+    rerank.  Stage 1 contains NO floating point at all — the most
+    portable gated scan in the compressed-ANN family (SQ's gate still
+    divides through a sqrt); the oracle replays the pruned candidate
+    set itself, verifying what the scan was allowed to touch."""
+    from .operators.similarity import bq_ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bq_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20),
+        k=5, n_probe=4, shortlist=50, k_coarse=16,
+    )
 
 
 # Same md5-bucket split as doc_dataset_split, keyed on the near-dup
