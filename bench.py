@@ -140,6 +140,9 @@ HEADLINE = (
     "doc_split_leakage_safe",
     # r07: the IVF gate composed over the BQ scan — all-integer stage 1
     "embedding_bq_ivf_topk",
+    # r07: measured compressed-ANN quality report (retrieval twin of
+    # the LSH eval — every method's ranking independently oracle-green)
+    "embedding_ann_eval",
 )
 
 

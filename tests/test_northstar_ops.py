@@ -4219,3 +4219,42 @@ class TestBqIvf:
         drows = sorted(con.execute(ORACLES[name]).fetchall())
         assert srows == drows
         assert len(srows) > 0 and len(srows) % 5 == 0
+
+
+class TestAnnEval:
+    """The measured ANN quality report: metric invariants (exact
+    scores itself perfectly; no method beats exact; rr60 bounded by
+    60·n) and full DuckDB parity of the 4-method table."""
+
+    def test_invariants_and_sanity_row(self, spark, sf_dir):
+        from textract_farmdata_pipeline_spark.registry import QUERIES
+
+        rows = {
+            r["method"]: r
+            for r in QUERIES["embedding_ann_eval"](spark, sf_dir).collect()
+        }
+        assert set(rows) == {"exact", "sq8", "bq", "bq_ivf"}
+        ex = rows["exact"]
+        n = ex["n_queries"]
+        assert ex["hits_at_5"] == 5 * n and ex["rr60_sum"] == 60 * n
+        assert ex["mrr"] == 1.0
+        for m, r in rows.items():
+            assert r["n_queries"] == n
+            assert 0 <= r["hits_at_5"] <= 5 * n
+            assert 0 <= r["rr60_sum"] <= 60 * n
+            assert r["hits_at_5"] <= ex["hits_at_5"]
+
+    def test_matches_oracle(self, spark, sf_dir):
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES, QUERIES
+
+        name = "embedding_ann_eval"
+        srows = sorted(tuple(r) for r in QUERIES[name](spark, sf_dir).collect())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES[name]).fetchall())
+        assert srows == drows

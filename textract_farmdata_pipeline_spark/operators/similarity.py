@@ -2997,3 +2997,85 @@ def bq_ivf_topk(
     return _bq_shortlist_rerank(
         scored, corpus, queries, k, shortlist, vec_col, id_col, round_digits
     )
+
+
+def ann_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Measured ANN quality report — the retrieval twin of the dedup
+    stack's ``lsh_eval_report``: run the compressed-ANN family (SQ8
+    full scan, BQ full scan, IVF-gated BQ) beside the EXACT
+    brute-force cosine top-k and score each against it, so the
+    recall/rank trade of every quantizer is a number in a table, not a
+    docstring claim.  One row per method:
+
+    - ``hits_at_5``: how many of the method's returned pairs are in
+      the exact top-k (integer set intersection);
+    - ``rr60_sum``: Σ per query of ``60 div rank-of-the-true-top-1``
+      (0 when absent) — 60 is lcm(1..5), so every reciprocal rank is
+      an exact INTEGER and the sum hash-checks;
+    - ``mrr``: ``rr60_sum / (60·n_queries)``, the one IEEE division.
+
+    The exact method scores itself (recall 1, mrr 1) as the sanity
+    row.  All four rankings are already oracle-replayable, so the
+    whole report is hash-checked — a quality measurement you can trust
+    across engines.  Run-on-a-sample diagnostic by contract: the
+    query set bounds every method's cost, and the exact leg is the
+    same broadcast scan ``cosine_topk`` always does."""
+    exact = cosine_topk(corpus, queries, k=k).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+    methods = {
+        "exact": exact,
+        "sq8": sq_topk(corpus, queries, k=k, shortlist=50),
+        "bq": bq_topk(corpus, queries, k=k, shortlist=50),
+        "bq_ivf": bq_ivf_topk(corpus, queries, k=k, n_probe=4, shortlist=50),
+    }
+    truth = exact.select("query_id", "neighbor_id").withColumn("_t", F.lit(1))
+    top1 = exact.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("_top1")
+    )
+    nq = exact.agg(F.count_distinct("query_id").alias("n_queries"))
+    rows = []
+    for name, m in methods.items():
+        pairs = m.select(
+            "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+        )
+        agg = (
+            pairs.join(truth, ["query_id", "neighbor_id"], "left")
+            .join(F.broadcast(top1), "query_id", "left")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_t") == 1, 1).otherwise(0)), F.lit(0)
+                ).cast("long").alias("hits_at_5"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("neighbor_id") == F.col("_top1"),
+                            F.expr("60 div rank"),
+                        ).otherwise(F.lit(0).cast("long"))
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("rr60_sum"),
+            )
+        )
+        rows.append(
+            agg.crossJoin(F.broadcast(nq)).select(
+                F.lit(name).alias("method"),
+                F.col("n_queries").cast("long").alias("n_queries"),
+                "hits_at_5",
+                "rr60_sum",
+                F.round(
+                    F.col("rr60_sum").cast("double")
+                    / (F.lit(60.0) * F.col("n_queries")),
+                    4,
+                ).alias("mrr"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), rows)

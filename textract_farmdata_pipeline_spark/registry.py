@@ -8643,6 +8643,58 @@ def embedding_bq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Measured ANN eval: every method's ranking is itself oracle-
+# replayable, so the whole quality report hash-checks.  rr60 uses
+# 60 = lcm(1..5): each reciprocal rank is an exact integer, keeping
+# the MRR numerator out of float-summation-order territory.
+_ANN_EVAL_ORACLE = f"""
+WITH truth AS (SELECT query_id, neighbor_id, rank FROM ({_TOPK_ORACLE}) t),
+top1 AS (SELECT query_id, neighbor_id AS top1_id FROM truth WHERE rank = 1),
+nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM truth),
+allm AS (
+  SELECT 'exact' AS method, query_id, neighbor_id, rank FROM truth
+  UNION ALL
+  SELECT 'sq8', query_id, neighbor_id, rank FROM ({_SQ_TOPK_ORACLE}) t
+  UNION ALL
+  SELECT 'bq', query_id, neighbor_id, rank FROM ({_BQ_TOPK_ORACLE}) t
+  UNION ALL
+  SELECT 'bq_ivf', query_id, neighbor_id, rank FROM ({_BQ_IVF_ORACLE}) t
+),
+agg AS (
+  SELECT a.method,
+    CAST(SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS hits_at_5,
+    CAST(SUM(CASE WHEN tp.top1_id = a.neighbor_id THEN 60 // a.rank ELSE 0 END)
+         AS BIGINT) AS rr60_sum
+  FROM allm a
+  LEFT JOIN truth t
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+  LEFT JOIN top1 tp ON tp.query_id = a.query_id
+  GROUP BY a.method
+)
+SELECT method, CAST(nq.n AS BIGINT) AS n_queries, hits_at_5, rr60_sum,
+  round(CAST(rr60_sum AS DOUBLE) / (60.0 * nq.n), 4) AS mrr
+FROM agg, nq
+"""
+
+
+@register("embedding_ann_eval", _ANN_EVAL_ORACLE)
+def embedding_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured compressed-ANN quality report — the retrieval twin of
+    ``dedup_lsh_eval``: SQ8, BQ, and IVF-gated BQ each scored against
+    the exact brute-force cosine top-5 (hits@5 and an
+    integer-exact reciprocal-rank sum; 60 = lcm(1..5) makes every
+    1/rank a whole number), with the exact scan as its own sanity row.
+    All four rankings are independently oracle-green, so the report
+    itself hash-checks — recall is measured AND replayed, never
+    trusted.  One row per method at any corpus size; the query set
+    (vec_id < 20) bounds every leg's cost."""
+    from .operators.similarity import ann_eval
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_eval(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
 # Same md5-bucket split as doc_dataset_split, keyed on the near-dup
 # CLUSTER id instead of the doc id: near-duplicates land in the same
 # split by construction, so a train doc can never leak into eval as a

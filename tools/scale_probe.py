@@ -129,6 +129,8 @@ PROBE = (
     "embedding_bq_portable",
     "embedding_bq_topk",
     "doc_split_leakage_safe",
+    "embedding_bq_ivf_topk",
+    "embedding_ann_eval",
 )
 
 KEYED = {
