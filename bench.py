@@ -143,6 +143,9 @@ HEADLINE = (
     # r07: measured compressed-ANN quality report (retrieval twin of
     # the LSH eval — every method's ranking independently oracle-green)
     "embedding_ann_eval",
+    # r07: the split that stays stable as the corpus grows — frozen
+    # existing assignments, inherit-through-links for the batch
+    "doc_split_incremental",
 )
 
 

@@ -4258,3 +4258,112 @@ class TestAnnEval:
         )
         drows = sorted(con.execute(ORACLES[name]).fetchall())
         assert srows == drows
+
+
+class TestIncrementalSplit:
+    """Split stability as the corpus grows: existing assignments are
+    frozen, exact-text batch twins inherit the twin's split, origins
+    partition the output, and the composed oracle replays exactly."""
+
+    @pytest.fixture(scope="class")
+    def parts(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return (
+            docs.filter(F.col("doc_id") % 5 != 0),
+            docs.filter(F.col("doc_id") % 5 == 0),
+        )
+
+    @pytest.fixture(scope="class")
+    def out(self, spark, sf_dir):
+        from textract_farmdata_pipeline_spark.registry import QUERIES
+
+        return QUERIES["doc_split_incremental"](spark, sf_dir).cache()
+
+    def test_existing_assignments_frozen(self, spark, parts, out):
+        """Corpus rows must equal doc_split_leakage_safe run on the
+        corpus ALONE — adding a batch never moves an existing doc."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            near_dup_clusters,
+        )
+        from textract_farmdata_pipeline_spark.operators.preprocess import (
+            dataset_split,
+        )
+
+        corpus, _ = parts
+        alone = dataset_split(
+            near_dup_clusters(
+                corpus, n_hashes=8, bands=4, threshold=0.5, shingle_n=3,
+                max_bucket_size=None, hash_family="md5",
+            ),
+            id_col="cluster_id",
+        ).select("doc_id", "split")
+        got = out.filter(F.col("origin") == "existing").select("doc_id", "split")
+        assert sorted(map(tuple, alone.collect())) == sorted(
+            map(tuple, got.collect())
+        )
+
+    def test_planted_twins_inherit_and_novel_is_fresh(self, spark):
+        """On a planted corpus/batch: an exact batch twin of a corpus
+        doc inherits its split; a NEAR-dup of that twin (linked only
+        through the batch-internal edge) inherits too; a novel doc is
+        'fresh'; and existing rows keep their standalone assignment."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            incremental_leakage_split,
+        )
+
+        base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        corpus = spark.createDataFrame(
+            [
+                (1, base_text),
+                (2, "one two three four five six seven eight nine ten"),
+                (3, "red orange yellow green blue indigo violet pink black white"),
+            ],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, base_text),  # exact twin of corpus doc 1
+                # near-dup of doc 10 (one token changed) — its corpus
+                # link may be direct or only via the batch edge
+                (11, base_text.replace("kappa", "lambda")),
+                (12, "totally novel content unlike anything in the corpus here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["split"], r["origin"])
+            for r in incremental_leakage_split(corpus, batch).collect()
+        }
+        assert set(out) == {1, 2, 3, 10, 11, 12}
+        assert out[1][1] == out[2][1] == out[3][1] == "existing"
+        # the exact twin and its batch near-dup both inherit doc 1's split
+        assert out[10] == (out[1][0], "inherited")
+        assert out[11] == (out[1][0], "inherited")
+        assert out[12][1] == "fresh"
+
+    def test_origins_partition_output(self, spark, parts, out):
+        corpus, batch = parts
+        by_origin = {
+            r["origin"]: r["n"]
+            for r in out.groupBy("origin").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_origin.get("existing", 0) == corpus.count()
+        assert (
+            by_origin.get("inherited", 0) + by_origin.get("fresh", 0)
+            == batch.count()
+        )
+        assert out.count() == corpus.count() + batch.count()
+
+    def test_matches_oracle(self, spark, sf_dir, out):
+        import duckdb
+
+        from textract_farmdata_pipeline_spark.registry import ORACLES
+
+        srows = sorted(tuple(r) for r in out.collect())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        drows = sorted(con.execute(ORACLES["doc_split_incremental"]).fetchall())
+        assert srows == drows

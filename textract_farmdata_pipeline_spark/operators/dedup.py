@@ -1370,3 +1370,193 @@ def lsh_eval_report(
             ).alias("candidate_precision"),
         )
     )
+
+
+def incremental_leakage_split(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    hash_family: str = "md5",
+    weights: tuple[int, int, int] = (90, 5, 5),
+) -> DataFrame:
+    """Leakage-safe dataset split that stays STABLE as the corpus
+    grows — the production form of ``doc_split_leakage_safe``, whose
+    cluster-keyed assignment can silently flip an existing doc's split
+    when a new arrival merges two clusters (cluster id = min member
+    id, and a bridge doc changes the min).  Here existing assignments
+    are FROZEN and only the batch is decided:
+
+    1. the corpus keeps its cluster-atomic md5-bucket split verbatim
+       (``origin='existing'`` — re-running never moves an eval doc);
+    2. batch docs exact-collapse and LSH-link against the corpus (the
+       :func:`incremental_minhash_dedup` shape — the corpus never
+       self-joins on the batch path);
+    3. batch-internal verified edges cluster the batch by connected
+       components, so a batch doc that near-dups ANOTHER BATCH DOC
+       that links to the corpus inherits too (no within-batch
+       straddle);
+    4. each batch cluster with ≥1 verified corpus link inherits the
+       split of its MINIMUM linked corpus doc (``origin='inherited'``);
+       clusters with none get the md5-bucket split of their own
+       cluster id (``origin='fresh'``).
+
+    Scale shape: stage 1 is the proven linear near-dup chain; the
+    batch path is |batch|-proportional (banded candidates + verify);
+    the resolution joins are per-cluster, never per-pair.  With the
+    md5 family every stage — links, components (4-round unrollable),
+    bucket arithmetic — replays in ANSI SQL, so split stability is
+    hash-checked, not promised."""
+    from .preprocess import dataset_split
+
+    portable = hash_family == "md5"
+    base = dataset_split(
+        near_dup_clusters(
+            corpus,
+            n_hashes=n_hashes,
+            bands=bands,
+            threshold=threshold,
+            shingle_n=shingle_n,
+            max_bucket_size=None,
+            hash_family=hash_family,
+        ),
+        id_col="cluster_id",
+        weights=weights,
+    ).select("doc_id", "split")
+
+    newg = batch.select("doc_id", "text").withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("text"))
+    )
+    new_reps = newg.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
+    )
+    corpg = corpus.select("doc_id", "text").withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("text"))
+    )
+    corp_reps = corpg.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
+    )
+
+    new_banded = band_buckets(
+        minhash_signatures(new_reps, n_hashes, shingle_n, hash_family=hash_family),
+        n_hashes,
+        bands,
+        portable=portable,
+    )
+    corp_banded = band_buckets(
+        minhash_signatures(corp_reps, n_hashes, shingle_n, hash_family=hash_family),
+        n_hashes,
+        bands,
+        portable=portable,
+    )
+
+    if portable:
+        hashed_sh = shingles(F.col("text"), shingle_n)
+    else:
+        hashed_sh = F.array_distinct(
+            F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
+        )
+    nsh = new_reps.select("doc_id", hashed_sh.alias("sa")).withColumn(
+        "sza", F.size("sa")
+    )
+    csh = (
+        corp_reps.select("doc_id", hashed_sh.alias("sb"))
+        .withColumn("szb", F.size("sb"))
+        .withColumnRenamed("doc_id", "cand")
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jaccard = inter.cast("double") / (
+        F.col("sza") + F.col("szb") - inter
+    ).cast("double")
+
+    vs_corpus = (
+        new_banded.alias("x")
+        .join(
+            corp_banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
+        .distinct()
+    )
+    corp_links = (
+        vs_corpus.join(nsh, "doc_id")
+        .join(csh, "cand")
+        .filter(jaccard >= threshold)
+        .groupBy("doc_id")
+        .agg(F.min("cand").alias("corp_min"))
+        .withColumnRenamed("doc_id", "rep_id")
+    )
+
+    nsh_b = nsh.select(
+        F.col("doc_id").alias("cand"),
+        F.col("sa").alias("sb"),
+        F.col("sza").alias("szb"),
+    )
+    vs_batch = (
+        new_banded.alias("x")
+        .join(
+            new_banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
+        .distinct()
+    )
+    bedges = (
+        vs_batch.join(nsh, "doc_id")
+        .join(nsh_b, "cand")
+        .filter(jaccard >= threshold)
+        .select(F.col("doc_id").alias("doc_a"), F.col("cand").alias("doc_b"))
+    )
+    bcl = connected_components(bedges).withColumnRenamed("node", "rep_id")
+    bclust = (
+        new_reps.select(F.col("doc_id").alias("rep_id"))
+        .join(bcl, "rep_id", "left")
+        .select(
+            "rep_id",
+            F.coalesce(F.col("cluster_id"), F.col("rep_id")).alias("bcluster"),
+        )
+    )
+
+    anchor = (
+        bclust.join(corp_links, "rep_id", "left")
+        .groupBy("bcluster")
+        .agg(F.min("corp_min").alias("corp_anchor"))
+    )
+    resolved = (
+        dataset_split(anchor, id_col="bcluster", weights=weights)
+        .withColumnRenamed("split", "fresh_split")
+        # no broadcast hint: the anchor side is |batch clusters| rows but
+        # a LEFT join can only broadcast its right (corpus-sized) side —
+        # let AQE pick; the join key is one bigint per corpus doc.
+        .join(
+            base.select(
+                F.col("doc_id").alias("corp_anchor"),
+                F.col("split").alias("inherit_split"),
+            ),
+            "corp_anchor",
+            "left",
+        )
+        .select(
+            "bcluster",
+            F.when(
+                F.col("corp_anchor").isNotNull(), F.col("inherit_split")
+            ).otherwise(F.col("fresh_split")).alias("split"),
+            F.when(F.col("corp_anchor").isNotNull(), F.lit("inherited"))
+            .otherwise(F.lit("fresh"))
+            .alias("origin"),
+        )
+    )
+    batch_rows = (
+        newg.select("doc_id", "rep_id")
+        .join(bclust, "rep_id")
+        .join(F.broadcast(resolved), "bcluster")
+        .select("doc_id", "split", "origin")
+    )
+    return base.select(
+        "doc_id", "split", F.lit("existing").alias("origin")
+    ).unionByName(batch_rows)

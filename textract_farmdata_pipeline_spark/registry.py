@@ -8700,6 +8700,20 @@ def embedding_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # split by construction, so a train doc can never leak into eval as a
 # 95%-identical twin.  The cluster stage is the hash-green
 # dedup_clusters_portable chain verbatim.
+def _force_materialized(sql: str) -> str:
+    """Rewrite every CTE in an oracle to ``AS MATERIALIZED`` — pure
+    runtime hint, bit-identical results.  DuckDB inlines a CTE into
+    each reference site; the unrolled min-label rounds reference their
+    predecessor TWICE, so an inlined 4-round chain re-evaluates the
+    whole md5-shingle scaffold ~2⁴ times per component graph (measured
+    on ``doc_split_incremental``'s oracle: 500 s inlined → 0.4 s
+    materialized at sf0.01).  Only oracles with an unrolled fixpoint
+    need this; single-pass chains stay default."""
+    import re
+
+    return re.sub(r"(\b\w+ AS) \(", r"\1 MATERIALIZED (", sql)
+
+
 _LEAKAGE_SPLIT_ORACLE = f"""
 SELECT doc_id, cluster_id,
   CASE
@@ -8710,6 +8724,163 @@ SELECT doc_id, cluster_id,
     ELSE 'test' END AS split
 FROM ({_NEARDUP_CLUSTERS_PORTABLE_ORACLE}) clusters
 """
+_LEAKAGE_SPLIT_ORACLE = _force_materialized(_LEAKAGE_SPLIT_ORACLE)
+
+
+# A prefixable min-label round for a SECOND component problem in the
+# same oracle (the batch-internal graph; `_CC_ROUND` hardcodes e/l{n}).
+_BCC_ROUND = """,
+bl{n} AS (
+  SELECT l.node, LEAST(MIN(l.label), COALESCE(MIN(nl.label), MIN(l.label))) AS label
+  FROM bl{p} l
+  LEFT JOIN be ON be.src = l.node
+  LEFT JOIN bl{p} nl ON nl.node = be.dst
+  GROUP BY l.node
+)"""
+
+
+def _split_case(expr: str) -> str:
+    """The md5-bucket train/val/test CASE, shared verbatim with
+    ``dataset_split`` / ``_SPLIT_ORACLE`` (90/5/5)."""
+    b = f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+    return (
+        f"CASE WHEN {b} < 90 THEN 'train' "
+        f"WHEN {b} < 95 THEN 'val' ELSE 'test' END"
+    )
+
+
+# Incremental form: the corpus keeps its cluster-keyed split verbatim
+# (stage-1 CTEs are the dedup_clusters_portable chain over corpd); the
+# batch links to corpus reps through the incremental two-sided minhash
+# CTEs, clusters internally (4 unrolled min-label rounds over batch
+# edges), and each batch cluster inherits the split of its min linked
+# corpus doc or falls back to the md5 bucket of its own cluster id.
+_INCR_SPLIT_ORACLE = (
+    """
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+corpd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+rep_map AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id, text FROM corpd
+),
+reps AS (SELECT doc_id, text FROM rep_map WHERE doc_id = rep_id),
+"""
+    + _mh_pair_ctes("reps")
+    + """,
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)"""
+    + "".join(_CC_ROUND.format(n=n, p=n - 1) for n in range(1, 5))
+    + f""",
+base AS (
+  SELECT m.doc_id,
+    {_split_case("CAST(COALESCE(lf.label, m.rep_id) AS BIGINT)")} AS split
+  FROM rep_map m LEFT JOIN l4 lf ON lf.node = m.rep_id
+),
+newg AS (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep_id FROM newd
+),
+new_reps AS (SELECT doc_id, text FROM newg WHERE doc_id = rep_id),
+"""
+    + _mh_side_ctes("n", "new_reps")
+    + """,
+vs_corpus AS (
+  SELECT DISTINCT x.doc_id, y.doc_id AS cand
+  FROM nbanded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket
+),
+corp_links AS (
+  SELECT iv.doc_id AS rep_id, min(iv.cand) AS corp_min
+  FROM (
+    SELECT v2.doc_id, v2.cand, count(*) AS i
+    FROM vs_corpus v2
+    JOIN nsh a ON a.doc_id = v2.doc_id
+    JOIN sh b ON b.doc_id = v2.cand AND a.s = b.s
+    GROUP BY v2.doc_id, v2.cand
+  ) iv
+  JOIN nsz sa ON sa.doc_id = iv.doc_id
+  JOIN sz sb ON sb.doc_id = iv.cand
+  WHERE CAST(iv.i AS DOUBLE) / CAST(sa.sz + sb.sz - iv.i AS DOUBLE) >= 0.5
+  GROUP BY iv.doc_id
+),
+vs_batch AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM nbanded x JOIN nbanded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+bverified AS (
+  SELECT iv.doc_a, iv.doc_b FROM (
+    SELECT c.doc_a, c.doc_b, count(*) AS i
+    FROM vs_batch c
+    JOIN nsh a ON a.doc_id = c.doc_a
+    JOIN nsh b ON b.doc_id = c.doc_b AND a.s = b.s
+    GROUP BY c.doc_a, c.doc_b
+  ) iv
+  JOIN nsz sa ON sa.doc_id = iv.doc_a
+  JOIN nsz sb ON sb.doc_id = iv.doc_b
+  WHERE CAST(iv.i AS DOUBLE) / CAST(sa.sz + sb.sz - iv.i AS DOUBLE) >= 0.5
+),
+be AS (
+  SELECT doc_a AS src, doc_b AS dst FROM bverified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM bverified
+),
+bl0 AS (SELECT DISTINCT src AS node, src AS label FROM be)"""
+    + "".join(_BCC_ROUND.format(n=n, p=n - 1) for n in range(1, 5))
+    + f""",
+bclust AS (
+  SELECT r.doc_id AS rep_id,
+    CAST(COALESCE(l.label, r.doc_id) AS BIGINT) AS bcluster
+  FROM new_reps r LEFT JOIN bl4 l ON l.node = r.doc_id
+),
+anchor AS (
+  SELECT bc.bcluster, MIN(cl.corp_min) AS corp_anchor
+  FROM bclust bc LEFT JOIN corp_links cl ON cl.rep_id = bc.rep_id
+  GROUP BY bc.bcluster
+),
+resolved AS (
+  SELECT a.bcluster,
+    CASE WHEN a.corp_anchor IS NOT NULL THEN bs.split
+         ELSE {_split_case("a.bcluster")} END AS split,
+    CASE WHEN a.corp_anchor IS NOT NULL THEN 'inherited'
+         ELSE 'fresh' END AS origin
+  FROM anchor a LEFT JOIN base bs ON bs.doc_id = a.corp_anchor
+)
+SELECT doc_id, split, origin FROM (
+  SELECT doc_id, split, 'existing' AS origin FROM base
+  UNION ALL
+  SELECT m.doc_id, r.split, r.origin
+  FROM newg m
+  JOIN bclust bc ON bc.rep_id = m.rep_id
+  JOIN resolved r ON r.bcluster = bc.bcluster
+) u
+"""
+)
+_INCR_SPLIT_ORACLE = _force_materialized(_INCR_SPLIT_ORACLE)
+
+
+@register("doc_split_incremental", _INCR_SPLIT_ORACLE)
+def doc_split_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split stability as the corpus grows: existing docs keep their
+    cluster-atomic leakage-safe assignment VERBATIM, and only the
+    arriving batch (doc_id % 5 == 0, the repo's incremental-ingest
+    convention) is decided — batch clusters with a verified near-dup
+    link to the corpus inherit the linked doc's split
+    (``origin='inherited'``), link-free clusters get the md5 bucket of
+    their own cluster id (``origin='fresh'``).  Fixes the silent flip
+    ``doc_split_leakage_safe`` allows when a bridge doc merges two
+    clusters and changes the min-id cluster key.  The whole
+    decision — corpus clusters, incremental links, batch components,
+    bucket arithmetic — replays in the oracle."""
+    from .operators.dedup import incremental_leakage_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_leakage_split(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        n_hashes=8, bands=4, threshold=0.5, shingle_n=3, hash_family="md5",
+    )
 
 
 @register("doc_split_leakage_safe", _LEAKAGE_SPLIT_ORACLE)

@@ -131,6 +131,7 @@ PROBE = (
     "doc_split_leakage_safe",
     "embedding_bq_ivf_topk",
     "embedding_ann_eval",
+    "doc_split_incremental",
 )
 
 KEYED = {
