@@ -146,6 +146,9 @@ HEADLINE = (
     # r07: the split that stays stable as the corpus grows — frozen
     # existing assignments, inherit-through-links for the batch
     "doc_split_incremental",
+    # r07: asymmetric BQ (1-bit corpus, float queries) — the measured
+    # upgrade over symmetric Hamming at identical storage
+    "embedding_bq_asym",
 )
 
 

@@ -3034,6 +3034,7 @@ def ann_eval(
         "sq8": sq_topk(corpus, queries, k=k, shortlist=50),
         "bq": bq_topk(corpus, queries, k=k, shortlist=50),
         "bq_ivf": bq_ivf_topk(corpus, queries, k=k, n_probe=4, shortlist=50),
+        "bq_asym": bq_asym_topk(corpus, queries, k=k, shortlist=50),
     }
     truth = exact.select("query_id", "neighbor_id").withColumn("_t", F.lit(1))
     top1 = exact.filter(F.col("rank") == 1).select(
@@ -3079,3 +3080,91 @@ def ann_eval(
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), rows)
+
+
+def bq_unpack_pm1(sig_col: Column, n_dims: Column) -> Column:
+    """Unpack a packed signature back to a ±1.0 ``array<double>`` (bit
+    set → +1, clear → −1) — the corpus side of asymmetric BQ scoring.
+    The bit test is ``floor(word / 2ʲ) % 2``: dividing a < 2³² integer
+    by a power of two only shifts the double's exponent, so the chain
+    is exact and equals the oracle's ``(word >> j) & 1``.  Sliced to
+    the true dimension count so padded high bits of a ragged final
+    word never contribute phantom −1 terms."""
+    powers = F.array(*[F.lit(float(1 << j)) for j in range(32)])
+    bits = F.flatten(
+        F.transform(
+            sig_col,
+            lambda w: F.transform(
+                powers,
+                lambda p: F.when(F.floor(w / p) % 2 == 1, F.lit(1.0)).otherwise(
+                    F.lit(-1.0)
+                ),
+            ),
+        )
+    )
+    return F.slice(bits, 1, n_dims)
+
+
+def bq_asym_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """ASYMMETRIC binary quantization ANN: the corpus stays 1-bit
+    compressed, but each query keeps its full float vector and scores
+    ``dot(q, ±1-unpacked signature)`` — strictly more information per
+    scanned row than symmetric Hamming at the identical 2-BIGINT/row
+    storage cost (the query-side float is free: there are only
+    |queries| of them).  Stage 1 shortlists by the rounded asymmetric
+    dot (fixed-order left fold + 4-dp round BEFORE ranking, the PQ-ADC
+    portability recipe, so the scan hash-checks); stage 2 is the
+    shared exact-cosine rerank.  How much the asymmetry buys is not
+    claimed but measured: ``embedding_ann_eval`` scores this method
+    beside symmetric BQ against the exact scan."""
+    from pyspark.sql.window import Window
+
+    c_sig = bq_signature(corpus, vec_col, id_col).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    q_f = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
+    )
+    adot = F.round(
+        dot(F.col("qv"), bq_unpack_pm1(F.col("sig"), F.size(F.col("qv")))),
+        round_digits,
+    )
+    scored = (
+        c_sig.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        .crossJoin(q_f)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adot.alias("adot"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("adot"), F.asc("neighbor_id")
+    )
+    short = (
+        scored.withColumn("srank", F.row_number().over(w1))
+        .filter(F.col("srank") <= shortlist)
+        .drop("srank")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    rer = (
+        short.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "cosine", F.round(cosine(F.col("qv"), F.col("cv")), round_digits)
+        )
+    )
+    return _rank_per_query(rer, k, extra_cols=("adot",), rank_type="long")

@@ -8643,6 +8643,68 @@ def embedding_bq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Asymmetric BQ: corpus stays 1-bit packed, queries keep their floats;
+# the scan scores dot(q, ±1 bits) — the bit unpack is exact in both
+# engines ((word >> j) & 1 ≡ floor(word/2ʲ) % 2) and the dot is the
+# fixed-order fold + 4-dp round BEFORE ranking (the PQ-ADC recipe).
+_BQ_ASYM_ORACLE = f"""
+WITH {_BQ_SIG_BASE},
+bits AS (
+  SELECT vd.vec_id, vd.i,
+    CASE WHEN ((sg.word >> CAST((vd.i - 1) % 32 AS INT)) & 1) = 1
+         THEN 1.0 ELSE -1.0 END AS pm
+  FROM vd JOIN sig sg
+    ON sg.vec_id = vd.vec_id AND sg.w = (vd.i - 1) // 32
+),
+pmv AS (
+  SELECT vec_id, array_agg(pm ORDER BY i) AS pml FROM bits GROUP BY vec_id
+),
+ascore AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(q.e, c.pml), 4) AS adot
+  FROM v q, pmv c
+  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id, adot FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adot DESC, neighbor_id ASC) AS srank
+    FROM ascore) s
+  WHERE srank <= 50
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id, s.adot,
+    round(list_dot_product(q.e, c.e)
+          / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 4)
+      AS cosine
+  FROM short s
+  JOIN v c ON c.vec_id = s.neighbor_id
+  JOIN v q ON q.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, adot, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rer) r
+WHERE rank <= 5
+"""
+
+
+@register("embedding_bq_asym", _BQ_ASYM_ORACLE)
+def embedding_bq_asym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric BQ ANN: 1-bit corpus, full-float queries — the scan
+    scores ``dot(q, ±1-unpacked signature)`` at the same 2-BIGINT/row
+    storage as symmetric Hamming but with strictly more information
+    per scanned row, then exact-cosine reranks the 50-deep shortlist.
+    Bit unpack and fold are engine-exact (PQ-ADC portability recipe:
+    fixed-order IEEE chain, 4-dp round before ranking), so both stages
+    hash-check; the quality gain over symmetric BQ is MEASURED in
+    ``embedding_ann_eval``, not asserted."""
+    from .operators.similarity import bq_asym_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bq_asym_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, shortlist=50)
+
+
 # Measured ANN eval: every method's ranking is itself oracle-
 # replayable, so the whole quality report hash-checks.  rr60 uses
 # 60 = lcm(1..5): each reciprocal rank is an exact integer, keeping
@@ -8659,6 +8721,8 @@ allm AS (
   SELECT 'bq', query_id, neighbor_id, rank FROM ({_BQ_TOPK_ORACLE}) t
   UNION ALL
   SELECT 'bq_ivf', query_id, neighbor_id, rank FROM ({_BQ_IVF_ORACLE}) t
+  UNION ALL
+  SELECT 'bq_asym', query_id, neighbor_id, rank FROM ({_BQ_ASYM_ORACLE}) t
 ),
 agg AS (
   SELECT a.method,

@@ -132,6 +132,7 @@ PROBE = (
     "embedding_bq_ivf_topk",
     "embedding_ann_eval",
     "doc_split_incremental",
+    "embedding_bq_asym",
 )
 
 KEYED = {
