@@ -149,6 +149,9 @@ HEADLINE = (
     # r07: asymmetric BQ (1-bit corpus, float queries) — the measured
     # upgrade over symmetric Hamming at identical storage
     "embedding_bq_asym",
+    # r07: the streaming split replay (real foreachBatch + MERGE state;
+    # 4 micro-batches of fixed per-batch cost — ×10 ratio 0.91)
+    "doc_split_stream_replay",
 )
 
 

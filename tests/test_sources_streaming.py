@@ -1289,3 +1289,77 @@ class TestStreamingIvfIngest:
             ivf_ingest_stream(stream, [0.0], [1.0], None, bootstrap={3: 7})
         with pytest.raises(ValueError, match="passed together"):
             cms_stream(stream, bootstrap_batch_ids={0, 1})
+
+
+class TestSplitStreamReplay:
+    def test_stream_equals_batch_loop_at_general_threshold(
+        self, spark, tmp_path, sf_dir
+    ):
+        """The streaming split over K micro-batches must equal a
+        driver loop of incremental_split_batch with accumulating state
+        — at threshold 0.5, the GENERAL (LSH-linked) path the plain-SQL
+        oracle can't express."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            incremental_split_batch,
+        )
+        from textract_farmdata_pipeline_spark.streaming import (
+            replay_split_batches,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .limit(60)
+        )
+        k = 3
+        got = sorted(
+            tuple(r)
+            for r in replay_split_batches(
+                docs, str(tmp_path / "replay"), k_batches=k, threshold=0.5
+            ).collect()
+        )
+        # batch-loop reference: same residue batching, same core
+        state = spark.createDataFrame(
+            [], "doc_id long, text string, split string"
+        )
+        want_rows = []
+        for b in range(k):
+            bdf = docs.filter(F.pmod(F.col("doc_id"), F.lit(k)) == b)
+            ann = incremental_split_batch(state, bdf, threshold=0.5)
+            rows = [tuple(r) for r in ann.collect()]
+            want_rows.extend(rows)
+            add = spark.createDataFrame(
+                [(d, s) for d, s, _ in rows], "doc_id long, split string"
+            ).join(bdf, "doc_id").select("doc_id", "text", "split")
+            state = state.unionByName(add).localCheckpoint()
+        assert got == sorted(want_rows)
+
+    def test_near_dup_inherits_across_batches(self, spark, tmp_path):
+        """A LATER batch's near-duplicate (not exact) of an assigned
+        doc must inherit its split through the LSH link — the
+        leakage-safety property under streaming arrival."""
+        from textract_farmdata_pipeline_spark.streaming import (
+            replay_split_batches,
+        )
+
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        rows = [
+            (0, base),  # batch 0 (0 % 2)
+            (2, "one two three four five six seven eight nine ten"),
+            # batch 1: near-dup of doc 0 (one token changed) + novel
+            (1, base.replace("kappa", "KAPPA2")),
+            (3, "completely novel text with no counterpart anywhere here"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["split"], r["origin"])
+            for r in replay_split_batches(
+                docs, str(tmp_path / "replay"), k_batches=2, threshold=0.5
+            ).collect()
+        }
+        assert out[0][1] == "fresh" and out[2][1] == "fresh"
+        assert out[1] == (out[0][0], "inherited")
+        assert out[3][1] == "fresh"

@@ -1425,6 +1425,44 @@ def incremental_leakage_split(
         id_col="cluster_id",
         weights=weights,
     ).select("doc_id", "split")
+    corpus_assigned = corpus.select("doc_id", "text").join(base, "doc_id")
+    batch_rows = incremental_split_batch(
+        corpus_assigned,
+        batch,
+        n_hashes=n_hashes,
+        bands=bands,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        hash_family=hash_family,
+        weights=weights,
+    )
+    return base.select(
+        "doc_id", "split", F.lit("existing").alias("origin")
+    ).unionByName(batch_rows)
+
+
+def incremental_split_batch(
+    corpus_assigned: DataFrame,
+    batch: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    hash_family: str = "md5",
+    weights: tuple[int, int, int] = (90, 5, 5),
+) -> DataFrame:
+    """The per-batch resolution core of :func:`incremental_leakage_split`,
+    factored out so the STREAMING ingest path can call it against a
+    stored assignment table instead of recomputing the corpus split —
+    ``corpus_assigned`` is ``(doc_id, text, split)``, the frozen state;
+    returns ``(doc_id, split, origin)`` for the batch only (origin in
+    {inherited, fresh}).  One definition, so the streaming replay and
+    the one-shot batch form can never drift on the decision rule."""
+    from .preprocess import dataset_split
+
+    portable = hash_family == "md5"
+    corpus = corpus_assigned
+    base = corpus_assigned.select("doc_id", "split")
 
     newg = batch.select("doc_id", "text").withColumn(
         "rep_id", F.min("doc_id").over(Window.partitionBy("text"))
@@ -1551,12 +1589,9 @@ def incremental_leakage_split(
             .alias("origin"),
         )
     )
-    batch_rows = (
+    return (
         newg.select("doc_id", "rep_id")
         .join(bclust, "rep_id")
         .join(F.broadcast(resolved), "bcluster")
         .select("doc_id", "split", "origin")
     )
-    return base.select(
-        "doc_id", "split", F.lit("existing").alias("origin")
-    ).unionByName(batch_rows)

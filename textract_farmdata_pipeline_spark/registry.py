@@ -8947,6 +8947,66 @@ def doc_split_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming split replay at threshold=1.0: only exact-shingle-set
+# matches link (fixture max distinct-text Jaccard 0.989, verified by
+# the ingest replay), so the K-batch evolution collapses to plain SQL:
+# the first batch containing a text decides its split (md5 bucket of
+# the text's min doc_id within that batch), later arrivals inherit.
+# Planted copies shift doc_id by +100001 (≡ 1 mod 4), guaranteeing
+# cross-batch duplicates that exercise the inherit path.
+_SPLIT_STREAM_ORACLE = f"""
+WITH d0 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100001, text FROM documents WHERE doc_id < 50
+),
+d AS (SELECT doc_id, text, CAST(doc_id % 4 AS INT) AS b FROM d0),
+firstb AS (SELECT text, MIN(b) AS fb FROM d GROUP BY text),
+anchor AS (
+  SELECT d.text, MIN(d.doc_id) AS aid
+  FROM d JOIN firstb USING (text)
+  WHERE d.b = firstb.fb
+  GROUP BY d.text
+)
+SELECT d.doc_id,
+  {_split_case("a.aid")} AS split,
+  CASE WHEN d.b = f.fb THEN 'fresh' ELSE 'inherited' END AS origin
+FROM d
+JOIN firstb f USING (text)
+JOIN anchor a USING (text)
+"""
+
+
+@register("doc_split_stream_replay", _SPLIT_STREAM_ORACLE)
+def doc_split_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING leakage-safe split, driver-checkable: replay
+    ``split_ingest_stream`` over 4 deterministic micro-batches
+    (``doc_id % 4``, one parquet file per batch, availableNow) with 50
+    planted exact copies (``doc_id + 100001`` — lands one batch later)
+    and return the accumulated assignment table.  This runs the REAL
+    streaming path — foreachBatch, ``incremental_split_batch`` against
+    the growing ``ParquetMergeTable`` state, keyed MERGE commits — not
+    a batch twin.  At ``threshold=1.0`` the whole evolution is
+    first-arrival-per-text, giving the streaming path a plain-SQL
+    DuckDB oracle (same recipe that made ``dedup_ingest_replay``
+    hash-checkable)."""
+    import tempfile
+
+    from .streaming.ingest import replay_split_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100001
+    )
+    incoming = docs.select("doc_id", "text").unionByName(
+        planted.select("doc_id", "text")
+    )
+    workdir = tempfile.mkdtemp(prefix="split_replay_")
+    return replay_split_batches(
+        incoming, workdir, k_batches=4, threshold=1.0, hash_family="md5"
+    )
+
+
 @register("doc_split_leakage_safe", _LEAKAGE_SPLIT_ORACLE)
 def doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: documents are assigned to

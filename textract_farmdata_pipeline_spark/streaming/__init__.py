@@ -1,5 +1,10 @@
 from .census import stream_census_pipeline  # noqa: F401
-from .ingest import dedup_ingest_stream, replay_ingest_batches  # noqa: F401
+from .ingest import (  # noqa: F401
+    dedup_ingest_stream,
+    replay_ingest_batches,
+    replay_split_batches,
+    split_ingest_stream,
+)
 from .sketches import cms_stream, hll_stream, ivf_ingest_stream  # noqa: F401
 from .stateful import (  # noqa: F401
     dedup_stream,

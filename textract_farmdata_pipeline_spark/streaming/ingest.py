@@ -81,47 +81,22 @@ def dedup_ingest_stream(
     return docs.writeStream.foreachBatch(process)
 
 
-def replay_ingest_batches(
-    docs: DataFrame,
-    workdir: str,
-    k_batches: int = 4,
-    n_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.5,
-    shingle_n: int = 3,
-) -> DataFrame:
-    """Replay :func:`dedup_ingest_stream` admission as a finite run and
-    return the admitted corpus — the batch-queryable face of the
-    streaming surface (a driver that only checks batch queries can
-    hash-check THIS, and it exercises the identical ``foreachBatch``
-    code path, ``ParquetMergeTable`` commits included).
-
-    The input is split into ``k_batches`` micro-batches by
-    ``doc_id % k_batches``; each batch is written as one parquet file
-    with strictly increasing modification times, so the file stream
-    source (oldest-first) delivers exactly one batch per trigger under
-    ``maxFilesPerTrigger=1`` + ``availableNow`` — a deterministic
-    K-batch replay.  Admission therefore equals: per duplicate group,
-    the doc with the smallest ``(batch_idx, doc_id)`` is admitted and
-    every later arrival is rejected — which at ``threshold=1.0`` (only
-    exact-shingle-set matches count) is expressible as plain SQL over
-    the input, giving the streaming path a DuckDB-checkable oracle.
-    """
+def _stage_batch_files(docs: DataFrame, workdir: str, k_batches: int) -> str:
+    """Lay out ``k_batches`` deterministic micro-batch parquet files
+    (``doc_id % k``, strictly increasing mtimes) so a file-stream
+    source under ``maxFilesPerTrigger=1`` + ``availableNow`` delivers
+    exactly one batch per trigger, oldest first — the replay harness
+    shared by every streaming-ingest twin.  The batches are written BY
+    SPARK in one partitionBy pass (the harness must not funnel the
+    corpus through the driver); only rename/mtime bookkeeping is
+    driver-side."""
     import glob
-    import os
     import shutil
     import time
 
-    spark = docs.sparkSession
     src = os.path.join(workdir, "incoming")
     os.makedirs(src, exist_ok=True)
     base_t = time.time() - 3600
-    # the micro-batches are written BY SPARK — one partitionBy job
-    # lays out all k batch files in a single input pass (the replay
-    # harness must not funnel the corpus through the driver; a
-    # .collect() here was the one O(corpus) driver path in the repo).
-    # Only the rename/mtime bookkeeping that makes the file-stream
-    # source deliver batches oldest-first is driver-side.
     stage = os.path.join(workdir, "_stage")
     (
         docs.select("doc_id", "text")
@@ -158,7 +133,38 @@ def replay_ingest_batches(
             os.replace(part, path)
         os.utime(path, (base_t + i * 60, base_t + i * 60))
     shutil.rmtree(stage, ignore_errors=True)
+    return src
+
+
+def replay_ingest_batches(
+    docs: DataFrame,
+    workdir: str,
+    k_batches: int = 4,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Replay :func:`dedup_ingest_stream` admission as a finite run and
+    return the admitted corpus — the batch-queryable face of the
+    streaming surface (a driver that only checks batch queries can
+    hash-check THIS, and it exercises the identical ``foreachBatch``
+    code path, ``ParquetMergeTable`` commits included).
+
+    The input is split into ``k_batches`` micro-batches by
+    ``doc_id % k_batches``; each batch is written as one parquet file
+    with strictly increasing modification times, so the file stream
+    source (oldest-first) delivers exactly one batch per trigger under
+    ``maxFilesPerTrigger=1`` + ``availableNow`` — a deterministic
+    K-batch replay.  Admission therefore equals: per duplicate group,
+    the doc with the smallest ``(batch_idx, doc_id)`` is admitted and
+    every later arrival is rejected — which at ``threshold=1.0`` (only
+    exact-shingle-set matches count) is expressible as plain SQL over
+    the input, giving the streaming path a DuckDB-checkable oracle.
+    """
+    src = _stage_batch_files(docs, workdir, k_batches)
     corpus_path = os.path.join(workdir, "corpus")
+    spark = docs.sparkSession
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -180,6 +186,7 @@ def replay_ingest_batches(
     )
     q.awaitTermination()
     import atexit
+    import shutil
 
     from ..operators.merge import ParquetMergeTable
 
@@ -195,3 +202,128 @@ def replay_ingest_batches(
     shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
     atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     return ParquetMergeTable(spark, corpus_path).read().select("doc_id", "text")
+
+
+def split_ingest_stream(
+    docs: DataFrame,
+    state_path: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    hash_family: str = "md5",
+    sink=None,
+):
+    """Streaming leakage-safe split assignment: each micro-batch is
+    resolved against the ACCUMULATED assignment table with
+    :func:`..operators.dedup.incremental_split_batch` (existing
+    assignments are state, never recomputed — the split-stability
+    contract), and the batch's rows are committed (doc_id, text,
+    split, origin) before the next batch runs.  Keyed MERGE commits
+    make a replayed micro-batch re-upsert identical rows —
+    effectively-exactly-once, same recipe as
+    :func:`dedup_ingest_stream`.  ``sink(ann, batch_id)`` observes
+    each batch's decisions.  On the first batch the state is empty and
+    every cluster resolves 'fresh' — which is exactly the one-shot
+    split, so the stream needs no separate bootstrap path."""
+    from ..operators.dedup import incremental_split_batch
+    from ..operators.merge import ParquetMergeTable
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        table = ParquetMergeTable(spark, state_path)
+        if os.path.isdir(os.path.join(state_path, "_manifests")):
+            state = table.read().select("doc_id", "text", "split")
+            exists = True
+        else:
+            state = spark.createDataFrame(
+                [], "doc_id long, text string, split string"
+            )
+            exists = False
+        ann = incremental_split_batch(
+            state,
+            batch_df.select("doc_id", "text"),
+            n_hashes=n_hashes,
+            bands=bands,
+            threshold=threshold,
+            shingle_n=shingle_n,
+            hash_family=hash_family,
+        ).persist()  # consumed twice (state commit + sink); batch-sized
+        try:
+            rows = batch_df.select("doc_id", "text").join(
+                ann.select("doc_id", "split", "origin"), "doc_id"
+            )
+            if exists:
+                table.merge(rows, key="doc_id")
+            elif not rows.isEmpty():
+                table.create(rows)
+            if sink is not None:
+                sink(ann, batch_id)
+        finally:
+            ann.unpersist()
+
+    return docs.writeStream.foreachBatch(process)
+
+
+def replay_split_batches(
+    docs: DataFrame,
+    workdir: str,
+    k_batches: int = 4,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Replay :func:`split_ingest_stream` as a finite run and return
+    the accumulated assignment table ``(doc_id, split, origin)`` — the
+    batch-queryable face of the streaming split, on the same
+    deterministic K-batch file harness as :func:`replay_ingest_batches`.
+
+    At ``threshold=1.0`` only exact-shingle-set matches link, so the
+    whole K-batch evolution collapses to plain SQL: per distinct text,
+    the FIRST batch containing it decides (split = md5 bucket of the
+    text's min doc_id within that batch, origin 'fresh' there), and
+    every later arrival inherits that split ('inherited') — the
+    DuckDB oracle the driver hash-checks.  The fixture's max
+    distinct-text Jaccard is 0.989 (verified by the ingest replay), so
+    no cross-text link fires at 1.0."""
+    import atexit
+    import shutil
+
+    src = _stage_batch_files(docs, workdir, k_batches)
+    state_path = os.path.join(workdir, "splits")
+    spark = docs.sparkSession
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    writer = split_ingest_stream(
+        stream,
+        state_path,
+        n_hashes=n_hashes,
+        bands=bands,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        hash_family=hash_family,
+    )
+    q = (
+        writer.option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from ..operators.merge import ParquetMergeTable
+
+    # same reclamation contract as replay_ingest_batches: drop batch
+    # files + checkpoint now, keep the lazy state read, rm at exit.
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return (
+        ParquetMergeTable(spark, state_path)
+        .read()
+        .select("doc_id", "split", "origin")
+    )

@@ -133,6 +133,7 @@ PROBE = (
     "embedding_ann_eval",
     "doc_split_incremental",
     "embedding_bq_asym",
+    "doc_split_stream_replay",
 )
 
 KEYED = {
