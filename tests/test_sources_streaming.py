@@ -565,9 +565,10 @@ class TestStatefulStreaming:
         the ungated tests below (fake-handle drive +
         plan-construction time-mode pin).
 
-        Re-probed 2026-08-14 (round 7): ``import google.protobuf``
-        still raises ModuleNotFoundError in this container and
-        installs remain disallowed, so the gate stands unchanged."""
+        Re-probed 2026-08-15 (round 7, session 2): ``import
+        google.protobuf`` still raises ModuleNotFoundError in this
+        container and installs remain disallowed, so the gate stands
+        unchanged."""
         import datetime as dt
 
         pytest.importorskip(
