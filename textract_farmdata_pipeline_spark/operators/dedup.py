@@ -1411,7 +1411,6 @@ def incremental_leakage_split(
     hash-checked, not promised."""
     from .preprocess import dataset_split
 
-    portable = hash_family == "md5"
     base = dataset_split(
         near_dup_clusters(
             corpus,

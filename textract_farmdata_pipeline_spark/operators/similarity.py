@@ -2724,10 +2724,20 @@ def bq_signature(
     contract as :func:`sq_encode`.  At 100 TB the signature table is
     the thing you materialize: 16 bytes/row instead of 256.
     """
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _bq_sig_expr(_as_double(F.col(vec_col))).alias("sig"),
+    )
+
+
+def _bq_sig_expr(vec: Column) -> Column:
+    """The packed-signature Column for a ``array<double>`` vector —
+    shared by :func:`bq_signature` and the asymmetric scan's
+    corpus-side projection (which packs and unpacks in ONE select so
+    the ±1 array materializes once per corpus row)."""
     weights = F.array(*[F.lit(1 << j).cast("bigint") for j in range(32)])
-    vec = _as_double(F.col(vec_col))
     n_words = F.ceil(F.size(vec) / F.lit(32)).cast("int")
-    sig = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), n_words - 1),
         # zip_with pads the short final slice with NULLs; NULL >= 0 is
         # NULL, so tail bits fall through to the 0 branch — ragged
@@ -2744,7 +2754,6 @@ def bq_signature(
             lambda acc, b: acc + b,
         ),
     )
-    return vectors.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))
 
 
 def hamming(a: Column, b: Column) -> Column:
@@ -2765,9 +2774,10 @@ def _bq_scored(
 ) -> DataFrame:
     """All (query, neighbor, hamming) pairs over packed signatures —
     the shared scan of :func:`bq_hamming_topk` and :func:`bq_topk`.
-    Query signatures broadcast; the corpus signature table streams
-    through one map stage (16 bytes/row at 64 dims) and never
-    shuffles; self-matches excluded."""
+    Query signatures broadcast; the corpus side is repartitioned once
+    — a cheap shuffle that moves only the 16-byte signature rows (at
+    64 dims) to spread the broadcast-join scan across all cores —
+    then streams through the scan; self-matches excluded."""
     c_sig = bq_signature(corpus, vec_col, id_col).withColumnRenamed(
         "vec_id", "neighbor_id"
     )
@@ -3127,8 +3137,15 @@ def bq_asym_topk(
     beside symmetric BQ against the exact scan."""
     from pyspark.sql.window import Window
 
-    c_sig = bq_signature(corpus, vec_col, id_col).withColumnRenamed(
-        "vec_id", "neighbor_id"
+    # Pack AND unpack in one corpus-side projection: the ±1 array (32
+    # nested-transform terms per word) materializes once per corpus
+    # row on the streamed side of the nested-loop join, instead of
+    # once per (corpus row × query) pair in the post-join projection.
+    # n_dims comes from the corpus row's own vector (dims uniform).
+    cvec_expr = _as_double(F.col(vec_col))
+    c_pm1 = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        bq_unpack_pm1(_bq_sig_expr(cvec_expr), F.size(cvec_expr)).alias("pm1"),
     )
     q_f = F.broadcast(
         queries.select(
@@ -3136,12 +3153,9 @@ def bq_asym_topk(
             _as_double(F.col(vec_col)).alias("qv"),
         )
     )
-    adot = F.round(
-        dot(F.col("qv"), bq_unpack_pm1(F.col("sig"), F.size(F.col("qv")))),
-        round_digits,
-    )
+    adot = F.round(dot(F.col("qv"), F.col("pm1")), round_digits)
     scored = (
-        c_sig.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        c_pm1.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
         .crossJoin(q_f)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", adot.alias("adot"))

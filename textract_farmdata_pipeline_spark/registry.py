@@ -8772,10 +8772,18 @@ def _force_materialized(sql: str) -> str:
     whole md5-shingle scaffold ~2⁴ times per component graph (measured
     on ``doc_split_incremental``'s oracle: 500 s inlined → 0.4 s
     materialized at sf0.01).  Only oracles with an unrolled fixpoint
-    need this; single-pass chains stay default."""
+    need this; single-pass chains stay default.
+
+    The rewrite only fires where a CTE definition can legally start —
+    right after ``WITH`` or after a top-level ``,\\n`` separator (every
+    oracle here puts each CTE on its own line) — so an ``… AS (``
+    sequence inside a string literal or an expression can never
+    match."""
     import re
 
-    return re.sub(r"(\b\w+ AS) \(", r"\1 MATERIALIZED (", sql)
+    return re.sub(
+        r"((?:\bWITH\s+|,\s*\n)\s*\w+ AS) \(", r"\1 MATERIALIZED (", sql
+    )
 
 
 _LEAKAGE_SPLIT_ORACLE = f"""
@@ -8793,6 +8801,13 @@ _LEAKAGE_SPLIT_ORACLE = _force_materialized(_LEAKAGE_SPLIT_ORACLE)
 
 # A prefixable min-label round for a SECOND component problem in the
 # same oracle (the batch-internal graph; `_CC_ROUND` hardcodes e/l{n}).
+# ASSUMPTION: 4 unrolled rounds reach the min-label fixpoint only for
+# batch-internal component graphs of diameter ≤ 4 (Spark's
+# connected_components iterates to fixpoint regardless).  The oracle
+# GUARDS this: a 5th round is computed and the final SELECT returns
+# ZERO rows if bl5 differs from bl4 anywhere, so a deeper graph at a
+# larger fixture produces a loud rows/hash mismatch, never a silent
+# wrong-but-green divergence.
 _BCC_ROUND = """,
 bl{n} AS (
   SELECT l.node, LEAST(MIN(l.label), COALESCE(MIN(nl.label), MIN(l.label))) AS label
@@ -8891,8 +8906,13 @@ be AS (
   SELECT doc_b AS src, doc_a AS dst FROM bverified
 ),
 bl0 AS (SELECT DISTINCT src AS node, src AS label FROM be)"""
-    + "".join(_BCC_ROUND.format(n=n, p=n - 1) for n in range(1, 5))
+    + "".join(_BCC_ROUND.format(n=n, p=n - 1) for n in range(1, 6))
     + f""",
+bfix AS (
+  -- diameter-≤4 guard: any bl5≠bl4 label flips this to 0 rows below
+  SELECT COUNT(*) AS n_moved
+  FROM bl5 j JOIN bl4 k ON j.node = k.node AND j.label <> k.label
+),
 bclust AS (
   SELECT r.doc_id AS rep_id,
     CAST(COALESCE(l.label, r.doc_id) AS BIGINT) AS bcluster
@@ -8919,6 +8939,7 @@ SELECT doc_id, split, origin FROM (
   JOIN bclust bc ON bc.rep_id = m.rep_id
   JOIN resolved r ON r.bcluster = bc.bcluster
 ) u
+WHERE (SELECT n_moved FROM bfix) = 0
 """
 )
 _INCR_SPLIT_ORACLE = _force_materialized(_INCR_SPLIT_ORACLE)
