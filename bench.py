@@ -152,6 +152,14 @@ HEADLINE = (
     # r07: the streaming split replay (real foreachBatch + MERGE state;
     # 4 micro-batches of fixed per-batch cost — ×10 ratio 0.91)
     "doc_split_stream_replay",
+    # r08: the leakage-safe split composed INTO the corpus product —
+    # the manifest (build) and the packed JSONL shards (pipeline) now
+    # carry the cluster-atomic train/val/test column; plus the one-shot
+    # incremental split in its production cadence (stored assignment
+    # table consumed, corpus clustering NOT in the returned plan)
+    "corpus_build_split",
+    "corpus_jsonl_split",
+    "doc_split_incremental_stored",
 )
 
 

@@ -650,3 +650,95 @@ class TestJsonlPipeline:
             ).select("doc_id").collect()
         }
         assert {r["doc_id"] for r in rows} == manifest_ids
+
+
+class TestBuildCorpusSplit:
+    """split_weights appends the leakage-safe split stage: the manifest
+    carries a cluster-atomic train/val/test column over the FINAL
+    selection."""
+
+    def _docs(self, spark):
+        base = [f"w{i:03d}" for i in range(30)]
+        near = base[:-1] + ["zzz"]  # Jaccard vs base well above 0.5
+        other = [f"x{i:03d}" for i in range(30)]
+        rows = [
+            (1, " ".join(base), "web"),
+            (2, " ".join(near), "web"),       # near-dup of 1 -> same cluster
+            (3, " ".join(other), "web"),      # its own cluster
+            (4, " ".join(base), "web"),       # exact dup of 1 -> dropped by dedup
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_split_is_cluster_atomic_and_deterministic(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
+
+        docs = self._docs(spark)
+        ev = spark.createDataFrame(
+            [(99, "q1 q2 q3", "eval")], "doc_id long, text string, source string"
+        )
+        out = build_corpus(
+            docs, ev, num_shards=4, decontam_n=3, split_weights=(90, 5, 5)
+        ).collect()
+        got = {r["doc_id"]: r["split"] for r in out}
+        # exact dedup keeps min-id doc 1; survivors 1,2,3 all selected
+        assert sorted(got) == [1, 2, 3]
+        # near-dups 1 and 2 must ship in the same split (cluster-atomic)
+        assert got[1] == got[2]
+        assert set(got.values()) <= {"train", "val", "test"}
+        # column contract: the manifest grows exactly one column
+        assert set(out[0].asDict()) == {
+            "doc_id", "source", "shard", "shard_pos", "split"
+        }
+        again = {
+            r["doc_id"]: r["split"]
+            for r in build_corpus(
+                docs, ev, num_shards=4, decontam_n=3, split_weights=(90, 5, 5)
+            ).collect()
+        }
+        assert got == again
+
+    def test_no_split_weights_keeps_four_columns(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
+
+        docs = self._docs(spark)
+        ev = spark.createDataFrame(
+            [(99, "q1 q2 q3", "eval")], "doc_id long, text string, source string"
+        )
+        out = build_corpus(docs, ev, num_shards=4, decontam_n=3)
+        assert out.columns == ["doc_id", "source", "shard", "shard_pos"]
+
+
+class TestIncrementalSplitStored:
+    def test_assigned_form_equals_recomputed_form(self, spark):
+        """incremental_leakage_split(assigned=stored) must reproduce the
+        recompute-everything form row for row — the API contract that
+        lets the one-shot batch path consume the stored state table the
+        streaming twin maintains."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            incremental_leakage_split,
+            near_dup_clusters,
+        )
+        from textract_farmdata_pipeline_spark.operators.preprocess import dataset_split
+
+        base = [f"w{i:03d}" for i in range(30)]
+        rows = [
+            (i, " ".join(base[:-1] + [f"tail{i % 3}"]), ) for i in range(1, 9)
+        ] + [(9, " ".join(f"x{j}" for j in range(30)),)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        corpus = docs.filter(F.col("doc_id") % 2 == 1)
+        batch = docs.filter(F.col("doc_id") % 2 == 0)
+        plain = incremental_leakage_split(corpus, batch)
+        stored = dataset_split(
+            near_dup_clusters(
+                corpus, n_hashes=8, bands=4, threshold=0.5, shingle_n=3,
+                max_bucket_size=None, hash_family="md5",
+            ),
+            id_col="cluster_id",
+        ).select("doc_id", "split").localCheckpoint()
+        reused = incremental_leakage_split(corpus, batch, assigned=stored)
+        key = lambda df: sorted(map(tuple, df.collect()))
+        assert key(plain) == key(reused)
+        # and the reused plan must NOT contain the corpus clustering —
+        # no second LSH/banding subtree, just the checkpoint scan
+        plan = reused._jdf.queryExecution().optimizedPlan().toString()
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan

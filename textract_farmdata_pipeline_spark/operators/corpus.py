@@ -306,6 +306,7 @@ def build_corpus(
     lm_threshold: float = 0.0,
     containment_t: float | None = None,
     containment_n: int = 3,
+    split_weights: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """The end-to-end corpus build: [KN-LM quality gate →] [Gopher
     quality gate → cross-document span dedup →] exact dedup →
@@ -331,6 +332,20 @@ def build_corpus(
     gate, exactly the CCNet behavior for out-of-model text).  The
     score is a ratio of exact integer sums, so the gate predicate is
     engine-portable and the gated build stays hash-oracle-checkable.
+
+    ``split_weights`` appends the leakage-safe train/val/test stage:
+    the FINAL selected documents (post-mixture ``sampled`` set — the
+    only docs that can appear in shards, so the only docs that can
+    leak) are near-dup-clustered with the portable md5 family
+    (:func:`..operators.dedup.near_dup_clusters`) and each doc gets
+    the md5-bucket split of its CLUSTER id
+    (:func:`..operators.preprocess.dataset_split`), so a document and
+    its surviving near-duplicates always ship in the same split.  The
+    manifest then carries a fifth column ``split``.  Clustering the
+    final selection instead of the raw input keeps the shingle chain
+    on the smallest possible doc set — upstream stages (exact dedup,
+    excerpt removal) have already removed most twins, and a twin that
+    did NOT survive to the output cannot leak by definition.
 
     ``quality_gate=True`` prepends the Gopher composite gate
     (:func:`..operators.text_analysis.gopher_quality_filter`) so
@@ -442,8 +457,41 @@ def build_corpus(
     if persist_intermediate:
         clean = clean.persist()
     sampled = mixture_resample(clean, by=by, key_col=key_col)
-    return shuffle_shards(sampled, key_col, num_shards).select(
+    if split_weights is not None:
+        # `sampled` re-roots the whole build subtree and is about to be
+        # referenced TWICE (shard layout + the split chain's doc set);
+        # stage it once (the STAGING BOUNDARIES argument above) so the
+        # split stage adds one pass over the selected ids, not a second
+        # full build execution.
+        sampled, _ = tracked_local_checkpoint(sampled)
+    manifest = shuffle_shards(sampled, key_col, num_shards).select(
         key_col, by, "shard", "shard_pos"
+    )
+    if split_weights is None:
+        return manifest
+    from .dedup import near_dup_clusters
+    from .preprocess import dataset_split
+
+    # Leakage-safe split over the FINAL selection only; `docs` here is
+    # the gated corpus, already staged after the heavy gates, so the
+    # text join below is a cheap scan of that checkpoint.
+    sel = docs.select(
+        F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).join(sampled.select(F.col(key_col).alias("doc_id")), "doc_id")
+    clusters = near_dup_clusters(
+        sel,
+        n_hashes=8,
+        bands=4,
+        threshold=0.5,
+        shingle_n=3,
+        max_bucket_size=None,
+        hash_family="md5",
+    )
+    split_map = dataset_split(
+        clusters, id_col="cluster_id", weights=split_weights
+    ).select(F.col("doc_id").alias(key_col), "split")
+    return manifest.join(split_map, key_col).select(
+        key_col, by, "shard", "shard_pos", "split"
     )
 
 

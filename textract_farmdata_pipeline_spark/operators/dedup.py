@@ -1381,6 +1381,7 @@ def incremental_leakage_split(
     shingle_n: int = 3,
     hash_family: str = "md5",
     weights: tuple[int, int, int] = (90, 5, 5),
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-safe dataset split that stays STABLE as the corpus
     grows — the production form of ``doc_split_leakage_safe``, whose
@@ -1408,22 +1409,36 @@ def incremental_leakage_split(
     the resolution joins are per-cluster, never per-pair.  With the
     md5 family every stage — links, components (4-round unrollable),
     bucket arithmetic — replays in ANSI SQL, so split stability is
-    hash-checked, not promised."""
+    hash-checked, not promised.
+
+    ``assigned`` — a stored ``(doc_id, split)`` assignment table from
+    a previous invocation (the state the streaming twin
+    ``split_ingest_stream`` reads every micro-batch) — skips stage 1
+    entirely: the production cadence is "cluster the corpus ONCE,
+    then resolve every later batch against the stored table", and
+    re-deriving the corpus clustering per one-shot call would both
+    waste the full near-dup chain AND break the frozen-assignment
+    contract if the corpus frame drifted from the one that produced
+    the assignments.  When given, ``corpus`` supplies only the texts
+    batch docs link against."""
     from .preprocess import dataset_split
 
-    base = dataset_split(
-        near_dup_clusters(
-            corpus,
-            n_hashes=n_hashes,
-            bands=bands,
-            threshold=threshold,
-            shingle_n=shingle_n,
-            max_bucket_size=None,
-            hash_family=hash_family,
-        ),
-        id_col="cluster_id",
-        weights=weights,
-    ).select("doc_id", "split")
+    if assigned is not None:
+        base = assigned.select("doc_id", "split")
+    else:
+        base = dataset_split(
+            near_dup_clusters(
+                corpus,
+                n_hashes=n_hashes,
+                bands=bands,
+                threshold=threshold,
+                shingle_n=shingle_n,
+                max_bucket_size=None,
+                hash_family=hash_family,
+            ),
+            id_col="cluster_id",
+            weights=weights,
+        ).select("doc_id", "split")
     corpus_assigned = corpus.select("doc_id", "text").join(base, "doc_id")
     batch_rows = incremental_split_batch(
         corpus_assigned,

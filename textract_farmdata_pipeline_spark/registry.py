@@ -1813,30 +1813,35 @@ def _mh_side_ctes(pfx: str, src: str) -> str:
 {pfx}sz AS (SELECT doc_id, count(*) AS sz FROM {pfx}sh GROUP BY doc_id)"""
 
 
-def _mh_pair_ctes(src: str) -> str:
+def _mh_pair_ctes(src: str, pfx: str = "") -> str:
     """Single-table pair path on top of :func:`_mh_side_ctes`:
-    band-bucket candidates → exact-Jaccard verification at 0.5."""
+    band-bucket candidates → exact-Jaccard verification at 0.5.
+    ``pfx`` prefixes every CTE name so the chain can be embedded in a
+    composed oracle whose other CTE chains already use the bare names
+    (the corpus-build split composition) — with ``pfx=""`` the emitted
+    SQL is byte-identical to the original single-table form."""
+    p = pfx
     return (
-        _mh_side_ctes("", src)
-        + """,
-cand AS (
+        _mh_side_ctes(p, src)
+        + f""",
+{p}cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM banded x JOIN banded y
+  FROM {p}banded x JOIN {p}banded y
     ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
 ),
-inter AS (
+{p}inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS i
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+  FROM {p}cand c
+  JOIN {p}sh a ON a.doc_id = c.doc_a
+  JOIN {p}sh b ON b.doc_id = c.doc_b AND a.s = b.s
   GROUP BY c.doc_a, c.doc_b
 ),
-verified AS (
+{p}verified AS (
   SELECT doc_a, doc_b,
     CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
-  FROM inter
-  JOIN sz sa ON sa.doc_id = doc_a
-  JOIN sz sb ON sb.doc_id = doc_b
+  FROM {p}inter
+  JOIN {p}sz sa ON sa.doc_id = doc_a
+  JOIN {p}sz sb ON sb.doc_id = doc_b
   WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.5
 )
 """
@@ -7827,8 +7832,19 @@ def corpus_jsonl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     write has consumed it, and the small packed-span dir — which the
     returned DataFrame reads lazily, so it must outlive this call — is
     removed at interpreter exit."""
+    return _jsonl_pipeline_frame(spark, sf_dir, split_weights=None)
+
+
+def _jsonl_pipeline_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    split_weights: tuple[int, int, int] | None,
+) -> DataFrame:
+    """Shared body of ``corpus_jsonl_pipeline`` (no split) and
+    ``corpus_jsonl_split`` (manifest + shards carry the cluster-atomic
+    ``split`` column) — one definition so the two registrations can
+    never drift on the JSONL interchange or packing glue."""
     import atexit
-    import os
     import shutil
     import tempfile
 
@@ -7845,6 +7861,7 @@ def corpus_jsonl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_jsonl(spark, f"{out}/in", ddl).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+    split_cols = ["split"] if split_weights is not None else []
     manifest = build_corpus(
         docs,
         docs.filter(F.col("doc_id") % 97 == 0),
@@ -7853,7 +7870,11 @@ def corpus_jsonl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         lm_train=docs.filter(F.col("lang") == "en"),
         lm_threshold=_LM_GATE_THRESHOLD,
         containment_t=0.8,
-    ).select("doc_id", "source", F.col("shard").cast("long").alias("shard"))
+        split_weights=split_weights,
+    ).select(
+        "doc_id", "source", F.col("shard").cast("long").alias("shard"),
+        *split_cols,
+    )
     selected = docs.join(manifest.select("doc_id"), "doc_id")
     spans = pack_token_spans(selected, budget=512, bucket_docs=64)
     packed = spans.join(manifest, "doc_id")
@@ -7864,10 +7885,13 @@ def corpus_jsonl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_jsonl(
         spark,
         f"{out}/packed",
-        "doc_id long, seq_id long, tok_start long, n_tokens long, source string, shard long",
+        "doc_id long, seq_id long, tok_start long, n_tokens long, "
+        "source string, shard long"
+        + (", split string" if split_weights is not None else ""),
     )
     return back.select(
-        "doc_id", "seq_id", "tok_start", "n_tokens", "source", "shard"
+        "doc_id", "seq_id", "tok_start", "n_tokens", "source", "shard",
+        *split_cols,
     )
 
 
@@ -9055,4 +9079,220 @@ def doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dataset_split(clusters, id_col="cluster_id").select(
         "doc_id", "cluster_id", "split"
+    )
+
+
+# =========================================================================
+# Split-labeled corpus product (r08): the leakage-safe split composed
+# INTO the build, so the shipped manifest/shards carry a cluster-atomic
+# train/val/test column — the final artifact a training pipeline ships.
+# =========================================================================
+
+# A CTE-prefixable min-label round (the `_CC_ROUND` recurrence with
+# every table name prefixed) so a SECOND component problem can live in
+# an oracle whose bare e/l{n} names are taken or reserved.
+_PCC_ROUND = """,
+{pfx}l{n} AS (
+  SELECT l.node, LEAST(MIN(l.label), COALESCE(MIN(nl.label), MIN(l.label))) AS label
+  FROM {pfx}l{prev} l
+  LEFT JOIN {pfx}e ON {pfx}e.src = l.node
+  LEFT JOIN {pfx}l{prev} nl ON nl.node = {pfx}e.dst
+  GROUP BY l.node
+)"""
+
+
+def _split_chain_ctes(pfx: str, src: str) -> str:
+    """The leakage-safe split chain — exact-collapse → portable-minhash
+    LSH pairs (the shared :func:`_mh_pair_ctes` template) → verified
+    edges → 4 unrolled min-label rounds → md5 bucket of the cluster id
+    — re-rooted on ``src`` (any CTE providing ``(doc_id, text)``) and
+    CTE-prefixed with ``pfx`` so it composes into the corpus-build
+    oracles whose bare names (sh, toks, sampled, spans…) are taken.
+
+    Emits ``{pfx}split AS (doc_id, split)`` plus ``{pfx}fix``, a
+    diameter-≤4 fixpoint guard (count of label moves in a 5th round);
+    the consuming query must add ``WHERE (SELECT n_moved FROM
+    {pfx}fix) = 0`` so a deeper component graph empties the result —
+    a loud rows/hash mismatch, never a silent divergence from Spark's
+    converged fixpoint."""
+    p = pfx
+    return (
+        f""",
+{p}rep_map AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id, text FROM {src}
+),
+{p}reps AS (SELECT doc_id, text FROM {p}rep_map WHERE doc_id = rep_id),
+"""
+        + _mh_pair_ctes(f"{p}reps", pfx=p)
+        + f""",
+{p}e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM {p}verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM {p}verified
+),
+{p}l0 AS (SELECT DISTINCT src AS node, src AS label FROM {p}e)"""
+        + "".join(
+            _PCC_ROUND.format(pfx=p, n=n, prev=n - 1) for n in range(1, 6)
+        )
+        + f""",
+{p}fix AS (
+  SELECT COUNT(*) AS n_moved
+  FROM {p}l5 j JOIN {p}l4 k ON j.node = k.node AND j.label <> k.label
+),
+{p}clust AS (
+  SELECT m.doc_id, CAST(COALESCE(lf.label, m.rep_id) AS BIGINT) AS cluster_id
+  FROM {p}rep_map m LEFT JOIN {p}l4 lf ON lf.node = m.rep_id
+),
+{p}split AS (
+  SELECT doc_id, {_split_case("cluster_id")} AS split FROM {p}clust
+)"""
+    )
+
+
+# The CCNet-shaped build chain (KN gate → dedup → excerpts → decontam →
+# mixture, ending at `sampled`) plus the split chain rooted on the
+# SELECTED docs' text — clustering the final selection, not the raw
+# corpus: a twin that did not survive to the output cannot leak.
+_CORPUS_BUILD_SPLIT_ORACLE = _force_materialized(
+    f"""
+WITH {_KN_CHAIN_CTES},
+{_LM_BUILD_CTES},
+spdocs AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN sampled USING (doc_id)
+)"""
+    + _split_chain_ctes("sp", "spdocs")
+    + """
+SELECT s.doc_id, s.source, s.shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY s.shard ORDER BY s.h) AS INTEGER)
+    AS shard_pos,
+  sp.split
+FROM (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5('|shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 16 AS shard,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM sampled
+) s
+JOIN spsplit sp USING (doc_id)
+WHERE (SELECT n_moved FROM spfix) = 0
+"""
+)
+
+
+@register("corpus_build_split", _CORPUS_BUILD_SPLIT_ORACLE)
+def corpus_build_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-shaped build (KN-LM gate → exact dedup → containment
+    excerpt removal → decontamination → uniform mixture → 16-shard
+    layout) with the leakage-safe split stage composed IN: the emitted
+    manifest carries a fifth column ``split`` — the md5 bucket of each
+    doc's near-dup CLUSTER id, computed over the final selection, so a
+    document and its surviving near-duplicates always ship in the same
+    split and eval can't score memorized twins of training docs.  The
+    oracle chains the hash-green split CTEs (the `dedup_clusters_
+    portable` chain, prefixed) into the hash-green build CTEs, with a
+    round-5 fixpoint guard, so the COMPOSITION — which docs get
+    clustered, the manifest join — is what the driver checks."""
+    from .operators.corpus import build_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_corpus(
+        docs,
+        docs.filter(F.col("doc_id") % 97 == 0),
+        num_shards=16,
+        decontam_n=3,
+        lm_train=docs.filter(F.col("lang") == "en"),
+        lm_threshold=_LM_GATE_THRESHOLD,
+        containment_t=0.8,
+        split_weights=(90, 5, 5),
+    )
+
+
+_JSONL_SPLIT_ORACLE = _force_materialized(
+    f"""
+WITH {_KN_CHAIN_CTES},
+{_LM_BUILD_CTES},
+shards AS (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5('|shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 16 AS shard
+  FROM sampled
+),
+ptoks AS (
+  SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents d JOIN sampled USING (doc_id)
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+  FROM ptoks
+),
+spans AS (
+  SELECT doc_id, n_tokens, start,
+    unnest(generate_series(start // 512, (start + n_tokens - 1) // 512)) AS seq_id
+  FROM cum
+),
+spdocs AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN sampled USING (doc_id)
+)"""
+    + _split_chain_ctes("sp", "spdocs")
+    + """
+SELECT s.doc_id, CAST(s.seq_id AS BIGINT) AS seq_id,
+  CAST(greatest(s.seq_id * 512, s.start) - s.start AS BIGINT) AS tok_start,
+  CAST(least((s.seq_id + 1) * 512, s.start + s.n_tokens)
+       - greatest(s.seq_id * 512, s.start) AS BIGINT) AS n_tokens,
+  sh.source, CAST(sh.shard AS BIGINT) AS shard, sp.split
+FROM spans s
+JOIN shards sh USING (doc_id)
+JOIN spsplit sp USING (doc_id)
+WHERE (SELECT n_moved FROM spfix) = 0
+"""
+)
+
+
+@register("corpus_jsonl_split", _JSONL_SPLIT_ORACLE)
+def corpus_jsonl_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_jsonl_pipeline`` shipping the artifact a training run
+    actually consumes: every packed 512-token span row carries the
+    cluster-atomic ``split`` column (leakage-safe train/val/test by
+    near-dup cluster of the FINAL selection), written into and read
+    back from the JSONL shards — so the split label survives the
+    interchange format, not just the in-memory manifest.  Same
+    composed CTE-chain oracle as the pipeline plus the prefixed split
+    chain and its round-5 fixpoint guard."""
+    return _jsonl_pipeline_frame(spark, sf_dir, split_weights=(90, 5, 5))
+
+
+@register("doc_split_incremental_stored", _INCR_SPLIT_ORACLE)
+def doc_split_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_split_incremental`` in its PRODUCTION cadence: the corpus
+    clustering runs ONCE, its ``(doc_id, split)`` assignment is
+    materialized (the local stand-in for the stored state table the
+    streaming twin ``split_ingest_stream`` reads), and the one-shot
+    batch resolution consumes that table via
+    ``incremental_leakage_split(..., assigned=…)`` — the returned
+    plan contains a materialized-scan of the assignments plus the
+    |batch|-proportional link/resolve chain, NOT a second corpus
+    near-dup clustering.  Same oracle as ``doc_split_incremental``
+    (identical results by construction); an equivalence pytest pins
+    the two forms row-for-row."""
+    from .operators.checkpoints import tracked_local_checkpoint
+    from .operators.dedup import incremental_leakage_split, near_dup_clusters
+    from .operators.preprocess import dataset_split
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    stored = dataset_split(
+        near_dup_clusters(
+            corpus, n_hashes=8, bands=4, threshold=0.5, shingle_n=3,
+            max_bucket_size=None, hash_family="md5",
+        ),
+        id_col="cluster_id",
+    ).select("doc_id", "split")
+    stored, _ = tracked_local_checkpoint(stored)
+    return incremental_leakage_split(
+        corpus, batch,
+        n_hashes=8, bands=4, threshold=0.5, shingle_n=3, hash_family="md5",
+        assigned=stored,
     )

@@ -134,6 +134,11 @@ PROBE = (
     "doc_split_incremental",
     "embedding_bq_asym",
     "doc_split_stream_replay",
+    # round-8 additions: the split-labeled corpus products and the
+    # stored-assignment one-shot incremental split
+    "corpus_build_split",
+    "corpus_jsonl_split",
+    "doc_split_incremental_stored",
 )
 
 KEYED = {
