@@ -160,6 +160,10 @@ HEADLINE = (
     "corpus_build_split",
     "corpus_jsonl_split",
     "doc_split_incremental_stored",
+    # r08: the BQ cheap gate in front of the embedding near-dup product
+    # (pigeonhole chunks of the packed sign signature -> equality-join
+    # candidates -> exact-cosine verify; fully hash-checked)
+    "embedding_bq_gated_pairs",
 )
 
 

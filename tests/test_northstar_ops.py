@@ -4423,3 +4423,105 @@ class TestBqAsym:
         drows = sorted(con.execute(ORACLES[name]).fetchall())
         assert srows == drows
         assert len(srows) == 100
+
+
+class TestBqGatedPairs:
+    """The 1-bit signature as the cheap first gate of the embedding
+    near-dup product (round-7 directive #3): pigeonhole chunk
+    candidates -> exact cosine verify."""
+
+    def _planted(self, spark, n=40, dim=64):
+        import math
+
+        rows = []
+        for i in range(n):
+            v = [math.sin(0.7 * i + 0.13 * j) for j in range(dim)]
+            rows.append((i, v))
+            if i < 10:  # near-identical twin: one coordinate nudged
+                tv = list(v)
+                tv[0] += 0.05
+                rows.append((1000 + i, tv))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_gated_equals_brute_force_on_near_dup_regime(self, spark):
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            bq_banded_pairs,
+            near_dup_pairs,
+        )
+
+        df = self._planted(spark)
+        gated = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in bq_banded_pairs(df, threshold=0.99, n_bands=8).collect()
+        }
+        brute = {
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in near_dup_pairs(df, threshold=0.99).collect()
+        }
+        assert gated == brute
+        # every planted twin captured (the sine fixture also has
+        # period-9 accidental near-dups — 0.7·9 ≈ 2π — which both
+        # sides agree on; the planted pairs are the controlled subset)
+        caught = {(a, b) for a, b, _ in gated}
+        assert all((i, 1000 + i) in caught for i in range(10))
+
+    def test_equality_join_plan_no_nested_loop(self, spark):
+        """The scan-fraction property in plan form: candidates come
+        from an equality-keyed self-join on (band, chunk), so the plan
+        must contain NO all-pairs nested-loop/cartesian stage — the
+        thing that separates the gate from near_dup_pairs' broadcast
+        O(n²) baseline."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            bq_banded_pairs,
+        )
+
+        df = self._planted(spark)
+        plan = (
+            bq_banded_pairs(df, threshold=0.99, n_bands=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_pigeonhole_miss_is_the_declared_trade(self, spark):
+        """A pair with >= n_bands sign flips spread one-per-chunk
+        shares no chunk and is missed even above the cosine threshold
+        — the documented recall trade (same contract as LSH)."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            bq_banded_pairs,
+            near_dup_pairs,
+        )
+
+        v1 = [0.1] * 64
+        v2 = [(-0.1 if j % 8 == 0 else 0.1) for j in range(64)]  # 8 flips, one per chunk
+        df = spark.createDataFrame(
+            [(1, v1), (2, v2)], "vec_id long, embedding array<double>"
+        )
+        brute = near_dup_pairs(df, threshold=0.5).collect()
+        assert len(brute) == 1 and brute[0]["cosine"] == 0.75
+        assert bq_banded_pairs(df, threshold=0.5, n_bands=8).count() == 0
+
+    def test_semantic_dedup_hamming_gate_parity(self, spark):
+        """semantic_dedup(hamming_gate=...) must reproduce the ungated
+        decision on the near-identical regime the operator exists for
+        (sign flips well inside the gate), while the gate is tight
+        enough to actually reject sign-incompatible pairs."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        cents = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+        rows = [
+            (1, [1.0, 0.2, 0.1, 0.0]),
+            (2, [0.999, 0.201, 0.1, 0.0]),    # near-dup of 1, hamming 0
+            (3, [0.5, -0.4, 0.3, -0.2]),      # same cell, distinct
+            (4, [-1.0, -0.2, -0.1, 0.0]),     # other cell
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        key = lambda out: sorted(
+            (r["vec_id"], r["keep"], r["dup_of"]) for r in out.collect()
+        )
+        ungated = key(semantic_dedup(df, cents, threshold=0.99))
+        gated = key(semantic_dedup(df, cents, threshold=0.99, hamming_gate=2))
+        assert ungated == gated
+        assert [(1, True, None), (2, False, 1), (3, True, None), (4, True, None)] == gated

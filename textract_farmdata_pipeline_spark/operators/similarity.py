@@ -1404,6 +1404,7 @@ def semantic_dedup(
     max_cell_size: int | None = None,
     split_k: int = 8,
     max_split_depth: int = 2,
+    hamming_gate: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
     whose *embeddings* are near-identical — the semantic layer above
@@ -1442,6 +1443,17 @@ def semantic_dedup(
     sub-cell boundary (recall trade the paper makes cell-wise anyway);
     inseparable near-identical cells stop early and are accepted.
 
+    ``hamming_gate`` puts the 1-bit binary-quantization signature
+    (:func:`bq_signature`) in front of the within-cell scoring as a
+    cheap first gate: candidate pairs whose packed sign signatures
+    differ in more than ``hamming_gate`` bits are rejected by integer
+    XOR + popcount before any float dot product runs — the same
+    first-gate role LSH banding plays for the text leg.  A true pair
+    with more sign flips than the gate is missed; that recall trade is
+    declared and pytest-pinned (gated == ungated on the near-identical
+    regime the operator exists for), mirroring the LSH gates'
+    contract.
+
     Returns one row per vector: ``(id, cell_id, keep, dup_of)`` with
     ``dup_of`` = the kept representative's id (NULL when kept).
     """
@@ -1469,10 +1481,27 @@ def semantic_dedup(
     )
     if max_cell_size is not None:
         assigned = _cap_cells(assigned, max_cell_size, split_k, max_split_depth)
+    if hamming_gate is not None:
+        # BQ cheap gate: 1-bit sign signature of the unit vector (signs
+        # are scale-invariant, so this IS the raw vector's bq_signature)
+        # — two packed BIGINT words per rep.  Within-cell pairs whose
+        # sign-Hamming exceeds the gate are rejected by an integer
+        # XOR+popcount BEFORE the 64-term float dot runs, so at 100 TB
+        # the expensive scoring touches only sign-compatible pairs.
+        # Radius intuition: cos θ ≥ 0.95 ⇒ θ ≤ 18.2° ⇒ E[flips] ≈
+        # 64·θ/π ≈ 6.5 — a gate of 16 keeps ~3σ of headroom; the gate
+        # is a declared recall trade (same contract as the LSH gates),
+        # pinned by the parity pytest, not assumed.
+        assigned = assigned.withColumn("_bsig", _bq_sig_expr(F.col("v")))
     a, b = assigned.alias("a"), assigned.alias("b")
+    joined = a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))
+                    & (F.col("a.rid") < F.col("b.rid")))
+    if hamming_gate is not None:
+        joined = joined.filter(
+            hamming(F.col("a._bsig"), F.col("b._bsig")) <= F.lit(hamming_gate)
+        )
     pairs = (
-        a.join(b, (F.col("a.cell_id") == F.col("b.cell_id"))
-               & (F.col("a.rid") < F.col("b.rid")))
+        joined
         .select(
             F.col("a.rid").alias("id_a"),
             F.col("b.rid").alias("id_b"),
@@ -3182,3 +3211,159 @@ def bq_asym_topk(
         )
     )
     return _rank_per_query(rer, k, extra_cols=("adot",), rank_type="long")
+
+
+def bq_banded_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """BQ-GATED near-dup pairs: the 1-bit sign signature
+    (:func:`bq_signature`) pigeonhole-banded into ``n_bands`` equal
+    bit chunks, candidates from an equality self-join on
+    ``(band, chunk_value)``, then ONE exact rounded-cosine verify per
+    candidate — the integer-Hamming first gate in front of the
+    embedding near-dup product, exactly how LSH banding gates the text
+    leg (``near_dup_clusters``) and hyperplane buckets gate
+    :func:`near_dup_pairs_lsh`.
+
+    Capture guarantee (pigeonhole): any pair with sign-Hamming
+    distance < ``n_bands`` agrees on at least one full chunk and is
+    therefore a candidate.  The production near-dup regime is tiny
+    perturbations of the same content — re-encodes, paraphrase
+    embeddings at cosine ≥ 0.95 — whose sign vectors differ in at most
+    a handful of coordinates, comfortably inside the default radius 8.
+    A pair with ≥ ``n_bands`` sign flips CAN be missed — that is the
+    gate's declared trade (same contract as LSH recall), and
+    ``embedding_ann_eval`` is the measuring instrument for this
+    family, not a promise in this docstring.
+
+    Why this beats the hyperplane gate at 100 TB storage economics:
+    the banding key derives from the SAME 16-byte packed signature the
+    ANN scan already materializes (32:1 compression), the chunk
+    arithmetic is integer div/mod (hash-checkable end to end, unlike
+    float hyperplane projections), and the verify stage touches float
+    vectors only for candidates.
+
+    Duplication-safety (the minhash-pairs lesson): byte-identical
+    vectors exact-collapse to their min-id representative BEFORE
+    banding, pairs are generated and verified at the rep level, then
+    expanded through group membership — every shuffle before the final
+    expansion is linear in DISTINCT vectors.
+
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``, cosine
+    rounded to ``round_digits`` — the :func:`near_dup_pairs` contract.
+    """
+    from pyspark.sql.window import Window
+
+    g = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        .withColumn("_sig", F.md5(F.to_json(F.col("v"))))
+        .withColumn("rep_id", F.min("vec_id").over(Window.partitionBy("_sig")))
+    )
+    members = g.select("rep_id", "vec_id")
+    reps = g.filter(F.col("vec_id") == F.col("rep_id")).select("vec_id", "v")
+
+    sig = bq_signature(
+        reps.select(F.col("vec_id"), F.col("v").alias(vec_col)),
+        vec_col=vec_col,
+        id_col="vec_id",
+    )
+    # n_bands equal chunks over the packed words; chunk width must
+    # divide the 32-bit word so a chunk never straddles words.
+    n_words = F.size(F.col("sig"))
+    total_bits = n_words * 32
+    width = (total_bits / F.lit(n_bands)).cast("int")  # bits per chunk
+    chunks_per_word = (F.lit(32) / width).cast("int")
+    banded = sig.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    # integer div/mod — exact, replayed verbatim in SQL
+                    (
+                        F.floor(
+                            F.col("sig")[
+                                (b / chunks_per_word).cast("int")
+                            ]
+                            / F.pow(
+                                F.lit(2.0), (b % chunks_per_word) * width
+                            ).cast("bigint")
+                        )
+                        % F.pow(F.lit(2.0), width).cast("bigint")
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("bc"),
+    ).select("vec_id", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("ra"), F.col("y.vec_id").alias("rb"))
+        .distinct()
+    )
+    rv = reps.withColumn("n", norm(F.col("v")))
+    score = F.round(
+        guarded_cosine(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")),
+        round_digits,
+    )
+    rep_pairs = (
+        cand.join(
+            rv.select(
+                F.col("vec_id").alias("ra"),
+                F.col("v").alias("va"),
+                F.col("n").alias("na"),
+            ),
+            "ra",
+        )
+        .join(
+            rv.select(
+                F.col("vec_id").alias("rb"),
+                F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            ),
+            "rb",
+        )
+        .select("ra", "rb", score.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    # expand rep-level pairs through exact-duplicate group membership
+    # (identical vectors: cosine exactly 1.0 by definition) — the
+    # near_dup_pairs_lsh recipe
+    ma = members.select(F.col("rep_id").alias("ra"), F.col("vec_id").alias("id_a"))
+    mb = members.select(F.col("rep_id").alias("rb"), F.col("vec_id").alias("id_b"))
+    cross_groups = (
+        rep_pairs.join(ma, "ra")
+        .join(mb, "rb")
+        .select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+            "cosine",
+        )
+    )
+    within = (
+        members.alias("p")
+        .join(
+            members.alias("q"),
+            (F.col("p.rep_id") == F.col("q.rep_id"))
+            & (F.col("p.vec_id") < F.col("q.vec_id")),
+        )
+        .select(
+            F.col("p.vec_id").alias("id_a"),
+            F.col("q.vec_id").alias("id_b"),
+            F.lit(1.0).alias("cosine"),
+        )
+    )
+    return cross_groups.unionByName(within)

@@ -9296,3 +9296,97 @@ def doc_split_incremental_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=8, bands=4, threshold=0.5, shingle_n=3, hash_family="md5",
         assigned=stored,
     )
+
+
+# BQ-gated embedding near-dup pairs: the whole gate — sign-bit packing
+# (integer sums of distinct powers of two), 8×8-bit pigeonhole chunks
+# (integer div/mod), candidate equality-join, rounded-cosine verify —
+# replays in ANSI SQL, so the driver hash-checks the gate SEMANTICS,
+# not a recall promise.  50 planted near-identical twins (vec_id +
+# 100001, first coordinate +0.05 — the doc_split_stream_replay planting
+# recipe) give the fixture a real near-dup population at cosine ≈
+# 0.9988: sign vectors differ in ≤1 coordinate, comfortably inside the
+# pigeonhole radius (hamming < 8 always agrees on ≥1 chunk).
+_BQ_GATED_PAIRS_ORACLE = """
+WITH allv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100001,
+    list_prepend(e2[1] + 0.05, e2[2:]) AS e
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e2
+        FROM embeddings WHERE vec_id < 50)
+),
+rep AS (
+  SELECT vec_id, e, MIN(vec_id) OVER (PARTITION BY e) AS rep_id FROM allv
+),
+reps AS (SELECT vec_id, e FROM rep WHERE vec_id = rep_id),
+bits AS (
+  SELECT vec_id, (t.i - 1) // 32 AS w,
+    CASE WHEN e[t.i] >= 0
+         THEN (1::BIGINT << CAST((t.i - 1) % 32 AS INT)) ELSE 0 END AS bit
+  FROM reps, UNNEST(generate_series(1, len(e))) AS t(i)
+),
+words AS (
+  SELECT vec_id, w, CAST(SUM(bit) AS BIGINT) AS word FROM bits GROUP BY 1, 2
+),
+banded AS (
+  SELECT wo.vec_id, CAST(t.b AS INT) AS band,
+    (wo.word // (1::BIGINT << CAST((t.b % 4) * 8 AS INT))) % 256 AS chunk
+  FROM words wo, UNNEST(generate_series(0, 7)) AS t(b)
+  WHERE wo.w = t.b // 4
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS ra, y.vec_id AS rb
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.vec_id < y.vec_id
+),
+rp AS (
+  SELECT * FROM (
+    SELECT c.ra, c.rb,
+      round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+    FROM cand c
+    JOIN reps a ON a.vec_id = c.ra
+    JOIN reps b ON b.vec_id = c.rb
+  ) s WHERE cosine >= 0.99
+)
+SELECT LEAST(ma.vec_id, mb.vec_id) AS id_a,
+       GREATEST(ma.vec_id, mb.vec_id) AS id_b, p.cosine
+FROM rp p
+JOIN rep ma ON ma.rep_id = p.ra
+JOIN rep mb ON mb.rep_id = p.rb
+UNION ALL
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, 1.0 AS cosine
+FROM rep a JOIN rep b ON a.rep_id = b.rep_id AND a.vec_id < b.vec_id
+"""
+
+
+@register("embedding_bq_gated_pairs", _BQ_GATED_PAIRS_ORACLE)
+def embedding_bq_gated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with the 1-bit signature as the FIRST
+    gate (:func:`..operators.similarity.bq_banded_pairs`): pigeonhole
+    chunks of the packed sign signature generate candidates through an
+    equality self-join — integer keys derived from the same 16-byte
+    signature table the ANN scan materializes — and only candidates
+    pay the exact-cosine verify.  The cheap-gate role the round-7
+    verdict asked for: at 100 TB the float vectors are touched only
+    for pairs that already agree on a signature chunk.  50 planted
+    twins (first coordinate +0.05) make the fixture's near-dup
+    population real; the oracle replays plant, packing, chunk
+    arithmetic, candidate join, and verify — hash-green, so the gate's
+    semantics (not a sampled recall claim) are driver-checked."""
+    from .operators.similarity import bq_banded_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100001).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.05)).otherwise(x),
+        ).alias("embedding"),
+    )
+    allv = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(twins)
+    return bq_banded_pairs(allv, threshold=0.99, n_bands=8)

@@ -139,6 +139,7 @@ PROBE = (
     "corpus_build_split",
     "corpus_jsonl_split",
     "doc_split_incremental_stored",
+    "embedding_bq_gated_pairs",
 )
 
 KEYED = {
