@@ -3590,6 +3590,100 @@ class TestIvfHotSplit:
         assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
         assert any(r["sub_cell"] > 0 for r in rows1)
 
+    def test_kmeans_split_membership_overlaps_independent_rebuild(
+        self, spark, sf_dir
+    ):
+        """The r07-verdict invariant, pinned numerically: the
+        maintained sub-assignment of a split cell's members must agree
+        with an INDEPENDENT from-scratch k-means of those same members
+        at the same k — not just with a rerun of the identical code
+        path.  Agreement is pair-counting (Rand index: member pairs
+        co-clustered in both or separated in both), which is
+        label-permutation-invariant; floor pinned at 0.80.  The
+        maintained labels are derived through the same public pieces
+        the operator composes (kmeans_train → hot rule →
+        kmeans_train_grouped → nearest_cell) and cross-checked against
+        the operator's posting rows so the twin cannot drift."""
+        from collections import Counter
+        from itertools import combinations
+
+        from textract_farmdata_pipeline_spark.operators.checkpoints import (
+            tracked_local_checkpoint,
+        )
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            _as_double,
+            centroid_scores,
+            ivf_hot_cell_split_kmeans,
+            kmeans_train,
+            kmeans_train_grouped,
+            nearest_cell,
+        )
+
+        _, existing, _ = self._natural_split(spark, sf_dir)
+        batch = self._hot_batch(spark, existing)
+        op_rows = ivf_hot_cell_split_kmeans(
+            existing, batch, k_coarse=16, k_split=4
+        ).collect()
+        split_cells = {r["cell"] for r in op_rows if r["sub_cell"] > 0}
+        assert len(split_cells) == 1
+        hot_cell = split_cells.pop()
+
+        # maintained labels via the operator's own public composition
+        cents, _ = kmeans_train(existing, k=16, max_iter=4)
+        assigned = (
+            existing.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+            .unionByName(
+                batch.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+            )
+            .withColumn(
+                "cell", nearest_cell(centroid_scores(F.col("v"), cents)).cast("int")
+            )
+        )
+        assigned, _ = tracked_local_checkpoint(assigned)
+        hot_m = assigned.filter(F.col("cell") == hot_cell).select(
+            "cell", "vec_id", "v"
+        )
+        sub_books = kmeans_train_grouped(
+            hot_m, "cell", k=4, max_iter=4, vec_col="v", id_col="vec_id"
+        )
+        maintained = {
+            r["vec_id"]: r["sub"]
+            for r in hot_m.withColumn(
+                "sub",
+                nearest_cell(
+                    centroid_scores(F.col("v"), sub_books[hot_cell])
+                ).cast("int"),
+            ).collect()
+        }
+        # the twin must reproduce the operator's posting histogram
+        op_hist = sorted(
+            r["n_members"] for r in op_rows if r["cell"] == hot_cell
+        )
+        assert sorted(Counter(maintained.values()).values()) == op_hist
+
+        # independent rebuild: fresh Lloyd on ONLY the cell's members
+        member_df = hot_m.select("vec_id", F.col("v").alias("embedding"))
+        rcents, _ = kmeans_train(member_df, k=4, max_iter=8)
+        rebuilt = {
+            r["vec_id"]: r["sub"]
+            for r in member_df.withColumn(
+                "sub",
+                nearest_cell(
+                    centroid_scores(_as_double(F.col("embedding")), rcents)
+                ).cast("int"),
+            ).collect()
+        }
+        ids = sorted(maintained)
+        assert sorted(rebuilt) == ids
+        agree = total = 0
+        for a, b in combinations(ids, 2):
+            total += 1
+            agree += (maintained[a] == maintained[b]) == (
+                rebuilt[a] == rebuilt[b]
+            )
+        assert total > 0
+        assert agree / total >= 0.80, f"Rand agreement {agree/total:.3f}"
+
 
 class TestQuantileSketch:
     def test_accuracy_and_shape(self, spark, sf_dir):
