@@ -164,6 +164,10 @@ HEADLINE = (
     # (pigeonhole chunks of the packed sign signature -> equality-join
     # candidates -> exact-cosine verify; fully hash-checked)
     "embedding_bq_gated_pairs",
+    # r08: the split-integrity audit (cluster chain + both split
+    # disciplines; the cluster-atomic scheme has a measured,
+    # driver-replayed zero cross-split leak)
+    "doc_split_audit",
 )
 
 

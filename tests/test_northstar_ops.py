@@ -493,6 +493,44 @@ class TestSequencePacking:
         b = sorted(map(tuple, pack_token_spans(docs, 128, bucket_docs=10**6).collect()))
         assert a == b
 
+    def test_partitioned_packing_equals_per_partition_packing(self, spark, docs):
+        """partition_col packs each partition value as its own token
+        stream: the output must equal running pack_token_spans
+        separately on each partition's docs — and therefore no
+        sequence can contain docs of two partitions (the cross-split
+        leakage guarantee corpus_jsonl_split relies on)."""
+        from textract_farmdata_pipeline_spark.operators.packing import (
+            pack_token_spans,
+        )
+
+        labeled = docs.withColumn(
+            "split",
+            F.when(F.col("doc_id") % 3 == 0, "val").otherwise("train"),
+        )
+        got = sorted(
+            map(
+                tuple,
+                pack_token_spans(
+                    labeled, 128, bucket_docs=7, partition_col="split"
+                ).collect(),
+            )
+        )
+        want = []
+        for s in ("train", "val"):
+            part = labeled.filter(F.col("split") == s)
+            for r in pack_token_spans(part, 128, bucket_docs=7).collect():
+                want.append((r["doc_id"], s, r["seq_id"], r["tok_start"], r["n_tokens"]))
+        assert got == sorted(want)
+        # no (split, seq) mixes partitions, by construction of `want`;
+        # and each split's stream still chunks at exactly the budget
+        per = {}
+        for doc_id, s, seq, _, n in got:
+            per[(s, seq)] = per.get((s, seq), 0) + n
+        for s in ("train", "val"):
+            seqs = sorted(k[1] for k in per if k[0] == s)
+            assert seqs == list(range(len(seqs)))
+            assert all(per[(s, q)] == 128 for q in seqs[:-1])
+
     def test_greedy_packs_respect_budget(self, spark, docs):
         from textract_farmdata_pipeline_spark.operators.packing import pack_greedy
 
@@ -4546,7 +4584,7 @@ class TestBqGatedPairs:
         df = self._planted(spark)
         gated = {
             (r["id_a"], r["id_b"], r["cosine"])
-            for r in bq_banded_pairs(df, threshold=0.99, n_bands=8).collect()
+            for r in bq_banded_pairs(df, threshold=0.99, chunk_bits=8).collect()
         }
         brute = {
             (r["id_a"], r["id_b"], r["cosine"])
@@ -4571,14 +4609,14 @@ class TestBqGatedPairs:
 
         df = self._planted(spark)
         plan = (
-            bq_banded_pairs(df, threshold=0.99, n_bands=8)
+            bq_banded_pairs(df, threshold=0.99, chunk_bits=8)
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
     def test_pigeonhole_miss_is_the_declared_trade(self, spark):
-        """A pair with >= n_bands sign flips spread one-per-chunk
+        """A pair with one sign flip in every chunk
         shares no chunk and is missed even above the cosine threshold
         — the documented recall trade (same contract as LSH)."""
         from textract_farmdata_pipeline_spark.operators.similarity import (
@@ -4593,7 +4631,7 @@ class TestBqGatedPairs:
         )
         brute = near_dup_pairs(df, threshold=0.5).collect()
         assert len(brute) == 1 and brute[0]["cosine"] == 0.75
-        assert bq_banded_pairs(df, threshold=0.5, n_bands=8).count() == 0
+        assert bq_banded_pairs(df, threshold=0.5, chunk_bits=8).count() == 0
 
     def test_semantic_dedup_hamming_gate_parity(self, spark):
         """semantic_dedup(hamming_gate=...) must reproduce the ungated
@@ -4619,3 +4657,21 @@ class TestBqGatedPairs:
         gated = key(semantic_dedup(df, cents, threshold=0.99, hamming_gate=2))
         assert ungated == gated
         assert [(1, True, None), (2, False, 1), (3, True, None), (4, True, None)] == gated
+
+
+class TestSemanticDedupGatedRegistration:
+    def test_gated_registration_parity_with_ungated(self, spark, sf_dir):
+        """The rows-only driver check cannot see parity, so pin it
+        here: the registered BQ-gated SemDeDup must make the identical
+        keep/dup_of decision as the ungated registration on the real
+        fixture (planted exact copies have sign-Hamming 0 — always
+        inside the gate)."""
+        from textract_farmdata_pipeline_spark.registry import QUERIES
+
+        key = lambda name: sorted(
+            (r["vec_id"], r["keep"], r["dup_of"])
+            for r in QUERIES[name](spark, sf_dir).collect()
+        )
+        assert key("embedding_semantic_dedup") == key(
+            "embedding_semantic_dedup_gated"
+        )

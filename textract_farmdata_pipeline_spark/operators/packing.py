@@ -46,6 +46,7 @@ def pack_token_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_docs: int = BUCKET_DOCS,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Concat-then-chunk packing; returns one row per (doc, sequence)
     span: ``doc_id, seq_id, tok_start, n_tokens``.
@@ -54,18 +55,36 @@ def pack_token_spans(
     ``n_tokens`` its length, so ``seq_id``'s spans always total exactly
     ``budget`` tokens (except the final sequence).
 
+    ``partition_col`` packs each partition value as its OWN token
+    stream (seq numbering restarts per partition; the output carries
+    the column, so ``(partition_col, seq_id)`` is the sequence key).
+    The motivating case is a train/val/test ``split`` column: packing
+    a split-labeled corpus globally lets one 512-token sequence
+    straddle a split boundary — train tokens physically inside an eval
+    sequence, leakage the split stage existed to prevent.  Per-split
+    packing makes cross-split sequences impossible BY CONSTRUCTION,
+    not by filtering.
+
     Scale shape: one shuffle for the bucket window, one tiny aggregate
     (bucket totals) that re-enters as a broadcast join, one explode.
     The per-bucket window keys on ``doc_id div bucket_docs``, so no
     executor ever sees more than ``bucket_docs`` rows in one partition
     — the classic distributed prefix-sum, not a 1-partition sort.
+    With ``partition_col`` both window keys gain the partition column
+    (same shuffle count; the level-2 bucket table stays
+    broadcastable at |partitions| × corpus/bucket_docs rows).
     """
-    toks = _token_counts(docs, id_col, text_col)
+    pcols = [partition_col] if partition_col is not None else []
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *pcols,
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
     bucket = (F.col("doc_id") / F.lit(bucket_docs)).cast("long")
 
-    # Level 1: exclusive cumsum within each bucket.
+    # Level 1: exclusive cumsum within each (partition, bucket).
     w = (
-        Window.partitionBy("bucket")
+        Window.partitionBy(*pcols, "bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -73,27 +92,33 @@ def pack_token_spans(
         "local_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
 
-    # Level 2: per-bucket totals → exclusive cumsum over buckets.  The
-    # bucket table is corpus_size/bucket_docs rows — broadcastable.
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # Level 2: per-bucket totals → exclusive cumsum over buckets within
+    # each partition.  The bucket table is |partitions| ×
+    # corpus_size/bucket_docs rows — broadcastable.
+    wb = (
+        Window.partitionBy(*pcols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
-        local.groupBy("bucket")
+        local.groupBy(*pcols, "bucket")
         .agg(F.sum("n_tokens").alias("bucket_total"))
         .withColumn("bucket_offset", F.coalesce(F.sum("bucket_total").over(wb), F.lit(0)))
-        .select("bucket", "bucket_offset")
+        .select(*pcols, "bucket", "bucket_offset")
     )
 
-    placed = local.join(F.broadcast(offsets), "bucket").withColumn(
+    placed = local.join(F.broadcast(offsets), [*pcols, "bucket"]).withColumn(
         "start", F.col("bucket_offset") + F.col("local_start")
     )
 
-    # A document spanning global tokens [start, start+n) intersects
-    # sequences floor(start/B) .. floor((start+n-1)/B).
+    # A document spanning partition-local tokens [start, start+n)
+    # intersects sequences floor(start/B) .. floor((start+n-1)/B).
     first_seq = F.expr(f"start div {budget}")
     last_seq = F.expr(f"(start + n_tokens - 1) div {budget}")
     seq = F.explode(F.sequence(first_seq, last_seq)).alias("seq_id")
-    return placed.select("doc_id", "n_tokens", "start", seq).select(
+    return placed.select("doc_id", *pcols, "n_tokens", "start", seq).select(
         "doc_id",
+        *pcols,
         F.col("seq_id").cast("long").alias("seq_id"),
         (
             F.greatest(F.col("seq_id") * budget, F.col("start")) - F.col("start")

@@ -3216,27 +3216,28 @@ def bq_asym_topk(
 def bq_banded_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
-    n_bands: int = 8,
+    chunk_bits: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 4,
 ) -> DataFrame:
     """BQ-GATED near-dup pairs: the 1-bit sign signature
-    (:func:`bq_signature`) pigeonhole-banded into ``n_bands`` equal
-    bit chunks, candidates from an equality self-join on
-    ``(band, chunk_value)``, then ONE exact rounded-cosine verify per
-    candidate — the integer-Hamming first gate in front of the
+    (:func:`bq_signature`) pigeonhole-banded into ``chunk_bits``-bit
+    chunks (``dims / chunk_bits`` of them; ``chunk_bits`` must divide
+    32 so a chunk never straddles a packed word), candidates from an
+    equality self-join on ``(band, chunk_value)``, then ONE exact
+    rounded-cosine verify per candidate — the integer-Hamming first gate in front of the
     embedding near-dup product, exactly how LSH banding gates the text
     leg (``near_dup_clusters``) and hyperplane buckets gate
     :func:`near_dup_pairs_lsh`.
 
     Capture guarantee (pigeonhole): any pair with sign-Hamming
-    distance < ``n_bands`` agrees on at least one full chunk and is
-    therefore a candidate.  The production near-dup regime is tiny
+    distance below the chunk count (64 dims / 8 bits = radius 8)
+    agrees on at least one full chunk and is therefore a candidate.  The production near-dup regime is tiny
     perturbations of the same content — re-encodes, paraphrase
     embeddings at cosine ≥ 0.95 — whose sign vectors differ in at most
     a handful of coordinates, comfortably inside the default radius 8.
-    A pair with ≥ ``n_bands`` sign flips CAN be missed — that is the
+    A pair with one flip in every chunk CAN be missed — that is the
     gate's declared trade (same contract as LSH recall), and
     ``embedding_ann_eval`` is the measuring instrument for this
     family, not a promise in this docstring.
@@ -3274,30 +3275,28 @@ def bq_banded_pairs(
         vec_col=vec_col,
         id_col="vec_id",
     )
-    # n_bands equal chunks over the packed words; chunk width must
-    # divide the 32-bit word so a chunk never straddles words.
-    n_words = F.size(F.col("sig"))
-    total_bits = n_words * 32
-    width = (total_bits / F.lit(n_bands)).cast("int")  # bits per chunk
-    chunks_per_word = (F.lit(32) / width).cast("int")
+    # chunk_bits-wide chunks over the packed words; the width divides
+    # the 32-bit word by contract, so chunk count derives per row from
+    # the word count (ragged dimension counts stay correct).
+    assert 32 % chunk_bits == 0, "chunk_bits must divide the 32-bit word"
+    cpw = 32 // chunk_bits  # chunks per word
+    n_chunks = F.size(F.col("sig")) * cpw
     banded = sig.select(
         "vec_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                F.sequence(F.lit(0), n_chunks - 1),
                 lambda b: F.struct(
                     b.alias("band"),
                     # integer div/mod — exact, replayed verbatim in SQL
                     (
                         F.floor(
-                            F.col("sig")[
-                                (b / chunks_per_word).cast("int")
-                            ]
+                            F.col("sig")[(b / cpw).cast("int")]
                             / F.pow(
-                                F.lit(2.0), (b % chunks_per_word) * width
+                                F.lit(2.0), (b % cpw) * chunk_bits
                             ).cast("bigint")
                         )
-                        % F.pow(F.lit(2.0), width).cast("bigint")
+                        % F.lit(1 << chunk_bits).cast("bigint")
                     ).alias("chunk"),
                 ),
             )

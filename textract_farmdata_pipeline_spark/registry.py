@@ -7875,9 +7875,20 @@ def _jsonl_pipeline_frame(
         "doc_id", "source", F.col("shard").cast("long").alias("shard"),
         *split_cols,
     )
-    selected = docs.join(manifest.select("doc_id"), "doc_id")
-    spans = pack_token_spans(selected, budget=512, bucket_docs=64)
-    packed = spans.join(manifest, "doc_id")
+    if split_weights is not None:
+        # pack each split as its OWN token stream: a 512-token sequence
+        # can then never straddle a split boundary (train tokens inside
+        # an eval sequence — the leakage the split stage exists to
+        # prevent); (split, seq_id) is the sequence key
+        selected = docs.join(manifest.select("doc_id", "split"), "doc_id")
+        spans = pack_token_spans(
+            selected, budget=512, bucket_docs=64, partition_col="split"
+        )
+        packed = spans.join(manifest.drop("split"), "doc_id")
+    else:
+        selected = docs.join(manifest.select("doc_id"), "doc_id")
+        spans = pack_token_spans(selected, budget=512, bucket_docs=64)
+        packed = spans.join(manifest, "doc_id")
     write_jsonl_shards(packed, f"{out}/packed", shard_col="seq_id", n_shards=8)
     # the packed write is an action that fully drained the input shards;
     # drop the corpus-sized copy now rather than at exit
@@ -9221,30 +9232,32 @@ ptoks AS (
   SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
   FROM documents d JOIN sampled USING (doc_id)
 ),
-cum AS (
-  SELECT doc_id, n_tokens,
-    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
-  FROM ptoks
-),
-spans AS (
-  SELECT doc_id, n_tokens, start,
-    unnest(generate_series(start // 512, (start + n_tokens - 1) // 512)) AS seq_id
-  FROM cum
-),
 spdocs AS (
   SELECT d.doc_id, d.text FROM documents d JOIN sampled USING (doc_id)
 )"""
     + _split_chain_ctes("sp", "spdocs")
-    + """
+    + """,
+cum AS (
+  -- per-SPLIT token streams: the exclusive prefix sum partitions on
+  -- the split label, so seq numbering restarts per split and a
+  -- sequence can never straddle a split boundary
+  SELECT p.doc_id, p.n_tokens, sp.split,
+    CAST(COALESCE(SUM(p.n_tokens) OVER (PARTITION BY sp.split ORDER BY p.doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+  FROM ptoks p JOIN spsplit sp ON sp.doc_id = p.doc_id
+),
+spans AS (
+  SELECT doc_id, n_tokens, start, split,
+    unnest(generate_series(start // 512, (start + n_tokens - 1) // 512)) AS seq_id
+  FROM cum
+)
 SELECT s.doc_id, CAST(s.seq_id AS BIGINT) AS seq_id,
   CAST(greatest(s.seq_id * 512, s.start) - s.start AS BIGINT) AS tok_start,
   CAST(least((s.seq_id + 1) * 512, s.start + s.n_tokens)
        - greatest(s.seq_id * 512, s.start) AS BIGINT) AS n_tokens,
-  sh.source, CAST(sh.shard AS BIGINT) AS shard, sp.split
+  sh.source, CAST(sh.shard AS BIGINT) AS shard, s.split
 FROM spans s
 JOIN shards sh USING (doc_id)
-JOIN spsplit sp USING (doc_id)
 WHERE (SELECT n_moved FROM spfix) = 0
 """
 )
@@ -9257,9 +9270,15 @@ def corpus_jsonl_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-atomic ``split`` column (leakage-safe train/val/test by
     near-dup cluster of the FINAL selection), written into and read
     back from the JSONL shards — so the split label survives the
-    interchange format, not just the in-memory manifest.  Same
-    composed CTE-chain oracle as the pipeline plus the prefixed split
-    chain and its round-5 fixpoint guard."""
+    interchange format, not just the in-memory manifest.  Packing is
+    PER SPLIT (``pack_token_spans(partition_col='split')``): each
+    split is its own token stream, so no 512-token sequence can
+    physically contain both train and eval tokens — the cross-split
+    leakage a split-agnostic global pack would quietly reintroduce
+    after the split stage removed it.  ``(split, seq_id)`` is the
+    sequence key.  Same composed CTE-chain oracle as the pipeline plus
+    the prefixed split chain, a split-partitioned prefix sum, and the
+    round-5 fixpoint guard."""
     return _jsonl_pipeline_frame(spark, sf_dir, split_weights=(90, 5, 5))
 
 
@@ -9389,4 +9408,110 @@ def embedding_bq_gated_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     allv = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).unionByName(twins)
-    return bq_banded_pairs(allv, threshold=0.99, n_bands=8)
+    return bq_banded_pairs(allv, threshold=0.99, chunk_bits=8)
+
+
+# Split-integrity audit: the cluster chain is the hash-green
+# dedup_clusters_portable oracle as a derived table; both split
+# disciplines (per-doc md5 bucket vs cluster-atomic) are applied to
+# every member and straddling is counted per cluster — so "the
+# cluster-atomic split leaks zero near-dup pairs across splits" is a
+# MEASURED, driver-replayed number, not a docstring promise.
+_SPLIT_AUDIT_ORACLE = _force_materialized(f"""
+WITH labeled AS (
+  SELECT doc_id, cluster_id,
+    {_split_case("doc_id")} AS naive_split,
+    {_split_case("cluster_id")} AS safe_split
+  FROM ({_NEARDUP_CLUSTERS_PORTABLE_ORACLE}) clusters
+),
+per AS (
+  SELECT cluster_id, COUNT(*) AS n_docs,
+    COUNT(DISTINCT naive_split) AS nn,
+    COUNT(DISTINCT safe_split) AS ns
+  FROM labeled GROUP BY cluster_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_multi_doc_clusters,
+  CAST(SUM(CASE WHEN nn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS naive_straddling_clusters,
+  CAST(SUM(CASE WHEN nn > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+    AS naive_docs_at_risk,
+  CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS safe_straddling_clusters,
+  CAST(SUM(CASE WHEN ns > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+    AS safe_docs_at_risk
+FROM per
+""")
+
+
+@register("doc_split_audit", _SPLIT_AUDIT_ORACLE)
+def doc_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-integrity audit — the observability row an operator
+    watches after every corpus refresh: near-dup clusters (the proven
+    linear chain) labeled under BOTH split disciplines, counting
+    clusters whose members straddle splits.  The per-doc md5 bucket
+    (``doc_dataset_split``) leaks near-dup twins across train/eval —
+    ``naive_straddling_clusters`` / ``naive_docs_at_risk`` quantify
+    exactly how much on this corpus — while the cluster-atomic
+    discipline measures 0 by construction, and the driver replays the
+    whole computation, so the guarantee is checked, not asserted.
+    One aggregate row at any corpus size (two map-side-combinable
+    shuffles past the cluster chain)."""
+    from .operators.dedup import near_dup_clusters
+    from .operators.preprocess import dataset_split
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(
+        docs, n_hashes=8, bands=4, threshold=0.5, shingle_n=3,
+        max_bucket_size=None, hash_family="md5",
+    )
+    labeled = dataset_split(
+        dataset_split(clusters, id_col="doc_id").withColumnRenamed(
+            "split", "naive_split"
+        ),
+        id_col="cluster_id",
+    ).withColumnRenamed("split", "safe_split")
+    per = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("naive_split").alias("nn"),
+        F.count_distinct("safe_split").alias("ns"),
+    )
+    straddle = lambda c: F.sum(F.when(F.col(c) > 1, 1).otherwise(0))
+    at_risk = lambda c: F.sum(F.when(F.col(c) > 1, F.col("n_docs")).otherwise(0))
+    return per.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+            "n_multi_doc_clusters"
+        ),
+        straddle("nn").alias("naive_straddling_clusters"),
+        at_risk("nn").alias("naive_docs_at_risk"),
+        straddle("ns").alias("safe_straddling_clusters"),
+        at_risk("ns").alias("safe_docs_at_risk"),
+    )
+
+
+@register("embedding_semantic_dedup_gated")  # no oracle: iterative training
+def embedding_semantic_dedup_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embedding_semantic_dedup`` with the binary-quantization cheap
+    gate composed in (``hamming_gate=16``): within-cell candidate
+    pairs are pre-filtered by integer XOR+popcount on the packed sign
+    signature before any float dot product runs — the r07-verdict
+    "BQ as first gate" composition on the SemDeDup product itself.
+    Exact duplicates have sign-Hamming 0, so the planted vec_id<50
+    copies must produce the IDENTICAL keep/dup_of decision as the
+    ungated query (the unit parity test pins this on a hand fixture;
+    this registration puts the composition in the driver rotation).
+    Rows-only like its ungated twin (iterative Lloyd training)."""
+    from .operators.similarity import kmeans_train, semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+    )
+    cents, _ = kmeans_train(emb, k=16, max_iter=4)
+    return semantic_dedup(
+        corpus, cents, threshold=0.999, max_cell_size=150, hamming_gate=16
+    )

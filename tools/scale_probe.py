@@ -140,6 +140,8 @@ PROBE = (
     "corpus_jsonl_split",
     "doc_split_incremental_stored",
     "embedding_bq_gated_pairs",
+    "doc_split_audit",
+    "embedding_semantic_dedup_gated",
 )
 
 KEYED = {
