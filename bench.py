@@ -168,6 +168,10 @@ HEADLINE = (
     # disciplines; the cluster-atomic scheme has a measured,
     # driver-replayed zero cross-split leak)
     "doc_split_audit",
+    # r08: DSIR data selection — hashed-bigram importance scores vs the
+    # English target, exact Mitchell fixed-point log (integer q20
+    # scores, fully hash-checked); top-64 selection product
+    "doc_dsir_select",
 )
 
 

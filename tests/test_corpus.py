@@ -742,3 +742,163 @@ class TestIncrementalSplitStored:
         # no second LSH/banding subtree, just the checkpoint scan
         plan = reused._jdf.queryExecution().optimizedPlan().toString()
         assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+class TestDsir:
+    """DSIR importance resampling — exactness of the Mitchell
+    fixed-point family against a pure-Python IEEE reference, and rank
+    agreement of the production ln family with the portable one."""
+
+    @staticmethod
+    def _py_reference(rows, target_ids, n=2, buckets=4096, scale_bits=20):
+        """Bit-exact Python mirror: Python floats ARE IEEE doubles, so
+        the same expression tree must reproduce every Spark score."""
+        import hashlib
+
+        def grams(text):
+            t = text.split(" ")
+            n_pos = max(len(t) - (n - 1), 1)
+            return [" ".join(t[i : i + n]) for i in range(n_pos)]
+
+        def bucket(g):
+            h = hashlib.md5(("dsir|" + g).encode()).hexdigest()[:8]
+            return int(h, 16) % buckets
+
+        per, rawc, tgtc = {}, Counter(), Counter()
+        for doc_id, text in rows:
+            for g in grams(text):
+                b = bucket(g)
+                per[(doc_id, b)] = per.get((doc_id, b), 0) + 1
+                rawc[b] += 1
+                if doc_id in target_ids:
+                    tgtc[b] += 1
+        tr, tt = sum(rawc.values()), sum(tgtc.values())
+
+        def plog2(x):
+            f = x.bit_length() - 1
+            return float(f) + (float(x) / float(1 << f) - 1.0)
+
+        import math
+
+        w = {
+            b: math.floor(
+                (
+                    (
+                        (plog2(tgtc.get(b, 0) + 1) - plog2(tt + buckets))
+                        - plog2(cr + 1)
+                    )
+                    + plog2(tr + buckets)
+                )
+                * float(1 << scale_bits)
+            )
+            for b, cr in rawc.items()
+        }
+        out = {}
+        for (doc_id, b), c in per.items():
+            g, s = out.get(doc_id, (0, 0))
+            out[doc_id] = (g + c, s + c * w[b])
+        return out
+
+    _ROWS = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "eins zwei drei vier fünf"),
+        (4, "sechs sieben acht neun zehn"),
+        (5, "the cat sat quietly nearby"),
+        (6, "x"),  # degenerate: shorter than the n-gram width
+    ]
+    _TARGET = {1, 2, 5}
+
+    def _frames(self, spark):
+        docs = _docs(spark, self._ROWS)
+        return docs, docs.filter(F.col("doc_id").isin(*self._TARGET))
+
+    def test_mitchell_scores_bit_exact(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import dsir_scores
+
+        docs, target = self._frames(spark)
+        got = {
+            r["doc_id"]: (r["n_grams"], r["score_q20"])
+            for r in dsir_scores(docs, target).collect()
+        }
+        assert got == self._py_reference(self._ROWS, self._TARGET)
+
+    def test_target_like_docs_outscore_rest(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import dsir_scores
+
+        docs, target = self._frames(spark)
+        got = {
+            r["doc_id"]: r["score_q20"]
+            for r in dsir_scores(docs, target).collect()
+        }
+        assert len(got) == len(self._ROWS)  # degenerate doc 6 is scored too
+        # every English-style doc beats every German-style doc
+        assert min(got[d] for d in (1, 2, 5)) > max(got[d] for d in (3, 4))
+
+    def test_ln_family_agrees_within_mitchell_bound(self, spark):
+        """Mitchell's plog2 overshoots log2 by at most 0.0861 bits per
+        term, so a per-doc score can drift by ≤ 4·0.0861·n_grams bits
+        from the true log-ratio; any pair separated by MORE than the
+        two docs' combined bound must rank identically in both
+        families (near-ties may legitimately swap — that is the
+        documented price of the exact-portable log)."""
+        import math
+
+        from textract_farmdata_pipeline_spark.operators.corpus import dsir_scores
+
+        docs, target = self._frames(spark)
+        mit = {
+            r["doc_id"]: (r["score_q20"] / float(1 << 20), r["n_grams"])
+            for r in dsir_scores(docs, target, weight="mitchell").collect()
+        }
+        ln = {
+            r["doc_id"]: r["score"] / math.log(2.0)
+            for r in dsir_scores(docs, target, weight="ln").collect()
+        }
+        bound = lambda d: 4 * 0.0861 * mit[d][1]
+        decided = 0
+        for i in ln:
+            for j in ln:
+                if ln[i] - ln[j] > bound(i) + bound(j):
+                    assert mit[i][0] > mit[j][0], (i, j)
+                    decided += 1
+        assert decided > 0  # the fixture separates EN from DE decisively
+
+    def test_select_orders_and_limits(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            dsir_scores,
+            dsir_select,
+        )
+
+        docs, target = self._frames(spark)
+        top = dsir_select(docs, target, k=3).collect()
+        assert len(top) == 3
+        scores = {
+            r["doc_id"]: r["score_q20"]
+            for r in dsir_scores(docs, target).collect()
+        }
+        expect = sorted(scores, key=lambda d: (-scores[d], d))[:3]
+        assert [r["doc_id"] for r in top] == expect
+
+    def test_weight_table_broadcasts(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import dsir_scores
+
+        docs, target = self._frames(spark)
+        plan = dsir_scores(docs, target)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_corpus_explode_runs_once(self, spark):
+        """The raw-bucket totals must come from AQE reuse of the
+        per-doc count's shuffle, not a second corpus explode — the
+        100 TB contract of the docstring.  Pinned on the FINAL
+        adaptive plan: the (doc_id, bucket) exchange is reused."""
+        import re
+
+        from textract_farmdata_pipeline_spark.operators.corpus import dsir_scores
+
+        docs, target = self._frames(spark)
+        df = dsir_scores(docs, target)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert re.search(r"ReusedExchange.*hashpartitioning\(doc_id", plan)

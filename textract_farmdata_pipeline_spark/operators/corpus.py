@@ -786,3 +786,182 @@ def source_quality_gate(
             | (stop_bp < F.lit(int(min_stop_bp)))
         ).alias("blocked"),
     )
+
+
+# =========================================================================
+# DSIR — data selection via importance resampling (hashed n-grams)
+# =========================================================================
+
+
+def _plog2_sql(x: str, shift: str) -> str:
+    """SQL fragment: Mitchell piecewise-linear log2 of the positive
+    integer expression ``x`` — ``floor(log2 x) + (x / 2^floor(log2 x)
+    - 1)`` (Mitchell 1962's logarithm approximation).
+
+    Every step is exact or correctly-rounded basic IEEE arithmetic:
+    ``floor(log2 x)`` comes from the binary-string length (``bin``,
+    identical in Spark and DuckDB — no libm), ``2^f`` is an integer
+    shift, the division by a power of two and the subtraction are
+    correctly rounded, so ANY engine produces the bit-identical
+    double.  That is what the repo's no-``ln``-in-oracles doctrine
+    (see operators/approx.py module docstring) demands of a
+    hash-checked log: monotone, log-shaped (max error 0.086 bits),
+    and portable with zero last-ulp exposure.
+
+    ``shift`` is the engine's shift spelling: ``"shiftleft({b}, {f})"``
+    for Spark SQL, ``"({b} << {f})"`` for DuckDB.
+    """
+    f = f"(length(bin(CAST({x} AS BIGINT))) - 1)"
+    b = "CAST(1 AS BIGINT)"
+    p = f"CAST({shift.format(b=b, f=f)} AS DOUBLE)"
+    return (
+        f"(CAST({f} AS DOUBLE) + "
+        f"(CAST({x} AS DOUBLE) / {p} - CAST(1.0 AS DOUBLE)))"
+    )
+
+
+def _dsir_bucket_weights(
+    raw_counts: DataFrame,
+    target_counts: DataFrame,
+    buckets: int,
+    weight: str,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-bucket importance weight table from hashed-n-gram counts.
+
+    ``log p_target(b) - log p_raw(b)`` with add-one smoothing over
+    ``buckets`` features, one row per RAW bucket (a document can only
+    occupy raw buckets, so target-only buckets never score anything).
+
+    ``weight="mitchell"``: the portable family — the log is the exact
+    piecewise-linear :func:`_plog2_sql` and the weight is the BIGINT
+    ``floor(2^scale_bits · plog2-ratio)`` (fixed-point "q20" bits), so
+    document scores are ORDER-FREE integer sums and the whole chain
+    hash-checks against ANSI SQL.  ``weight="ln"``: the production
+    default — true natural-log ratio as a double (libm ``ln`` is
+    engine-specific in the last ulp, so this family is pytest-pinned
+    for rank agreement with the portable one, never hash-checked;
+    the same product-vs-oracle split as xxhash64 vs md5 in dedup).
+    """
+    tr = raw_counts.agg(F.sum("cr").cast("long").alias("tr"))
+    tt = target_counts.agg(F.sum("ct").cast("long").alias("tt"))
+    base = (
+        raw_counts.join(target_counts, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("cr").cast("long").alias("cr"),
+            F.coalesce(F.col("ct"), F.lit(0)).cast("long").alias("ct"),
+        )
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tt))
+    )
+    if weight == "mitchell":
+        shift = "shiftleft({b}, {f})"
+        expr = (
+            f"CAST(FLOOR(((({_plog2_sql('ct + 1', shift)}"
+            f" - {_plog2_sql(f'tt + {buckets}', shift)})"
+            f" - {_plog2_sql('cr + 1', shift)})"
+            f" + {_plog2_sql(f'tr + {buckets}', shift)})"
+            f" * CAST({1 << scale_bits} AS DOUBLE)) AS BIGINT)"
+        )
+        w = F.expr(expr)
+    elif weight == "ln":
+        w = F.log(
+            (F.col("ct") + F.lit(1)).cast("double")
+            / (F.col("tt") + F.lit(buckets)).cast("double")
+        ) - F.log(
+            (F.col("cr") + F.lit(1)).cast("double")
+            / (F.col("tr") + F.lit(buckets)).cast("double")
+        )
+    else:  # pragma: no cover - caller contract
+        raise ValueError(f"unknown weight family: {weight!r}")
+    return base.select("bucket", "cr", "ct", w.alias("w"))
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    buckets: int = 4096,
+    weight: str = "mitchell",
+    seed: str = "dsir|",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance score per document: how much its hashed
+    n-gram profile looks like ``target`` rather than the raw corpus
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling" — the hashed-n-gram bag-of-features
+    estimator, §3).
+
+    Features are word ``n``-grams (with multiplicity,
+    :func:`ngram_shingles`) hashed into ``buckets`` ids by the
+    engine-portable :func:`md5_bucket`; the score is
+    ``Σ_b c_doc(b) · (log p̂_target(b) - log p̂_raw(b))`` with
+    add-one smoothing.  Output: ``(doc_id, n_grams, score_q20)``
+    (BIGINT fixed-point, ``weight="mitchell"``) or ``(doc_id,
+    n_grams, score)`` (double, ``weight="ln"``).
+
+    Scale shape: ONE shingle pipeline (scan → codegen Generate →
+    md5 bucket) feeds everything — per-doc counts are the only
+    corpus-sized shuffle (``groupBy(doc, bucket)``, map-side
+    combine; ≤ min(#grams, buckets) rows per doc), raw bucket
+    totals RE-AGGREGATE those counts (bucket key, ≤ ``buckets``
+    rows — never a second corpus explode), the weight table is ≤
+    ``buckets`` rows and broadcasts, and the final per-doc sum is
+    a combiner-friendly integer aggregate.  The target side is a
+    separate (usually tiny) scan.  Nothing driver-side, no
+    floats in any exchange for the portable family.
+    """
+    sh = ngram_shingles(docs, n, text_col=text_col, id_col=id_col).select(
+        id_col, md5_bucket(F.col("shingle"), buckets, seed=seed).alias("bucket")
+    )
+    # the explicit non-null filter matches the one the scoring join
+    # would otherwise push into ITS branch only — with it in the
+    # shared lineage, the per-doc count's shuffle subtree is identical
+    # in the scoring branch and the raw-bucket re-aggregation branch,
+    # so Spark's exchange reuse materializes the corpus explode ONCE
+    # (ReusedExchange, pinned by a pytest plan test) instead of
+    # scanning the corpus a second time for the weight table.
+    per = (
+        sh.where(F.col("bucket").isNotNull())
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    raw_c = per.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    tgt_c = (
+        ngram_shingles(target, n, text_col=text_col, id_col=id_col)
+        .select(md5_bucket(F.col("shingle"), buckets, seed=seed).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    w = _dsir_bucket_weights(raw_c, tgt_c, buckets, weight)
+    score = F.sum(F.col("c") * F.col("w"))
+    score_col = (
+        score.cast("long").alias("score_q20")
+        if weight == "mitchell"
+        else score.alias("score")
+    )
+    return (
+        per.join(F.broadcast(w.select("bucket", "w")), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("c").cast("long").alias("n_grams"), score_col)
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int = 64,
+    **kwargs,
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``k`` documents whose hashed
+    n-gram profile is most target-like (:func:`dsir_scores` descending,
+    ``doc_id`` tie-break — the noise-free twin of the paper's
+    Gumbel-top-k; at equal scores the sampled and deterministic
+    variants differ only in tie order).  TakeOrdered top-k: the full
+    score table is never globally sorted."""
+    id_col = kwargs.get("id_col", "doc_id")
+    scores = dsir_scores(docs, target, **kwargs)
+    score_col = "score_q20" if "score_q20" in scores.columns else "score"
+    return scores.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)

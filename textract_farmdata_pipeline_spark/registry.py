@@ -9515,3 +9515,102 @@ def embedding_semantic_dedup_gated(spark: SparkSession, sf_dir: str) -> DataFram
     return semantic_dedup(
         corpus, cents, threshold=0.999, max_cell_size=150, hamming_gate=16
     )
+
+
+# =========================================================================
+# DSIR importance resampling (hashed n-gram features vs a target set)
+# =========================================================================
+
+
+def _dsir_duck_plog2(x: str) -> str:
+    """DuckDB twin of operators.corpus._plog2_sql — identical Mitchell
+    piecewise-linear log2 tree, DuckDB's ``<<`` shift spelling."""
+    f = f"(length(bin(CAST({x} AS BIGINT))) - 1)"
+    p = f"CAST((CAST(1 AS BIGINT) << {f}) AS DOUBLE)"
+    return (
+        f"(CAST({f} AS DOUBLE) + "
+        f"(CAST({x} AS DOUBLE) / {p} - CAST(1.0 AS DOUBLE)))"
+    )
+
+
+def _dsir_oracle(select: str) -> str:
+    """Shared oracle chain for the DSIR family: bigram shingles (the
+    decontam oracle's slice spelling, multiplicity kept), the md5
+    bucket congruence, per-(doc, bucket) counts, raw counts as a
+    RE-AGGREGATION of those (mirroring the Spark plan's single shingle
+    pipeline), target = ``lang = 'en'`` documents, and the Mitchell
+    fixed-point weight — every arithmetic step the bit-identical IEEE
+    tree the Spark side builds (see _plog2_sql), so the BIGINT scores
+    hash exactly."""
+    b = 4096
+    w = (
+        f"CAST(FLOOR(((({_dsir_duck_plog2('ct + 1')}"
+        f" - {_dsir_duck_plog2(f'tt + {b}')})"
+        f" - {_dsir_duck_plog2('cr + 1')})"
+        f" + {_dsir_duck_plog2(f'tr + {b}')})"
+        f" * CAST({1 << 20} AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS g
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+bsh AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('dsir|' || g), 1, 8)) AS BIGINT) % {b} AS bucket
+  FROM sh
+),
+per AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bsh GROUP BY doc_id, bucket),
+rawc AS (SELECT bucket, SUM(c) AS cr FROM per GROUP BY bucket),
+tgtc AS (
+  SELECT bucket, COUNT(*) AS ct FROM bsh
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  GROUP BY bucket
+),
+rt AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr FROM rawc),
+tg AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM tgtc),
+wt AS (
+  SELECT b.bucket, {w} AS w
+  FROM (SELECT r.bucket, r.cr, COALESCE(t.ct, 0) AS ct
+        FROM rawc r LEFT JOIN tgtc t USING (bucket)) b, rt, tg
+),
+scored AS (
+  SELECT p.doc_id,
+    CAST(SUM(p.c) AS BIGINT) AS n_grams,
+    CAST(SUM(p.c * w.w) AS BIGINT) AS score_q20
+  FROM per p JOIN wt w USING (bucket) GROUP BY p.doc_id
+)
+{select}
+"""
+
+
+@register("doc_dsir_scores", _dsir_oracle("SELECT * FROM scored"))
+def doc_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023) for every document
+    against the English subset as the target distribution: hashed
+    bigram features (md5 → 4096 buckets), add-one-smoothed log-ratio
+    weights in exact Mitchell fixed-point (q20 BIGINT — the portable
+    log family, see corpus._plog2_sql), score = Σ c·w.  One corpus
+    shingle pipeline, bucket-table broadcast, integer-only exchanges."""
+    from .operators.corpus import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_scores(docs, docs.filter(F.col("lang") == "en"))
+
+
+@register(
+    "doc_dsir_select",
+    _dsir_oracle(
+        "SELECT * FROM scored ORDER BY score_q20 DESC, doc_id LIMIT 64"
+    ),
+)
+def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection product: top-64 most-target-like documents
+    (score desc, doc_id tie-break — the deterministic twin of the
+    paper's Gumbel-top-k).  TakeOrdered over the score table; the
+    corpus is never globally sorted."""
+    from .operators.corpus import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_select(docs, docs.filter(F.col("lang") == "en"), k=64)
