@@ -170,8 +170,10 @@ HEADLINE = (
     "doc_split_audit",
     # r08: DSIR data selection — hashed-bigram importance scores vs the
     # English target, exact Mitchell fixed-point log (integer q20
-    # scores, fully hash-checked); top-64 selection product
+    # scores, fully hash-checked); top-64 selection product, plus the
+    # DSIR budget gate composed in FRONT of the 4-stage corpus build
     "doc_dsir_select",
+    "corpus_build_dsir_gated",
 )
 
 

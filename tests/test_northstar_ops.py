@@ -2281,6 +2281,35 @@ class TestPortableHll:
         # disjoint key sets (evens vs odds) -> different register tables
         assert rows["0"]["hll_estimate"] != rows["1"]["hll_estimate"]
 
+    def test_linear_counting_correction_small_range(self, spark):
+        """At tiny cardinality (n=30 ≪ 2.5m) the raw HLL formula is
+        badly biased and the corrected estimate must (a) take the
+        linear-counting branch, (b) sit within Mitchell's documented
+        bias of the TRUE m·ln(m/V) — ≤ 0.0861·ln2·m ≈ 3.8 counts at
+        m=64 — and (c) beat the raw estimate's error against truth."""
+        import math
+
+        from textract_farmdata_pipeline_spark.operators.approx import hll_distinct
+
+        n = 30
+        df = spark.range(n).select(F.col("id").alias("k"))
+        r = hll_distinct(df, "k", m=64, correction=True).collect()[0]
+        v = r["n_zero_registers"]
+        assert v > 0 and r["hll_estimate"] <= 2.5 * 64
+        assert r["hll_corrected"] == r["lc_estimate"]
+        true_lc = 64 * math.log(64 / v)
+        assert 0 <= r["lc_estimate"] - true_lc <= 0.0861 * math.log(2.0) * 64
+        assert abs(r["hll_corrected"] - n) <= abs(r["hll_estimate"] - n)
+
+    def test_large_range_keeps_raw_estimate(self, spark):
+        """Past the 2.5m zone the switch must leave the raw estimate
+        untouched (lc may be NULL when every register is hit)."""
+        from textract_farmdata_pipeline_spark.operators.approx import hll_distinct
+
+        df = spark.range(5000).select(F.col("id").alias("k"))
+        r = hll_distinct(df, "k", m=64, correction=True).collect()[0]
+        assert r["hll_corrected"] == r["hll_estimate"]
+
 
 class TestPortableBloom:
     def test_no_false_negatives_and_bounded_fp(self, spark):

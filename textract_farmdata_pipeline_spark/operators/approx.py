@@ -24,13 +24,17 @@ Portability notes baked into the math:
   count) stays under the 53-bit double significand, so every partial
   sum is exact and the sum is order-independent — safe to hash-check
   even though it is a float aggregate.
-* The raw HLL estimate is reported WITHOUT the small-range
-  linear-counting correction: that correction needs ``ln``, whose
+* The DEFAULT estimate is the raw formula without the small-range
+  linear-counting correction: the true correction needs ``ln``, whose
   last-ulp rounding is libm-specific (the repo's oracles avoid
-  ``log``/``ln`` everywhere for this reason).  ``n_zero_registers`` is
-  emitted alongside so a caller with a trusted ``ln`` can apply
-  ``m·ln(m/V)`` themselves; accuracy (with and without correction) is
-  pinned in pytest, exactness of the emitted columns by the oracle.
+  ``log``/``ln`` everywhere for this reason).  ``correction=True``
+  now emits a PORTABLE correction anyway — ``m·ln(m/V)`` with the
+  log2 computed by Mitchell's exact piecewise-linear approximation
+  (:func:`.corpus.mitchell_plog2_sql`, no libm) and nats via a shared
+  ``ln 2`` literal; it carries a documented ≤ 0.0861-bit (≈ 3.8
+  counts at m=64) approximation bias, pinned in pytest alongside the
+  accuracy bound, while exactness of every emitted column stays
+  oracle-checked.
 """
 
 from __future__ import annotations
@@ -94,10 +98,17 @@ def hll_registers(
     )
 
 
+# repr(math.log(2)) — a shared decimal literal parses to the identical
+# double in any engine, and multiplying by it is correctly rounded, so
+# a log2-shaped quantity converts to nats with zero libm exposure.
+_LN2 = 0.6931471805599453
+
+
 def hll_estimate(
     registers: DataFrame,
     group_cols: Sequence[str] = (),
     m: int = 64,
+    correction: bool = False,
 ) -> DataFrame:
     """Fold a register table into the raw HLL cardinality estimate.
 
@@ -107,9 +118,22 @@ def hll_estimate(
     dyadic-rational sum is order-independent (module docstring) and
     the final expression is one multiply-divide chain evaluated in a
     fixed order.
+
+    ``correction=True`` adds the small-range linear-counting switch
+    the module docstring historically had to leave to the caller
+    ("needs ``ln``"): ``lc_estimate = m · ln(m/V)`` is now emitted
+    PORTABLY by computing the log2 with Mitchell's exact
+    piecewise-linear approximation
+    (:func:`.corpus.mitchell_plog2_sql` — ``bin``-length + shift +
+    correctly-rounded ops only) and converting to nats with the
+    shared ``_LN2`` literal; ``hll_corrected`` applies the classic
+    ``E_raw ≤ 2.5m AND V > 0`` switch.  The Mitchell log overshoots
+    by ≤ 0.0861 bits, i.e. ≤ ``0.0861·ln2·m`` ≈ 3.8 counts at m=64 —
+    bias pinned in pytest; exactness of every emitted column by the
+    oracle.
     """
     alpha = _hll_alpha(m)
-    return registers.groupBy(*group_cols).agg(
+    est = registers.groupBy(*group_cols).agg(
         F.count("*").alias("n_used_registers"),
         (F.lit(m) - F.count("*")).alias("n_zero_registers"),
         (
@@ -121,6 +145,31 @@ def hll_estimate(
             )
         ).alias("hll_estimate"),
     )
+    if not correction:
+        return est
+    from .corpus import mitchell_plog2_sql
+
+    shift = "shiftleft({b}, {f})"
+    lc = (
+        f"((CAST({m} AS DOUBLE) * ({mitchell_plog2_sql(str(m), shift)}"
+        f" - {mitchell_plog2_sql('n_zero_registers', shift)}))"
+        f" * CAST({_LN2!r} AS DOUBLE))"
+    )
+    est = est.withColumn(
+        "lc_estimate",
+        F.expr(
+            f"CASE WHEN n_zero_registers > 0 THEN {lc}"
+            f" ELSE CAST(NULL AS DOUBLE) END"
+        ),
+    )
+    return est.withColumn(
+        "hll_corrected",
+        F.expr(
+            f"CASE WHEN n_zero_registers > 0 AND hll_estimate <="
+            f" CAST({2.5 * m!r} AS DOUBLE)"
+            f" THEN lc_estimate ELSE hll_estimate END"
+        ),
+    )
 
 
 def hll_distinct(
@@ -129,11 +178,15 @@ def hll_distinct(
     group_cols: Sequence[str] = (),
     m: int = 64,
     seed: str = "hll|",
+    correction: bool = False,
 ) -> DataFrame:
     """``hll_registers`` → ``hll_estimate`` composed: the drop-in
     approximate COUNT(DISTINCT key) GROUP BY group_cols."""
     return hll_estimate(
-        hll_registers(df, key_col, group_cols, m=m, seed=seed), group_cols, m=m
+        hll_registers(df, key_col, group_cols, m=m, seed=seed),
+        group_cols,
+        m=m,
+        correction=correction,
     )
 
 

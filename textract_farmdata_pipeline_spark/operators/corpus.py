@@ -793,7 +793,7 @@ def source_quality_gate(
 # =========================================================================
 
 
-def _plog2_sql(x: str, shift: str) -> str:
+def mitchell_plog2_sql(x: str, shift: str) -> str:
     """SQL fragment: Mitchell piecewise-linear log2 of the positive
     integer expression ``x`` — ``floor(log2 x) + (x / 2^floor(log2 x)
     - 1)`` (Mitchell 1962's logarithm approximation).
@@ -834,7 +834,7 @@ def _dsir_bucket_weights(
     occupy raw buckets, so target-only buckets never score anything).
 
     ``weight="mitchell"``: the portable family — the log is the exact
-    piecewise-linear :func:`_plog2_sql` and the weight is the BIGINT
+    piecewise-linear :func:`mitchell_plog2_sql` and the weight is the BIGINT
     ``floor(2^scale_bits · plog2-ratio)`` (fixed-point "q20" bits), so
     document scores are ORDER-FREE integer sums and the whole chain
     hash-checks against ANSI SQL.  ``weight="ln"``: the production
@@ -858,10 +858,10 @@ def _dsir_bucket_weights(
     if weight == "mitchell":
         shift = "shiftleft({b}, {f})"
         expr = (
-            f"CAST(FLOOR(((({_plog2_sql('ct + 1', shift)}"
-            f" - {_plog2_sql(f'tt + {buckets}', shift)})"
-            f" - {_plog2_sql('cr + 1', shift)})"
-            f" + {_plog2_sql(f'tr + {buckets}', shift)})"
+            f"CAST(FLOOR(((({mitchell_plog2_sql('ct + 1', shift)}"
+            f" - {mitchell_plog2_sql(f'tt + {buckets}', shift)})"
+            f" - {mitchell_plog2_sql('cr + 1', shift)})"
+            f" + {mitchell_plog2_sql(f'tr + {buckets}', shift)})"
             f" * CAST({1 << scale_bits} AS DOUBLE)) AS BIGINT)"
         )
         w = F.expr(expr)

@@ -9522,8 +9522,8 @@ def embedding_semantic_dedup_gated(spark: SparkSession, sf_dir: str) -> DataFram
 # =========================================================================
 
 
-def _dsir_duck_plog2(x: str) -> str:
-    """DuckDB twin of operators.corpus._plog2_sql — identical Mitchell
+def _duck_plog2(x: str) -> str:
+    """DuckDB twin of operators.corpus.mitchell_plog2_sql — identical Mitchell
     piecewise-linear log2 tree, DuckDB's ``<<`` shift spelling."""
     f = f"(length(bin(CAST({x} AS BIGINT))) - 1)"
     p = f"CAST((CAST(1 AS BIGINT) << {f}) AS DOUBLE)"
@@ -9533,65 +9533,70 @@ def _dsir_duck_plog2(x: str) -> str:
     )
 
 
-def _dsir_oracle(select: str) -> str:
+def _dsir_ctes() -> str:
     """Shared oracle chain for the DSIR family: bigram shingles (the
     decontam oracle's slice spelling, multiplicity kept), the md5
     bucket congruence, per-(doc, bucket) counts, raw counts as a
     RE-AGGREGATION of those (mirroring the Spark plan's single shingle
     pipeline), target = ``lang = 'en'`` documents, and the Mitchell
     fixed-point weight — every arithmetic step the bit-identical IEEE
-    tree the Spark side builds (see _plog2_sql), so the BIGINT scores
-    hash exactly."""
+    tree the Spark side builds (see mitchell_plog2_sql), so the BIGINT scores
+    hash exactly.  CTE names are ``ds``-prefixed so the chain composes
+    in front of the corpus-build CTEs (which own ``toks``/``sh``)
+    without collisions — the same one-definition rule as
+    ``_mh_side_ctes``."""
     b = 4096
     w = (
-        f"CAST(FLOOR(((({_dsir_duck_plog2('ct + 1')}"
-        f" - {_dsir_duck_plog2(f'tt + {b}')})"
-        f" - {_dsir_duck_plog2('cr + 1')})"
-        f" + {_dsir_duck_plog2(f'tr + {b}')})"
+        f"CAST(FLOOR(((({_duck_plog2('ct + 1')}"
+        f" - {_duck_plog2(f'tt + {b}')})"
+        f" - {_duck_plog2('cr + 1')})"
+        f" + {_duck_plog2(f'tr + {b}')})"
         f" * CAST({1 << 20} AS DOUBLE)) AS BIGINT)"
     )
-    return f"""
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (
+    return f"""\
+dstoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dssh AS (
   SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS g
-  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+  FROM dstoks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
 ),
-bsh AS (
+dsbsh AS (
   SELECT doc_id,
     CAST(('0x' || substr(md5('dsir|' || g), 1, 8)) AS BIGINT) % {b} AS bucket
-  FROM sh
+  FROM dssh
 ),
-per AS (SELECT doc_id, bucket, COUNT(*) AS c FROM bsh GROUP BY doc_id, bucket),
-rawc AS (SELECT bucket, SUM(c) AS cr FROM per GROUP BY bucket),
-tgtc AS (
-  SELECT bucket, COUNT(*) AS ct FROM bsh
+dsper AS (SELECT doc_id, bucket, COUNT(*) AS c FROM dsbsh GROUP BY doc_id, bucket),
+dsrawc AS (SELECT bucket, SUM(c) AS cr FROM dsper GROUP BY bucket),
+dstgtc AS (
+  SELECT bucket, COUNT(*) AS ct FROM dsbsh
   WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
   GROUP BY bucket
 ),
-rt AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr FROM rawc),
-tg AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM tgtc),
-wt AS (
+dsrt AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr FROM dsrawc),
+dstg AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM dstgtc),
+dswt AS (
   SELECT b.bucket, {w} AS w
   FROM (SELECT r.bucket, r.cr, COALESCE(t.ct, 0) AS ct
-        FROM rawc r LEFT JOIN tgtc t USING (bucket)) b, rt, tg
+        FROM dsrawc r LEFT JOIN dstgtc t USING (bucket)) b, dsrt, dstg
 ),
-scored AS (
+dsscored AS (
   SELECT p.doc_id,
     CAST(SUM(p.c) AS BIGINT) AS n_grams,
     CAST(SUM(p.c * w.w) AS BIGINT) AS score_q20
-  FROM per p JOIN wt w USING (bucket) GROUP BY p.doc_id
-)
-{select}
-"""
+  FROM dsper p JOIN dswt w USING (bucket) GROUP BY p.doc_id
+)"""
 
 
-@register("doc_dsir_scores", _dsir_oracle("SELECT * FROM scored"))
+def _dsir_oracle(select: str) -> str:
+    return f"\nWITH {_dsir_ctes()}\n{select}\n"
+
+
+@register("doc_dsir_scores", _dsir_oracle("SELECT * FROM dsscored"))
 def doc_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scores (Xie et al. 2023) for every document
     against the English subset as the target distribution: hashed
     bigram features (md5 → 4096 buckets), add-one-smoothed log-ratio
     weights in exact Mitchell fixed-point (q20 BIGINT — the portable
-    log family, see corpus._plog2_sql), score = Σ c·w.  One corpus
+    log family, see corpus.mitchell_plog2_sql), score = Σ c·w.  One corpus
     shingle pipeline, bucket-table broadcast, integer-only exchanges."""
     from .operators.corpus import dsir_scores
 
@@ -9602,7 +9607,7 @@ def doc_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_dsir_select",
     _dsir_oracle(
-        "SELECT * FROM scored ORDER BY score_q20 DESC, doc_id LIMIT 64"
+        "SELECT * FROM dsscored ORDER BY score_q20 DESC, doc_id LIMIT 64"
     ),
 )
 def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9614,3 +9619,125 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return dsir_select(docs, docs.filter(F.col("lang") == "en"), k=64)
+
+
+# The DSIR-gated build: the importance-resampling selection
+# (_dsir_ctes, ds-prefixed) feeds a top-256 budget keep-set that
+# pre-filters the corpus BEFORE the 4-stage build.  The build tail is
+# sliced VERBATIM from _CORPUS_BUILD_SOURCE_GATED_ORACLE from its
+# ``dedup AS (`` root — that oracle already expresses the 4-stage
+# chain rooted on a ``gated`` corpus with the eval holdout pinned to
+# the FULL corpus, so there is exactly ONE definition of the gated
+# build chain (the _mh_side_ctes discipline): a portability fix there
+# cannot leave this composition checking stale semantics.
+_CORPUS_BUILD_DSIR_GATED_ORACLE = (
+    "\nWITH "
+    + _dsir_ctes()
+    + """,
+dssel AS (
+  SELECT doc_id FROM dsscored ORDER BY score_q20 DESC, doc_id LIMIT 256
+),
+gated AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d JOIN dssel USING (doc_id)
+),
+"""
+    + "dedup AS ("
+    + _CORPUS_BUILD_SOURCE_GATED_ORACLE.split("dedup AS (", 1)[1]
+)
+
+
+@register("corpus_build_dsir_gated", _CORPUS_BUILD_DSIR_GATED_ORACLE)
+def corpus_build_dsir_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-stage corpus build with DSIR selection composed in FRONT:
+    score every document against the English target distribution
+    (:func:`..operators.corpus.dsir_scores`, exact Mitchell fixed
+    point), keep the top-256 budget, then run dedup → decontamination
+    → mixture → shard on the survivors only — the DSIR paper's
+    pretraining recipe (select first, curate the selection) as one
+    hash-checked plan.
+
+    Stage order is the scale argument, same as the source gate: the
+    DSIR pass is one shingle explode + integer aggregates + a top-k,
+    and every rejected document exits before the dedup shuffle or the
+    decontamination explode sees it.  The keep-set is COLLECTED —
+    bounded by the 256-row selection budget, the same bounded-collect
+    class as the source gate's keep-list — and pushed as an
+    ``In(doc_id, …)`` scan predicate, so unselected documents never
+    leave storage and the gated lineage re-expands only a filtered
+    scan.  For budgets past IN-list practicality the production form
+    is a broadcast left-semi join on the ``dsir_select`` frame (k rows
+    broadcast) or a score-threshold filter; the registered product
+    pins the bounded-budget shape.  The eval holdout stays the FULL
+    corpus's ``doc_id % 97`` slice (curation must not change what you
+    decontaminate against)."""
+    from .operators.corpus import build_corpus, dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = [
+        r["doc_id"]
+        for r in dsir_select(
+            docs, docs.filter(F.col("lang") == "en"), k=256
+        )
+        .select("doc_id")
+        .collect()
+    ]
+    gated = docs.filter(
+        F.col("doc_id").isin(keep) if keep else F.lit(False)
+    )
+    return build_corpus(
+        gated, docs.filter(F.col("doc_id") % 97 == 0), num_shards=16, decontam_n=3
+    )
+
+
+# The linear-counting-corrected HLL: the small-range switch the approx
+# module docstring historically left to "a caller with a trusted ln",
+# now emitted portably via the Mitchell log (_duck_plog2 — the same
+# exact piecewise-linear log2 the DSIR family hash-checks with).  The
+# oracle is _HLL_ORACLE with ONLY its final SELECT rewritten (the
+# register/rho/estimate chain stays one definition).
+_HLL_LC = (
+    f"((CAST({_HLL_M} AS DOUBLE) * ({_duck_plog2(str(_HLL_M))}"
+    f" - {_duck_plog2('n_zero_registers')}))"
+    f" * CAST(0.6931471805599453 AS DOUBLE))"
+)
+_HLL_TAIL = """SELECT event_type, n_exact, n_used_registers, n_zero_registers, hll_estimate
+FROM est JOIN ex USING (event_type)"""
+assert _HLL_TAIL in _HLL_ORACLE, "HLL oracle tail drifted"
+_HLL_CORRECTED_ORACLE = _HLL_ORACLE.replace(
+    _HLL_TAIL,
+    f"""SELECT *,
+  CASE WHEN n_zero_registers > 0
+            AND hll_estimate <= CAST({2.5 * _HLL_M!r} AS DOUBLE)
+       THEN lc_estimate ELSE hll_estimate END AS hll_corrected
+FROM (
+  SELECT event_type, n_exact, n_used_registers, n_zero_registers, hll_estimate,
+    CASE WHEN n_zero_registers > 0 THEN {_HLL_LC}
+         ELSE CAST(NULL AS DOUBLE) END AS lc_estimate
+  FROM est JOIN ex USING (event_type)
+) c""",
+)
+
+
+@register("events_hll_corrected", _HLL_CORRECTED_ORACLE)
+def events_hll_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events_hll_portable`` plus the small-range linear-counting
+    correction, hash-checked end to end: ``lc_estimate = m·ln(m/V)``
+    with the log2 from Mitchell's exact piecewise-linear approximation
+    (``bin``-length + shift + correctly-rounded ops — zero libm) and
+    the nats conversion via the shared ``ln 2`` literal;
+    ``hll_corrected`` applies the classic ``E_raw ≤ 2.5m AND V > 0``
+    switch.  The correction's ≤ 0.0861-bit Mitchell bias (≈ 3.8 counts
+    at m=64) is pinned in pytest; every emitted double is bit-portable
+    so the oracle hashes exactly.  Same m=64-rows-per-group sketch
+    state as the raw query at any event volume."""
+    from .operators.approx import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", ["event_type"], m=_HLL_M, correction=True)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_exact", "n_used_registers", "n_zero_registers",
+        "hll_estimate", "lc_estimate", "hll_corrected",
+    )
