@@ -174,6 +174,10 @@ HEADLINE = (
     # DSIR budget gate composed in FRONT of the 4-stage corpus build
     "doc_dsir_select",
     "corpus_build_dsir_gated",
+    # r08: the DSIR streaming twin — frozen weight table, 4 REAL
+    # foreachBatch micro-batches, MERGE-committed scores; shares the
+    # one-shot oracle verbatim (hash-checked streaming)
+    "doc_dsir_stream_replay",
 )
 
 

@@ -902,3 +902,40 @@ class TestDsir:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan
         assert re.search(r"ReusedExchange.*hashpartitioning\(doc_id", plan)
+
+    def test_frozen_weights_equal_one_shot(self, spark):
+        """dsir_train_weights → dsir_score_against (the production /
+        streaming cadence) must reproduce the one-shot dsir_scores
+        exactly — weights are a pure function of (docs, target)."""
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            dsir_score_against,
+            dsir_scores,
+            dsir_train_weights,
+        )
+
+        docs, target = self._frames(spark)
+        w = dsir_train_weights(docs, target)
+        norm = lambda rows: sorted(
+            (r["doc_id"], r["n_grams"], r["score_q20"]) for r in rows
+        )
+        assert norm(dsir_score_against(docs, w).collect()) == norm(
+            dsir_scores(docs, target).collect()
+        )
+
+    def test_stream_replay_equals_one_shot(self, spark, tmp_path):
+        """The real foreachBatch replay (frozen weights, K=2 batches,
+        MERGE-committed scores table) accumulates exactly the one-shot
+        score set — the stream-equals-batch contract."""
+        from textract_farmdata_pipeline_spark.operators.corpus import dsir_scores
+        from textract_farmdata_pipeline_spark.streaming.ingest import (
+            replay_dsir_batches,
+        )
+
+        docs, target = self._frames(spark)
+        rep = replay_dsir_batches(
+            docs, target, str(tmp_path / "wd"), k_batches=2
+        )
+        norm = lambda rows: sorted(
+            (r["doc_id"], r["n_grams"], r["score_q20"]) for r in rows
+        )
+        assert norm(rep.collect()) == norm(dsir_scores(docs, target).collect())

@@ -936,17 +936,87 @@ def dsir_scores(
         .agg(F.count("*").alias("ct"))
     )
     w = _dsir_bucket_weights(raw_c, tgt_c, buckets, weight)
+    return _dsir_score_join(per, w, id_col, portable=weight == "mitchell")
+
+
+def _dsir_score_join(
+    per: DataFrame, weights: DataFrame, id_col: str, portable: bool
+) -> DataFrame:
+    """The scoring tail shared by the one-shot and frozen-weight DSIR
+    forms: broadcast the (≤ buckets)-row weight table onto per-doc
+    bucket counts and integer-sum the scores."""
     score = F.sum(F.col("c") * F.col("w"))
     score_col = (
         score.cast("long").alias("score_q20")
-        if weight == "mitchell"
+        if portable
         else score.alias("score")
     )
     return (
-        per.join(F.broadcast(w.select("bucket", "w")), "bucket")
+        per.join(F.broadcast(weights.select("bucket", "w")), "bucket")
         .groupBy(id_col)
         .agg(F.sum("c").cast("long").alias("n_grams"), score_col)
     )
+
+
+def dsir_train_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    buckets: int = 4096,
+    weight: str = "mitchell",
+    seed: str = "dsir|",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train the DSIR ``(bucket, cr, ct, w)`` table alone — the
+    ≤ ``buckets``-row artifact you persist once and hand to
+    :func:`dsir_score_against` for every later batch."""
+    def _counts(df, alias):
+        return (
+            ngram_shingles(df, n, text_col=text_col, id_col=id_col)
+            .select(md5_bucket(F.col("shingle"), buckets, seed=seed).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(alias))
+        )
+
+    return _dsir_bucket_weights(
+        _counts(docs, "cr"), _counts(target, "ct"), buckets, weight
+    )
+
+
+def dsir_score_against(
+    docs: DataFrame,
+    weights: DataFrame,
+    n: int = 2,
+    buckets: int = 4096,
+    seed: str = "dsir|",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a FROZEN DSIR weight table — the
+    production cadence: :func:`dsir_scores` (or its oracle) trains the
+    ``(bucket, w)`` table ONCE on a reference corpus + target, then
+    every later batch is scored with this map-side-only form (one
+    shingle explode → bucket count → broadcast join → integer sum; no
+    reference-corpus scan, no state mutation).  ``weights.w`` being
+    LongType selects the portable q20 output schema, DoubleType the
+    ``ln`` one — the same family split as :func:`dsir_scores`.
+    The streaming twin :func:`..streaming.ingest.dsir_ingest_stream`
+    calls exactly this per micro-batch."""
+    sh = ngram_shingles(docs, n, text_col=text_col, id_col=id_col).select(
+        id_col, md5_bucket(F.col("shingle"), buckets, seed=seed).alias("bucket")
+    )
+    per = (
+        sh.where(F.col("bucket").isNotNull())
+        .groupBy(id_col, "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql.types import LongType
+
+    portable = isinstance(
+        weights.schema["w"].dataType, LongType
+    )
+    return _dsir_score_join(per, weights, id_col, portable=portable)
 
 
 def dsir_select(

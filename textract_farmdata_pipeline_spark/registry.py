@@ -9741,3 +9741,27 @@ def events_hll_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_exact", "n_used_registers", "n_zero_registers",
         "hll_estimate", "lc_estimate", "hll_corrected",
     )
+
+
+@register("doc_dsir_stream_replay", _dsir_oracle("SELECT * FROM dsscored"))
+def doc_dsir_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING DSIR scorer, driver-checkable: train the weight
+    table once (frozen, localCheckpointed — ≤ 4096 rows), replay the
+    corpus through ``dsir_ingest_stream`` in 4 deterministic
+    micro-batches (``doc_id % 4``, one parquet file per batch,
+    availableNow), and return the accumulated scores table.  This runs
+    the REAL streaming path — foreachBatch, per-batch
+    ``dsir_score_against``, keyed ``ParquetMergeTable`` MERGE commits.
+    Frozen weights + stateless per-doc scoring make the K-batch union
+    EQUAL the one-shot ``doc_dsir_scores`` plan, so this replay shares
+    that query's DuckDB oracle verbatim — hash-checked, the strongest
+    check any streaming twin here gets."""
+    import tempfile
+
+    from .streaming.ingest import replay_dsir_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    workdir = tempfile.mkdtemp(prefix="dsir_replay_")
+    return replay_dsir_batches(
+        docs, docs.filter(F.col("lang") == "en"), workdir, k_batches=4
+    )

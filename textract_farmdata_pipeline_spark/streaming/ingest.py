@@ -327,3 +327,102 @@ def replay_split_batches(
         .read()
         .select("doc_id", "split", "origin")
     )
+
+
+def dsir_ingest_stream(
+    docs: DataFrame,
+    weights: DataFrame,
+    scores_path: str,
+    n: int = 2,
+    buckets: int = 4096,
+    seed: str = "dsir|",
+    sink=None,
+):
+    """Returns a ``DataStreamWriter`` that scores every arriving
+    micro-batch against a FROZEN DSIR weight table
+    (:func:`..operators.corpus.dsir_score_against`) and MERGEs the
+    ``(doc_id, n_grams, score_q20)`` rows into a scores table — the
+    deployment cadence of importance resampling at ingest time: the
+    weight table is trained once (a ≤ ``buckets``-row artifact), after
+    which scoring is map-side-only per batch (shingle explode →
+    broadcast weight join → integer sum; no reference-corpus scan, no
+    weight mutation, bounded state).
+
+    ``weights`` must be materialized by the caller (localCheckpoint or
+    a table read) — a lazy lineage here would re-run the weight
+    TRAINING scan inside every micro-batch, which is exactly the
+    re-expansion failure mode the hot-split staging and the source
+    gate's IN-list already document.
+    """
+    from ..operators.corpus import dsir_score_against
+    from ..operators.merge import ParquetMergeTable
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        scored = dsir_score_against(
+            batch_df, weights, n=n, buckets=buckets, seed=seed
+        )
+        table = ParquetMergeTable(spark, scores_path)
+        if os.path.isdir(os.path.join(scores_path, "_manifests")):
+            table.merge(scored, key="doc_id")
+        elif not scored.isEmpty():
+            table.create(scored)
+        if sink is not None:
+            sink(scored, batch_id)
+
+    return docs.writeStream.foreachBatch(process)
+
+
+def replay_dsir_batches(
+    docs: DataFrame,
+    target: DataFrame,
+    workdir: str,
+    k_batches: int = 4,
+    n: int = 2,
+    buckets: int = 4096,
+    seed: str = "dsir|",
+) -> DataFrame:
+    """Replay :func:`dsir_ingest_stream` as a finite run: train the
+    weight table once from ``(docs, target)``, deliver ``docs`` in
+    ``k_batches`` deterministic micro-batches (the shared
+    :func:`_stage_batch_files` harness), and return the accumulated
+    scores table.
+
+    Because the weights are frozen BEFORE the first batch and scoring
+    is stateless per document, the replay's union of batch scores
+    equals the one-shot :func:`..operators.corpus.dsir_scores` of the
+    full input exactly — so the streaming path shares the one-shot
+    query's DuckDB oracle verbatim and is hash-checked, not just
+    rows-counted (the strongest check any streaming twin here gets).
+    """
+    from ..operators.corpus import dsir_train_weights
+    from ..operators.merge import ParquetMergeTable
+
+    spark = docs.sparkSession
+    weights = dsir_train_weights(
+        docs, target, n=n, buckets=buckets, seed=seed
+    ).localCheckpoint()  # <= buckets rows; truncates the training scan
+    src = _stage_batch_files(docs, workdir, k_batches)
+    scores_path = os.path.join(workdir, "scores")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        dsir_ingest_stream(
+            stream, weights, scores_path, n=n, buckets=buckets, seed=seed
+        )
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import atexit
+    import shutil
+
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return ParquetMergeTable(spark, scores_path).read()
