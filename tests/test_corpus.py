@@ -738,6 +738,18 @@ class TestIncrementalSplitStored:
         reused = incremental_leakage_split(corpus, batch, assigned=stored)
         key = lambda df: sorted(map(tuple, df.collect()))
         assert key(plain) == key(reused)
+        # drifted corpus (a doc_id the stored table never assigned)
+        # must raise loudly, not silently shrink the linking set
+        import pytest as _pytest
+
+        drifted = corpus.unionByName(
+            corpus.sparkSession.createDataFrame(
+                [(999, "brand new drifted doc text")],
+                "doc_id long, text string",
+            )
+        )
+        with _pytest.raises(ValueError, match="missing from the stored"):
+            incremental_leakage_split(drifted, batch, assigned=stored)
         # and the reused plan must NOT contain the corpus clustering —
         # no second LSH/banding subtree, just the checkpoint scan
         plan = reused._jdf.queryExecution().optimizedPlan().toString()
@@ -939,3 +951,100 @@ class TestDsir:
             (r["doc_id"], r["n_grams"], r["score_q20"]) for r in rows
         )
         assert norm(rep.collect()) == norm(dsir_scores(docs, target).collect())
+
+    def test_frozen_scoring_smooths_unseen_buckets(self, spark):
+        """Weights trained on the English subset, then the FULL corpus
+        scored against the frozen artifact: German docs hash into
+        buckets the table never saw.  Under add-one smoothing those
+        buckets carry the constant unseen weight w0 (NOT dropped):
+        every doc gets a row — including the all-novel ones — n_grams
+        counts every shingle, and each score matches a bit-exact
+        Python mirror of the smoothed estimator."""
+        import hashlib
+        import math
+
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            dsir_score_against,
+            dsir_train_weights,
+        )
+
+        docs, _ = self._frames(spark)
+        train_ids = {1, 2, 5}
+        raw = docs.filter(F.col("doc_id").isin(*train_ids))
+        target = docs.filter(F.col("doc_id").isin(1, 2))
+        w = dsir_train_weights(raw, target)
+        got = {
+            r["doc_id"]: (r["n_grams"], r["score_q20"])
+            for r in dsir_score_against(docs, w).collect()
+        }
+        # bit-exact Python mirror with the smoothed unseen weight
+        n, buckets, scale_bits = 2, 4096, 20
+
+        def grams(text):
+            t = text.split(" ")
+            return [
+                " ".join(t[i : i + n])
+                for i in range(max(len(t) - (n - 1), 1))
+            ]
+
+        def bucket(g):
+            h = hashlib.md5(("dsir|" + g).encode()).hexdigest()[:8]
+            return int(h, 16) % buckets
+
+        def plog2(x):
+            f = x.bit_length() - 1
+            return float(f) + (float(x) / float(1 << f) - 1.0)
+
+        rawc, tgtc = Counter(), Counter()
+        for doc_id, text in self._ROWS:
+            if doc_id not in train_ids:
+                continue
+            for g in grams(text):
+                rawc[bucket(g)] += 1
+                if doc_id in {1, 2}:
+                    tgtc[bucket(g)] += 1
+        tr, tt = sum(rawc.values()), sum(tgtc.values())
+        wtab = {
+            b: math.floor(
+                (
+                    (
+                        (plog2(tgtc.get(b, 0) + 1) - plog2(tt + buckets))
+                        - plog2(cr + 1)
+                    )
+                    + plog2(tr + buckets)
+                )
+                * float(1 << scale_bits)
+            )
+            for b, cr in rawc.items()
+        }
+        w0 = math.floor(
+            (plog2(tr + buckets) - plog2(tt + buckets))
+            * float(1 << scale_bits)
+        )
+        want = {}
+        for doc_id, text in self._ROWS:
+            g_count, score = 0, 0
+            for g in grams(text):
+                g_count += 1
+                score += wtab.get(bucket(g), w0)
+            want[doc_id] = (g_count, score)
+        # the all-novel German docs MUST be present (the old inner
+        # join dropped them entirely)
+        assert set(got) == set(want) and 3 in got and 4 in got
+        assert got == want
+
+    def test_frozen_scoring_legacy_table_drops_unseen(self, spark):
+        """Back-compat: a (bucket, w) artifact WITHOUT w0 keeps the
+        documented drop semantics — unseen buckets vanish from both
+        score and n_grams, all-novel docs get no row."""
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            dsir_score_against,
+            dsir_train_weights,
+        )
+
+        docs, _ = self._frames(spark)
+        raw = docs.filter(F.col("doc_id").isin(1, 2, 5))
+        target = docs.filter(F.col("doc_id").isin(1, 2))
+        legacy = dsir_train_weights(raw, target).select("bucket", "w")
+        got = {r["doc_id"] for r in dsir_score_against(docs, legacy).collect()}
+        assert 3 not in got and 4 not in got and {1, 2, 5} <= got

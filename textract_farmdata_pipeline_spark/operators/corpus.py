@@ -842,6 +842,13 @@ def _dsir_bucket_weights(
     engine-specific in the last ulp, so this family is pytest-pinned
     for rank agreement with the portable one, never hash-checked;
     the same product-vs-oracle split as xxhash64 vs md5 in dedup).
+
+    The table also carries ``w0`` — the smoothed UNSEEN-bucket weight
+    (the same expression at ``cr = ct = 0``, constant across rows) —
+    so a frozen artifact handed to :func:`dsir_score_against` can
+    score batch buckets that never appeared in training instead of
+    dropping them (the DSIR paper's estimator defines a weight for
+    every feature under add-one smoothing, not just observed ones).
     """
     tr = raw_counts.agg(F.sum("cr").cast("long").alias("tr"))
     tt = target_counts.agg(F.sum("ct").cast("long").alias("tt"))
@@ -865,6 +872,17 @@ def _dsir_bucket_weights(
             f" * CAST({1 << scale_bits} AS DOUBLE)) AS BIGINT)"
         )
         w = F.expr(expr)
+        # Unseen-bucket default: the same add-one-smoothed expression
+        # at cr = ct = 0.  plog2(1) is EXACTLY 0 in the Mitchell
+        # piecewise family, so the ct/cr terms drop and the tree below
+        # is bit-identical to `expr` evaluated at those constants —
+        # the SQL oracle replays the identical reduced form.
+        w0_expr = (
+            f"CAST(FLOOR(({mitchell_plog2_sql(f'tr + {buckets}', shift)}"
+            f" - {mitchell_plog2_sql(f'tt + {buckets}', shift)})"
+            f" * CAST({1 << scale_bits} AS DOUBLE)) AS BIGINT)"
+        )
+        w0 = F.expr(w0_expr)
     elif weight == "ln":
         w = F.log(
             (F.col("ct") + F.lit(1)).cast("double")
@@ -873,9 +891,14 @@ def _dsir_bucket_weights(
             (F.col("cr") + F.lit(1)).cast("double")
             / (F.col("tr") + F.lit(buckets)).cast("double")
         )
+        w0 = F.log(
+            F.lit(1.0) / (F.col("tt") + F.lit(buckets)).cast("double")
+        ) - F.log(
+            F.lit(1.0) / (F.col("tr") + F.lit(buckets)).cast("double")
+        )
     else:  # pragma: no cover - caller contract
         raise ValueError(f"unknown weight family: {weight!r}")
-    return base.select("bucket", "cr", "ct", w.alias("w"))
+    return base.select("bucket", "cr", "ct", w.alias("w"), w0.alias("w0"))
 
 
 def dsir_scores(
@@ -1002,7 +1025,18 @@ def dsir_score_against(
     LongType selects the portable q20 output schema, DoubleType the
     ``ln`` one — the same family split as :func:`dsir_scores`.
     The streaming twin :func:`..streaming.ingest.dsir_ingest_stream`
-    calls exactly this per micro-batch."""
+    calls exactly this per micro-batch.
+
+    Unseen buckets: a batch document can hash shingles into buckets
+    the frozen table never saw.  When ``weights`` carries the ``w0``
+    column (:func:`dsir_train_weights` always emits it), those buckets
+    score the smoothed unseen-bucket weight via a LEFT join +
+    ``coalesce(w, w0)`` — ``n_grams`` counts every shingle and an
+    all-novel document still gets a row, matching the paper's add-one
+    estimator.  A legacy ``(bucket, w)`` table without ``w0`` falls
+    back to the inner join, which DROPS unseen buckets from both the
+    score and ``n_grams`` (and a fully-novel document entirely) —
+    retrain or re-derive the artifact to get smoothed semantics."""
     sh = ngram_shingles(docs, n, text_col=text_col, id_col=id_col).select(
         id_col, md5_bucket(F.col("shingle"), buckets, seed=seed).alias("bucket")
     )
@@ -1016,7 +1050,24 @@ def dsir_score_against(
     portable = isinstance(
         weights.schema["w"].dataType, LongType
     )
-    return _dsir_score_join(per, weights, id_col, portable=portable)
+    if "w0" not in weights.columns:
+        # Legacy artifact: documented drop semantics (see docstring).
+        return _dsir_score_join(per, weights, id_col, portable=portable)
+    # w0 is constant across the table; a 1-row broadcast carries it to
+    # every task without a driver-side collect.
+    default = weights.select("w0").limit(1)
+    score = F.sum(F.col("c") * F.coalesce(F.col("w"), F.col("w0")))
+    score_col = (
+        score.cast("long").alias("score_q20")
+        if portable
+        else score.alias("score")
+    )
+    return (
+        per.join(F.broadcast(weights.select("bucket", "w")), "bucket", "left")
+        .crossJoin(F.broadcast(default))
+        .groupBy(id_col)
+        .agg(F.sum("c").cast("long").alias("n_grams"), score_col)
+    )
 
 
 def dsir_select(

@@ -1424,6 +1424,27 @@ def incremental_leakage_split(
     from .preprocess import dataset_split
 
     if assigned is not None:
+        # Loud drift guard: the frozen-assignment contract requires
+        # every corpus doc to already hold a stored split.  The inner
+        # join below would otherwise silently DROP drifted corpus docs
+        # from the batch-linking set — a shrunken near-dup graph that
+        # looks green.  One anti-join count on the pruned doc_id
+        # column; corpus frames on this path are the bounded state a
+        # caller already materialized, so the extra scan is cheap
+        # relative to the LSH chain it protects.
+        n_drift = (
+            corpus.select("doc_id")
+            .join(assigned.select("doc_id"), "doc_id", "left_anti")
+            .count()
+        )
+        if n_drift:
+            raise ValueError(
+                f"incremental_leakage_split: {n_drift} corpus doc(s) "
+                "missing from the stored assignment table — the corpus "
+                "frame drifted from the one that produced `assigned`; "
+                "re-derive the assignment (or pass assigned=None) "
+                "instead of linking against a silently shrunken corpus"
+            )
         base = assigned.select("doc_id", "split")
     else:
         base = dataset_split(

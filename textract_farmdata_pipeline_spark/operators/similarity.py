@@ -3278,7 +3278,13 @@ def bq_banded_pairs(
     # chunk_bits-wide chunks over the packed words; the width divides
     # the 32-bit word by contract, so chunk count derives per row from
     # the word count (ragged dimension counts stay correct).
-    assert 32 % chunk_bits == 0, "chunk_bits must divide the 32-bit word"
+    if 32 % chunk_bits != 0:
+        # caller contract — ValueError (not assert: stripped under -O)
+        # because a straddling chunk silently breaks the pigeonhole
+        # capture guarantee with no error at all.
+        raise ValueError(
+            f"chunk_bits={chunk_bits} must divide the 32-bit packed word"
+        )
     cpw = 32 // chunk_bits  # chunks per word
     n_chunks = F.size(F.col("sig")) * cpw
     banded = sig.select(

@@ -8813,12 +8813,27 @@ def _force_materialized(sql: str) -> str:
     right after ``WITH`` or after a top-level ``,\\n`` separator (every
     oracle here puts each CTE on its own line) — so an ``… AS (``
     sequence inside a string literal or an expression can never
-    match."""
+    match.  A LOUD guard enforces the one-CTE-per-line convention the
+    anchor depends on: the substitution count must equal the number of
+    ``name AS (`` definition heads in the SQL (none of these oracles
+    spell ``AS (`` anywhere else), so a future oracle placing two CTEs
+    on one line (``, name AS (``) raises at import instead of silently
+    keeping an inlined CTE and regressing to the ~1000× fixpoint
+    blow-up this helper exists to prevent."""
     import re
 
-    return re.sub(
+    out, n_sub = re.subn(
         r"((?:\bWITH\s+|,\s*\n)\s*\w+ AS) \(", r"\1 MATERIALIZED (", sql
     )
+    n_defs = len(re.findall(r"\b\w+ AS \(", sql))
+    if n_sub != n_defs:
+        raise ValueError(
+            f"_force_materialized rewrote {n_sub} CTE(s) but the SQL "
+            f"contains {n_defs} 'name AS (' definition heads — a CTE "
+            "is not anchored at WITH or a ',\\n' line start; put every "
+            "CTE on its own line so MATERIALIZED reaches all of them"
+        )
+    return out
 
 
 _LEAKAGE_SPLIT_ORACLE = f"""
@@ -9619,6 +9634,85 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return dsir_select(docs, docs.filter(F.col("lang") == "en"), k=64)
+
+
+def _dsir_frozen_oracle() -> str:
+    """Frozen-weight DSIR scoring with UNSEEN buckets actually hit:
+    weights trained on the en+fr subset only, then the FULL corpus
+    scored against the frozen artifact — es/zh/de shingles hash into
+    buckets the table never saw and must carry the smoothed constant
+    ``w0`` (LEFT JOIN + COALESCE), not be dropped.  ``fr``-prefixed
+    CTE names so the chain can compose like ``_dsir_ctes``."""
+    b = 4096
+    w = (
+        f"CAST(FLOOR(((({_duck_plog2('ct + 1')}"
+        f" - {_duck_plog2(f'tt + {b}')})"
+        f" - {_duck_plog2('cr + 1')})"
+        f" + {_duck_plog2(f'tr + {b}')})"
+        f" * CAST({1 << 20} AS DOUBLE)) AS BIGINT)"
+    )
+    w0 = (
+        f"CAST(FLOOR(({_duck_plog2(f'tr + {b}')}"
+        f" - {_duck_plog2(f'tt + {b}')})"
+        f" * CAST({1 << 20} AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+WITH frtoks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+frsh AS (
+  SELECT doc_id, lang, array_to_string(t[i : i + 1], ' ') AS g
+  FROM frtoks, LATERAL unnest(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)
+),
+frbsh AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5('dsir|' || g), 1, 8)) AS BIGINT) % {b} AS bucket
+  FROM frsh
+),
+frper AS (SELECT doc_id, bucket, COUNT(*) AS c FROM frbsh GROUP BY doc_id, bucket),
+frrawc AS (
+  SELECT bucket, COUNT(*) AS cr FROM frbsh
+  WHERE lang IN ('en', 'fr') GROUP BY bucket
+),
+frtgtc AS (
+  SELECT bucket, COUNT(*) AS ct FROM frbsh WHERE lang = 'en' GROUP BY bucket
+),
+frrt AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr FROM frrawc),
+frtg AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt FROM frtgtc),
+frwt AS (
+  SELECT b.bucket, {w} AS w
+  FROM (SELECT r.bucket, r.cr, COALESCE(t.ct, 0) AS ct
+        FROM frrawc r LEFT JOIN frtgtc t USING (bucket)) b, frrt, frtg
+),
+frw0 AS (SELECT {w0} AS w0 FROM frrt, frtg)
+SELECT p.doc_id,
+  CAST(SUM(p.c) AS BIGINT) AS n_grams,
+  CAST(SUM(p.c * COALESCE(w.w, d.w0)) AS BIGINT) AS score_q20
+FROM frper p LEFT JOIN frwt w USING (bucket) CROSS JOIN frw0 d
+GROUP BY p.doc_id
+"""
+
+
+@register("doc_dsir_score_frozen", _dsir_frozen_oracle())
+def doc_dsir_score_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production DSIR cadence with the artifact/corpus gap REAL:
+    :func:`..operators.corpus.dsir_train_weights` freezes the weight
+    table on the en+fr subset (localCheckpoint — ≤ 4096 rows, truncates
+    the training lineage so scoring never re-runs the training scan),
+    then :func:`..operators.corpus.dsir_score_against` scores the FULL
+    corpus.  es/zh/de documents hash shingles into buckets the frozen
+    table never saw; under the paper's add-one smoothing those carry
+    the constant unseen-bucket weight ``w0`` via a LEFT broadcast join
+    + ``coalesce`` — all-novel documents still score, ``n_grams``
+    counts every shingle.  This is the hash-check for the smoothed
+    unseen-bucket path (the all-matched path is covered by
+    ``doc_dsir_scores`` / ``doc_dsir_stream_replay``)."""
+    from .operators.corpus import dsir_score_against, dsir_train_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("lang").isin("en", "fr"))
+    weights = dsir_train_weights(
+        raw, docs.filter(F.col("lang") == "en")
+    ).localCheckpoint()
+    return dsir_score_against(docs, weights)
 
 
 # The DSIR-gated build: the importance-resampling selection
