@@ -262,6 +262,131 @@ class TestSpanDedup:
         assert out[1]["n_spans_kept"] == 2 and out[1]["n_spans_dropped"] == 1
 
 
+class TestSubstringDedup:
+    """ExactSubstr (Lee et al. 2022): stride-1 window detection, maximal
+    span extension/merge, and removal — including the phase-shifted
+    verbatim copy that non-overlapping C4 windows (span_dedup)
+    structurally miss."""
+
+    _SHARED = " ".join(f"s{i}" for i in range(15))  # 15-token copy
+
+    def _fixture(self, spark):
+        return _docs(
+            spark,
+            [
+                (1, "a b c " + self._SHARED + " x y z"),  # copy at pos 4
+                (2, "p q " + self._SHARED + " r"),  # copy at pos 3
+                (3, " ".join(f"u{i}" for i in range(30))),  # unique
+                (4, "tiny doc"),  # shorter than L
+                # within-doc repeat of 7 < L tokens: must NOT flag
+                (5, "m v0 v1 v2 v3 v4 v5 m v0 v1 v2 v3 v4 v5"),
+            ],
+        )
+
+    def test_phase_shifted_copy_found_with_exact_maximal_spans(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            span_dedup,
+            substring_dup_spans,
+        )
+
+        docs = self._fixture(spark)
+        spans = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["n_tokens"])
+            for r in substring_dup_spans(docs, min_len=12).collect()
+        }
+        # maximal spans, exact 1-based inclusive extents, both phases
+        assert spans == {1: (4, 18, 15), 2: (3, 17, 15)}
+        # ...and the C4 fixed-phase windows MISS this copy entirely:
+        # doc 1's 10-word windows start at tokens 1/11/21, doc 2's at
+        # 1/11, and no pair of them is equal because of the offset.
+        c4 = {
+            r["doc_id"]: r["n_spans_dropped"]
+            for r in span_dedup(docs, span_words=10).collect()
+        }
+        assert all(v == 0 for v in c4.values())
+
+    def test_removal_reassembles_survivors(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            substring_dedup,
+        )
+
+        docs = self._fixture(spark)
+        out = {r["doc_id"]: r for r in substring_dedup(docs, min_len=12).collect()}
+        assert out[1]["clean_text"] == "a b c x y z"
+        assert out[2]["clean_text"] == "p q r"
+        assert out[1]["n_tokens_dropped"] == 15
+        assert out[3]["n_tokens_dropped"] == 0 and out[3]["n_tokens_kept"] == 30
+        assert out[4]["clean_text"] == "tiny doc"
+        # sub-threshold within-doc repeat untouched
+        assert out[5]["n_tokens_dropped"] == 0
+
+    def test_within_doc_repeat_of_threshold_length_flags(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            substring_dup_spans,
+        )
+
+        # the SAME 12 tokens twice inside one doc: occurrences >= 2
+        # (paper counts within-doc repeats), both extents flagged
+        block = " ".join(f"w{i}" for i in range(12))
+        docs = _docs(spark, [(1, block + " mid " + block)])
+        spans = sorted(
+            (r["span_start"], r["span_end"])
+            for r in substring_dup_spans(docs, min_len=12).collect()
+        )
+        assert spans == [(1, 12), (14, 25)]
+
+    def test_overlapping_windows_merge_into_one_span(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            substring_dup_spans,
+        )
+
+        # 16-token shared run: 5 duplicated 12-windows per doc merge
+        # into ONE maximal span covering all 16 tokens
+        run = " ".join(f"r{i}" for i in range(16))
+        docs = _docs(spark, [(1, run + " a1 a2"), (2, "b1 b2 " + run)])
+        spans = {
+            r["doc_id"]: (r["span_start"], r["span_end"])
+            for r in substring_dup_spans(docs, min_len=12).collect()
+        }
+        assert spans == {1: (1, 16), 2: (3, 18)}
+
+    def test_fully_duplicated_doc_empties(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            substring_dedup,
+        )
+
+        text = " ".join(f"d{i}" for i in range(12))
+        docs = _docs(spark, [(1, text), (2, text)])
+        out = {r["doc_id"]: r for r in substring_dedup(docs, min_len=12).collect()}
+        assert out[1]["clean_text"] == "" and out[1]["n_tokens_kept"] == 0
+        assert out[2]["n_tokens_dropped"] == 12
+
+    def test_corpus_windows_shuffle_at_most_twice(self, spark, tmp_path):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            substring_dup_spans,
+        )
+
+        # parquet-backed so the planner has stats: over an in-memory
+        # frame AQE first plans a sort-merge semi join and only
+        # CONVERTS to broadcast at runtime, leaving a local-read probe
+        # exchange in the text; over a FileScan (the real shape) the
+        # broadcast is planned outright
+        path = str(tmp_path / "docs.parquet")
+        self._fixture(spark).write.parquet(path)
+        docs = spark.read.parquet(path)
+        df = substring_dup_spans(docs, min_len=12)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("Initial Plan")[0]
+        # AQE broadcasts the duplicate-hash set, so the probe side goes
+        # Generate -> BroadcastHashJoin with NO window re-shuffle; the
+        # only hash exchanges are the duplicate-count aggregate (_h)
+        # and the hit-island merge (doc_id).  A third one would mean
+        # corpus window rows shuffled for the lookup join.
+        assert "BroadcastHashJoin" in final and "LeftSemi" in final
+        assert final.count("Exchange hashpartitioning") <= 2
+
+
 class TestSpanDedupTextCol:
     def test_non_default_text_col_forwarded(self, spark):
         from textract_farmdata_pipeline_spark.operators.corpus import (

@@ -973,6 +973,131 @@ class TestMultimodalResizeAudio:
         assert j.count() == 0
 
 
+class TestImageDhash:
+    """Perceptual dHash + Hamming-banded near-dup over the media
+    column — bit-exactness vs a pure-Python mirror, perturbation
+    locality, and the pigeonhole capture guarantee at radius 7/8."""
+
+    @staticmethod
+    def _py_dhash(text: str) -> list[int]:
+        b = text.encode()
+        if not b:
+            return [0, 0]
+        n = len(b)
+        px = [b[min(int(k * n / 72), n - 1)] for k in range(72)]
+        bits = [
+            1 if px[r * 9 + c] > px[r * 9 + c + 1] else 0
+            for r in range(8)
+            for c in range(8)
+        ]
+        w0 = sum(bits[i] << i for i in range(32))
+        w1 = sum(bits[32 + i] << i for i in range(32))
+        return [w0, w1]
+
+    def test_hash_matches_python_mirror(self, spark):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            image_dhash,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog " * 8),
+            (2, "short text"),
+            (3, ""),
+            (4, "x" * 71),  # shorter than the 72-byte grid
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: list(r["sig"])
+            for r in image_dhash(attach_media(docs)).collect()
+        }
+        assert got == {i: self._py_dhash(t) for i, t in rows}
+
+    def test_same_length_perturbation_is_local(self, spark):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            dhash_pairs,
+            image_dhash,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [(1, base), (2, base), (3, "~" + base[1:]),
+                (4, "completely different words with other content here " * 7)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        media = attach_media(docs)
+        sigs = {r["doc_id"]: list(r["sig"]) for r in image_dhash(media).collect()}
+        # exact dup -> identical sig; first-byte edit preserves the
+        # sampling grid so at most 2 gradient bits can flip
+        assert sigs[1] == sigs[2]
+        flips = bin(
+            (sigs[1][0] ^ sigs[3][0]) | (sigs[1][1] ^ sigs[3][1]) << 32
+        ).count("1")
+        assert flips <= 2
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dhash_pairs(media, max_hamming=7).collect()
+        }
+        assert pairs[(1, 2)] == 0
+        assert (1, 3) in pairs and (2, 3) in pairs
+        assert all(a != 4 and b != 4 for a, b in pairs)
+
+    def test_pigeonhole_capture_is_exact_at_radius_7(self, spark):
+        """Construct a sig pair at EXACTLY hamming 7 spread over 7
+        different chunks — the adversarial worst case for 8-bit bands
+        — and verify the banded gate still captures it (≤7 flips can
+        touch at most 7 of 8 chunks)."""
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            dhash_pairs,
+        )
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            hamming,
+            sig_chunk_bands,
+        )
+
+        a = [0, 0]
+        # flip bit 0 of 7 of the 8 chunks: bits 0,8,16,24,32,40,48
+        b = [
+            (1 << 0) | (1 << 8) | (1 << 16) | (1 << 24),
+            (1 << 0) | (1 << 8) | (1 << 16),
+        ]
+        sig = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, sig array<bigint>"
+        )
+        ham = sig.alias("x").join(sig.alias("y")).filter("x.doc_id < y.doc_id")
+        d = ham.select(
+            hamming(F.col("x.sig"), F.col("y.sig")).alias("d")
+        ).collect()[0]["d"]
+        assert d == 7
+        bands = sig_chunk_bands(sig, 8, id_col="doc_id")
+        shared = (
+            bands.alias("p")
+            .join(
+                bands.alias("q"),
+                (F.col("p.band") == F.col("q.band"))
+                & (F.col("p.chunk") == F.col("q.chunk"))
+                & (F.col("p.doc_id") < F.col("q.doc_id")),
+            )
+            .count()
+        )
+        assert shared >= 1
+
+    def test_empty_payloads_collapse_to_zero_sig(self, spark):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            dhash_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, ""), (3, "real content here with words")],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dhash_pairs(attach_media(docs)).collect()
+        }
+        assert pairs.get((1, 2)) == 0
+
+
 class TestPageRank:
     def _ranks(self, spark, edges, **kw):
         from textract_farmdata_pipeline_spark.operators.graph import pagerank

@@ -628,6 +628,168 @@ def span_self_dedup(
     )
 
 
+def substring_dup_spans(
+    docs: DataFrame,
+    min_len: int = 12,
+    min_count: int = 2,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT duplicated-substring detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): every maximal token span such that each of its
+    ``min_len``-token windows occurs ≥ ``min_count`` times in the
+    corpus (within-document repeats count, as in the paper).
+
+    Returns ``(doc_id, span_start, span_end, n_tokens)`` — 1-based
+    inclusive token positions of each maximal span.
+
+    Exactness without a suffix array: a duplicated substring of length
+    ≥ L exists iff some STRIDE-1 length-L window is duplicated, and the
+    token set covered by duplicated substrings of length ≥ L is
+    exactly the union of the duplicated windows' extents.  Lee et al.'s
+    sorted-suffix + adjacent-LCP scan computes the same set with a
+    global sort; grouping stride-1 window hashes replaces that sort
+    with ONE hash-partitioned exchange — same answer, no range
+    partitioner, no driver-side suffix merge.  This is what the
+    fixed-phase :func:`span_dedup` (non-overlapping C4 windows)
+    structurally misses: a verbatim copy whose alignment differs
+    between two documents never produces equal non-overlapping
+    windows, but always produces equal stride-1 windows.
+
+    Scale shape (100 TB): the window explode is a Generate over the
+    shared :func:`ngram_shingles` scaffold (codegen, no shuffle; docs
+    shorter than ``min_len`` are filtered OUT first — a short document
+    equal to another short document is not a length-≥L duplicate).
+    Only the window HASH shuffles (8-byte xxhash64 product key / md5
+    hex for the oracle family), never window text: the duplicate
+    filter is ``groupBy(hash)`` with map-side combine, and the
+    hit-lookup semi join broadcasts the duplicate-hash set under AQE
+    (the probe side flows Generate → join with NO re-shuffle,
+    pytest-pinned) and falls back to a shuffled hash join keyed on the
+    same 8 bytes when a crawl-scale corpus makes the set large — the
+    span_dedup contract.  The island merge shuffles only HIT positions
+    (duplicated windows, a small fraction of the corpus) by
+    ``doc_id``.  Every stage is
+    linear in corpus tokens — the same I/O class as the paper's
+    distributed suffix-array build, with Spark picking the join
+    strategy per scale.
+    """
+    if hash_family == "md5":
+        h = lambda c: F.md5(c)  # noqa: E731 — portable oracle family
+    elif hash_family == "xxhash64":
+        h = lambda c: F.xxhash64(c)  # noqa: E731
+    else:  # pragma: no cover - caller contract
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    L = min_len
+    eligible = docs.select(F.col(id_col).alias("doc_id"), text_col).where(
+        F.size(F.split(F.col(text_col), " ")) >= L
+    )
+    win = ngram_shingles(eligible, L, text_col=text_col, id_col="doc_id").select(
+        "doc_id", "pos", h(F.col("shingle")).alias("_h")
+    )
+    dup = (
+        win.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    hits = win.join(dup, "_h", "left_semi").select("doc_id", "pos")
+    # Equal-length windows sorted by pos have monotone ends, so the
+    # union-of-intervals island break is just a lag: a new span starts
+    # when this window's first token is beyond the previous window's
+    # last token + 1.
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + F.lit(L)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    min_len: int = 12,
+    min_count: int = 2,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply Lee et al. 2022 ExactSubstr REMOVAL: drop every token
+    covered by a duplicated substring of ≥ ``min_len`` tokens
+    (:func:`substring_dup_spans`) and reassemble each document from
+    its surviving tokens in order.  No canonical copy is kept — the
+    paper removes ALL occurrences, same as C4 span dedup.
+
+    Returns ``(id, clean_text, n_tokens_kept, n_tokens_dropped)``
+    with ``clean_text = ''`` when the whole document was duplicated.
+
+    Scale shape: the rewrite path runs ONLY on documents that own at
+    least one span — those inner-join their (few) spans collected per
+    doc, and the token filter is a per-row higher-order ``filter``
+    against that tiny span array (O(tokens·spans_per_doc), no explode,
+    no reassembly shuffle).  The untouched majority anti-joins the
+    span doc-ids and passes through as a projection.  Corpus bytes are
+    never shuffled to rebuild text — the only corpus-sized exchange in
+    the whole product is the window-hash groupBy in the span stage.
+    """
+    spans = substring_dup_spans(
+        docs,
+        min_len=min_len,
+        min_count=min_count,
+        hash_family=hash_family,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
+    )
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(id_col, toks.alias("_t"))
+    # 1-based token index i+1 against 1-based inclusive span bounds;
+    # spans are disjoint by construction so `exists` hits ≤ once.
+    kept = F.filter(
+        "_t",
+        lambda x, i: ~F.exists(
+            "_sp",
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    rewritten = base.join(per_doc, id_col).select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_tokens_dropped"),
+    )
+    untouched = base.join(per_doc, id_col, "left_anti").select(
+        id_col,
+        F.array_join("_t", " ").alias("clean_text"),
+        F.size("_t").cast("long").alias("n_tokens_kept"),
+        F.lit(0).cast("long").alias("n_tokens_dropped"),
+    )
+    return untouched.unionByName(rewritten)
+
+
 def weighted_mixture_resample(
     df: DataFrame,
     weight_col: str,

@@ -211,6 +211,149 @@ def resize_image(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
     )
 
 
+_DHASH_SCHEMA = "doc_id long, sig array<bigint>"
+
+# dHash grid: 8 rows × 9 columns of resampled bytes → 8×8 horizontal
+# gradient bits = one 64-bit perceptual hash, packed 32 bits per
+# BIGINT word (two positive words — the bq_signature packing contract,
+# so the similarity module's hamming()/sig_chunk_bands() machinery
+# applies unchanged).
+_DHASH_ROWS, _DHASH_COLS = 8, 9
+_DHASH_PIXELS = _DHASH_ROWS * _DHASH_COLS  # 72
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash) over the binary media column.
+
+    The classic recipe (resize to a (rows × cols+1) grayscale grid,
+    hash bit = left pixel > right pixel) with the container's
+    deterministic fake decode: the "grayscale grid" is the same
+    strided nearest-neighbor byte take :func:`resize_image` uses
+    (``idx_k = min(floor(k · n/72), n-1)``), so the full pipeline —
+    resample, gradient compare, bit packing — is a pure integer
+    function of the payload and replays character-by-character in SQL
+    (the :func:`audio_windows` oracle discipline).  Swap
+    :func:`decode_image_stub` in and the SAME gradient/packing code
+    runs over real luma — the seam is the decode, not the hash.
+
+    Returns ``(doc_id, sig array<bigint>)`` — two packed 32-bit words;
+    empty payloads hash to ``[0, 0]``.  ``mapInPandas`` + numpy like
+    every media operator here: the payload never leaves the executor.
+    """
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    shifts = np.arange(32, dtype=np.int64)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"].tolist(), pdf["media"].tolist()):
+                b = bytes(payload or b"")
+                if not b:
+                    rows.append((doc_id, [0, 0]))
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                # the resize_image strided take, fixed 72-byte target
+                step = len(b) / float(_DHASH_PIXELS)
+                idx = (
+                    np.arange(_DHASH_PIXELS, dtype=np.float64) * step
+                ).astype(np.int64)
+                px = arr[np.minimum(idx, len(b) - 1)].reshape(
+                    _DHASH_ROWS, _DHASH_COLS
+                )
+                # bit (r*8 + c) = px[r][c] > px[r][c+1]
+                bits = (px[:, :-1] > px[:, 1:]).astype(np.int64).ravel()
+                w0 = int((bits[:32] << shifts).sum())
+                w1 = int((bits[32:] << shifts).sum())
+                rows.append((doc_id, [w0, w1]))
+            yield pd.DataFrame(rows, columns=["doc_id", "sig"])
+
+    return media.select("doc_id", "media").mapInPandas(run, schema=_DHASH_SCHEMA)
+
+
+def dhash_pairs(
+    media: DataFrame, max_hamming: int = 7, chunk_bits: int = 8
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: integer Hamming over
+    :func:`image_dhash` signatures, gated by the SAME pigeonhole chunk
+    banding the embedding BQ gate uses
+    (:func:`..operators.similarity.sig_chunk_bands`) — the dedup
+    product extended to the media column family.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
+    ``hamming <= max_hamming``.  With the defaults (64-bit hash, 8
+    chunks of 8 bits, ``max_hamming = 7``) capture is EXACT, not
+    probabilistic: a pair within Hamming 7 differs in at most 7 of 8
+    chunks, so it agrees on at least one and always becomes a
+    candidate — unlike the cosine gate, the pigeonhole radius here
+    covers the whole accept region, and the verify itself is integer,
+    so the entire product hash-checks in ANSI SQL.
+
+    Scale shape: identical SIGNATURES exact-collapse to their min-id
+    representative before banding (the verify depends on nothing but
+    the signature, so sig-equal groups are exactly the Hamming-0
+    cliques — a collapse even stronger than byte-identical payloads);
+    banded candidates come from an equality self-join on
+    ``(band, chunk)``; each candidate pays one 2-word XOR+popcount.
+    Everything before the final membership expansion is linear in
+    DISTINCT signatures.
+    """
+    from pyspark.sql.window import Window
+
+    from .similarity import hamming, sig_chunk_bands
+
+    sig = image_dhash(media)
+    g = sig.withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("sig"))
+    )
+    members = g.select("rep_id", "doc_id")
+    reps = g.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "sig")
+    banded = sig_chunk_bands(reps, chunk_bits, id_col="doc_id")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("ra"), F.col("y.doc_id").alias("rb"))
+        .distinct()
+    )
+    rep_pairs = (
+        cand.join(reps.select(F.col("doc_id").alias("ra"), F.col("sig").alias("sa")), "ra")
+        .join(reps.select(F.col("doc_id").alias("rb"), F.col("sig").alias("sb")), "rb")
+        .select("ra", "rb", hamming(F.col("sa"), F.col("sb")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    ma = members.select(F.col("rep_id").alias("ra"), F.col("doc_id").alias("id_a"))
+    mb = members.select(F.col("rep_id").alias("rb"), F.col("doc_id").alias("id_b"))
+    cross_groups = (
+        rep_pairs.join(ma, "ra")
+        .join(mb, "rb")
+        .select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+            "hamming",
+        )
+    )
+    within = (
+        members.alias("p")
+        .join(
+            members.alias("q"),
+            (F.col("p.rep_id") == F.col("q.rep_id"))
+            & (F.col("p.doc_id") < F.col("q.doc_id")),
+        )
+        .select(
+            F.col("p.doc_id").alias("id_a"),
+            F.col("q.doc_id").alias("id_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    return cross_groups.unionByName(within)
+
+
 _AUDIO_SCHEMA = "doc_id long, window_idx int, n_samples int, energy long, peak int"
 
 

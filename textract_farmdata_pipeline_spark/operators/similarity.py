@@ -2795,6 +2795,52 @@ def hamming(a: Column, b: Column) -> Column:
     )
 
 
+def sig_chunk_bands(
+    sig: DataFrame, chunk_bits: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Pigeonhole banding over a packed 32-bit-word signature column:
+    one ``(id, band, chunk)`` row per ``chunk_bits``-wide slice of the
+    ``sig`` array — the shared candidate-key machinery behind
+    :func:`bq_banded_pairs` (embedding sign bits) and the perceptual
+    dHash near-dup gate (:func:`..operators.multimodal.dhash_pairs`).
+
+    ``chunk_bits`` must divide 32 so a chunk never straddles a packed
+    word; the chunk count derives per row from the word count, so
+    ragged signature lengths stay correct.  Chunk extraction is
+    integer div/mod — exact, replayed verbatim in ANSI SQL by every
+    oracle that composes this."""
+    if 32 % chunk_bits != 0:
+        # caller contract — ValueError (not assert: stripped under -O)
+        # because a straddling chunk silently breaks the pigeonhole
+        # capture guarantee with no error at all.
+        raise ValueError(
+            f"chunk_bits={chunk_bits} must divide the 32-bit packed word"
+        )
+    cpw = 32 // chunk_bits  # chunks per word
+    n_chunks = F.size(F.col("sig")) * cpw
+    return sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    # integer div/mod — exact, replayed verbatim in SQL
+                    (
+                        F.floor(
+                            F.col("sig")[(b / cpw).cast("int")]
+                            / F.pow(
+                                F.lit(2.0), (b % cpw) * chunk_bits
+                            ).cast("bigint")
+                        )
+                        % F.lit(1 << chunk_bits).cast("bigint")
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("bc"),
+    ).select(id_col, F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+
+
 def _bq_scored(
     corpus: DataFrame,
     queries: DataFrame,
@@ -3275,39 +3321,7 @@ def bq_banded_pairs(
         vec_col=vec_col,
         id_col="vec_id",
     )
-    # chunk_bits-wide chunks over the packed words; the width divides
-    # the 32-bit word by contract, so chunk count derives per row from
-    # the word count (ragged dimension counts stay correct).
-    if 32 % chunk_bits != 0:
-        # caller contract — ValueError (not assert: stripped under -O)
-        # because a straddling chunk silently breaks the pigeonhole
-        # capture guarantee with no error at all.
-        raise ValueError(
-            f"chunk_bits={chunk_bits} must divide the 32-bit packed word"
-        )
-    cpw = 32 // chunk_bits  # chunks per word
-    n_chunks = F.size(F.col("sig")) * cpw
-    banded = sig.select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    # integer div/mod — exact, replayed verbatim in SQL
-                    (
-                        F.floor(
-                            F.col("sig")[(b / cpw).cast("int")]
-                            / F.pow(
-                                F.lit(2.0), (b % cpw) * chunk_bits
-                            ).cast("bigint")
-                        )
-                        % F.lit(1 << chunk_bits).cast("bigint")
-                    ).alias("chunk"),
-                ),
-            )
-        ).alias("bc"),
-    ).select("vec_id", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    banded = sig_chunk_bands(sig, chunk_bits, id_col="vec_id")
     cand = (
         banded.alias("x")
         .join(

@@ -6864,6 +6864,102 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_t(spark, sf_dir, "documents"), span_words=10, min_docs=2)
 
 
+# ExactSubstr (Lee et al. 2022) — the suffix-array-class EXACT
+# substring dedup layer.  The oracle groups stride-1 window TEXT
+# directly (no hash at all — the strongest possible twin); the Spark
+# side groups xxhash64(window), the same key-never-in-output split as
+# corpus_span_dedup.  ss-prefixed CTEs, one definition for both the
+# spans decision table and the removal product.
+_SUBSTRING_CTES = """
+sstoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sswin AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i : i + 11], ' ') AS w
+  FROM sstoks, LATERAL unnest(generate_series(1, len(t) - 12 + 1)) AS u(i)
+  WHERE len(t) >= 12
+),
+ssdup AS (SELECT w FROM sswin GROUP BY w HAVING COUNT(*) >= 2),
+sshit AS (SELECT s.doc_id, s.pos FROM sswin s JOIN ssdup d USING (w)),
+ssisl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev IS NULL OR pos > prev + 12 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM (
+    SELECT doc_id, pos,
+      LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM sshit
+  )
+),
+ssspans AS (
+  SELECT doc_id,
+    CAST(MIN(pos) AS BIGINT) AS span_start,
+    CAST(MAX(pos) + 11 AS BIGINT) AS span_end
+  FROM ssisl GROUP BY doc_id, isl
+)"""
+
+_SUBSTRING_SPANS_ORACLE = f"""
+WITH {_SUBSTRING_CTES}
+SELECT doc_id, span_start, span_end,
+  span_end - span_start + 1 AS n_tokens
+FROM ssspans
+"""
+
+
+@register("corpus_substring_spans", _SUBSTRING_SPANS_ORACLE)
+def corpus_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr decision table (Lee et al. 2022): maximal token
+    spans whose every stride-1 12-token window occurs >=2 times in the
+    corpus (within-doc repeats count) — 1-based inclusive positions.
+    Stride-1 windows catch the phase-shifted verbatim copies the
+    non-overlapping C4 windows of corpus_span_dedup structurally miss;
+    grouping window hashes replaces the paper's suffix-array global
+    sort with one hash exchange."""
+    from .operators.corpus import substring_dup_spans
+
+    return substring_dup_spans(
+        _t(spark, sf_dir, "documents"), min_len=12, min_count=2
+    )
+
+
+_SUBSTRING_DEDUP_ORACLE = f"""
+WITH {_SUBSTRING_CTES},
+sstokpos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM sstoks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+),
+sskept AS (
+  SELECT k.doc_id, k.pos, k.tok
+  FROM sstokpos k LEFT JOIN ssspans s
+    ON k.doc_id = s.doc_id AND k.pos BETWEEN s.span_start AND s.span_end
+  WHERE s.doc_id IS NULL
+),
+ssagg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+    CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM sskept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(a.clean_text, '') AS clean_text,
+  COALESCE(a.n_kept, 0) AS n_tokens_kept,
+  CAST(len(d.t) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_tokens_dropped
+FROM sstoks d LEFT JOIN ssagg a USING (doc_id)
+"""
+
+
+@register("corpus_substring_dedup", _SUBSTRING_DEDUP_ORACLE)
+def corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2022): every token covered by a
+    duplicated >=12-token substring is dropped from ALL occurrences and
+    documents reassemble from the survivors.  The rewrite runs only on
+    span-owning documents (higher-order token filter against their
+    collected spans — no reassembly shuffle); the clean majority passes
+    through a projection."""
+    from .operators.corpus import substring_dedup
+
+    return substring_dedup(
+        _t(spark, sf_dir, "documents"), min_len=12, min_count=2
+    )
+
+
 # Composed from the shared _GOPHER_CTES + _gopher_rules_sql (defined
 # next to the compressibility-gated variant) — one rule definition for
 # both gates.
@@ -7068,6 +7164,142 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import attach_media, audio_windows
 
     return audio_windows(attach_media(_t(spark, sf_dir, "documents")), window_bytes=256)
+
+
+# dHash perceptual hashing — shared ss-style CTE chain for the hash
+# table and the banded near-dup pairs.  The strided resample replays
+# the resize_image index math (the _IMAGE_RESIZE_ORACLE discipline),
+# the gradient/packing is pure integer, and the pairs stage reuses the
+# BQ gate's chunk arithmetic verbatim — all ANSI-replayable.  The
+# dhsrc CTE is provided by each query (plain corpus vs planted twins).
+_DHASH_CTES = """
+dhpx AS (
+  SELECT doc_id, k,
+    ascii(substr(text,
+      CAST(LEAST(CAST(floor(CAST(k AS DOUBLE) * (CAST(n AS DOUBLE) / 72.0))
+                      AS BIGINT), n - 1) + 1 AS INTEGER), 1)) AS b
+  FROM dhsrc, LATERAL unnest(generate_series(0, 71)) AS u(k)
+  WHERE n > 0
+),
+dhbits AS (
+  SELECT l.doc_id, (l.k // 9) * 8 + (l.k % 9) AS bit,
+    CASE WHEN l.b > r.b THEN 1 ELSE 0 END AS v
+  FROM dhpx l JOIN dhpx r ON r.doc_id = l.doc_id AND r.k = l.k + 1
+  WHERE l.k % 9 < 8
+),
+dhwords AS (
+  SELECT doc_id, bit // 32 AS w,
+    CAST(SUM(v * (1::BIGINT << CAST(bit % 32 AS INT))) AS BIGINT) AS word
+  FROM dhbits GROUP BY doc_id, bit // 32
+  UNION ALL
+  SELECT doc_id, u.w, CAST(0 AS BIGINT) AS word
+  FROM dhsrc, LATERAL unnest(generate_series(0, 1)) AS u(w)
+  WHERE n = 0
+)"""
+
+_IMAGE_DHASH_ORACLE = f"""
+WITH dhsrc AS (SELECT doc_id, text, length(text) AS n FROM documents),
+{_DHASH_CTES}
+SELECT doc_id, CAST(w AS BIGINT) AS w, word FROM dhwords
+"""
+
+
+@register("multimodal_image_dhash", _IMAGE_DHASH_ORACLE)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference hash over the binary media column
+    (:func:`..operators.multimodal.image_dhash`): 8×9 strided-resample
+    grid, horizontal gradient bits, 64-bit hash packed 32 bits per
+    BIGINT word — exploded to ``(doc_id, w, word)`` rows so the driver
+    hash-checks every packed word.  mapInPandas + numpy executor-side;
+    the oracle replays resample index math, gradient compares, and bit
+    packing character-by-character (the audio_windows discipline)."""
+    from .operators.multimodal import attach_media, image_dhash
+
+    sig = image_dhash(attach_media(_t(spark, sf_dir, "documents")))
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("w", "word")
+    ).select("doc_id", F.col("w").cast("long").alias("w"), "word")
+
+
+_DHASH_PAIRS_ORACLE = f"""
+WITH dhsrc AS (
+  SELECT doc_id, text, length(text) AS n FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100001 AS doc_id, '~' || substr(text, 2) AS text
+    FROM documents WHERE doc_id < 50
+  ) u
+),
+{_DHASH_CTES},
+dhsig AS (
+  SELECT doc_id,
+    MAX(CASE WHEN w = 0 THEN word END) AS w0,
+    MAX(CASE WHEN w = 1 THEN word END) AS w1
+  FROM dhwords GROUP BY doc_id
+),
+dhrep AS (
+  SELECT doc_id, w0, w1,
+    MIN(doc_id) OVER (PARTITION BY w0, w1) AS rep_id
+  FROM dhsig
+),
+dhreps AS (SELECT doc_id, w0, w1 FROM dhrep WHERE doc_id = rep_id),
+dhchunks AS (
+  SELECT doc_id, CAST(t.b AS INT) AS band,
+    ((CASE WHEN t.b < 4 THEN w0 ELSE w1 END)
+     // (1::BIGINT << CAST((t.b % 4) * 8 AS INT))) % 256 AS chunk
+  FROM dhreps, UNNEST(generate_series(0, 7)) AS t(b)
+),
+dhcand AS (
+  SELECT DISTINCT x.doc_id AS ra, y.doc_id AS rb
+  FROM dhchunks x JOIN dhchunks y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+),
+dhrp AS (
+  SELECT ra, rb, hamming FROM (
+    SELECT c.ra, c.rb,
+      CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS BIGINT)
+        AS hamming
+    FROM dhcand c
+    JOIN dhreps a ON a.doc_id = c.ra
+    JOIN dhreps b ON b.doc_id = c.rb
+  ) s WHERE hamming <= 7
+)
+SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a,
+       GREATEST(ma.doc_id, mb.doc_id) AS id_b, p.hamming
+FROM dhrp p
+JOIN dhrep ma ON ma.rep_id = p.ra
+JOIN dhrep mb ON mb.rep_id = p.rb
+UNION ALL
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+FROM dhrep a JOIN dhrep b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id
+"""
+
+
+@register("multimodal_dhash_pairs", _DHASH_PAIRS_ORACLE)
+def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs
+    (:func:`..operators.multimodal.dhash_pairs`): integer Hamming over
+    dHash signatures, candidates from the SAME pigeonhole chunk
+    banding as the embedding BQ gate
+    (``similarity.sig_chunk_bands``) — the dedup product extended to
+    the media column family the r8 verdict flagged as uncovered.
+    With 8 chunks over 64 bits and ``max_hamming = 7`` the pigeonhole
+    radius covers the whole accept region (capture EXACT, not
+    probabilistic), and the verify is an XOR+popcount — so unlike the
+    cosine-verified gates, the ENTIRE product is hash-checked.  50
+    planted twins (same length, first byte overwritten — preserves the
+    strided sampling grid, perturbs ≤2 gradient bits) give the fixture
+    a real perceptual near-dup population at hamming 0–1."""
+    from .operators.multimodal import attach_media, dhash_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100001).alias("doc_id"),
+        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    return dhash_pairs(
+        attach_media(docs.unionByName(twins)), max_hamming=7, chunk_bits=8
+    )
 
 
 _ROLLING_7D_ORACLE = """

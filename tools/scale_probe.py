@@ -142,6 +142,19 @@ PROBE = (
     "embedding_bq_gated_pairs",
     "doc_split_audit",
     "embedding_semantic_dedup_gated",
+    # round-8 late additions: the DSIR family
+    "doc_dsir_scores",
+    "doc_dsir_select",
+    "corpus_build_dsir_gated",
+    "doc_dsir_stream_replay",
+    "events_hll_corrected",
+    # round-9 additions: frozen DSIR scoring with real unseen buckets,
+    # and the ExactSubstr (suffix-array-class) substring dedup layer
+    "doc_dsir_score_frozen",
+    "corpus_substring_spans",
+    "corpus_substring_dedup",
+    "multimodal_image_dhash",
+    "multimodal_dhash_pairs",
 )
 
 KEYED = {
