@@ -9764,6 +9764,150 @@ def embedding_semantic_dedup_gated(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# Frozen-centroid SemDeDup: the Lloyd codebook is the ONLY reason the
+# gated registration above is rows-only, so this twin swaps it for 16
+# md5-ranked anchor VECTORS (the embedding_ivf_hot_split coarse-
+# quantizer family) and becomes fully hash-checkable: unit normalize →
+# exact-vector rep collapse → max-dot cell argmax (ties → lowest
+# anchor index, the nearest_cell contract) → BQ sign-Hamming gate ≤ 16
+# (integer XOR+popcount) → within-cell unit-dot ≥ threshold → 4
+# unrolled min-label rounds (5th-round diameter guard) → members map
+# back through their rep.  Float dots replay via list_dot_product /
+# list_transform division — the same left-fold IEEE trees every
+# hash-green cosine oracle already relies on.
+_SEMDEDUP_FROZEN_ORACLE = (
+    """
+WITH sdv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id < 50
+),
+sdn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM sdv),
+sdu AS (
+  SELECT vec_id,
+    CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS u
+  FROM sdn
+),
+sdrep AS (
+  SELECT vec_id, u, MIN(vec_id) OVER (PARTITION BY u) AS rep_id FROM sdu
+),
+sdreps AS (SELECT vec_id, u FROM sdrep WHERE vec_id = rep_id),
+sda AS (
+  SELECT aid, j FROM (
+    SELECT vec_id AS aid,
+      ROW_NUMBER() OVER (ORDER BY
+        CAST(('0x' || substr(md5('semf|' || CAST(vec_id AS VARCHAR)), 1, 15))
+             AS BIGINT) ASC,
+        vec_id ASC) AS j
+    FROM embeddings) ranked
+  WHERE j <= 16
+),
+sdav AS (
+  SELECT sda.j, CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings JOIN sda ON vec_id = sda.aid
+),
+sdcell AS (
+  SELECT vec_id, j AS cell_id FROM (
+    SELECT r.vec_id, a.j,
+      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+        ORDER BY list_dot_product(a.c, r.u) DESC, a.j ASC) AS rk
+    FROM sdreps r CROSS JOIN sdav a) t
+  WHERE rk = 1
+),
+sdbits AS (
+  SELECT vec_id, (t.i - 1) // 32 AS w,
+    CASE WHEN u[t.i] >= 0
+         THEN (1::BIGINT << CAST((t.i - 1) % 32 AS INT)) ELSE 0 END AS bit
+  FROM sdreps, UNNEST(generate_series(1, len(u))) AS t(i)
+),
+sdwords AS (
+  SELECT vec_id, w, CAST(SUM(bit) AS BIGINT) AS word FROM sdbits GROUP BY 1, 2
+),
+sdham AS (
+  SELECT a.vec_id AS ra, b.vec_id AS rb,
+    CAST(SUM(bit_count(xor(wa.word, wb.word))) AS BIGINT) AS hd
+  FROM sdcell a
+  JOIN sdcell b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  JOIN sdwords wa ON wa.vec_id = a.vec_id
+  JOIN sdwords wb ON wb.vec_id = b.vec_id AND wb.w = wa.w
+  GROUP BY 1, 2
+),
+sdpairs AS (
+  SELECT h.ra, h.rb FROM sdham h
+  JOIN sdreps ua ON ua.vec_id = h.ra
+  JOIN sdreps ub ON ub.vec_id = h.rb
+  WHERE h.hd <= 16 AND list_dot_product(ua.u, ub.u) >= 0.999
+),
+sde AS (
+  SELECT ra AS src, rb AS dst FROM sdpairs
+  UNION ALL
+  SELECT rb AS src, ra AS dst FROM sdpairs
+),
+sdl0 AS (SELECT DISTINCT src AS node, src AS label FROM sde)"""
+    + "".join(
+        _PCC_ROUND.format(pfx="sd", n=n, prev=n - 1) for n in range(1, 6)
+    )
+    + """,
+sdfix AS (
+  -- diameter-<=4 guard: any sdl5 != sdl4 label flips this to 0 rows
+  SELECT COUNT(*) AS n_moved
+  FROM sdl5 j JOIN sdl4 k ON j.node = k.node AND j.label <> k.label
+),
+sdclust AS (
+  SELECT r.vec_id AS rid, c.cell_id,
+    CAST(COALESCE(l.label, r.vec_id) AS BIGINT) AS clus
+  FROM sdreps r
+  JOIN sdcell c ON c.vec_id = r.vec_id
+  LEFT JOIN sdl4 l ON l.node = r.vec_id
+)
+SELECT m.vec_id, CAST(sc.cell_id AS INT) AS cell_id,
+  sc.clus = m.vec_id AS keep,
+  CASE WHEN sc.clus <> m.vec_id THEN sc.clus END AS dup_of
+FROM sdrep m JOIN sdclust sc ON sc.rid = m.rep_id
+WHERE (SELECT n_moved FROM sdfix) = 0
+"""
+)
+_SEMDEDUP_FROZEN_ORACLE = _force_materialized(_SEMDEDUP_FROZEN_ORACLE)
+
+
+@register("embedding_semantic_dedup_frozen", _SEMDEDUP_FROZEN_ORACLE)
+def embedding_semantic_dedup_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a FROZEN md5-anchor codebook and the BQ gate on —
+    the fully hash-checked member of the family (the r8 verdict's
+    check-strength upgrade: the kmeans registrations are rows-only
+    ONLY because of iterative Lloyd training; swap the codebook for
+    the deterministic anchor family and every stage — rep collapse,
+    max-dot cell argmax, sign-Hamming gate, cosine verify, min-label
+    components, member mapping — replays in ANSI SQL).  Same planted
+    vec_id<50 copies and ``threshold=0.999, hamming_gate=16`` as the
+    gated kmeans registration, so keep/dup_of decisions are directly
+    comparable across the two codebooks; the Lloyd variant remains the
+    QUALITY path (anchors are a coarse quantizer, not a trained one —
+    the ivf_hot_split duality)."""
+    from .operators.dedup import md5_long
+    from .operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+    )
+    anchors = [
+        r["e"]
+        for r in emb.select(
+            F.col("embedding").cast("array<double>").alias("e"),
+            md5_long(F.col("vec_id").cast("string"), "semf|").alias("_r"),
+            "vec_id",
+        )
+        .orderBy(F.asc("_r"), F.asc("vec_id"))
+        .limit(16)
+        .collect()
+    ]
+    return semantic_dedup(corpus, anchors, threshold=0.999, hamming_gate=16)
+
+
 # =========================================================================
 # DSIR importance resampling (hashed n-gram features vs a target set)
 # =========================================================================

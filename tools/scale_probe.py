@@ -155,6 +155,7 @@ PROBE = (
     "corpus_substring_dedup",
     "multimodal_image_dhash",
     "multimodal_dhash_pairs",
+    "embedding_semantic_dedup_frozen",
 )
 
 KEYED = {
