@@ -496,7 +496,9 @@ def ann_topk_ivf(
             vec = r["v"]
             nrm = sum(x * x for x in vec) ** 0.5 or 1.0
             unit_cents.append([x / nrm for x in vec])
-    cents = F.array(*[F.array(*[F.lit(x) for x in c]) for c in unit_cents])
+    # one parsed expression — see _double_array_literal (this was
+    # 16×64 individual lit round-trips)
+    cents = _book_literal(unit_cents)
 
     def scores(vec):
         return F.transform(cents, lambda c: dot(c, vec))
@@ -806,7 +808,9 @@ def centroid_scores(v: Column, centroids) -> Column:
     """Dot products of ``v`` against every centroid of a driver-side
     codebook (shipped as a literal array<array<double>>): one
     array<double> of length k per row, all JVM-side."""
-    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # one parsed expression (single py4j call) — see
+    # _double_array_literal for why this beats per-element lit calls
+    carr = _book_literal(centroids)
     return F.transform(carr, lambda c: dot(c, v))
 
 
@@ -1769,8 +1773,9 @@ def _sq_code_column(vec: Column, mins: Sequence[float], maxs: Sequence[float]) -
     cell in ONE map stage instead of joining two encodes."""
     if len(mins) != len(maxs):
         raise ValueError(f"mins/maxs length mismatch: {len(mins)} vs {len(maxs)}")
-    mn_arr = F.array(*[F.lit(float(v)) for v in mins])
-    rng_arr = F.array(*[F.lit(float(hi) - float(lo)) for lo, hi in zip(mins, maxs)])
+    # single parsed-expression arrays: one py4j call each
+    mn_arr = _double_array_literal(mins)
+    rng_arr = _double_array_literal(hi - lo for lo, hi in zip(mins, maxs))
     shifted = F.zip_with(_as_double(vec), mn_arr, lambda x, mn: x - mn)
     return F.zip_with(
         shifted,
@@ -2177,9 +2182,40 @@ def _pq_adc_rank(cand: DataFrame, k: int, round_digits: int) -> DataFrame:
     )
 
 
+def _double_array_literal(values) -> Column:
+    """A driver-side float sequence as ONE parsed ``array(…D, …)``
+    expression — a single py4j round-trip instead of one per element.
+
+    ``repr(float)`` emits the shortest round-trip decimal, which every
+    IEEE-754 parser (Java's ``Double.parseDouble`` included) maps back
+    to the identical bits — verified bit-exact for -0.0, denormals,
+    and DBL_MAX — and the ``D`` suffix makes the Spark SQL literal a
+    DOUBLE (unsuffixed decimals are DECIMAL).  Values, schema, and
+    every oracle hash are unchanged vs the old per-element
+    ``F.array(*[F.lit(x) …])`` spelling; what changes is query
+    CONSTRUCTION cost: the per-element form cost ~3 py4j round-trips
+    per float, and that driver-side single-thread burn (24k round
+    trips ≈ 7 s of the 9 s construction of the portable IVFADC scan,
+    cProfile-measured) is what made ``embedding_pq_ivf_portable``
+    uniquely host-load-sensitive in the r7/r8 driver records — socket
+    round-trips get no executor-parallel slack under contention."""
+    return F.expr(
+        "array(" + ",".join(repr(float(v)) + "D" for v in values) + ")"
+    )
+
+
 def _book_literal(book) -> Column:
-    """A sub-codebook as an ``array<array<double>>`` literal column."""
-    return F.array(*[F.array(*[F.lit(float(w)) for w in c]) for c in book])
+    """A sub-codebook as an ``array<array<double>>`` literal column —
+    one parsed expression per book (see :func:`_double_array_literal`
+    for the construction-cost rationale)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(w)) + "D" for w in c) + ")"
+            for c in book
+        )
+        + ")"
+    )
 
 
 def _pq_portable_luts(df: DataFrame, books, vec_col: str, id_col: str) -> DataFrame:
