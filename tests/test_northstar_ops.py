@@ -1097,6 +1097,59 @@ class TestImageDhash:
         }
         assert pairs.get((1, 2)) == 0
 
+    def test_clusters_keep_min_and_chain_transitively(self, spark):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            dhash_clusters,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        docs = spark.createDataFrame(
+            [(1, base), (2, base), (3, "~" + base[1:]),
+             (4, "all other tokens live here in different words " * 8)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dhash_clusters(attach_media(docs)).collect()}
+        # 1,2,3 one component (1=2 exact; 3 within radius) -> keep min
+        assert out[1]["keep"] and out[1]["dup_of"] is None
+        assert not out[2]["keep"] and out[2]["dup_of"] == 1
+        assert not out[3]["keep"] and out[3]["dup_of"] == 1
+        assert out[4]["keep"] and out[4]["dup_of"] is None
+
+    def test_incremental_matches_min_corpus_doc_without_corpus_rescan(
+        self, spark
+    ):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            image_dhash,
+            incremental_dhash_dedup,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        corpus = spark.createDataFrame(
+            [(10, base), (11, base), (12, "some unrelated corpus text here " * 9)],
+            "doc_id long, text string",
+        )
+        stored = image_dhash(attach_media(corpus))
+        batch = spark.createDataFrame(
+            [(20, "~" + base[1:]),          # near-dup of 10 and 11 -> min = 10
+             (21, "a brand new batch document with novel words " * 8)],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["dup_of"], r["is_new"])
+            for r in incremental_dhash_dedup(
+                stored, attach_media(batch)
+            ).collect()
+        }
+        assert out[20] == (10, False)
+        assert out[21] == (None, True)
+        # and the plan consumes the STORED sigs, not corpus payloads:
+        # only the batch side contains a mapInPandas (image_dhash)
+        df = incremental_dhash_dedup(stored, attach_media(batch))
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("mapInPandas") <= 2  # batch hash (reused twice at most)
+
 
 class TestPageRank:
     def _ranks(self, spark, edges, **kw):

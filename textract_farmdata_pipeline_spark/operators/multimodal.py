@@ -354,6 +354,110 @@ def dhash_pairs(
     return cross_groups.unionByName(within)
 
 
+def dhash_clusters(media: DataFrame, max_hamming: int = 7, chunk_bits: int = 8) -> DataFrame:
+    """The media-dedup DECISION product: union :func:`dhash_pairs`
+    into clusters (min-label connected components, the shared
+    :func:`..operators.dedup.connected_components`) and keep the
+    minimum id per cluster — one row per document:
+    ``(doc_id, keep, dup_of)`` with ``dup_of`` the kept
+    representative (NULL when kept).  The same pairs→components→
+    keep-one tail every text dedup family here ends in, applied to
+    the perceptual-hash pair graph; with the default exact-capture
+    gate (8 chunks, radius 7) the whole decision replays in SQL."""
+    from .dedup import connected_components
+
+    pairs = dhash_pairs(media, max_hamming=max_hamming, chunk_bits=chunk_bits)
+    labels = connected_components(
+        pairs.select("id_a", "id_b"), left="id_a", right="id_b"
+    )
+    ids = media.select(F.col("doc_id"))
+    return (
+        ids.join(labels, ids["doc_id"] == labels["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("_c"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_c") == F.col("doc_id")).alias("keep"),
+            F.when(F.col("_c") != F.col("doc_id"), F.col("_c")).alias("dup_of"),
+        )
+    )
+
+
+def incremental_dhash_dedup(
+    stored_sigs: DataFrame,
+    batch_media: DataFrame,
+    max_hamming: int = 7,
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """Incremental perceptual dedup — the production cadence for a
+    growing media corpus: the corpus is REPRESENTED by its stored
+    2-word signature table (``(doc_id, sig)``, 16 bytes/row — the
+    artifact :func:`image_dhash` materializes once), and each arriving
+    batch is decided against it without rescanning corpus payloads:
+
+    1. batch payloads hash executor-side (one mapInPandas pass);
+    2. batch signatures chunk-band against the STORED signature bands
+       (:func:`..operators.similarity.sig_chunk_bands` on both sides —
+       the :func:`incremental_minhash_dedup` shape: the corpus never
+       self-joins on the batch path);
+    3. banded candidates verify by integer XOR+popcount ≤
+       ``max_hamming`` (exact capture at the default radius-7/8 gate);
+    4. each batch doc reports its minimum matched corpus doc.
+
+    Returns one row per batch doc: ``(doc_id, dup_of, is_new)`` with
+    ``dup_of`` = the smallest Hamming-matching corpus id (NULL ⇒
+    ``is_new`` — the doc's signature should be appended to the stored
+    table).  Batch-internal twins both match the same corpus doc when
+    one exists; fully-novel batch groups all report ``is_new`` (intra-
+    batch collapse is the follow-up :func:`dhash_clusters` run over
+    the appended table — same contract as the text incremental form).
+
+    Scale shape: everything is |batch|-proportional except the stored
+    band table, which is an equality-join side keyed on (band, chunk)
+    — 8 integer rows per corpus doc, the posting-list layout you
+    persist alongside the signatures at 100 TB."""
+    from .similarity import hamming, sig_chunk_bands
+
+    bsig = image_dhash(batch_media)
+    bband = sig_chunk_bands(bsig, chunk_bits, id_col="doc_id").select(
+        F.col("doc_id").alias("_bid"), "band", "chunk"
+    )
+    sband = sig_chunk_bands(stored_sigs, chunk_bits, id_col="doc_id").select(
+        F.col("doc_id").alias("_sid"), "band", "chunk"
+    )
+    cand = (
+        bband.join(sband, ["band", "chunk"])
+        .select("_bid", "_sid")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            bsig.select(F.col("doc_id").alias("_bid"), F.col("sig").alias("_bs")),
+            "_bid",
+        )
+        .join(
+            stored_sigs.select(
+                F.col("doc_id").alias("_sid"), F.col("sig").alias("_ss")
+            ),
+            "_sid",
+        )
+        .filter(hamming(F.col("_bs"), F.col("_ss")) <= max_hamming)
+        .groupBy("_bid")
+        .agg(F.min("_sid").alias("dup_of"))
+    )
+    return (
+        bsig.select("doc_id")
+        .join(verified, bsig["doc_id"] == verified["_bid"], "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            F.col("dup_of").isNull().alias("is_new"),
+        )
+    )
+
+
 _AUDIO_SCHEMA = "doc_id long, window_idx int, n_samples int, energy long, peak int"
 
 

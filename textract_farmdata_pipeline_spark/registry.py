@@ -1498,6 +1498,56 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _force_materialized(sql: str) -> str:
+    """Rewrite every CTE in an oracle to ``AS MATERIALIZED`` — pure
+    runtime hint, bit-identical results.  DuckDB inlines a CTE into
+    each reference site; the unrolled min-label rounds reference their
+    predecessor TWICE, so an inlined 4-round chain re-evaluates the
+    whole md5-shingle scaffold ~2⁴ times per component graph (measured
+    on ``doc_split_incremental``'s oracle: 500 s inlined → 0.4 s
+    materialized at sf0.01).  Only oracles with an unrolled fixpoint
+    need this; single-pass chains stay default.
+
+    The rewrite only fires where a CTE definition can legally start —
+    right after ``WITH`` or after a top-level ``,\\n`` separator (every
+    oracle here puts each CTE on its own line) — so an ``… AS (``
+    sequence inside a string literal or an expression can never
+    match.  A LOUD guard enforces the one-CTE-per-line convention the
+    anchor depends on: the substitution count must equal the number of
+    ``name AS (`` definition heads in the SQL (none of these oracles
+    spell ``AS (`` anywhere else), so a future oracle placing two CTEs
+    on one line (``, name AS (``) raises at import instead of silently
+    keeping an inlined CTE and regressing to the ~1000× fixpoint
+    blow-up this helper exists to prevent."""
+    import re
+
+    out, n_sub = re.subn(
+        r"((?:\bWITH\s+|,\s*\n)\s*\w+ AS) \(", r"\1 MATERIALIZED (", sql
+    )
+    n_defs = len(re.findall(r"\b\w+ AS \(", sql))
+    if n_sub != n_defs:
+        raise ValueError(
+            f"_force_materialized rewrote {n_sub} CTE(s) but the SQL "
+            f"contains {n_defs} 'name AS (' definition heads — a CTE "
+            "is not anchored at WITH or a ',\\n' line start; put every "
+            "CTE on its own line so MATERIALIZED reaches all of them"
+        )
+    return out
+
+
+# A CTE-prefixable min-label round (the `_CC_ROUND` recurrence with
+# every table name prefixed) so a SECOND component problem can live in
+# an oracle whose bare e/l{n} names are taken or reserved.
+_PCC_ROUND = """,
+{pfx}l{n} AS (
+  SELECT l.node, LEAST(MIN(l.label), COALESCE(MIN(nl.label), MIN(l.label))) AS label
+  FROM {pfx}l{prev} l
+  LEFT JOIN {pfx}e ON {pfx}e.src = l.node
+  LEFT JOIN {pfx}l{prev} nl ON nl.node = {pfx}e.dst
+  GROUP BY l.node
+)"""
+
+
 _CC_ROUND = """,
 l{n} AS (
   SELECT l.node, LEAST(MIN(l.label), COALESCE(MIN(nl.label), MIN(l.label))) AS label
@@ -7302,6 +7352,154 @@ def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The clusters product shares the pairs oracle's whole chain; edges are
+# the expanded pair set, labels are 4 unrolled min-label rounds with
+# the 5th-round diameter guard ('dc'-prefixed — the _PCC_ROUND rule).
+_DHASH_CLUSTERS_ORACLE = (
+    _DHASH_PAIRS_ORACLE.replace(
+        ") s WHERE hamming <= 7\n)\nSELECT LEAST(ma.doc_id",
+        """) s WHERE hamming <= 7
+),
+dhpr AS (
+SELECT LEAST(ma.doc_id""",
+        1,
+    ).replace(
+        "FROM dhrep a JOIN dhrep b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id\n",
+        "FROM dhrep a JOIN dhrep b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id\n),\n",
+        1,
+    )
+    + """
+dce AS (
+  SELECT id_a AS src, id_b AS dst FROM dhpr
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM dhpr
+),
+dcl0 AS (SELECT DISTINCT src AS node, src AS label FROM dce)"""
+    + "".join(
+        _PCC_ROUND.format(pfx="dc", n=n, prev=n - 1) for n in range(1, 6)
+    )
+    + """,
+dcfix AS (
+  -- diameter-<=4 guard: any dcl5 != dcl4 label flips this to 0 rows
+  SELECT COUNT(*) AS n_moved
+  FROM dcl5 j JOIN dcl4 k ON j.node = k.node AND j.label <> k.label
+)
+SELECT s.doc_id,
+  COALESCE(l.label, s.doc_id) = s.doc_id AS keep,
+  CASE WHEN COALESCE(l.label, s.doc_id) <> s.doc_id
+       THEN CAST(l.label AS BIGINT) END AS dup_of
+FROM dhsrc s LEFT JOIN dcl4 l ON l.node = s.doc_id
+WHERE (SELECT n_moved FROM dcfix) = 0
+"""
+)
+_DHASH_CLUSTERS_ORACLE = _force_materialized(_DHASH_CLUSTERS_ORACLE)
+
+
+@register("multimodal_dhash_clusters", _DHASH_CLUSTERS_ORACLE)
+def multimodal_dhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media-dedup DECISION product: dHash near-dup pairs unioned
+    into clusters (min-label connected components) with keep-one-per-
+    cluster — ``(doc_id, keep, dup_of)``, the same tail every text
+    dedup family ends in, now over the perceptual pair graph.  Same
+    planted twins as ``multimodal_dhash_pairs``; the oracle composes
+    that query's full chain with 4 unrolled min-label rounds and the
+    5th-round diameter guard, so the DECISIONS (not just the pairs)
+    are hash-checked."""
+    from .operators.multimodal import attach_media, dhash_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100001).alias("doc_id"),
+        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    return dhash_clusters(
+        attach_media(docs.unionByName(twins)), max_hamming=7, chunk_bits=8
+    )
+
+
+_DHASH_INCR_ORACLE = f"""
+WITH dhsrc AS (
+  SELECT doc_id, text, length(text) AS n FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100001 AS doc_id, '~' || substr(text, 2) AS text
+    FROM documents WHERE doc_id % 5 <> 0 AND doc_id < 50
+  ) u
+),
+{_DHASH_CTES},
+dhsig AS (
+  SELECT doc_id,
+    MAX(CASE WHEN w = 0 THEN word END) AS w0,
+    MAX(CASE WHEN w = 1 THEN word END) AS w1
+  FROM dhwords GROUP BY doc_id
+),
+dib AS (
+  SELECT * FROM dhsig
+  WHERE (doc_id % 5 = 0 AND doc_id <= 100000) OR doc_id > 100000
+),
+dis AS (
+  SELECT * FROM dhsig WHERE doc_id % 5 <> 0 AND doc_id <= 100000
+),
+dibc AS (
+  SELECT doc_id, CAST(t.b AS INT) AS band,
+    ((CASE WHEN t.b < 4 THEN w0 ELSE w1 END)
+     // (1::BIGINT << CAST((t.b % 4) * 8 AS INT))) % 256 AS chunk
+  FROM dib, UNNEST(generate_series(0, 7)) AS t(b)
+),
+disc AS (
+  SELECT doc_id, CAST(t.b AS INT) AS band,
+    ((CASE WHEN t.b < 4 THEN w0 ELSE w1 END)
+     // (1::BIGINT << CAST((t.b % 4) * 8 AS INT))) % 256 AS chunk
+  FROM dis, UNNEST(generate_series(0, 7)) AS t(b)
+),
+dicand AS (
+  SELECT DISTINCT x.doc_id AS bid, y.doc_id AS sid
+  FROM dibc x JOIN disc y ON x.band = y.band AND x.chunk = y.chunk
+),
+diver AS (
+  SELECT c.bid, MIN(c.sid) AS dup_of
+  FROM dicand c
+  JOIN dib b ON b.doc_id = c.bid
+  JOIN dis s ON s.doc_id = c.sid
+  WHERE bit_count(xor(b.w0, s.w0)) + bit_count(xor(b.w1, s.w1)) <= 7
+  GROUP BY c.bid
+)
+SELECT b.doc_id, v.dup_of, v.dup_of IS NULL AS is_new
+FROM dib b LEFT JOIN diver v ON v.bid = b.doc_id
+"""
+
+
+@register("multimodal_dhash_incremental", _DHASH_INCR_ORACLE)
+def multimodal_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental perceptual dedup in its production cadence
+    (:func:`..operators.multimodal.incremental_dhash_dedup`): the
+    corpus (doc_id % 5 != 0, the repo's ingest convention) is
+    represented ONLY by its stored 16-byte signature table; the
+    arriving batch (doc_id % 5 == 0, plus 50 planted same-length twins
+    of corpus docs) hashes executor-side and chunk-bands against the
+    stored bands — corpus payloads are never rescanned, the corpus
+    never self-joins.  Each batch doc reports its minimum radius-7
+    corpus match or ``is_new``.  Every stage is integer, so the
+    incremental decisions hash-check end to end."""
+    from .operators.multimodal import (
+        attach_media,
+        image_dhash,
+        incremental_dhash_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    twins = corpus.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100001).alias("doc_id"),
+        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).unionByName(twins)
+    stored = image_dhash(attach_media(corpus))
+    return incremental_dhash_dedup(
+        stored, attach_media(batch), max_hamming=7, chunk_bits=8
+    )
+
+
 _ROLLING_7D_ORACLE = """
 WITH du AS (
   SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
@@ -9031,41 +9229,6 @@ def embedding_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # split by construction, so a train doc can never leak into eval as a
 # 95%-identical twin.  The cluster stage is the hash-green
 # dedup_clusters_portable chain verbatim.
-def _force_materialized(sql: str) -> str:
-    """Rewrite every CTE in an oracle to ``AS MATERIALIZED`` — pure
-    runtime hint, bit-identical results.  DuckDB inlines a CTE into
-    each reference site; the unrolled min-label rounds reference their
-    predecessor TWICE, so an inlined 4-round chain re-evaluates the
-    whole md5-shingle scaffold ~2⁴ times per component graph (measured
-    on ``doc_split_incremental``'s oracle: 500 s inlined → 0.4 s
-    materialized at sf0.01).  Only oracles with an unrolled fixpoint
-    need this; single-pass chains stay default.
-
-    The rewrite only fires where a CTE definition can legally start —
-    right after ``WITH`` or after a top-level ``,\\n`` separator (every
-    oracle here puts each CTE on its own line) — so an ``… AS (``
-    sequence inside a string literal or an expression can never
-    match.  A LOUD guard enforces the one-CTE-per-line convention the
-    anchor depends on: the substitution count must equal the number of
-    ``name AS (`` definition heads in the SQL (none of these oracles
-    spell ``AS (`` anywhere else), so a future oracle placing two CTEs
-    on one line (``, name AS (``) raises at import instead of silently
-    keeping an inlined CTE and regressing to the ~1000× fixpoint
-    blow-up this helper exists to prevent."""
-    import re
-
-    out, n_sub = re.subn(
-        r"((?:\bWITH\s+|,\s*\n)\s*\w+ AS) \(", r"\1 MATERIALIZED (", sql
-    )
-    n_defs = len(re.findall(r"\b\w+ AS \(", sql))
-    if n_sub != n_defs:
-        raise ValueError(
-            f"_force_materialized rewrote {n_sub} CTE(s) but the SQL "
-            f"contains {n_defs} 'name AS (' definition heads — a CTE "
-            "is not anchored at WITH or a ',\\n' line start; put every "
-            "CTE on its own line so MATERIALIZED reaches all of them"
-        )
-    return out
 
 
 _LEAKAGE_SPLIT_ORACLE = f"""
@@ -9346,17 +9509,6 @@ def doc_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # train/val/test column — the final artifact a training pipeline ships.
 # =========================================================================
 
-# A CTE-prefixable min-label round (the `_CC_ROUND` recurrence with
-# every table name prefixed) so a SECOND component problem can live in
-# an oracle whose bare e/l{n} names are taken or reserved.
-_PCC_ROUND = """,
-{pfx}l{n} AS (
-  SELECT l.node, LEAST(MIN(l.label), COALESCE(MIN(nl.label), MIN(l.label))) AS label
-  FROM {pfx}l{prev} l
-  LEFT JOIN {pfx}e ON {pfx}e.src = l.node
-  LEFT JOIN {pfx}l{prev} nl ON nl.node = {pfx}e.dst
-  GROUP BY l.node
-)"""
 
 
 def _split_chain_ctes(pfx: str, src: str) -> str:

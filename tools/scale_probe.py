@@ -156,6 +156,8 @@ PROBE = (
     "multimodal_image_dhash",
     "multimodal_dhash_pairs",
     "embedding_semantic_dedup_frozen",
+    "multimodal_dhash_clusters",
+    "multimodal_dhash_incremental",
 )
 
 KEYED = {
