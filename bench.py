@@ -178,6 +178,24 @@ HEADLINE = (
     # foreachBatch micro-batches, MERGE-committed scores; shares the
     # one-shot oracle verbatim (hash-checked streaming)
     "doc_dsir_stream_replay",
+    # r09: ExactSubstr (Lee et al. 2022) — stride-1 duplicated-span
+    # removal (the suffix-array-class dedup layer) and the build with
+    # it composed in front of exact dedup.  corpus_substring_spans is
+    # subsumed (same chain minus the rewrite; probe-only).
+    "corpus_substring_dedup",
+    "corpus_build_substring_gated",
+    # r09: frozen-weight DSIR scoring with REAL unseen buckets (en+fr
+    # training, full-corpus scoring through the smoothed w0 path)
+    "doc_dsir_score_frozen",
+    # r09: perceptual dHash media dedup — the clusters DECISION product
+    # (subsumes the pairs row: same chain + min-label components) and
+    # the batch-vs-stored-signature incremental form; image_dhash and
+    # dhash_pairs stay probe-only as subsumed stages.
+    "multimodal_dhash_clusters",
+    "multimodal_dhash_incremental",
+    # r09: the fully hash-checked frozen-codebook SemDeDup (md5-anchor
+    # cells + BQ gate; the kmeans twins stay the quality path)
+    "embedding_semantic_dedup_frozen",
 )
 
 

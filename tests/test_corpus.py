@@ -822,6 +822,66 @@ class TestBuildCorpusSplit:
         }
         assert got == again
 
+    def test_substring_stage_cleans_before_exact_dedup(self, spark):
+        """build_corpus(substring_len=...) must (a) drop fully-
+        duplicated docs, (b) rewrite partially-duplicated docs so the
+        EXACT dedup stage sees cleaned text — two docs identical only
+        after span removal collapse to one."""
+        from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
+
+        shared = " ".join(f"s{i}" for i in range(12))
+        rows = [
+            # distinct prefixes, so only the pure shared-run window is
+            # duplicated — each doc keeps its own prefix post-clean
+            (1, "alpha beta " + shared, "a"),
+            (2, "gamma delta " + shared + " x", "a"),
+            (3, shared, "a"),          # fully duplicated -> dropped
+            (4, shared, "a"),          # fully duplicated -> dropped
+            (5, " ".join(f"u{i}" for i in range(20)), "b"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        ev = spark.createDataFrame(
+            [(99, "zz1 zz2 zz3 zz4", "eval")],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r["doc_id"]
+            for r in build_corpus(
+                docs, ev, num_shards=4, decontam_n=3, substring_len=12
+            ).collect()
+        }
+        # 3,4 fully duplicated -> gone; 1 cleans to "alpha beta", 2 to
+        # "alpha beta x" (distinct post-clean, both survive); 5 untouched
+        assert 3 not in out and 4 not in out
+        assert 5 in out and 1 in out and 2 in out
+
+    def test_substring_stage_collapses_post_clean_twins(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
+
+        shared = " ".join(f"s{i}" for i in range(12))
+        other = " ".join(f"t{i}" for i in range(12))
+        rows = [
+            # identical except each carries a different duplicated run:
+            # post-clean BOTH become "alpha beta" -> exact dedup keeps min
+            (1, "alpha beta " + shared, "a"),
+            (2, "alpha beta " + other, "a"),
+            (3, shared, "a"),  # twin source for doc 1's run
+            (4, other, "a"),   # twin source for doc 2's run
+            (5, " ".join(f"u{i}" for i in range(20)), "b"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        ev = spark.createDataFrame(
+            [(99, "zz1 zz2 zz3 zz4", "eval")],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r["doc_id"]
+            for r in build_corpus(
+                docs, ev, num_shards=4, decontam_n=3, substring_len=12
+            ).collect()
+        }
+        assert 1 in out and 2 not in out  # exact dedup on CLEANED text
+
     def test_no_split_weights_keeps_four_columns(self, spark):
         from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
 

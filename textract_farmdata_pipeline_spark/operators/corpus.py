@@ -307,12 +307,24 @@ def build_corpus(
     containment_t: float | None = None,
     containment_n: int = 3,
     split_weights: tuple[int, int, int] | None = None,
+    substring_len: int | None = None,
+    substring_min_count: int = 2,
 ) -> DataFrame:
     """The end-to-end corpus build: [KN-LM quality gate →] [Gopher
-    quality gate → cross-document span dedup →] exact dedup →
-    [containment excerpt removal →] eval-set decontamination → uniform
-    domain-mixture resample → training-shard layout, composed from
-    this module's operators into one lazy plan.
+    quality gate → cross-document span dedup →] [ExactSubstr removal →]
+    exact dedup → [containment excerpt removal →] eval-set
+    decontamination → uniform domain-mixture resample → training-shard
+    layout, composed from this module's operators into one lazy plan.
+
+    ``substring_len`` enables the ExactSubstr stage
+    (:func:`substring_dedup`, Lee et al. 2022): every token covered by
+    a duplicated substring of ≥ ``substring_len`` tokens (≥
+    ``substring_min_count`` occurrences corpus-wide, stride-1 windows
+    — catches the phase-shifted verbatim copies fixed-phase span
+    windows miss) is removed from ALL occurrences before exact dedup;
+    fully-duplicated documents (clean text ``''``) are dropped, the
+    span-stage rule.  Downstream digests and decontamination shingles
+    see the cleaned text.
 
     ``containment_t`` enables the excerpt-removal stage
     (:func:`..operators.dedup.containment_excerpt_drop`) after exact
@@ -416,6 +428,23 @@ def build_corpus(
         ).where(F.col("clean_text") != "")
         docs = docs.drop(text_col).join(
             cleaned.select(key_col, F.col("clean_text").alias(text_col)), key_col
+        )
+        docs, _ = tracked_local_checkpoint(docs)
+    if substring_len is not None:
+        # the ExactSubstr chain references its input from three
+        # branches (window counts, hit lookup, rewrite/pass-through) —
+        # same staging rule as the span stage: checkpoint the cleaned
+        # corpus so downstream build branches re-scan a materialized
+        # table, not the window-hash subtree per consumer.
+        ss = substring_dedup(
+            docs,
+            min_len=substring_len,
+            min_count=substring_min_count,
+            id_col=key_col,
+            text_col=text_col,
+        ).where(F.col("clean_text") != "")
+        docs = docs.drop(text_col).join(
+            ss.select(key_col, F.col("clean_text").alias(text_col)), key_col
         )
         docs, _ = tracked_local_checkpoint(docs)
 

@@ -6970,8 +6970,10 @@ def corpus_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SUBSTRING_DEDUP_ORACLE = f"""
-WITH {_SUBSTRING_CTES},
+# The removal tail shared by the standalone removal query and the
+# substring-gated corpus build — ONE definition of the token-level
+# rewrite (the _mh_side_ctes discipline).
+_SUBSTRING_REMOVAL_CTES = f"""{_SUBSTRING_CTES},
 sstokpos AS (
   SELECT doc_id, i AS pos, t[i] AS tok
   FROM sstoks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
@@ -6986,7 +6988,10 @@ ssagg AS (
   SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
     CAST(COUNT(*) AS BIGINT) AS n_kept
   FROM sskept GROUP BY doc_id
-)
+)"""
+
+_SUBSTRING_DEDUP_ORACLE = f"""
+WITH {_SUBSTRING_REMOVAL_CTES}
 SELECT d.doc_id,
   COALESCE(a.clean_text, '') AS clean_text,
   COALESCE(a.n_kept, 0) AS n_tokens_kept,
@@ -7007,6 +7012,52 @@ def corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return substring_dedup(
         _t(spark, sf_dir, "documents"), min_len=12, min_count=2
+    )
+
+
+# ExactSubstr composed in FRONT of the 4-stage build: the ss-chain
+# rewrites the corpus text (fully-duplicated docs drop, the span-stage
+# rule), and the build tail is sliced VERBATIM from
+# _CORPUS_BUILD_SOURCE_GATED_ORACLE at its ``dedup AS (`` root — the
+# same one-definition slice the DSIR-gated build uses, so the gated
+# build chain has exactly one spelling.  The eval holdout inside that
+# tail stays the FULL corpus's doc_id % 97 slice over RAW text
+# (curation must not change what you decontaminate against).
+_CORPUS_BUILD_SUBSTR_ORACLE = (
+    f"""
+WITH {_SUBSTRING_REMOVAL_CTES},
+gated AS (
+  SELECT d.doc_id, COALESCE(a.clean_text, '') AS text, d.source
+  FROM documents d LEFT JOIN ssagg a ON a.doc_id = d.doc_id
+  WHERE COALESCE(a.clean_text, '') <> ''
+),
+dedup AS ("""
+    + _CORPUS_BUILD_SOURCE_GATED_ORACLE.split("dedup AS (", 1)[1]
+)
+
+
+@register("corpus_build_substring_gated", _CORPUS_BUILD_SUBSTR_ORACLE)
+def corpus_build_substring_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-stage corpus build with the ExactSubstr stage composed in
+    FRONT (``build_corpus(substring_len=12)``): every duplicated
+    ≥12-token span is removed from all occurrences BEFORE exact dedup,
+    so downstream digests and decontamination shingles see the cleaned
+    text and fully-duplicated documents exit the pipeline entirely —
+    the Lee et al. 2022 layer in its production position.  The
+    substring-cleaned corpus is staged once (localCheckpoint) so the
+    window-hash chain runs once, not per build branch; the eval
+    holdout is pinned to the RAW corpus.  Oracle: the ss removal chain
+    re-rooted as ``gated`` + the gated build tail sliced verbatim from
+    the source-gated oracle."""
+    from .operators.corpus import build_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_corpus(
+        docs,
+        docs.filter(F.col("doc_id") % 97 == 0),
+        num_shards=16,
+        decontam_n=3,
+        substring_len=12,
     )
 
 

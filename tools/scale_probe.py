@@ -158,6 +158,7 @@ PROBE = (
     "embedding_semantic_dedup_frozen",
     "multimodal_dhash_clusters",
     "multimodal_dhash_incremental",
+    "corpus_build_substring_gated",
 )
 
 KEYED = {
