@@ -193,6 +193,10 @@ HEADLINE = (
     # dhash_pairs stay probe-only as subsumed stages.
     "multimodal_dhash_clusters",
     "multimodal_dhash_incremental",
+    # r09: the dHash streaming face — 4 REAL foreachBatch micro-batches
+    # against the accumulated admitted-signature state, hash-checked
+    # via the unrolled-admission oracle (exact capture at radius 7)
+    "multimodal_dhash_stream_replay",
     # r09: the fully hash-checked frozen-codebook SemDeDup (md5-anchor
     # cells + BQ gate; the kmeans twins stay the quality path)
     "embedding_semantic_dedup_frozen",

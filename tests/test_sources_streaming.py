@@ -1292,6 +1292,58 @@ class TestStreamingIvfIngest:
             cms_stream(stream, bootstrap_batch_ids={0, 1})
 
 
+class TestDhashStreamReplay:
+    def test_stream_equals_batch_loop(self, spark, tmp_path):
+        """The streaming perceptual-dedup admission over K micro-batches
+        must equal a driver loop of dhash_match_stored with
+        accumulating admitted-signature state."""
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            dhash_match_stored,
+            image_dhash,
+        )
+        from textract_farmdata_pipeline_spark.streaming.ingest import (
+            replay_dhash_batches,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        other = "completely different media payload with other words " * 7
+        rows = [
+            (0, base),                # batch 0 -> admitted
+            (1, other),               # batch 1 -> admitted
+            (2, "~" + base[1:]),      # batch 2 -> dup_of 0
+            (3, base),                # batch 0 (3%3=0) -> admitted (same batch as 0)
+            (4, "~" + other[1:]),     # batch 1 -> dup... wait 4%3=1, vs other(1): same batch
+            (5, other),               # batch 2 -> dup_of 1
+        ]
+        k = 3
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            tuple(r)
+            for r in replay_dhash_batches(
+                docs, str(tmp_path / "replay"), k_batches=k
+            ).collect()
+        )
+        stored = spark.createDataFrame([], "doc_id long, sig array<bigint>")
+        want = []
+        for b in range(k):
+            bdf = docs.filter(F.pmod(F.col("doc_id"), F.lit(k)) == b)
+            bsig = image_dhash(attach_media(bdf)).localCheckpoint()
+            ann = dhash_match_stored(stored, bsig)
+            rows_b = [tuple(r) for r in ann.collect()]
+            want.extend(rows_b)
+            new_ids = [d for d, _, new in rows_b if new]
+            stored = stored.unionByName(
+                bsig.filter(F.col("doc_id").isin(new_ids))
+            ).localCheckpoint()
+        assert got == sorted(want)
+        # and the cross-batch semantics are the interesting ones:
+        by_id = {d: (dup, new) for d, dup, new in got}
+        assert by_id[0] == (None, True) and by_id[3] == (None, True)
+        assert by_id[2] == (0, False)  # later-batch near-dup rejected
+        assert by_id[5] == (1, False)  # later-batch exact dup rejected
+
+
 class TestSplitStreamReplay:
     def test_stream_equals_batch_loop_at_general_threshold(
         self, spark, tmp_path, sf_dir

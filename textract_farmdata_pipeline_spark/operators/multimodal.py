@@ -418,9 +418,28 @@ def incremental_dhash_dedup(
     band table, which is an equality-join side keyed on (band, chunk)
     — 8 integer rows per corpus doc, the posting-list layout you
     persist alongside the signatures at 100 TB."""
+    return dhash_match_stored(
+        stored_sigs,
+        image_dhash(batch_media),
+        max_hamming=max_hamming,
+        chunk_bits=chunk_bits,
+    )
+
+
+def dhash_match_stored(
+    stored_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    max_hamming: int = 7,
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """The signature-level core of :func:`incremental_dhash_dedup` —
+    both sides already hashed — factored out so the streaming ingest
+    (:func:`..streaming.ingest.dhash_ingest_stream`) can hash each
+    micro-batch ONCE and reuse the signatures for the decision and the
+    state commit."""
     from .similarity import hamming, sig_chunk_bands
 
-    bsig = image_dhash(batch_media)
+    bsig = batch_sigs
     bband = sig_chunk_bands(bsig, chunk_bits, id_col="doc_id").select(
         F.col("doc_id").alias("_bid"), "band", "chunk"
     )

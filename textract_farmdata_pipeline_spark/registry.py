@@ -7551,6 +7551,87 @@ def multimodal_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dhash_admit_round(k: int) -> str:
+    """One unrolled admission round: batch-``k`` docs take the MIN
+    radius-7 match among admitted earlier docs; non-matches join the
+    admitted set.  Pure integer SQL — composable because the 8-chunk/
+    radius-7 gate's capture is EXACT, so banding never changes the
+    decision (see replay_dhash_batches)."""
+    return f""",
+dm{k} AS (
+  SELECT x.doc_id, MIN(s.doc_id) AS dup_of
+  FROM dhb x LEFT JOIN dad{k - 1} s
+    ON bit_count(xor(x.w0, s.w0)) + bit_count(xor(x.w1, s.w1)) <= 7
+  WHERE x.b = {k} GROUP BY x.doc_id
+),
+dad{k} AS (
+  SELECT doc_id, w0, w1 FROM dad{k - 1}
+  UNION ALL
+  SELECT h.doc_id, h.w0, h.w1 FROM dhb h
+  JOIN dm{k} m ON m.doc_id = h.doc_id AND m.dup_of IS NULL
+)"""
+
+
+_DHASH_STREAM_ORACLE = (
+    f"""
+WITH dhsrc AS (
+  SELECT doc_id, text, length(text) AS n FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100001 AS doc_id, '~' || substr(text, 2) AS text
+    FROM documents WHERE doc_id < 50
+  ) u
+),
+{_DHASH_CTES},
+dhsig AS (
+  SELECT doc_id,
+    MAX(CASE WHEN w = 0 THEN word END) AS w0,
+    MAX(CASE WHEN w = 1 THEN word END) AS w1
+  FROM dhwords GROUP BY doc_id
+),
+dhb AS (SELECT doc_id, w0, w1, doc_id % 4 AS b FROM dhsig),
+dad0 AS (SELECT doc_id, w0, w1 FROM dhb WHERE b = 0)"""
+    + "".join(_dhash_admit_round(k) for k in (1, 2, 3))
+    + """
+SELECT doc_id, CAST(NULL AS BIGINT) AS dup_of, TRUE AS is_new
+FROM dhb WHERE b = 0
+UNION ALL
+SELECT doc_id, dup_of, dup_of IS NULL AS is_new FROM dm1
+UNION ALL
+SELECT doc_id, dup_of, dup_of IS NULL AS is_new FROM dm2
+UNION ALL
+SELECT doc_id, dup_of, dup_of IS NULL AS is_new FROM dm3
+"""
+)
+_DHASH_STREAM_ORACLE = _force_materialized(_DHASH_STREAM_ORACLE)
+
+
+@register("multimodal_dhash_stream_replay", _DHASH_STREAM_ORACLE)
+def multimodal_dhash_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dHash family's streaming face
+    (:func:`..streaming.ingest.dhash_ingest_stream` replayed): the
+    corpus + 50 planted twins stream in 4 deterministic micro-batches;
+    each batch hashes its media once, is decided against the
+    ACCUMULATED admitted-signature state (16 bytes/doc — payloads are
+    never rescanned), and MERGE-commits its rows.  Because the
+    8-chunk/radius-7 gate's capture is exact, the K-batch state
+    evolution unrolls to K plain-SQL rounds — the streaming decisions
+    are hash-checked, not rows-counted."""
+    import tempfile
+
+    from .streaming.ingest import replay_dhash_batches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100001).alias("doc_id"),
+        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    workdir = tempfile.mkdtemp(prefix="dhash_replay_")
+    return replay_dhash_batches(
+        docs.unionByName(twins), workdir, k_batches=4
+    )
+
+
 _ROLLING_7D_ORACLE = """
 WITH du AS (
   SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events

@@ -426,3 +426,112 @@ def replay_dsir_batches(
     shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
     atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     return ParquetMergeTable(spark, scores_path).read()
+
+
+def dhash_ingest_stream(
+    docs: DataFrame,
+    state_path: str,
+    max_hamming: int = 7,
+    chunk_bits: int = 8,
+    sink=None,
+):
+    """Streaming perceptual-dedup admission: each micro-batch hashes
+    its media ONCE (:func:`..operators.multimodal.image_dhash`), is
+    decided against the ACCUMULATED admitted-signature state with
+    :func:`..operators.multimodal.dhash_match_stored` (corpus payloads
+    are never rescanned — the state is 16 bytes/doc), and commits one
+    row per batch doc ``(doc_id, sig, dup_of, is_new)``; only
+    ``is_new`` rows' signatures join the matching side of later
+    batches.  Keyed MERGE commits make a replayed micro-batch
+    re-upsert identical rows — effectively-exactly-once, the
+    :func:`dedup_ingest_stream` recipe.  ``sink(ann, batch_id)``
+    observes each batch's decisions."""
+    from ..operators.merge import ParquetMergeTable
+    from ..operators.multimodal import (
+        attach_media,
+        dhash_match_stored,
+        image_dhash,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        table = ParquetMergeTable(spark, state_path)
+        if os.path.isdir(os.path.join(state_path, "_manifests")):
+            stored = (
+                table.read().filter(F.col("is_new")).select("doc_id", "sig")
+            )
+            exists = True
+        else:
+            stored = spark.createDataFrame([], "doc_id long, sig array<bigint>")
+            exists = False
+        bsig = image_dhash(
+            attach_media(batch_df.select("doc_id", "text"))
+        ).persist()  # consumed twice (decision + state commit); batch-sized
+        try:
+            ann = dhash_match_stored(
+                stored, bsig, max_hamming=max_hamming, chunk_bits=chunk_bits
+            )
+            rows = bsig.join(ann.select("doc_id", "dup_of", "is_new"), "doc_id")
+            if exists:
+                table.merge(rows, key="doc_id")
+            elif not rows.isEmpty():
+                table.create(rows)
+            if sink is not None:
+                sink(ann, batch_id)
+        finally:
+            bsig.unpersist()
+
+    return docs.writeStream.foreachBatch(process)
+
+
+def replay_dhash_batches(
+    docs: DataFrame,
+    workdir: str,
+    k_batches: int = 4,
+    max_hamming: int = 7,
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """Replay :func:`dhash_ingest_stream` as a finite run and return
+    the accumulated admission table ``(doc_id, dup_of, is_new)`` — the
+    batch-queryable face of the streaming perceptual dedup, on the
+    shared deterministic K-batch file harness.
+
+    Hash-checkability: at the default 8-chunk/radius-7 gate, banding
+    CAPTURE IS EXACT (a ≤7-flip pair always shares a chunk), so the
+    per-batch decision is the pure predicate ``min Hamming ≤ 7 against
+    admitted earlier docs`` — no banding semantics leak into results,
+    and the K-batch state evolution unrolls to K plain-SQL rounds
+    (admitted_k = batch_k docs with no radius-7 match in
+    admitted_0..k-1) that DuckDB replays exactly."""
+    import atexit
+    import shutil
+
+    src = _stage_batch_files(docs, workdir, k_batches)
+    state_path = os.path.join(workdir, "dhash_state")
+    spark = docs.sparkSession
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    writer = dhash_ingest_stream(
+        stream, state_path, max_hamming=max_hamming, chunk_bits=chunk_bits
+    )
+    q = (
+        writer.option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from ..operators.merge import ParquetMergeTable
+
+    # same reclamation contract as replay_ingest_batches
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return (
+        ParquetMergeTable(spark, state_path)
+        .read()
+        .select("doc_id", "dup_of", "is_new")
+    )

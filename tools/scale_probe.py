@@ -159,6 +159,7 @@ PROBE = (
     "multimodal_dhash_clusters",
     "multimodal_dhash_incremental",
     "corpus_build_substring_gated",
+    "multimodal_dhash_stream_replay",
 )
 
 KEYED = {
