@@ -272,33 +272,15 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "media").mapInPandas(run, schema=_DHASH_SCHEMA)
 
 
-def dhash_pairs(
-    media: DataFrame, max_hamming: int = 7, chunk_bits: int = 8
-) -> DataFrame:
-    """Perceptual near-duplicate image pairs: integer Hamming over
-    :func:`image_dhash` signatures, gated by the SAME pigeonhole chunk
-    banding the embedding BQ gate uses
-    (:func:`..operators.similarity.sig_chunk_bands`) — the dedup
-    product extended to the media column family.
-
-    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
-    ``hamming <= max_hamming``.  With the defaults (64-bit hash, 8
-    chunks of 8 bits, ``max_hamming = 7``) capture is EXACT, not
-    probabilistic: a pair within Hamming 7 differs in at most 7 of 8
-    chunks, so it agrees on at least one and always becomes a
-    candidate — unlike the cosine gate, the pigeonhole radius here
-    covers the whole accept region, and the verify itself is integer,
-    so the entire product hash-checks in ANSI SQL.
-
-    Scale shape: identical SIGNATURES exact-collapse to their min-id
-    representative before banding (the verify depends on nothing but
-    the signature, so sig-equal groups are exactly the Hamming-0
-    cliques — a collapse even stronger than byte-identical payloads);
-    banded candidates come from an equality self-join on
-    ``(band, chunk)``; each candidate pays one 2-word XOR+popcount.
-    Everything before the final membership expansion is linear in
-    DISTINCT signatures.
-    """
+def _dhash_rep_pairs(media: DataFrame, max_hamming: int, chunk_bits: int):
+    """Shared duplication-invariant core of the dHash pair/cluster
+    products: exact-collapse identical SIGNATURES to their min-id
+    representative (the verify depends on nothing but the signature,
+    so sig-equal groups are exactly the Hamming-0 cliques), band the
+    reps, verify candidates by XOR+popcount.  Returns
+    ``(members(rep_id, doc_id), rep_pairs(ra, rb, hamming))`` — every
+    join in here is linear in DISTINCT signatures, so consumers choose
+    where (or whether) to pay the member expansion."""
     from pyspark.sql.window import Window
 
     from .similarity import hamming, sig_chunk_bands
@@ -327,6 +309,37 @@ def dhash_pairs(
         .select("ra", "rb", hamming(F.col("sa"), F.col("sb")).alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    return members, rep_pairs
+
+
+def dhash_pairs(
+    media: DataFrame, max_hamming: int = 7, chunk_bits: int = 8
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: integer Hamming over
+    :func:`image_dhash` signatures, gated by the SAME pigeonhole chunk
+    banding the embedding BQ gate uses
+    (:func:`..operators.similarity.sig_chunk_bands`) — the dedup
+    product extended to the media column family.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
+    ``hamming <= max_hamming``.  With the defaults (64-bit hash, 8
+    chunks of 8 bits, ``max_hamming = 7``) capture is EXACT, not
+    probabilistic: a pair within Hamming 7 differs in at most 7 of 8
+    chunks, so it agrees on at least one and always becomes a
+    candidate — unlike the cosine gate, the pigeonhole radius here
+    covers the whole accept region, and the verify itself is integer,
+    so the entire product hash-checks in ANSI SQL.
+
+    Scale shape: identical SIGNATURES exact-collapse to their min-id
+    representative before banding (the verify depends on nothing but
+    the signature, so sig-equal groups are exactly the Hamming-0
+    cliques — a collapse even stronger than byte-identical payloads);
+    banded candidates come from an equality self-join on
+    ``(band, chunk)``; each candidate pays one 2-word XOR+popcount.
+    Everything before the final membership expansion is linear in
+    DISTINCT signatures.
+    """
+    members, rep_pairs = _dhash_rep_pairs(media, max_hamming, chunk_bits)
     ma = members.select(F.col("rep_id").alias("ra"), F.col("doc_id").alias("id_a"))
     mb = members.select(F.col("rep_id").alias("rb"), F.col("doc_id").alias("id_b"))
     cross_groups = (
@@ -363,19 +376,28 @@ def dhash_clusters(media: DataFrame, max_hamming: int = 7, chunk_bits: int = 8) 
     representative (NULL when kept).  The same pairs→components→
     keep-one tail every text dedup family here ends in, applied to
     the perceptual-hash pair graph; with the default exact-capture
-    gate (8 chunks, radius 7) the whole decision replays in SQL."""
+    gate (8 chunks, radius 7) the whole decision replays in SQL.
+
+    Duplication-safety: components run at the REPRESENTATIVE level
+    (the :func:`_dhash_rep_pairs` graph — sig-equal copies never enter
+    an edge) and members inherit their rep's label.  The labels are
+    identical to clustering the member-expanded pair graph — every
+    member sits in its rep's component and rep = min doc of its sig
+    group, so the component minimum is the same doc either way — but
+    the edge list stays linear in DISTINCT signatures instead of
+    O(d²) per duplicated group (the first version ground to a halt on
+    the ×100 replica exactly there; the probe is the contract)."""
     from .dedup import connected_components
 
-    pairs = dhash_pairs(media, max_hamming=max_hamming, chunk_bits=chunk_bits)
+    members, rep_pairs = _dhash_rep_pairs(media, max_hamming, chunk_bits)
     labels = connected_components(
-        pairs.select("id_a", "id_b"), left="id_a", right="id_b"
+        rep_pairs.select("ra", "rb"), left="ra", right="rb"
     )
-    ids = media.select(F.col("doc_id"))
     return (
-        ids.join(labels, ids["doc_id"] == labels["node"], "left")
+        members.join(labels, members["rep_id"] == labels["node"], "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("_c"),
+            F.coalesce(F.col("cluster_id"), F.col("rep_id")).alias("_c"),
         )
         .select(
             "doc_id",
