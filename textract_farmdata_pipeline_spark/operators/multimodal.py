@@ -458,14 +458,25 @@ def dhash_match_stored(
     both sides already hashed — factored out so the streaming ingest
     (:func:`..streaming.ingest.dhash_ingest_stream`) can hash each
     micro-batch ONCE and reuse the signatures for the decision and the
-    state commit."""
+    state commit.
+
+    Duplication-safety on the STORED side: matching is a pure function
+    of the signature and ``dup_of`` takes the minimum matching id, so
+    identical stored signatures collapse to their min-id row before
+    banding — candidates per batch doc are bounded by DISTINCT stored
+    signatures, not by how many copies the corpus accumulated (at a
+    ×100-duplicated corpus the uncollapsed band join grew its
+    candidate set 100×; min-per-group is the same answer)."""
     from .similarity import hamming, sig_chunk_bands
 
     bsig = batch_sigs
+    stored_min = stored_sigs.groupBy("sig").agg(
+        F.min("doc_id").alias("doc_id")
+    )
     bband = sig_chunk_bands(bsig, chunk_bits, id_col="doc_id").select(
         F.col("doc_id").alias("_bid"), "band", "chunk"
     )
-    sband = sig_chunk_bands(stored_sigs, chunk_bits, id_col="doc_id").select(
+    sband = sig_chunk_bands(stored_min, chunk_bits, id_col="doc_id").select(
         F.col("doc_id").alias("_sid"), "band", "chunk"
     )
     cand = (
@@ -479,7 +490,7 @@ def dhash_match_stored(
             "_bid",
         )
         .join(
-            stored_sigs.select(
+            stored_min.select(
                 F.col("doc_id").alias("_sid"), F.col("sig").alias("_ss")
             ),
             "_sid",
