@@ -280,12 +280,20 @@ def _dhash_rep_pairs(media: DataFrame, max_hamming: int, chunk_bits: int):
     reps, verify candidates by XOR+popcount.  Returns
     ``(members(rep_id, doc_id), rep_pairs(ra, rb, hamming))`` — every
     join in here is linear in DISTINCT signatures, so consumers choose
-    where (or whether) to pay the member expansion."""
+    where (or whether) to pay the member expansion.
+
+    The signature table is STAGED (localCheckpoint — 16 bytes/row)
+    right after the hash: the rep/member split, both banding sides,
+    and both verify joins all re-root on it, and without the boundary
+    each branch re-ran the payload-hashing ``mapInPandas`` (9 copies
+    in the pairs plan) — at media scale that is nine decode passes
+    over the corpus instead of one."""
     from pyspark.sql.window import Window
 
+    from .checkpoints import tracked_local_checkpoint
     from .similarity import hamming, sig_chunk_bands
 
-    sig = image_dhash(media)
+    sig, _ = tracked_local_checkpoint(image_dhash(media))
     g = sig.withColumn(
         "rep_id", F.min("doc_id").over(Window.partitionBy("sig"))
     )
@@ -440,9 +448,16 @@ def incremental_dhash_dedup(
     band table, which is an equality-join side keyed on (band, chunk)
     — 8 integer rows per corpus doc, the posting-list layout you
     persist alongside the signatures at 100 TB."""
+    from .checkpoints import tracked_local_checkpoint
+
+    # stage the hashed batch (16 bytes/row): the decision consumes it
+    # from three branches (bands, verify, final left join) and the
+    # payload hash must run once, not per branch — the same boundary
+    # the streaming twin's persist() provides.
+    batch_sigs, _ = tracked_local_checkpoint(image_dhash(batch_media))
     return dhash_match_stored(
         stored_sigs,
-        image_dhash(batch_media),
+        batch_sigs,
         max_hamming=max_hamming,
         chunk_bits=chunk_bits,
     )

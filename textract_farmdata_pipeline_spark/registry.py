@@ -7545,7 +7545,13 @@ def multimodal_dhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
     )
     batch = docs.filter(F.col("doc_id") % 5 == 0).unionByName(twins)
-    stored = image_dhash(attach_media(corpus))
+    from .operators.checkpoints import tracked_local_checkpoint
+
+    # In production `stored` IS a materialized table; the local
+    # stand-in stages the corpus hash so the batch decision consumes a
+    # 16-byte/row scan, not a re-runnable mapInPandas lineage — the
+    # doc_split_incremental_stored fidelity rule.
+    stored, _ = tracked_local_checkpoint(image_dhash(attach_media(corpus)))
     return incremental_dhash_dedup(
         stored, attach_media(batch), max_hamming=7, chunk_bits=8
     )
