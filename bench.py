@@ -184,6 +184,9 @@ HEADLINE = (
     # subsumed (same chain minus the rewrite; probe-only).
     "corpus_substring_dedup",
     "corpus_build_substring_gated",
+    # r09: the ingest-cadence ExactSubstr — batch spans decided against
+    # the stored window-count artifact, corpus text never rescanned
+    "corpus_substring_incremental",
     # r09: frozen-weight DSIR scoring with REAL unseen buckets (en+fr
     # training, full-corpus scoring through the smoothed w0 path)
     "doc_dsir_score_frozen",

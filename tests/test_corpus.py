@@ -361,6 +361,47 @@ class TestSubstringDedup:
         assert out[1]["clean_text"] == "" and out[1]["n_tokens_kept"] == 0
         assert out[2]["n_tokens_dropped"] == 12
 
+    def test_incremental_on_empty_artifact_equals_one_shot(self, spark):
+        """A batch decided against an EMPTY window-count artifact must
+        reproduce substring_dup_spans verbatim (within-batch repeats
+        count toward min_count in both forms)."""
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            incremental_substring_spans,
+            substring_dup_spans,
+        )
+
+        docs = self._fixture(spark)
+        empty = spark.createDataFrame([], "h long, c long")
+        key = lambda df: sorted(map(tuple, df.collect()))
+        assert key(
+            incremental_substring_spans(empty, docs, min_len=12)
+        ) == key(substring_dup_spans(docs, min_len=12))
+
+    def test_incremental_flags_batch_spans_against_corpus(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            incremental_substring_spans,
+            substring_window_counts,
+        )
+
+        corpus = _docs(spark, [(1, "c1 c2 " + self._SHARED)])
+        stored = substring_window_counts(corpus, min_len=12).localCheckpoint()
+        batch = _docs(
+            spark,
+            [
+                (10, "b1 b2 " + self._SHARED + " b3"),  # dups corpus run
+                (11, " ".join(f"n{i}" for i in range(20))),  # novel
+            ],
+        )
+        spans = {
+            r["doc_id"]: (r["span_start"], r["span_end"])
+            for r in incremental_substring_spans(
+                stored, batch, min_len=12
+            ).collect()
+        }
+        # the 15-token shared run sits at tokens 3..17 of doc 10; the
+        # corpus doc is NEVER re-decided (frozen-corpus contract)
+        assert spans == {10: (3, 17)}
+
     def test_corpus_windows_shuffle_at_most_twice(self, spark, tmp_path):
         from textract_farmdata_pipeline_spark.operators.corpus import (
             substring_dup_spans,

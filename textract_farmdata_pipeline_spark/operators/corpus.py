@@ -819,6 +819,116 @@ def substring_dedup(
     return untouched.unionByName(rewritten)
 
 
+def substring_window_counts(
+    docs: DataFrame,
+    min_len: int = 12,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ExactSubstr STATE artifact: one ``(h, c)`` row per distinct
+    stride-1 ``min_len``-token window hash with its corpus occurrence
+    count — what you materialize once (bucketed by ``h``) so arriving
+    batches can be decided without rescanning corpus text
+    (:func:`incremental_substring_spans`).  8 bytes + a count per
+    distinct window; the groupBy is map-side combined."""
+    if hash_family == "md5":
+        h = F.md5  # portable oracle family
+    elif hash_family == "xxhash64":
+        h = F.xxhash64
+    else:  # pragma: no cover - caller contract
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    L = min_len
+    eligible = docs.select(F.col(id_col).alias("doc_id"), text_col).where(
+        F.size(F.split(F.col(text_col), " ")) >= L
+    )
+    win = ngram_shingles(eligible, L, text_col=text_col, id_col="doc_id")
+    return (
+        win.select(h(F.col("shingle")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def incremental_substring_spans(
+    stored_counts: DataFrame,
+    batch: DataFrame,
+    min_len: int = 12,
+    min_count: int = 2,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ExactSubstr — the ingest-time form: the corpus is
+    represented ONLY by its :func:`substring_window_counts` artifact,
+    and each arriving batch's duplicated spans are decided against
+    (corpus count + batch count) ≥ ``min_count`` without rescanning
+    corpus text.  Returns the batch's maximal duplicated token spans
+    ``(doc_id, span_start, span_end, n_tokens)`` — the
+    :func:`substring_dup_spans` contract over batch docs only.
+
+    FROZEN-CORPUS contract (the incremental-split discipline): corpus
+    documents are never re-decided — a batch window that makes a
+    previously-unique corpus span duplicated flags the BATCH doc here;
+    re-cleaning the affected corpus docs is a rebuild decision, not a
+    per-batch one.  Within-batch repeats count toward ``min_count``
+    exactly as the one-shot does, so a batch processed against an
+    empty artifact reproduces :func:`substring_dup_spans` verbatim
+    (pytest-pinned).
+
+    Scale shape: batch windows explode and count per hash (map-side
+    combine, |batch|-proportional); the ONE corpus-sized operation is
+    the equality join of the batch's distinct window hashes against
+    the stored ``(h, c)`` table — co-located when the artifact is
+    bucketed by ``h``, and only matched rows leave the scan.  Island
+    merge shuffles batch hit positions by doc_id."""
+    if hash_family == "md5":
+        h = F.md5
+    elif hash_family == "xxhash64":
+        h = F.xxhash64
+    else:  # pragma: no cover - caller contract
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    L = min_len
+    eligible = batch.select(F.col(id_col).alias("doc_id"), text_col).where(
+        F.size(F.split(F.col(text_col), " ")) >= L
+    )
+    win = ngram_shingles(eligible, L, text_col=text_col, id_col="doc_id").select(
+        "doc_id", "pos", h(F.col("shingle")).alias("h")
+    )
+    bc = win.groupBy("h").agg(F.count("*").alias("bc"))
+    dup = (
+        bc.join(stored_counts.select("h", "c"), "h", "left")
+        .where(F.coalesce(F.col("c"), F.lit(0)) + F.col("bc") >= min_count)
+        .select("h")
+    )
+    hits = win.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + F.lit(L)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )
+
+
 def weighted_mixture_resample(
     df: DataFrame,
     weight_col: str,

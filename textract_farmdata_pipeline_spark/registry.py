@@ -7015,6 +7015,78 @@ def corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SUBSTRING_INCR_ORACLE = """
+WITH sictoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE doc_id % 5 <> 0
+),
+sicwin AS (
+  SELECT array_to_string(t[i : i + 11], ' ') AS w
+  FROM sictoks, LATERAL unnest(generate_series(1, len(t) - 12 + 1)) AS u(i)
+  WHERE len(t) >= 12
+),
+siccnt AS (SELECT w, COUNT(*) AS c FROM sicwin GROUP BY w),
+sibtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE doc_id % 5 = 0
+),
+sibwin AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i : i + 11], ' ') AS w
+  FROM sibtoks, LATERAL unnest(generate_series(1, len(t) - 12 + 1)) AS u(i)
+  WHERE len(t) >= 12
+),
+sibcnt AS (SELECT w, COUNT(*) AS bc FROM sibwin GROUP BY w),
+sidup AS (
+  SELECT b.w FROM sibcnt b LEFT JOIN siccnt s USING (w)
+  WHERE COALESCE(s.c, 0) + b.bc >= 2
+),
+sihit AS (SELECT x.doc_id, x.pos FROM sibwin x JOIN sidup d USING (w)),
+siisl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev IS NULL OR pos > prev + 12 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM (
+    SELECT doc_id, pos,
+      LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM sihit
+  )
+)
+SELECT doc_id,
+  CAST(MIN(pos) AS BIGINT) AS span_start,
+  CAST(MAX(pos) + 11 AS BIGINT) AS span_end,
+  CAST(MAX(pos) + 11 - MIN(pos) + 1 AS BIGINT) AS n_tokens
+FROM siisl GROUP BY doc_id, isl
+"""
+
+
+@register("corpus_substring_incremental", _SUBSTRING_INCR_ORACLE)
+def corpus_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr in its ingest cadence
+    (:func:`..operators.corpus.incremental_substring_spans`): the
+    corpus (doc_id % 5 != 0) is represented ONLY by its
+    ``substring_window_counts`` artifact — 8 bytes + a count per
+    distinct stride-1 window — and the arriving batch's duplicated
+    spans are decided against (corpus count + batch count) >= 2
+    without rescanning corpus text.  The frozen-corpus contract of
+    every incremental form here: batch docs are decided, corpus docs
+    never re-decided.  The artifact is staged (a materialized table in
+    production); the oracle recomputes it from raw text, so the hash
+    match also proves the artifact equals a rebuild."""
+    from .operators.checkpoints import tracked_local_checkpoint
+    from .operators.corpus import (
+        incremental_substring_spans,
+        substring_window_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    stored, _ = tracked_local_checkpoint(
+        substring_window_counts(corpus, min_len=12)
+    )
+    return incremental_substring_spans(stored, batch, min_len=12, min_count=2)
+
+
 # ExactSubstr composed in FRONT of the 4-stage build: the ss-chain
 # rewrites the corpus text (fully-duplicated docs drop, the span-stage
 # rule), and the build tail is sliced VERBATIM from

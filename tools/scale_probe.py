@@ -160,6 +160,7 @@ PROBE = (
     "multimodal_dhash_incremental",
     "corpus_build_substring_gated",
     "multimodal_dhash_stream_replay",
+    "corpus_substring_incremental",
 )
 
 KEYED = {
