@@ -1259,6 +1259,22 @@ class TestDsir:
         assert set(got) == set(want) and 3 in got and 4 in got
         assert got == want
 
+    def test_frozen_scoring_empty_artifact_raises(self, spark):
+        """An EMPTY w0-carrying weight table would annihilate every
+        scored doc through the 1-row crossJoin — must raise loudly."""
+        import pytest as _pytest
+
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            dsir_score_against,
+        )
+
+        docs, _ = self._frames(spark)
+        empty = spark.createDataFrame(
+            [], "bucket long, cr long, ct long, w long, w0 long"
+        )
+        with _pytest.raises(ValueError, match="EMPTY"):
+            dsir_score_against(docs, empty)
+
     def test_frozen_scoring_legacy_table_drops_unseen(self, spark):
         """Back-compat: a (bucket, w) artifact WITHOUT w0 keeps the
         documented drop semantics — unseen buckets vanish from both

@@ -984,7 +984,9 @@ class TestImageDhash:
         if not b:
             return [0, 0]
         n = len(b)
-        px = [b[min(int(k * n / 72), n - 1)] for k in range(72)]
+        # the same IEEE tree as the product/oracle: k * (n / 72.0)
+        # floored — NOT integer k*n//72, which differs at e.g. n=148
+        px = [b[min(int(k * (n / 72.0)), n - 1)] for k in range(72)]
         bits = [
             1 if px[r * 9 + c] > px[r * 9 + c + 1] else 0
             for r in range(8)
@@ -4706,6 +4708,38 @@ class TestIncrementalSplit:
         )
         drows = sorted(con.execute(ORACLES["doc_split_incremental"]).fetchall())
         assert srows == drows
+
+
+class TestLiteralGuards:
+    def test_non_finite_codebook_value_raises_loudly(self, spark):
+        """repr(nan)+'D' would otherwise reach the SQL parser as an
+        unresolvable identifier; a NaN/Inf entering a frozen artifact
+        is an upstream data bug worth naming at the boundary."""
+        import pytest as _pytest
+
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            _book_literal,
+            _double_array_literal,
+        )
+
+        with _pytest.raises(ValueError, match="non-finite"):
+            _double_array_literal([1.0, float("nan")])
+        with _pytest.raises(ValueError, match="non-finite"):
+            _double_array_literal([float("inf")])
+        with _pytest.raises(ValueError, match="non-finite"):
+            _book_literal([[0.5, float("-inf")]])
+        # finite edge values stay bit-exact through the parsed form
+        import struct
+
+        edge = [1e-300, -0.0, 1.7976931348623157e308, 5e-324, 0.1 + 0.2]
+        got = (
+            spark.range(1)
+            .select(_double_array_literal(edge).alias("a"))
+            .collect()[0]["a"]
+        )
+        assert [struct.pack("d", x) for x in got] == [
+            struct.pack("d", x) for x in edge
+        ]
 
 
 class TestBqAsym:

@@ -1309,12 +1309,16 @@ class TestDhashStreamReplay:
         base = "the quick brown fox jumps over the lazy dog " * 8
         other = "completely different media payload with other words " * 7
         rows = [
-            (0, base),                # batch 0 -> admitted
-            (1, other),               # batch 1 -> admitted
-            (2, "~" + base[1:]),      # batch 2 -> dup_of 0
-            (3, base),                # batch 0 (3%3=0) -> admitted (same batch as 0)
-            (4, "~" + other[1:]),     # batch 1 -> dup... wait 4%3=1, vs other(1): same batch
-            (5, other),               # batch 2 -> dup_of 1
+            (0, base),             # batch 0 -> admitted
+            (1, other),            # batch 1 -> admitted
+            (2, "~" + base[1:]),   # batch 2 -> dup_of 0
+            (3, base),             # batch 0: SAME-batch exact dup of 0
+            #   -> still admitted (batch docs are never compared to
+            #   each other; within-batch collapse is a later
+            #   dhash_clusters run — the incremental contract)
+            (4, "~" + other[1:]),  # batch 1: same-batch near-dup of 1
+            #   -> admitted for the same reason
+            (5, other),            # batch 2 -> dup_of 1
         ]
         k = 3
         docs = spark.createDataFrame(rows, "doc_id long, text string")
@@ -1340,6 +1344,7 @@ class TestDhashStreamReplay:
         # and the cross-batch semantics are the interesting ones:
         by_id = {d: (dup, new) for d, dup, new in got}
         assert by_id[0] == (None, True) and by_id[3] == (None, True)
+        assert by_id[4] == (None, True)  # same-batch twins both admit
         assert by_id[2] == (0, False)  # later-batch near-dup rejected
         assert by_id[5] == (1, False)  # later-batch exact dup rejected
 

@@ -657,6 +657,53 @@ def span_self_dedup(
     )
 
 
+def _shingle_hash(hash_family: str):
+    """md5 (portable oracle family) vs xxhash64 (product default) —
+    the ONE dispatch shared by every ExactSubstr entry point."""
+    if hash_family == "md5":
+        return F.md5
+    if hash_family == "xxhash64":
+        return F.xxhash64
+    # caller contract
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
+
+
+def _hit_islands(hits: DataFrame, L: int, id_col: str) -> DataFrame:
+    """Union-of-intervals tail shared by the one-shot and incremental
+    ExactSubstr forms: duplicated-window hit positions → maximal
+    ``(id, span_start, span_end, n_tokens)`` spans.  Equal-length
+    windows sorted by pos have monotone ends, so the island break is
+    one lag: a new span starts when this window's first token is
+    beyond the previous window's last token + 1.  ONE definition, so
+    the boundary condition cannot diverge between the forms (the
+    empty-artifact-equals-one-shot pytest pins the equivalence)."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + F.lit(L)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_isl",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )
+
+
 def substring_dup_spans(
     docs: DataFrame,
     min_len: int = 12,
@@ -705,12 +752,7 @@ def substring_dup_spans(
     distributed suffix-array build, with Spark picking the join
     strategy per scale.
     """
-    if hash_family == "md5":
-        h = lambda c: F.md5(c)  # noqa: E731 — portable oracle family
-    elif hash_family == "xxhash64":
-        h = lambda c: F.xxhash64(c)  # noqa: E731
-    else:  # pragma: no cover - caller contract
-        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    h = _shingle_hash(hash_family)
     L = min_len
     eligible = docs.select(F.col(id_col).alias("doc_id"), text_col).where(
         F.size(F.split(F.col(text_col), " ")) >= L
@@ -725,35 +767,7 @@ def substring_dup_spans(
         .select("_h")
     )
     hits = win.join(dup, "_h", "left_semi").select("doc_id", "pos")
-    # Equal-length windows sorted by pos have monotone ends, so the
-    # union-of-intervals island break is just a lag: a new span starts
-    # when this window's first token is beyond the previous window's
-    # last token + 1.
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    flagged = hits.withColumn(
-        "_new",
-        F.when(
-            F.lag("pos").over(w).isNull()
-            | (F.col("pos") > F.lag("pos").over(w) + F.lit(L)),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "_isl",
-        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        flagged.groupBy("doc_id", "_isl")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + F.lit(L - 1)).cast("long").alias("span_end"),
-        )
-        .select(
-            F.col("doc_id").alias(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
-        )
-    )
+    return _hit_islands(hits, L, id_col)
 
 
 def substring_dedup(
@@ -832,12 +846,7 @@ def substring_window_counts(
     batches can be decided without rescanning corpus text
     (:func:`incremental_substring_spans`).  8 bytes + a count per
     distinct window; the groupBy is map-side combined."""
-    if hash_family == "md5":
-        h = F.md5  # portable oracle family
-    elif hash_family == "xxhash64":
-        h = F.xxhash64
-    else:  # pragma: no cover - caller contract
-        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    h = _shingle_hash(hash_family)
     L = min_len
     eligible = docs.select(F.col(id_col).alias("doc_id"), text_col).where(
         F.size(F.split(F.col(text_col), " ")) >= L
@@ -882,12 +891,7 @@ def incremental_substring_spans(
     the stored ``(h, c)`` table — co-located when the artifact is
     bucketed by ``h``, and only matched rows leave the scan.  Island
     merge shuffles batch hit positions by doc_id."""
-    if hash_family == "md5":
-        h = F.md5
-    elif hash_family == "xxhash64":
-        h = F.xxhash64
-    else:  # pragma: no cover - caller contract
-        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    h = _shingle_hash(hash_family)
     L = min_len
     eligible = batch.select(F.col(id_col).alias("doc_id"), text_col).where(
         F.size(F.split(F.col(text_col), " ")) >= L
@@ -902,31 +906,7 @@ def incremental_substring_spans(
         .select("h")
     )
     hits = win.join(dup, "h", "left_semi").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    flagged = hits.withColumn(
-        "_new",
-        F.when(
-            F.lag("pos").over(w).isNull()
-            | (F.col("pos") > F.lag("pos").over(w) + F.lit(L)),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "_isl",
-        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    return (
-        flagged.groupBy("doc_id", "_isl")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + F.lit(L - 1)).cast("long").alias("span_end"),
-        )
-        .select(
-            F.col("doc_id").alias(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
-        )
-    )
+    return _hit_islands(hits, L, id_col)
 
 
 def weighted_mixture_resample(
@@ -1264,21 +1244,38 @@ def dsir_scores(
 
 
 def _dsir_score_join(
-    per: DataFrame, weights: DataFrame, id_col: str, portable: bool
+    per: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    portable: bool,
+    smooth_unseen: bool = False,
 ) -> DataFrame:
     """The scoring tail shared by the one-shot and frozen-weight DSIR
     forms: broadcast the (≤ buckets)-row weight table onto per-doc
-    bucket counts and integer-sum the scores."""
-    score = F.sum(F.col("c") * F.col("w"))
+    bucket counts and integer-sum the scores.  With ``smooth_unseen``
+    the join is LEFT and unseen buckets coalesce to the table's
+    constant ``w0`` (carried to every task as a 1-row broadcast, no
+    driver collect) — ONE spelling of the q20/ln score fork and the
+    n_grams aggregate, so the legacy and smoothed paths can differ
+    only in join type and coalesce."""
+    effective_w = (
+        F.coalesce(F.col("w"), F.col("w0")) if smooth_unseen else F.col("w")
+    )
+    score = F.sum(F.col("c") * effective_w)
     score_col = (
         score.cast("long").alias("score_q20")
         if portable
         else score.alias("score")
     )
-    return (
-        per.join(F.broadcast(weights.select("bucket", "w")), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum("c").cast("long").alias("n_grams"), score_col)
+    joined = per.join(
+        F.broadcast(weights.select("bucket", "w")),
+        "bucket",
+        "left" if smooth_unseen else "inner",
+    )
+    if smooth_unseen:
+        joined = joined.crossJoin(F.broadcast(weights.select("w0").limit(1)))
+    return joined.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_grams"), score_col
     )
 
 
@@ -1354,20 +1351,22 @@ def dsir_score_against(
     if "w0" not in weights.columns:
         # Legacy artifact: documented drop semantics (see docstring).
         return _dsir_score_join(per, weights, id_col, portable=portable)
-    # w0 is constant across the table; a 1-row broadcast carries it to
-    # every task without a driver-side collect.
-    default = weights.select("w0").limit(1)
-    score = F.sum(F.col("c") * F.coalesce(F.col("w"), F.col("w0")))
-    score_col = (
-        score.cast("long").alias("score_q20")
-        if portable
-        else score.alias("score")
-    )
-    return (
-        per.join(F.broadcast(weights.select("bucket", "w")), "bucket", "left")
-        .crossJoin(F.broadcast(default))
-        .groupBy(id_col)
-        .agg(F.sum("c").cast("long").alias("n_grams"), score_col)
+    # LOUD empty-artifact guard: the smoothed path carries w0 to every
+    # row via a 1-row crossJoin, and an EMPTY weight table would
+    # annihilate every scored document — the exact silent-drop failure
+    # the w0 path exists to eliminate.  An empty frozen artifact means
+    # the training corpus matched nothing; that is a caller bug worth
+    # naming, not a zero-row result.  weights is a materialized ≤4096-
+    # row table by the streaming contract, so the check is one cheap
+    # local scan per call.
+    if weights.isEmpty():
+        raise ValueError(
+            "dsir_score_against: the frozen weight table is EMPTY — "
+            "the training corpus matched no documents; retrain the "
+            "artifact instead of scoring against nothing"
+        )
+    return _dsir_score_join(
+        per, weights, id_col, portable=portable, smooth_unseen=True
     )
 
 

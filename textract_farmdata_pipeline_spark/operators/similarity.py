@@ -2198,24 +2198,40 @@ def _double_array_literal(values) -> Column:
     trips ≈ 7 s of the 9 s construction of the portable IVFADC scan,
     cProfile-measured) is what made ``embedding_pq_ivf_portable``
     uniquely host-load-sensitive in the r7/r8 driver records — socket
-    round-trips get no executor-parallel slack under contention."""
-    return F.expr(
-        "array(" + ",".join(repr(float(v)) + "D" for v in values) + ")"
-    )
+    round-trips get no executor-parallel slack under contention.
+
+    Non-finite values raise here, LOUDLY: ``repr(nan)+'D'`` would hit
+    the SQL parser as an unresolvable identifier (where the old
+    per-element ``F.lit`` built a quiet NaN literal whose downstream
+    dots/argmaxes were garbage anyway) — a NaN/Inf in a centroid,
+    codebook, or SQ bound is an upstream data bug worth naming at the
+    point it enters a frozen artifact."""
+    vals = [float(v) for v in values]
+    bad = [v for v in vals if v != v or v in (float("inf"), float("-inf"))]
+    if bad:
+        raise ValueError(
+            f"non-finite value(s) {bad[:3]} in a literal float array — "
+            "NaN/Inf in a codebook/centroid/bound artifact is an "
+            "upstream data bug; filter or repair before freezing"
+        )
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
 
 
 def _book_literal(book) -> Column:
     """A sub-codebook as an ``array<array<double>>`` literal column —
     one parsed expression per book (see :func:`_double_array_literal`
-    for the construction-cost rationale)."""
-    return F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(w)) + "D" for w in c) + ")"
-            for c in book
-        )
-        + ")"
-    )
+    for the construction-cost rationale and the non-finite guard)."""
+    rows = []
+    for c in book:
+        vals = [float(w) for w in c]
+        bad = [v for v in vals if v != v or v in (float("inf"), float("-inf"))]
+        if bad:
+            raise ValueError(
+                f"non-finite value(s) {bad[:3]} in a codebook row — "
+                "an upstream data bug; filter or repair before freezing"
+            )
+        rows.append("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+    return F.expr("array(" + ",".join(rows) + ")")
 
 
 def _pq_portable_luts(df: DataFrame, books, vec_col: str, id_col: str) -> DataFrame:
