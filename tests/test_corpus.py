@@ -1275,6 +1275,33 @@ class TestDsir:
         with _pytest.raises(ValueError, match="EMPTY"):
             dsir_score_against(docs, empty)
 
+    def test_empty_artifact_guard_runs_once_per_table(self, spark):
+        """The empty-artifact guard is a full Spark action; for a
+        frozen artifact it must run AT MOST ONCE per DataFrame (the
+        streaming twin calls the scorer once per micro-batch — r9
+        advisor finding).  Verified by counting isEmpty() invocations
+        on the artifact object across repeated scoring calls."""
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            dsir_score_against,
+            dsir_train_weights,
+            ensure_dsir_weights_nonempty,
+        )
+
+        docs, target = self._frames(spark)
+        weights = dsir_train_weights(docs, target).localCheckpoint()
+        calls = {"n": 0}
+        real = weights.isEmpty
+
+        def counted():
+            calls["n"] += 1
+            return real()
+
+        weights.isEmpty = counted
+        ensure_dsir_weights_nonempty(weights)  # stream-setup prepay
+        for _ in range(3):  # three "micro-batches"
+            dsir_score_against(docs, weights)
+        assert calls["n"] == 1
+
     def test_frozen_scoring_legacy_table_drops_unseen(self, spark):
         """Back-compat: a (bucket, w) artifact WITHOUT w0 keeps the
         documented drop semantics — unseen buckets vanish from both

@@ -565,7 +565,7 @@ class TestStatefulStreaming:
         the ungated tests below (fake-handle drive +
         plan-construction time-mode pin).
 
-        Re-probed 2026-08-15 (round 9 session start): ``import
+        Re-probed 2026-08-16 (round 10 session start): ``import
         google.protobuf`` still raises ModuleNotFoundError in this
         container and installs remain disallowed, so the gate stands
         unchanged."""
@@ -1347,6 +1347,67 @@ class TestDhashStreamReplay:
         assert by_id[4] == (None, True)  # same-batch twins both admit
         assert by_id[2] == (0, False)  # later-batch near-dup rejected
         assert by_id[5] == (1, False)  # later-batch exact dup rejected
+
+    def test_replayed_batch_reproduces_state(self, spark, tmp_path):
+        """A checkpoint REPLAY of an already-committed micro-batch must
+        leave the admission state bit-identical: the batch's own
+        committed signatures are anti-joined out of the matching side,
+        so previously admitted docs don't self-match at Hamming 0 and
+        get silently flipped to duplicates (the r9 advisor's high
+        finding on dhash_ingest_stream)."""
+        from textract_farmdata_pipeline_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+        from textract_farmdata_pipeline_spark.streaming.ingest import (
+            dhash_process_batch,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        other = "completely different media payload with other words " * 7
+        state_path = str(tmp_path / "dhash_state")
+        process = dhash_process_batch(state_path)
+        b0 = spark.createDataFrame(
+            [(0, base), (1, other)], "doc_id long, text string"
+        )
+        b1 = spark.createDataFrame(
+            [(2, "~" + base[1:]), (3, "fresh unrelated payload " * 12)],
+            "doc_id long, text string",
+        )
+        process(b0, 0)
+        process(b1, 1)
+        table = ParquetMergeTable(spark, state_path)
+        before = sorted(
+            tuple(r)
+            for r in table.read()
+            .select("doc_id", "dup_of", "is_new")
+            .collect()
+        )
+        by_id = {d: (dup, new) for d, dup, new in before}
+        assert by_id[0] == (None, True) and by_id[3] == (None, True)
+        assert by_id[2] == (0, False)
+        # simulate the failure mode: batch 1 committed, checkpoint not
+        # advanced, stream restarts and re-delivers batch 1 verbatim.
+        process(b1, 1)
+        after = sorted(
+            tuple(r)
+            for r in table.read()
+            .select("doc_id", "dup_of", "is_new")
+            .collect()
+        )
+        assert after == before
+        # and replaying the FIRST batch (both docs admitted) must not
+        # flip its admissions either — the exact corruption the
+        # self-match produced before the anti-join.
+        process(b0, 0)
+        assert (
+            sorted(
+                tuple(r)
+                for r in table.read()
+                .select("doc_id", "dup_of", "is_new")
+                .collect()
+            )
+            == before
+        )
 
 
 class TestSplitStreamReplay:

@@ -1305,6 +1305,23 @@ def dsir_train_weights(
     )
 
 
+def ensure_dsir_weights_nonempty(weights: DataFrame) -> DataFrame:
+    """Raise loudly if a frozen DSIR weight artifact is EMPTY; cache
+    the verdict on the DataFrame object so repeated scoring calls
+    (one per micro-batch in :func:`..streaming.ingest.dsir_ingest_stream`)
+    don't re-run a full Spark action to guard a condition that cannot
+    change for a materialized artifact.  Returns ``weights``."""
+    if not getattr(weights, "_dsir_nonempty", False):
+        if weights.isEmpty():
+            raise ValueError(
+                "dsir_score_against: the frozen weight table is EMPTY — "
+                "the training corpus matched no documents; retrain the "
+                "artifact instead of scoring against nothing"
+            )
+        weights._dsir_nonempty = True
+    return weights
+
+
 def dsir_score_against(
     docs: DataFrame,
     weights: DataFrame,
@@ -1356,15 +1373,12 @@ def dsir_score_against(
     # annihilate every scored document — the exact silent-drop failure
     # the w0 path exists to eliminate.  An empty frozen artifact means
     # the training corpus matched nothing; that is a caller bug worth
-    # naming, not a zero-row result.  weights is a materialized ≤4096-
-    # row table by the streaming contract, so the check is one cheap
-    # local scan per call.
-    if weights.isEmpty():
-        raise ValueError(
-            "dsir_score_against: the frozen weight table is EMPTY — "
-            "the training corpus matched no documents; retrain the "
-            "artifact instead of scoring against nothing"
-        )
+    # naming, not a zero-row result.  The verdict is cached per weights
+    # DataFrame (the artifact is frozen by contract), so a streaming
+    # caller pays the isEmpty() action at most once — stream setup can
+    # prepay it via :func:`ensure_dsir_weights_nonempty` instead of
+    # re-running a Spark job every micro-batch.
+    ensure_dsir_weights_nonempty(weights)
     return _dsir_score_join(
         per, weights, id_col, portable=portable, smooth_unseen=True
     )

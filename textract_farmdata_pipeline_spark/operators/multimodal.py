@@ -228,8 +228,12 @@ def image_dhash(media: DataFrame) -> DataFrame:
     The classic recipe (resize to a (rows × cols+1) grayscale grid,
     hash bit = left pixel > right pixel) with the container's
     deterministic fake decode: the "grayscale grid" is the same
-    strided nearest-neighbor byte take :func:`resize_image` uses
-    (``idx_k = min(floor(k · n/72), n-1)``), so the full pipeline —
+    strided nearest-neighbor byte take :func:`resize_image` uses —
+    ``idx_k = min(trunc(k * (n/72.0)), n-1)`` with the multiply done in
+    float64 on the precomputed ``n/72.0`` step, exactly as the code and
+    the SQL oracle compute it (NOT the exact-rational ``floor(k·n/72)``,
+    which differs for some ``n``: at ``n=8, k=9`` the exact floor is 1
+    while the double math truncates to 0) — so the full pipeline —
     resample, gradient compare, bit packing — is a pure integer
     function of the payload and replays character-by-character in SQL
     (the :func:`audio_windows` oracle discipline).  Swap
