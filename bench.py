@@ -203,6 +203,16 @@ HEADLINE = (
     # r09: the fully hash-checked frozen-codebook SemDeDup (md5-anchor
     # cells + BQ gate; the kmeans twins stay the quality path)
     "embedding_semantic_dedup_frozen",
+    # r10: paragraph-granularity dedup — CCNet keep-first (min-struct
+    # groupBy on the paragraph hash, skew-proof) and the Dolma Bloom
+    # form whose matching state is a constant 128 KB filter with the
+    # false-positive cost measured in-query
+    "doc_paragraph_dedup",
+    "doc_paragraph_bloom_dedup",
+    # r10: the streaming Bloom admission — 4 REAL foreachBatch batches
+    # against O(bits) state via the three-table crash-safe protocol,
+    # hash-checked by the K-round unrolled oracle
+    "doc_bloom_stream_replay",
 )
 
 

@@ -1482,3 +1482,161 @@ class TestSplitStreamReplay:
         assert out[0][1] == "fresh" and out[2][1] == "fresh"
         assert out[1] == (out[0][0], "inherited")
         assert out[3][1] == "fresh"
+
+
+class TestBloomStreamReplay:
+    ROWS = [
+        (0, "alpha beta gamma delta"),        # batch 0 -> admitted
+        (3, "epsilon zeta eta theta"),        # batch 0 -> admitted
+        (1, "alpha beta gamma delta"),        # batch 1 -> rejected (dup of 0)
+        (4, "iota kappa lambda mu"),          # batch 1 -> admitted
+        (7, "iota kappa lambda mu"),          # batch 1: SAME-batch twin of 4
+        #   -> still admitted (batch docs never compared to each other)
+        (2, "iota kappa lambda mu"),          # batch 2 -> rejected (dup of 4)
+        (5, "nu xi omicron pi rho"),          # batch 2 -> admitted
+    ]
+    K = 3
+
+    def test_stream_equals_batch_loop(self, spark, tmp_path):
+        """Streaming Bloom admission over K micro-batches must equal a
+        driver loop of bloom_probe against the accumulated admitted-
+        text filter — and pin the cross-batch/within-batch semantics."""
+        from textract_farmdata_pipeline_spark.operators.approx import (
+            bloom_build,
+            bloom_probe,
+        )
+        from textract_farmdata_pipeline_spark.streaming import (
+            replay_bloom_batches,
+        )
+
+        docs = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        m_bits, k = 1 << 14, 4
+        got = sorted(
+            tuple(r)
+            for r in replay_bloom_batches(
+                docs, str(tmp_path / "replay"), k_batches=self.K,
+                m_bits=m_bits, k=k,
+            ).collect()
+        )
+        admitted = spark.createDataFrame([], "text string")
+        want = []
+        for b in range(self.K):
+            bdf = docs.filter(F.pmod(F.col("doc_id"), F.lit(self.K)) == b)
+            words = bloom_build(admitted, "text", m_bits=m_bits, k=k)
+            ann = bloom_probe(bdf, words, "text", m_bits=m_bits, k=k).select(
+                "doc_id", "bloom_member", (~F.col("bloom_member")).alias("is_new")
+            )
+            rows_b = [tuple(r) for r in ann.collect()]
+            want.extend(rows_b)
+            new_texts = bdf.join(
+                ann.filter(F.col("is_new")).select("doc_id"), "doc_id"
+            ).select("text")
+            admitted = admitted.unionByName(new_texts).localCheckpoint()
+        assert got == sorted(want)
+        by_id = {d: new for d, _, new in got}
+        assert by_id[0] and by_id[3] and by_id[4] and by_id[5]
+        assert by_id[7]  # same-batch twin admits
+        assert not by_id[1] and not by_id[2]  # cross-batch dups rejected
+
+    def test_replayed_batches_reproduce_state(self, spark, tmp_path):
+        """A checkpoint replay of any fully-committed batch must leave
+        BOTH state tables bit-identical: the covered marker routes the
+        replay to its stored decisions instead of re-deciding against
+        a filter that already contains its own bits (a Bloom filter
+        cannot anti-join its own batch back out — once OR'd, bits are
+        shared; the dhash_ingest_stream lesson applied to the O(bits)
+        state model)."""
+        from textract_farmdata_pipeline_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+        from textract_farmdata_pipeline_spark.streaming.ingest import (
+            bloom_process_batch,
+        )
+
+        docs = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        state = str(tmp_path / "bloom_state")
+        process = bloom_process_batch(state, m_bits=1 << 14)
+
+        def batch(b):
+            return docs.filter(F.pmod(F.col("doc_id"), F.lit(self.K)) == b)
+
+        def snapshot():
+            adm = sorted(
+                tuple(r)
+                for r in ParquetMergeTable(spark, f"{state}/admissions")
+                .read()
+                .collect()
+            )
+            words = sorted(
+                tuple(r)
+                for r in ParquetMergeTable(spark, f"{state}/words")
+                .read()
+                .collect()
+            )
+            return adm, words
+
+        process(batch(0), 0)
+        process(batch(1), 1)
+        before = snapshot()
+        by_id = {d: new for d, _, new in before[0]}
+        assert by_id[0] and by_id[4] and by_id[7] and not by_id[1]
+        process(batch(1), 1)  # replay last batch
+        assert snapshot() == before
+        process(batch(0), 0)  # replay an OLDER covered batch
+        assert snapshot() == before
+
+    def test_crash_after_covered_before_words_self_heals(
+        self, spark, tmp_path
+    ):
+        """Crash window 3 of the commit protocol: admissions + covered
+        committed, words NOT.  The replay's covered path must re-OR
+        the admitted docs' bits from the batch's own texts, so a LATER
+        batch still rejects duplicates of this batch's admissions."""
+        from textract_farmdata_pipeline_spark.operators.approx import (
+            bloom_probe,
+        )
+        from textract_farmdata_pipeline_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+        from textract_farmdata_pipeline_spark.streaming.ingest import (
+            bloom_process_batch,
+        )
+
+        docs = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        state = str(tmp_path / "bloom_state")
+        m_bits = 1 << 14
+        process = bloom_process_batch(state, m_bits=m_bits)
+
+        def batch(b):
+            return docs.filter(F.pmod(F.col("doc_id"), F.lit(self.K)) == b)
+
+        process(batch(0), 0)
+        # simulate the partial batch-1 commit: decisions derived from
+        # the CURRENT filter, admissions + covered written, words not.
+        words_t = ParquetMergeTable(spark, f"{state}/words")
+        ann = bloom_probe(
+            batch(1), words_t.read(), "text", m_bits=m_bits, k=4
+        ).select(
+            "doc_id", "bloom_member", (~F.col("bloom_member")).alias("is_new")
+        )
+        ParquetMergeTable(spark, f"{state}/admissions").merge(ann, key="doc_id")
+        ParquetMergeTable(spark, f"{state}/covered").merge(
+            spark.createDataFrame([(1,)], "batch_id long"), key="batch_id"
+        )
+        words_before = sorted(
+            tuple(r) for r in words_t.read().collect()
+        )
+        # the stream restarts and re-delivers batch 1: covered path.
+        process(batch(1), 1)
+        words_after = sorted(tuple(r) for r in words_t.read().collect())
+        assert words_after != words_before  # the missing OR happened
+        # and batch 2 decides against the HEALED filter: doc 2 (dup of
+        # batch-1 doc 4) rejected, doc 5 novel admitted.
+        process(batch(2), 2)
+        adm = {
+            r["doc_id"]: r["is_new"]
+            for r in ParquetMergeTable(spark, f"{state}/admissions")
+            .read()
+            .collect()
+        }
+        assert adm[2] is False and adm[5] is True

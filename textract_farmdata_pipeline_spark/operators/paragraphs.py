@@ -1,0 +1,229 @@
+"""Paragraph-granularity dedup: CCNet keep-first and Dolma Bloom-gated.
+
+Document-level dedup (exact / MinHash / SimHash / SemDeDup), span-level
+(C4 :func:`.corpus.span_dedup`) and substring-level (ExactSubstr,
+:func:`.corpus.substring_dedup`) all exist elsewhere in this package;
+this module adds the remaining standard granularity of the published
+training-data pipelines — the *paragraph* (CCNet removes duplicated
+lines keeping the first occurrence, Wenzek et al. 2020 §4.1; Dolma
+dedups paragraphs against a **Bloom filter** so the matching state is a
+fixed bit array rather than a per-key table, Soldaini et al. 2024
+§2.3).  The synthetic corpus has no newline structure, so — like
+:func:`.corpus.span_dedup` — the paragraph unit is a fixed
+non-overlapping ``para_words``-word window (the last window keeps the
+tail).
+
+Why the Bloom form matters at 100 TB: every incremental dedup variant
+in this package keeps O(distinct-keys) state (hash tables of signatures
+or window counts).  Dolma's answer is O(m bits) state regardless of
+corpus size — the filter broadcasts to every executor and the probe is
+map-side-only, at the price of a measured false-positive rate (novel
+paragraphs falsely treated as duplicates; never the reverse — zero
+false negatives is the Bloom guarantee).  Both the decision and its
+exact-truth companion are pure md5 integer arithmetic
+(:func:`.approx.bloom_build` / :func:`.approx.bloom_probe`), so every
+bit is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .approx import bloom_build, bloom_probe
+from .preprocess import chunk_tokens
+
+
+def _segments(
+    docs: DataFrame,
+    para_words: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Non-overlapping ``para_words``-word paragraph segmentation:
+    ``(doc_id, chunk_idx, chunk_text)`` — a codegen'd slice + explode
+    (:func:`.preprocess.chunk_tokens`), no shuffle, no Python."""
+    return chunk_tokens(
+        docs.select(F.col(id_col).alias("doc_id"), text_col),
+        chunk_size=para_words,
+        overlap=0,
+        text_col=text_col,
+    ).select("doc_id", "chunk_idx", "chunk_text")
+
+
+def _totals(
+    docs: DataFrame, para_words: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document total paragraph count, computed from the text alone
+    (so documents whose every paragraph was dropped still get a row)."""
+    toks = F.split(F.col(text_col), " ")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.ceil(F.size(toks) / F.lit(para_words)), F.lit(1))
+        .cast("int")
+        .alias("_n_paras"),
+    )
+
+
+def _reassemble(kept: DataFrame) -> DataFrame:
+    """``(doc_id, chunk_idx, chunk_text)`` → ``(doc_id, clean_text,
+    n_kept)``: surviving paragraphs back in document order.  The one
+    corpus-byte shuffle, keyed by the id — skew bounded by document
+    length, never by paragraph popularity."""
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_idx", "chunk_text"))
+            ).alias("_a")
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("_a.chunk_text")).alias("clean_text"),
+            F.size("_a").alias("n_kept"),
+        )
+    )
+
+
+def paragraph_dedup_keepfirst(
+    docs: DataFrame,
+    para_words: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style paragraph dedup (Wenzek et al. 2020 §4.1): every
+    repeated paragraph keeps exactly its FIRST occurrence — the one
+    with the smallest ``(doc_id, chunk_idx)`` — and every later copy
+    (across documents AND within one document) is removed.  The
+    keep-one semantic is what distinguishes this from
+    :func:`.corpus.span_dedup` (C4 removes shared spans from *all*
+    documents, keeping no canonical copy).
+
+    Returns ``(id, clean_text, n_paras_kept, n_paras_dropped)``;
+    ``clean_text = ''`` when every paragraph of a document was a later
+    copy.
+
+    Scale shape (100 TB):
+
+    * Segmentation is a codegen'd slice + explode — no shuffle.
+    * First-occurrence detection groups on ``xxhash64(paragraph)`` and
+      takes ``min(struct(doc_id, chunk_idx))`` — map-side combinable,
+      so a boilerplate paragraph repeated a million times collapses to
+      one row per map task BEFORE the shuffle (a window ``row_number``
+      over the hash would funnel all million copies through one task).
+    * The decision join back to segments keys on the same 8-byte hash;
+      AQE's skew-join splitting applies if a hash is hot.
+    * Reassembly shuffles corpus bytes once, keyed by the id.
+    """
+    seg = _segments(docs, para_words, id_col, text_col).withColumn(
+        "_h", F.xxhash64("chunk_text")
+    )
+    first = seg.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_first")
+    )
+    kept = (
+        seg.join(first, "_h")
+        .where(
+            (F.col("_first.doc_id") == F.col("doc_id"))
+            & (F.col("_first.chunk_idx") == F.col("chunk_idx"))
+        )
+        .select("doc_id", "chunk_idx", "chunk_text")
+    )
+    out = _reassemble(kept)
+    return (
+        _totals(docs, para_words, id_col, text_col)
+        .join(out, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_paras_kept"),
+            (F.col("_n_paras") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_paras_dropped"
+            ),
+        )
+    )
+
+
+def paragraph_bloom_dedup(
+    stored: DataFrame,
+    batch: DataFrame,
+    para_words: int = 12,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: str = "pbloom|",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dolma-style Bloom paragraph dedup (Soldaini et al. 2024 §2.3):
+    drop every paragraph of the incoming ``batch`` whose text is
+    (Bloom-)already present in the ``stored`` corpus, and reassemble
+    the batch documents from the survivors.  The matching state is the
+    ``m_bits``-bit filter — constant-size however large the stored
+    corpus grows — and the decision column is accompanied by the
+    exact-truth count so the false-positive cost is *measured*, not
+    assumed (the :func:`..registry.orders_bloom_prune` /
+    ``dedup_lsh_eval`` discipline).
+
+    Returns one row per batch document: ``(id, clean_text, n_paras,
+    n_dropped_bloom, n_dropped_exact)``.  ``n_dropped_bloom >=
+    n_dropped_exact`` always (zero false negatives); the difference is
+    paragraphs falsely sacrificed to the filter.
+
+    Sizing: ~16+ bits per distinct stored paragraph keeps the false
+    positive rate ≈ ``(1 - e^(-k·n/m))^k`` below 1e-4 at ``k = 4``; the
+    default ``m = 2^20`` covers ~65k distinct paragraphs at that rate
+    and packs into 32k broadcastable words (128 KB).  A saturated
+    filter fails soft (more paragraphs dropped) and visibly
+    (``n_dropped_bloom`` diverging from ``n_dropped_exact``).
+
+    Scale shape (100 TB stored corpus): the build is one segmentation
+    pass + ``bit_or`` groupBy whose map-side combine collapses every
+    partition to ≤ ``m/32`` rows before the shuffle; the probe side
+    never shuffles (filter broadcast, per-paragraph bit tests local);
+    the exact-truth companion joins distinct paragraph hashes — drop it
+    in production and the stored corpus is never rescanned at all.
+    """
+    sseg = _segments(stored, para_words, id_col, text_col)
+    sdist = sseg.select("chunk_text").distinct()
+    bloom = bloom_build(sdist, "chunk_text", m_bits=m_bits, k=k, seed=seed)
+
+    bseg = _segments(batch, para_words, id_col, text_col)
+    bdist = bseg.select("chunk_text").distinct()
+    probed = bloom_probe(
+        bdist, bloom, "chunk_text", m_bits=m_bits, k=k, seed=seed
+    )
+    exact = (
+        sdist.select(F.xxhash64("chunk_text").alias("_h"))
+        .distinct()
+        .withColumn("_stored", F.lit(True))
+    )
+    decided = (
+        probed.withColumn("_h", F.xxhash64("chunk_text"))
+        .join(exact, "_h", "left")
+        .select(
+            "chunk_text",
+            F.col("bloom_member").alias("_drop_bloom"),
+            F.coalesce("_stored", F.lit(False)).alias("_drop_exact"),
+        )
+    )
+    marked = bseg.join(decided, "chunk_text")
+    kept = marked.where(~F.col("_drop_bloom")).select(
+        "doc_id", "chunk_idx", "chunk_text"
+    )
+    counts = marked.groupBy("doc_id").agg(
+        F.sum(F.col("_drop_bloom").cast("int")).cast("int").alias("_nb"),
+        F.sum(F.col("_drop_exact").cast("int")).cast("int").alias("_ne"),
+    )
+    out = _reassemble(kept)
+    return (
+        _totals(batch, para_words, id_col, text_col)
+        .join(out, "doc_id", "left")
+        .join(counts, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("_n_paras").alias("n_paras"),
+            F.coalesce("_nb", F.lit(0)).alias("n_dropped_bloom"),
+            F.coalesce("_ne", F.lit(0)).alias("n_dropped_exact"),
+        )
+    )

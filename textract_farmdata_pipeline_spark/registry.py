@@ -10597,3 +10597,250 @@ def doc_dsir_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_dsir_batches(
         docs, docs.filter(F.col("lang") == "en"), workdir, k_batches=4
     )
+
+
+# =========================================================================
+# r10: paragraph-granularity dedup (CCNet keep-first; Dolma Bloom state)
+# =========================================================================
+
+_PARA_W = 12
+
+_PARA_KEEPFIRST_ORACLE = f"""
+WITH pseg AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS ci,
+    array_to_string(toks[(i-1)*{_PARA_W} + 1 : (i-1)*{_PARA_W} + {_PARA_W}], ' ') AS seg
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+      greatest(CAST(ceil(len(string_split(text, ' ')) / {_PARA_W}.0) AS BIGINT), 1) AS nc
+    FROM documents
+  ) d, LATERAL unnest(generate_series(1, nc)) AS t(i)
+),
+pkept AS (
+  SELECT doc_id, ci, seg FROM (
+    SELECT doc_id, ci, seg,
+      row_number() OVER (PARTITION BY seg ORDER BY doc_id, ci) AS rn
+    FROM pseg
+  ) r WHERE rn = 1
+),
+pagg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY ci) AS clean_text,
+         CAST(COUNT(*) AS INTEGER) AS n_kept
+  FROM pkept GROUP BY doc_id
+),
+ptot AS (
+  SELECT doc_id,
+    CAST(greatest(CAST(ceil(len(string_split(text, ' ')) / {_PARA_W}.0) AS BIGINT), 1)
+         AS INTEGER) AS n_paras
+  FROM documents
+)
+SELECT t.doc_id,
+  COALESCE(a.clean_text, '') AS clean_text,
+  COALESCE(a.n_kept, 0) AS n_paras_kept,
+  t.n_paras - COALESCE(a.n_kept, 0) AS n_paras_dropped
+FROM ptot t LEFT JOIN pagg a USING (doc_id)
+"""
+
+
+@register("doc_paragraph_dedup", _PARA_KEEPFIRST_ORACLE)
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup (Wenzek et al. 2020 §4.1): every
+    repeated 12-word paragraph keeps exactly its FIRST occurrence
+    (minimum ``(doc_id, chunk_idx)``) and every later copy — across
+    documents and within one — is removed, documents reassembled from
+    the survivors.  The keep-one semantic completes the dedup ladder
+    between document-level exact dedup and C4 span dedup (which keeps
+    no canonical copy).  First-occurrence detection is a map-side-
+    combinable ``min(struct)`` groupBy on the 8-byte paragraph hash —
+    a boilerplate paragraph repeated a million times collapses per map
+    task BEFORE the shuffle, where a window ``row_number`` would
+    funnel every copy through one task."""
+    from .operators.paragraphs import paragraph_dedup_keepfirst
+
+    return paragraph_dedup_keepfirst(
+        _t(spark, sf_dir, "documents"), para_words=_PARA_W
+    )
+
+
+_PARA_BLOOM_M, _PARA_BLOOM_K = 1 << 20, 4
+
+_PARA_BLOOM_ORACLE = f"""
+WITH pbseg AS (
+  SELECT doc_id, doc_id % 5 = 0 AS is_batch, CAST(i - 1 AS INTEGER) AS ci,
+    array_to_string(toks[(i-1)*{_PARA_W} + 1 : (i-1)*{_PARA_W} + {_PARA_W}], ' ') AS seg
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+      greatest(CAST(ceil(len(string_split(text, ' ')) / {_PARA_W}.0) AS BIGINT), 1) AS nc
+    FROM documents
+  ) d, LATERAL unnest(generate_series(1, nc)) AS t(i)
+),
+pbsdist AS (SELECT DISTINCT seg FROM pbseg WHERE NOT is_batch),
+pbspos AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5('pbloom|' || i || '|' || seg), 1, 8) AS BIGINT)
+      % {_PARA_BLOOM_M} AS pos
+  FROM pbsdist, UNNEST([0, 1, 2, 3]) AS t(i)
+),
+pbbdist AS (SELECT DISTINCT seg FROM pbseg WHERE is_batch),
+pbmem AS (
+  SELECT x.seg,
+    SUM(CASE WHEN p.pos IS NOT NULL THEN 1 ELSE 0 END) = {_PARA_BLOOM_K} AS member
+  FROM (
+    SELECT seg,
+      CAST('0x' || substr(md5('pbloom|' || i || '|' || seg), 1, 8) AS BIGINT)
+        % {_PARA_BLOOM_M} AS pos
+    FROM pbbdist, UNNEST([0, 1, 2, 3]) AS t(i)
+  ) x
+  LEFT JOIN pbspos p USING (pos)
+  GROUP BY x.seg
+),
+pbmarked AS (
+  SELECT b.doc_id, b.ci, b.seg, m.member,
+    b.seg IN (SELECT seg FROM pbsdist) AS ex
+  FROM pbseg b JOIN pbmem m USING (seg)
+  WHERE b.is_batch
+),
+pbagg AS (
+  SELECT doc_id,
+    string_agg(seg, ' ' ORDER BY ci) FILTER (WHERE NOT member) AS clean_text,
+    CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS INTEGER) AS n_dropped_bloom,
+    CAST(SUM(CASE WHEN ex THEN 1 ELSE 0 END) AS INTEGER) AS n_dropped_exact
+  FROM pbmarked GROUP BY doc_id
+),
+pbtot AS (
+  SELECT doc_id,
+    CAST(greatest(CAST(ceil(len(string_split(text, ' ')) / {_PARA_W}.0) AS BIGINT), 1)
+         AS INTEGER) AS n_paras
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT t.doc_id,
+  COALESCE(a.clean_text, '') AS clean_text,
+  t.n_paras,
+  COALESCE(a.n_dropped_bloom, 0) AS n_dropped_bloom,
+  COALESCE(a.n_dropped_exact, 0) AS n_dropped_exact
+FROM pbtot t LEFT JOIN pbagg a USING (doc_id)
+"""
+
+
+@register("doc_paragraph_bloom_dedup", _PARA_BLOOM_ORACLE)
+def doc_paragraph_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style Bloom paragraph dedup (Soldaini et al. 2024 §2.3):
+    incoming batch documents (``doc_id % 5 == 0``) lose every 12-word
+    paragraph whose text is (Bloom-)already present in the stored
+    corpus, with the exact-truth drop count alongside so the filter's
+    false-positive cost is a measured column, not an assumption
+    (``n_dropped_bloom >= n_dropped_exact`` always — zero false
+    negatives is the Bloom guarantee, property-tested in pytest).
+
+    The 100 TB argument is the state model: the matching state is a
+    2^20-bit filter (32k words, 128 KB broadcast) — CONSTANT-size
+    however large the stored corpus grows, where every other
+    incremental dedup variant here keeps O(distinct-keys) state.  The
+    probe side never shuffles: the filter broadcasts and the per-
+    paragraph bit tests are map-side.  Every bit is md5 integer
+    arithmetic, so the oracle recomputes the filter exactly —
+    false positives included."""
+    from .operators.paragraphs import paragraph_bloom_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return paragraph_bloom_dedup(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        para_words=_PARA_W,
+        m_bits=_PARA_BLOOM_M,
+        k=_PARA_BLOOM_K,
+    )
+
+
+_BLOOM_STREAM_M, _BLOOM_STREAM_K = 1 << 17, 4
+
+_BLOOM_REPLAY_POS = (
+    "CAST('0x' || substr(md5('dbloom|' || i || '|' || text), 1, 8) AS BIGINT)"
+    f" % {_BLOOM_STREAM_M}"
+)
+
+# K=4 unrolled rounds: batch 0 all admits into an empty filter; batch r
+# decides against the positions of everything admitted in rounds < r.
+_BLOOM_REPLAY_PARTS = [
+    f"""blbase AS (
+  SELECT doc_id, doc_id % 4 AS b, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100001 AS doc_id, (doc_id + 100001) % 4 AS b, text
+  FROM documents WHERE doc_id < 50
+)""",
+    f"""blpos AS (
+  SELECT doc_id, b, {_BLOOM_REPLAY_POS} AS pos
+  FROM blbase, UNNEST([0, 1, 2, 3]) AS t(i)
+)""",
+    "blp1 AS (SELECT DISTINCT pos FROM blpos WHERE b = 0)",
+]
+for _r in (1, 2, 3):
+    _BLOOM_REPLAY_PARTS.append(
+        f"""blm{_r} AS (
+  SELECT x.doc_id,
+    SUM(CASE WHEN p.pos IS NOT NULL THEN 1 ELSE 0 END) = {_BLOOM_STREAM_K}
+      AS member
+  FROM (SELECT doc_id, pos FROM blpos WHERE b = {_r}) x
+  LEFT JOIN blp{_r} p USING (pos)
+  GROUP BY x.doc_id
+)"""
+    )
+    if _r < 3:
+        _BLOOM_REPLAY_PARTS.append(
+            f"""blp{_r + 1} AS (
+  SELECT pos FROM blp{_r}
+  UNION
+  SELECT pos FROM blpos JOIN blm{_r} USING (doc_id)
+  WHERE b = {_r} AND NOT member
+)"""
+        )
+del _r
+
+_BLOOM_REPLAY_ORACLE = (
+    "WITH "
+    + ",\n".join(_BLOOM_REPLAY_PARTS)
+    + """
+SELECT doc_id, FALSE AS bloom_member, TRUE AS is_new
+FROM blbase WHERE b = 0
+UNION ALL
+SELECT doc_id, member AS bloom_member, NOT member AS is_new FROM blm1
+UNION ALL
+SELECT doc_id, member AS bloom_member, NOT member AS is_new FROM blm2
+UNION ALL
+SELECT doc_id, member AS bloom_member, NOT member AS is_new FROM blm3
+"""
+)
+
+
+@register("doc_bloom_stream_replay", _BLOOM_REPLAY_ORACLE)
+def doc_bloom_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Bloom-gated admission (the Dolma dedup state
+    model as an ingest stream), driver-checkable: replay
+    ``bloom_ingest_stream`` over 4 deterministic micro-batches
+    (``doc_id % 4``, one parquet file per batch, availableNow) with 50
+    planted exact copies at ``doc_id + 100001`` — the +1 offset lands
+    each twin in a DIFFERENT batch than its original, so the
+    cross-batch rejections are real — and return the admission log.
+
+    This runs the REAL streaming path: foreachBatch, the three-table
+    commit protocol (admissions → covered marker → filter words — see
+    :func:`..streaming.ingest.bloom_process_batch` for the per-crash-
+    window replay analysis), and a matching state of 2^17 BITS that
+    never grows with the corpus.  Every decision is md5 integer
+    arithmetic, so the K-batch state evolution unrolls to K plain-SQL
+    rounds DuckDB replays exactly — hash-checked INCLUDING any false
+    positives the filter produces."""
+    import tempfile
+
+    from .streaming.ingest import replay_bloom_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100001
+    )
+    incoming = docs.select("doc_id", "text").unionByName(
+        planted.select("doc_id", "text")
+    )
+    workdir = tempfile.mkdtemp(prefix="bloom_replay_")
+    return replay_bloom_batches(
+        incoming, workdir, k_batches=4, m_bits=_BLOOM_STREAM_M, k=_BLOOM_STREAM_K
+    )

@@ -1,6 +1,8 @@
 from .census import stream_census_pipeline  # noqa: F401
 from .ingest import (  # noqa: F401
+    bloom_ingest_stream,
     dedup_ingest_stream,
+    replay_bloom_batches,
     replay_ingest_batches,
     replay_split_batches,
     split_ingest_stream,

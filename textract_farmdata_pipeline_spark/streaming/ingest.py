@@ -570,3 +570,213 @@ def replay_dhash_batches(
         .read()
         .select("doc_id", "dup_of", "is_new")
     )
+
+
+def bloom_process_batch(
+    state_path: str,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+    seed: str = "dbloom|",
+    sink=None,
+):
+    """The per-micro-batch handler behind :func:`bloom_ingest_stream`,
+    exposed as a factory (the :func:`dhash_process_batch` precedent) so
+    tests can drive a batch — and a checkpoint REPLAY at every crash
+    point of the three-table commit protocol — directly.
+
+    State under ``state_path``:
+
+    * ``words``      — the Bloom filter, ≤ ``m_bits/32`` rows of
+      ``(word_id, bits)``.  **This is the only matching state** — it
+      never grows with the corpus (the Dolma tradeoff).
+    * ``admissions`` — the OUTPUT log ``(doc_id, bloom_member,
+      is_new)``, keyed MERGE by doc_id.
+    * ``covered``    — one row per committed batch id; the marker that
+      makes replays read their ORIGINAL decisions instead of
+      re-deciding against a filter that already contains their own
+      bits (a Bloom filter cannot anti-join its own batch back out the
+      way :func:`dhash_process_batch` does — once OR'd, bits are
+      shared).
+
+    Commit order per batch: admissions → covered → words.  Replay
+    analysis of each crash window:
+
+    1. before admissions: nothing committed; the filter is unchanged,
+       so the replay re-derives identical decisions.
+    2. after admissions, before covered: filter still unchanged →
+       identical decisions re-derived, keyed MERGE re-upserts them.
+    3. after covered, before words: the replay takes the covered path —
+       reads the stored decisions and re-ORs the admitted docs' bits
+       (recomputed from the replayed batch's own texts; OR is
+       idempotent).
+    4. after words: covered path; the re-OR is a value-level no-op.
+    """
+    from ..operators.approx import bloom_build, bloom_probe
+    from ..operators.merge import ParquetMergeTable
+
+    words_path = os.path.join(state_path, "words")
+    adm_path = os.path.join(state_path, "admissions")
+    cov_path = os.path.join(state_path, "covered")
+
+    def _exists(path: str) -> bool:
+        return os.path.isdir(os.path.join(path, "_manifests"))
+
+    def _or_words(spark, admitted_texts: DataFrame) -> None:
+        """OR the admitted docs' bits into the filter (idempotent)."""
+        words_t = ParquetMergeTable(spark, words_path)
+        batch_bits = bloom_build(
+            admitted_texts, "text", m_bits=m_bits, k=k, seed=seed
+        )
+        if _exists(words_path):
+            merged = (
+                words_t.read()
+                .unionByName(batch_bits)
+                .groupBy("word_id")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+            words_t.merge(merged, key="word_id")
+        elif not batch_bits.isEmpty():
+            words_t.create(batch_bits)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bkeys = batch_df.select("doc_id", "text").persist()
+        try:
+            adm_t = ParquetMergeTable(spark, adm_path)
+            cov_t = ParquetMergeTable(spark, cov_path)
+            covered = (
+                {r["batch_id"] for r in cov_t.read().collect()}
+                if _exists(cov_path)
+                else set()
+            )
+            if batch_id in covered:
+                # Replay of a fully-marked batch: decisions are the
+                # stored ones; re-OR bits in case the words commit was
+                # the step that crashed (window 3 above).
+                decisions = (
+                    adm_t.read()
+                    .join(bkeys, "doc_id")
+                    .select("doc_id", "text", "bloom_member", "is_new")
+                )
+                _or_words(
+                    spark,
+                    decisions.where(F.col("is_new")).select("text"),
+                )
+                if sink is not None:
+                    sink(decisions, batch_id)
+                return
+            words = (
+                ParquetMergeTable(spark, words_path).read()
+                if _exists(words_path)
+                else spark.createDataFrame([], "word_id long, bits long")
+            )
+            decisions = (
+                bloom_probe(bkeys, words, "text", m_bits=m_bits, k=k, seed=seed)
+                .select(
+                    "doc_id",
+                    "text",
+                    "bloom_member",
+                    (~F.col("bloom_member")).alias("is_new"),
+                )
+                .persist()  # consumed thrice (commit, OR, sink); batch-sized
+            )
+            try:
+                adm_rows = decisions.select("doc_id", "bloom_member", "is_new")
+                if _exists(adm_path):
+                    adm_t.merge(adm_rows, key="doc_id")
+                elif not adm_rows.isEmpty():
+                    adm_t.create(adm_rows)
+                marker = spark.createDataFrame(
+                    [(int(batch_id),)], "batch_id long"
+                )
+                if _exists(cov_path):
+                    cov_t.merge(marker, key="batch_id")
+                else:
+                    cov_t.create(marker)
+                _or_words(
+                    spark,
+                    decisions.where(F.col("is_new")).select("text"),
+                )
+                if sink is not None:
+                    sink(decisions, batch_id)
+            finally:
+                decisions.unpersist()
+        finally:
+            bkeys.unpersist()
+
+    return process
+
+
+def bloom_ingest_stream(
+    docs: DataFrame,
+    state_path: str,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+    seed: str = "dbloom|",
+    sink=None,
+):
+    """Streaming Bloom-gated admission (the Dolma dedup state model,
+    Soldaini et al. 2024 §2.3, as an ingest stream): each micro-batch
+    doc is admitted iff its text is NOT (Bloom-)member of the filter
+    accumulated over every earlier admitted doc, then the admitted
+    docs' bits are OR'd in.  **The matching state is ``m_bits`` bits —
+    constant-size forever** — unlike :func:`dedup_ingest_stream` /
+    :func:`dhash_ingest_stream`, whose state grows with the admitted
+    corpus.  The price is a deterministic false-positive rate: a novel
+    doc can be falsely rejected (never the reverse).  Within-batch
+    twins both admit (batch docs are never compared to each other —
+    the shared incremental contract).
+
+    Decisions are pure md5 integer arithmetic, so a K-batch replay
+    unrolls to K plain-SQL rounds that DuckDB replays exactly —
+    hash-checked end to end, false positives included.  Crash-replay
+    semantics are the three-table protocol of
+    :func:`bloom_process_batch`.
+    """
+    return docs.writeStream.foreachBatch(
+        bloom_process_batch(state_path, m_bits=m_bits, k=k, seed=seed, sink=sink)
+    )
+
+
+def replay_bloom_batches(
+    docs: DataFrame,
+    workdir: str,
+    k_batches: int = 4,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+    seed: str = "dbloom|",
+) -> DataFrame:
+    """Replay :func:`bloom_ingest_stream` as a finite run on the shared
+    deterministic K-batch harness and return the admission log
+    ``(doc_id, bloom_member, is_new)``."""
+    import atexit
+    import shutil
+
+    src = _stage_batch_files(docs, workdir, k_batches)
+    state_path = os.path.join(workdir, "bloom_state")
+    spark = docs.sparkSession
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    writer = bloom_ingest_stream(
+        stream, state_path, m_bits=m_bits, k=k, seed=seed
+    )
+    q = (
+        writer.option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from ..operators.merge import ParquetMergeTable
+
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return (
+        ParquetMergeTable(spark, os.path.join(state_path, "admissions"))
+        .read()
+        .select("doc_id", "bloom_member", "is_new")
+    )
