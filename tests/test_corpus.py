@@ -923,6 +923,47 @@ class TestBuildCorpusSplit:
         }
         assert 1 in out and 2 not in out  # exact dedup on CLEANED text
 
+    def test_paragraph_stage_keeps_first_occurrence(self, spark):
+        """build_corpus(paragraph_words=...) must (a) keep the FIRST
+        occurrence of a repeated paragraph (the CCNet semantic — unlike
+        the substring/span stages, which keep no canonical copy), (b)
+        drop docs whose every paragraph was a later copy, and (c) feed
+        exact dedup the CLEANED text."""
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            build_corpus,
+        )
+
+        shared = " ".join(f"s{i}" for i in range(12))
+        pref = " ".join(f"p{i}" for i in range(12))
+        rows = [
+            (1, shared, "a"),            # FIRST occurrence -> kept whole
+            (2, pref + " " + shared, "a"),  # later copy of `shared` ->
+            #   cleans to `pref` alone
+            (3, shared, "a"),            # later copy, fully covered -> drop
+            (4, pref + " " + shared, "a"),  # cleans to `pref` = doc 2's
+            #   clean text -> exact dedup collapses 4 into 2... but
+            #   `pref` inside doc 4 is ITSELF a later copy of doc 2's
+            #   first paragraph -> doc 4 cleans to '' and drops first
+            (5, " ".join(f"u{i}" for i in range(20)), "b"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        ev = spark.createDataFrame(
+            [(99, "zz1 zz2 zz3 zz4", "eval")],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r["doc_id"]
+            for r in build_corpus(
+                docs, ev, num_shards=4, decontam_n=3, paragraph_words=12
+            ).collect()
+        }
+        assert 1 in out          # first occurrence survives (CCNet)
+        assert 2 in out          # rewritten, keeps its unique prefix
+        assert 3 not in out and 4 not in out
+        assert 5 in out
+
     def test_no_split_weights_keeps_four_columns(self, spark):
         from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
 

@@ -91,6 +91,30 @@ class TestDedupQuality:
         rows = {r["keep_doc_id"]: r["group_size"] for r in exact_dedup_by_hash(df).collect()}
         assert rows == {1: 3, 2: 1}
 
+    def test_soft_dedup_unit_mass_per_distinct_text(self, spark):
+        """Soft dedup keeps EVERY row and assigns 1/n per copy, so each
+        distinct text carries exactly unit total weight — the invariant
+        that makes downweighting equivalent in expectation to keeping
+        one copy."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+
+        df = spark.createDataFrame(
+            [(3, "x"), (1, "x"), (2, "y"), (7, "x")], "doc_id long, text string"
+        )
+        rows = {
+            r["doc_id"]: (r["n_copies"], r["weight"])
+            for r in soft_dedup_weights(df).collect()
+        }
+        assert set(rows) == {1, 2, 3, 7}  # nothing dropped
+        assert rows[2] == (1, 1.0)
+        assert rows[1] == (3, 1.0 / 3) == rows[3] == rows[7]
+        mass: dict = {}
+        for d, (n, w) in rows.items():
+            mass["x" if d != 2 else "y"] = mass.get("x" if d != 2 else "y", 0.0) + w
+        assert abs(mass["x"] - 1.0) < 1e-12 and mass["y"] == 1.0
+
 
 class TestAnnRecall:
     @pytest.fixture(scope="class")

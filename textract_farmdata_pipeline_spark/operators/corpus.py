@@ -309,6 +309,7 @@ def build_corpus(
     split_weights: tuple[int, int, int] | None = None,
     substring_len: int | None = None,
     substring_min_count: int = 2,
+    paragraph_words: int | None = None,
 ) -> DataFrame:
     """The end-to-end corpus build: [KN-LM quality gate →] [Gopher
     quality gate → cross-document span dedup →] [ExactSubstr removal →]
@@ -325,6 +326,15 @@ def build_corpus(
     fully-duplicated documents (clean text ``''``) are dropped, the
     span-stage rule.  Downstream digests and decontamination shingles
     see the cleaned text.
+
+    ``paragraph_words`` enables the CCNet paragraph-dedup stage
+    (:func:`..operators.paragraphs.paragraph_dedup_keepfirst`, Wenzek
+    et al. 2020 §4.1): every repeated ``paragraph_words``-word
+    paragraph keeps exactly its first ``(doc_id, chunk_idx)``
+    occurrence and every later copy is removed before exact dedup;
+    documents whose every paragraph was a later copy drop out (clean
+    text ``''``).  Unlike the C4 span stage (which keeps no canonical
+    copy) one occurrence of shared boilerplate always survives.
 
     ``containment_t`` enables the excerpt-removal stage
     (:func:`..operators.dedup.containment_excerpt_drop`) after exact
@@ -445,6 +455,19 @@ def build_corpus(
         ).where(F.col("clean_text") != "")
         docs = docs.drop(text_col).join(
             ss.select(key_col, F.col("clean_text").alias(text_col)), key_col
+        )
+        docs, _ = tracked_local_checkpoint(docs)
+    if paragraph_words is not None:
+        # keep-first paragraph dedup references its input from three
+        # branches (segments ×2 through the min-struct join, totals) —
+        # the same staging rule as the span and substring stages.
+        from .paragraphs import paragraph_dedup_keepfirst
+
+        pd = paragraph_dedup_keepfirst(
+            docs, para_words=paragraph_words, id_col=key_col, text_col=text_col
+        ).where(F.col("clean_text") != "")
+        docs = docs.drop(text_col).join(
+            pd.select(key_col, F.col("clean_text").alias(text_col)), key_col
         )
         docs, _ = tracked_local_checkpoint(docs)
 
@@ -984,6 +1007,68 @@ def contamination_profile(
             (
                 F.sum(hit).cast("double") / F.count("*").cast("double")
             ).alias("contamination"),
+        )
+    )
+
+
+def source_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Marginal-diversity curve per source: how many DISTINCT n-gram
+    shingles each source contributes that no lexicographically-earlier
+    source has — the diminishing-returns signal behind "is crawl N+1
+    still adding anything?" (each shingle is credited to its MIN
+    source, so summing ``n_novel`` over any lexicographic prefix of
+    sources gives that prefix's exact distinct-shingle count).
+
+    Returns one row per source: ``(source, n_distinct, n_novel,
+    novelty_bp)`` with ``novelty_bp = n_novel·10000 // n_distinct``
+    (integer basis points, engine-exact — the
+    :func:`source_quality_gate` discipline).
+
+    Scale shape (100 TB): the shingle explode is codegen'd; both
+    aggregates key on the (source, 8-byte hash) pair or the hash alone
+    and are map-side combinable, so a boilerplate shingle repeated a
+    billion times collapses per map task before either shuffle; output
+    is |sources| rows.  The same frame ordered by ``novelty_bp``
+    descending IS the greedy source-selection curve.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_pos = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    dist = (
+        docs.select(
+            by,
+            toks.alias("_t"),
+            F.explode(F.sequence(F.lit(1), n_pos)).alias("_p"),
+        )
+        .select(
+            by,
+            F.xxhash64(
+                F.array_join(F.slice("_t", F.col("_p"), n), " ")
+            ).alias("_h"),
+        )
+        .distinct()
+    )
+    per = dist.groupBy(by).agg(F.count("*").alias("n_distinct"))
+    nov = (
+        dist.groupBy("_h")
+        .agg(F.min(by).alias(by))
+        .groupBy(by)
+        .agg(F.count("*").alias("n_novel"))
+    )
+    nn = F.coalesce(F.col("n_novel"), F.lit(0))
+    return (
+        per.join(nov, by, "left")
+        .select(
+            by,
+            "n_distinct",
+            nn.alias("n_novel"),
+            F.expr("(coalesce(n_novel, 0) * 10000) div n_distinct").alias(
+                "novelty_bp"
+            ),
         )
     )
 

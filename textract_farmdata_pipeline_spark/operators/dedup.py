@@ -41,6 +41,43 @@ def exact_dedup_by_hash(
     return exact_dedup(docs, F.md5(F.col(text_col)), id_col=id_col)
 
 
+def soft_dedup_weights(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Soft dedup: downweight duplicates instead of removing them.
+
+    Every copy of a text repeated ``n`` times gets sampling weight
+    ``1/n``, so each DISTINCT text contributes unit mass to training
+    regardless of how often the crawl re-collected it — the
+    downweight-instead-of-drop alternative to :func:`exact_dedup`
+    (cf. SoftDeDup, He et al. 2024: reweighting preserves the corpus
+    while neutralizing duplication bias; this is its exact-duplicate
+    form — compose with :func:`near_dup_clusters` and weight by
+    cluster size for the fuzzy form).
+
+    Returns ``(id, n_copies, weight)`` for every input document.
+    Scale shape: one md5-digest groupBy (16-byte keys, map-side
+    combined — the :func:`exact_dedup_by_hash` shuffle) and one join
+    back on the digest; document bodies never shuffle.  ``weight`` is
+    a single IEEE division, identical in any engine.
+    """
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    counts = (
+        docs.select(h.alias("_h"))
+        .groupBy("_h")
+        .agg(F.count("*").alias("n_copies"))
+    )
+    return (
+        docs.select(id_col, h.alias("_h"))
+        .join(counts, "_h")
+        .select(
+            id_col,
+            "n_copies",
+            (F.lit(1.0) / F.col("n_copies")).alias("weight"),
+        )
+    )
+
+
 def count_distinct_two_phase(
     df: DataFrame, key: str, value_cols: dict[str, str]
 ) -> DataFrame:

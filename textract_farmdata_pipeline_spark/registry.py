@@ -10605,8 +10605,9 @@ def doc_dsir_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PARA_W = 12
 
-_PARA_KEEPFIRST_ORACLE = f"""
-WITH pseg AS (
+# p-prefixed CTEs, one definition for both the standalone keep-first
+# query and the paragraph-gated corpus build (the ss-chain precedent).
+_PARA_KEEPFIRST_CTES = f"""pseg AS (
   SELECT doc_id, CAST(i - 1 AS INTEGER) AS ci,
     array_to_string(toks[(i-1)*{_PARA_W} + 1 : (i-1)*{_PARA_W} + {_PARA_W}], ' ') AS seg
   FROM (
@@ -10626,7 +10627,10 @@ pagg AS (
   SELECT doc_id, string_agg(seg, ' ' ORDER BY ci) AS clean_text,
          CAST(COUNT(*) AS INTEGER) AS n_kept
   FROM pkept GROUP BY doc_id
-),
+)"""
+
+_PARA_KEEPFIRST_ORACLE = f"""
+WITH {_PARA_KEEPFIRST_CTES},
 ptot AS (
   SELECT doc_id,
     CAST(greatest(CAST(ceil(len(string_split(text, ' ')) / {_PARA_W}.0) AS BIGINT), 1)
@@ -10844,3 +10848,128 @@ def doc_bloom_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replay_bloom_batches(
         incoming, workdir, k_batches=4, m_bits=_BLOOM_STREAM_M, k=_BLOOM_STREAM_K
     )
+
+
+# Keep-first paragraph dedup composed in FRONT of the 4-stage build:
+# the p-chain rewrites the corpus text (docs whose every paragraph was
+# a later copy drop — the span-stage rule), and the build tail is
+# sliced VERBATIM from _CORPUS_BUILD_SOURCE_GATED_ORACLE at its
+# ``dedup AS (`` root — the one-definition slice the substring- and
+# DSIR-gated builds use, so the gated build chain has exactly one
+# spelling.  The eval holdout inside that tail stays the FULL corpus's
+# doc_id % 97 slice over RAW text (curation must not change what you
+# decontaminate against).
+_CORPUS_BUILD_PARA_ORACLE = (
+    f"""
+WITH {_PARA_KEEPFIRST_CTES},
+gated AS (
+  SELECT d.doc_id, COALESCE(a.clean_text, '') AS text, d.source
+  FROM documents d LEFT JOIN pagg a USING (doc_id)
+  WHERE COALESCE(a.clean_text, '') <> ''
+),
+dedup AS ("""
+    + _CORPUS_BUILD_SOURCE_GATED_ORACLE.split("dedup AS (", 1)[1]
+)
+
+
+@register("corpus_build_paragraph_gated", _CORPUS_BUILD_PARA_ORACLE)
+def corpus_build_paragraph_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-stage corpus build with CCNet keep-first paragraph dedup
+    composed in FRONT (``build_corpus(paragraph_words=12)``): every
+    repeated 12-word paragraph keeps exactly its first occurrence
+    BEFORE exact dedup, so downstream digests and decontamination
+    shingles see the cleaned text and fully-boilerplate documents exit
+    the pipeline entirely — the Wenzek et al. 2020 line-dedup layer in
+    its production position (between raw text and document-level
+    dedup, exactly where CCNet runs it).  The paragraph-cleaned corpus
+    is staged once (localCheckpoint) so the min-struct hash chain runs
+    once, not per build branch; the eval holdout is pinned to the RAW
+    corpus.  Oracle: the p-chain re-rooted as ``gated`` + the gated
+    build tail sliced verbatim from the source-gated oracle."""
+    from .operators.corpus import build_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_corpus(
+        docs,
+        docs.filter(F.col("doc_id") % 97 == 0),
+        num_shards=16,
+        decontam_n=3,
+        paragraph_words=_PARA_W,
+    )
+
+
+_SOFTDEDUP_ORACLE = """
+WITH sdbase AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 50
+),
+sdc AS (
+  SELECT md5(coalesce(text, '')) AS h, COUNT(*) AS n_copies
+  FROM sdbase GROUP BY h
+)
+SELECT b.doc_id, c.n_copies,
+  CAST(1.0 AS DOUBLE) / CAST(c.n_copies AS DOUBLE) AS weight
+FROM sdbase b JOIN sdc c ON md5(coalesce(b.text, '')) = c.h
+"""
+
+
+@register("doc_softdedup_weights", _SOFTDEDUP_ORACLE)
+def doc_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup — downweight instead of remove (cf. SoftDeDup, He et
+    al. 2024, in its exact-duplicate form): every copy of a text
+    repeated n times gets sampling weight 1/n, so each distinct text
+    contributes unit mass to training however often the crawl
+    re-collected it.  50 planted copies (``doc_id + 200000``) make the
+    duplicate weights real; every document keeps a row — the point of
+    the soft form is that nothing is dropped, the loss/sampling weight
+    carries the correction.  One 16-byte-digest groupBy + join back
+    (document bodies never shuffle); the weight is a single IEEE
+    division, hash-checked exactly.  Composes with token-budget
+    mixtures (multiply the weights) and with ``near_dup_clusters``
+    (weight by cluster size) for the fuzzy form."""
+    from .operators.dedup import soft_dedup_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    base = docs.select("doc_id", "text").unionByName(
+        planted.select("doc_id", "text")
+    )
+    return soft_dedup_weights(base)
+
+
+_SOURCE_NOVELTY_ORACLE = """
+WITH sntoks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+snsh AS (
+  SELECT source, array_to_string(t[i : i + 2], ' ') AS shingle
+  FROM sntoks, LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+),
+sndist AS (SELECT DISTINCT source, shingle FROM snsh),
+snper AS (SELECT source, COUNT(*) AS n_distinct FROM sndist GROUP BY source),
+snown AS (SELECT shingle, MIN(source) AS source FROM sndist GROUP BY shingle),
+snnov AS (SELECT source, COUNT(*) AS n_novel FROM snown GROUP BY source)
+SELECT p.source, p.n_distinct,
+  COALESCE(n.n_novel, 0) AS n_novel,
+  (COALESCE(n.n_novel, 0) * 10000) // p.n_distinct AS novelty_bp
+FROM snper p LEFT JOIN snnov n USING (source)
+"""
+
+
+@register("corpus_source_novelty", _SOURCE_NOVELTY_ORACLE)
+def corpus_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-diversity curve per source
+    (:func:`..operators.corpus.source_novelty`): distinct 3-gram
+    shingles each source contributes that no lexicographically-earlier
+    source has — each shingle credited to its MIN source, so any
+    source-prefix's novel counts sum to that prefix's exact distinct-
+    shingle total.  The before-you-buy companion to
+    ``corpus_source_overlap`` (pairwise redundancy) and
+    ``corpus_source_gate`` (block decision): this one prices what a
+    source ADDS.  Both aggregates are map-side-combinable on 8-byte
+    hashes (the oracle groups shingle text — the usual key-never-in-
+    output split); |sources| rows out at any corpus size."""
+    from .operators.corpus import source_novelty
+
+    return source_novelty(_t(spark, sf_dir, "documents"), n=3)

@@ -161,6 +161,11 @@ PROBE = (
     "corpus_build_substring_gated",
     "multimodal_dhash_stream_replay",
     "corpus_substring_incremental",
+    # round-10 additions: paragraph-granularity dedup (CCNet keep-first
+    # + Dolma Bloom-gated) and the O(bits)-state streaming admission
+    "doc_paragraph_dedup",
+    "doc_paragraph_bloom_dedup",
+    "doc_bloom_stream_replay",
 )
 
 KEYED = {
