@@ -1358,3 +1358,118 @@ class TestDsir:
         legacy = dsir_train_weights(raw, target).select("bucket", "w")
         got = {r["doc_id"] for r in dsir_score_against(docs, legacy).collect()}
         assert 3 not in got and 4 not in got and {1, 2, 5} <= got
+
+
+class TestDecontaminateSpans:
+    """Span-level eval-set decontamination: the ExactSubstr window
+    machinery with the matching state swapped to "present in the eval
+    set" — maximal span extents, eligibility boundaries, and the
+    corpus-duplicate blind spot (corpus-internal repeats are NOT
+    contamination)."""
+
+    _EVAL = " ".join(f"e{i}" for i in range(10))  # 10-token eval doc
+    _REP = " ".join(f"r{i}" for i in range(12))  # corpus-internal twin
+
+    def _pair(self, spark):
+        corpus = _docs(
+            spark,
+            [
+                (1, "a b c " + self._EVAL + " x y z"),  # eval mid-doc
+                (2, self._EVAL),  # document IS eval text
+                (3, " ".join(f"u{i}" for i in range(20))),  # clean
+                (4, "tiny doc"),  # shorter than L
+                # 6-token eval prefix < L=8: must NOT flag
+                (5, "e0 e1 e2 e3 e4 e5 " + " ".join(f"z{i}" for i in range(8))),
+                (6, self._REP),  # corpus-internal duplicate pair:
+                (7, self._REP),  # shares no eval window -> untouched
+            ],
+        )
+        ev = _docs(spark, [(100, self._EVAL), (101, "short eval")])
+        return corpus, ev
+
+    def test_maximal_spans_and_eligibility(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            decontaminate_spans,
+        )
+
+        corpus, ev = self._pair(spark)
+        spans = {
+            r["doc_id"]: (r["span_start"], r["span_end"], r["n_tokens"])
+            for r in decontaminate_spans(corpus, ev, min_len=8).collect()
+        }
+        # doc 1: eval block occupies tokens 4..13; windows at 4/5/6
+        # merge into ONE maximal span covering exactly the block
+        assert spans == {1: (4, 13, 10), 2: (1, 10, 10)}
+
+    def test_scrub_rewrites_and_empties(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            decontaminate_scrub,
+        )
+
+        corpus, ev = self._pair(spark)
+        out = {
+            r["doc_id"]: r
+            for r in decontaminate_scrub(corpus, ev, min_len=8).collect()
+        }
+        assert out[1]["clean_text"] == "a b c x y z"
+        assert out[1]["n_tokens_dropped"] == 10
+        assert out[2]["clean_text"] == "" and out[2]["n_tokens_kept"] == 0
+        assert out[3]["n_tokens_dropped"] == 0
+        assert out[4]["clean_text"] == "tiny doc"
+        assert out[5]["n_tokens_dropped"] == 0  # sub-threshold overlap
+        # corpus-internal duplication is dedup's job, not decontam's
+        assert out[6]["n_tokens_dropped"] == 0
+        assert out[7]["n_tokens_dropped"] == 0
+
+    def test_short_eval_docs_produce_no_windows(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            decontaminate_spans,
+        )
+
+        corpus = _docs(spark, [(1, "short eval plus padding tokens here now ok")])
+        ev = _docs(spark, [(100, "short eval")])  # 2 tokens < L
+        assert decontaminate_spans(corpus, ev, min_len=8).count() == 0
+
+
+class TestBuildCorpusDecontamScrub:
+    """build_corpus(decontam_scrub_len=...): span-scrub replaces the
+    document-drop rule — partially-contaminated docs stay (minus their
+    spans affecting only the empty-exit rule), fully-contaminated docs
+    exit."""
+
+    _EVAL = " ".join(f"e{i}" for i in range(10))
+
+    def _frames(self, spark):
+        rows = [
+            (1, "a b c " + self._EVAL + " x y z", "web"),  # partial
+            (2, self._EVAL, "web"),  # fully contaminated
+            (3, " ".join(f"u{i}" for i in range(20)), "web"),  # clean
+            (4, " ".join(f"v{i}" for i in range(20)), "book"),  # clean
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        ev = spark.createDataFrame(
+            [(100, self._EVAL, "eval")], "doc_id long, text string, source string"
+        )
+        return docs, ev
+
+    def test_scrub_mode_keeps_partial_drops_full(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
+
+        docs, ev = self._frames(spark)
+        kept = {
+            r["doc_id"]
+            for r in build_corpus(
+                docs, ev, num_shards=4, decontam_scrub_len=8
+            ).collect()
+        }
+        # doc 2 is entirely eval text -> exits; doc 1 keeps its
+        # residue; the drop rule (decontam_n=3) would kill BOTH.
+        # (doc 3 is sampled out downstream by the mixture stage: web
+        # rate = 1.5/2 = 0.75 and md5-bucket(3) = 778110 >= 750000 —
+        # a mixture decision, not a decontamination one.)
+        assert 2 not in kept and 1 in kept and 4 in kept and 3 not in kept
+        dropped = {
+            r["doc_id"]
+            for r in build_corpus(docs, ev, num_shards=4, decontam_n=3).collect()
+        }
+        assert 1 not in dropped and 2 not in dropped

@@ -4940,3 +4940,90 @@ class TestSemanticDedupGatedRegistration:
         assert key("embedding_semantic_dedup") == key(
             "embedding_semantic_dedup_gated"
         )
+
+
+class TestPrototypePrune:
+    """Prototype-based dataset pruning (Sorscher et al. 2022): cell
+    assignment ties, within-cell prototypicality ranks, and the
+    floor-quota keep rule."""
+
+    def _df(self, spark):
+        rows = [
+            (1, [1.0, 0.0]),  # cell 1, cos 1.0
+            (2, [2.0, 0.0]),  # cell 1, cos 1.0 — tie with 1, id breaks
+            (3, [1.0, 1.0]),  # equal dot to both anchors -> first max
+            (4, [0.0, 1.0]),  # cell 2, cos 1.0
+            (5, [0.1, 1.0]),  # cell 2, slightly off-axis
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    _ANCHORS = [[1.0, 0.0], [0.0, 1.0]]
+
+    def test_cells_ranks_and_keep(self, spark):
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            prototype_prune,
+        )
+
+        out = {
+            r["vec_id"]: r
+            for r in prototype_prune(
+                self._df(spark), self._ANCHORS, prune_frac=0.5
+            ).collect()
+        }
+        # v3 dots equally to both anchors -> array_position first max
+        assert {v: out[v]["cell_id"] for v in out} == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2}
+        # cell 1 ranks: v1 (cos 1.0, lower id) 1, v2 (cos 1.0) 2, v3 3
+        assert [out[v]["proto_rank"] for v in (1, 2, 3)] == [1, 2, 3]
+        # quotas: cell 1 n=3 drops floor(1.5)=1 (v1); cell 2 n=2 drops
+        # floor(1)=1 (v4, the exact-prototype) — hard examples survive
+        assert {v for v in out if out[v]["keep"]} == {2, 3, 5}
+
+    def test_quota_extremes(self, spark):
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            prototype_prune,
+        )
+
+        df = self._df(spark)
+        all_keep = prototype_prune(df, self._ANCHORS, prune_frac=0.0)
+        assert all(r["keep"] for r in all_keep.collect())
+        none_keep = prototype_prune(df, self._ANCHORS, prune_frac=1.0)
+        assert not any(r["keep"] for r in none_keep.collect())
+
+    def test_per_cell_quota_invariant_on_corpus(self, spark, emb):
+        """On the real embeddings table with frozen md5 anchors, every
+        cell keeps exactly n_cell - floor(n_cell/2) members and ranks
+        are a permutation of 1..n_cell."""
+        from pyspark.sql import functions as F
+
+        from textract_farmdata_pipeline_spark.operators.dedup import md5_long
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            prototype_prune,
+        )
+
+        anchors = [
+            r["e"]
+            for r in emb.select(
+                F.col("embedding").cast("array<double>").alias("e"),
+                md5_long(F.col("vec_id").cast("string"), "prot|").alias("_r"),
+                "vec_id",
+            )
+            .orderBy(F.asc("_r"), F.asc("vec_id"))
+            .limit(16)
+            .collect()
+        ]
+        out = prototype_prune(emb, anchors, prune_frac=0.5)
+        per = (
+            out.groupBy("cell_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("keep").cast("int")).alias("n_keep"),
+                F.min("proto_rank").alias("rmin"),
+                F.max("proto_rank").alias("rmax"),
+                F.count_distinct("proto_rank").alias("rdist"),
+            )
+            .collect()
+        )
+        assert per  # non-degenerate
+        for r in per:
+            assert r["n_keep"] == r["n"] - r["n"] // 2
+            assert (r["rmin"], r["rmax"], r["rdist"]) == (1, r["n"], r["n"])

@@ -310,6 +310,7 @@ def build_corpus(
     substring_len: int | None = None,
     substring_min_count: int = 2,
     paragraph_words: int | None = None,
+    decontam_scrub_len: int | None = None,
 ) -> DataFrame:
     """The end-to-end corpus build: [KN-LM quality gate →] [Gopher
     quality gate → cross-document span dedup →] [ExactSubstr removal →]
@@ -368,6 +369,17 @@ def build_corpus(
     on the smallest possible doc set — upstream stages (exact dedup,
     excerpt removal) have already removed most twins, and a twin that
     did NOT survive to the output cannot leak by definition.
+
+    ``decontam_scrub_len`` switches the decontamination stage from the
+    document-DROP rule to SPAN-level scrubbing
+    (:func:`decontaminate_scrub`): every ≥ ``decontam_scrub_len``-token
+    verbatim eval overlap is removed from the surviving text and the
+    document stays in the corpus unless nothing remains (``clean_text
+    = ''`` exits, the span-stage rule).  Partially-contaminated
+    documents that the n-gram drop rule would discard wholesale are
+    retained minus exactly their overlapping spans — the data-efficient
+    decontamination discipline for long documents.  ``decontam_n`` is
+    ignored in this mode.
 
     ``quality_gate=True`` prepends the Gopher composite gate
     (:func:`..operators.text_analysis.gopher_quality_filter`) so
@@ -500,12 +512,32 @@ def build_corpus(
         base = base.join(drop, key_col, "left_anti")
     if persist_intermediate:
         base = base.persist()
-    contaminated = decontaminate(
-        base, eval_docs, n=decontam_n, text_col=text_col, id_col=key_col
-    ).select(key_col)
-    clean = base.join(F.broadcast(contaminated), key_col, "left_anti").select(
-        key_col, by
-    )
+    if decontam_scrub_len is not None:
+        # Span-scrub mode: the scrub chain references base from three
+        # branches (corpus windows, rewrite, pass-through) — the same
+        # staging rule as the front gates, so base's subtree computes
+        # once.  Only fully-contaminated docs (clean_text == '') exit;
+        # downstream mixture/shard layout consumes ids+domains, so the
+        # rewritten text's only manifest effect is that exit rule —
+        # which is exactly the semantic difference vs the drop rule.
+        base, _ = tracked_local_checkpoint(base)
+        survivors = decontaminate_scrub(
+            base,
+            eval_docs,
+            min_len=decontam_scrub_len,
+            id_col=key_col,
+            text_col=text_col,
+        ).where(F.col("clean_text") != "")
+        clean = base.select(key_col, by).join(
+            survivors.select(key_col), key_col
+        )
+    else:
+        contaminated = decontaminate(
+            base, eval_docs, n=decontam_n, text_col=text_col, id_col=key_col
+        ).select(key_col)
+        clean = base.join(F.broadcast(contaminated), key_col, "left_anti").select(
+            key_col, by
+        )
     if persist_intermediate:
         clean = clean.persist()
     sampled = mixture_resample(clean, by=by, key_col=key_col)
@@ -827,6 +859,26 @@ def substring_dedup(
         id_col=id_col,
         text_col=text_col,
     )
+    return _remove_spans(docs, spans, id_col=id_col, text_col=text_col)
+
+
+def _remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-level span-removal rewrite shared by ExactSubstr removal
+    (:func:`substring_dedup`) and span-level eval decontamination
+    (:func:`decontaminate_scrub`): given maximal 1-based inclusive
+    ``(id, span_start, span_end)`` spans, drop every covered token and
+    reassemble each document from the survivors in order.  ONE
+    definition so the rewrite boundary condition cannot diverge
+    between the two products.  The rewrite runs only on span-owning
+    documents (higher-order token filter against their collected-span
+    array); the untouched majority anti-joins the span ids and passes
+    through as a projection — corpus bytes are never shuffled to
+    rebuild text."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_sp")
     )
@@ -930,6 +982,92 @@ def incremental_substring_spans(
     )
     hits = win.join(dup, "h", "left_semi").select("doc_id", "pos")
     return _hit_islands(hits, L, id_col)
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    min_len: int = 8,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SPAN-level eval-set decontamination: every maximal corpus token
+    span whose each stride-1 ``min_len``-token window occurs verbatim
+    anywhere in the eval set — the ExactSubstr machinery
+    (:func:`substring_dup_spans`) with the matching state swapped from
+    "duplicated within the corpus" to "present in the eval set".
+
+    :func:`decontaminate` (the GPT-3-style n-gram rule) flags WHOLE
+    documents on any shared n-gram — the right gate for short
+    benchmark strings, but it throws away an entire document for one
+    overlapping phrase.  This form localizes the overlap: it returns
+    the exact token spans ``(id, span_start, span_end, n_tokens)``
+    (1-based inclusive) that reproduce ≥ ``min_len`` consecutive eval
+    tokens, so :func:`decontaminate_scrub` can remove just those and
+    keep the rest of the document — the span-removal discipline
+    training pipelines apply to long verbatim eval overlap.
+
+    Scale shape (100 TB): eval windows hash to a distinct 8-byte set
+    (|eval|-bounded, tiny next to the corpus) and the corpus window
+    explode flows through ONE semi join on that key — broadcast under
+    AQE, shuffled hash join on the same 8 bytes when the eval set is
+    crawl-scale.  Only HIT positions (rare by construction) shuffle by
+    doc id for the island merge.  No corpus-sized exchange anywhere:
+    the corpus side is Generate → hash → join, all map-side when the
+    eval set broadcasts.
+    """
+    h = _shingle_hash(hash_family)
+    L = min_len
+    eligible = docs.select(F.col(id_col).alias("doc_id"), text_col).where(
+        F.size(F.split(F.col(text_col), " ")) >= L
+    )
+    win = ngram_shingles(eligible, L, text_col=text_col, id_col="doc_id").select(
+        "doc_id", "pos", h(F.col("shingle")).alias("_h")
+    )
+    ev = eval_docs.select(F.col(text_col).alias("text")).where(
+        F.size(F.split(F.col("text"), " ")) >= L
+    )
+    # id_col=text carries the text through as its own id, the
+    # decontaminate() spelling — no synthetic id, and it projects away
+    # in the distinct-hash select.
+    ev_win = (
+        ngram_shingles(ev, L, text_col="text", id_col="text")
+        .select(h(F.col("shingle")).alias("_h"))
+        .distinct()
+    )
+    hits = win.join(ev_win, "_h", "left_semi").select("doc_id", "pos")
+    return _hit_islands(hits, L, id_col)
+
+
+def decontaminate_scrub(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    min_len: int = 8,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply span-level decontamination: drop every token covered by a
+    ≥ ``min_len``-token verbatim eval overlap
+    (:func:`decontaminate_spans`) and reassemble each document from
+    the survivors — remove the contamination, keep the document.
+
+    Returns ``(id, clean_text, n_tokens_kept, n_tokens_dropped)`` with
+    ``clean_text = ''`` when the document is entirely eval text (those
+    should then exit the pipeline, the :func:`build_corpus`
+    ``decontam_scrub_len`` rule).  The rewrite is the shared
+    :func:`_remove_spans` tail — identical boundary semantics to
+    ExactSubstr removal."""
+    spans = decontaminate_spans(
+        docs,
+        eval_docs,
+        min_len=min_len,
+        hash_family=hash_family,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    return _remove_spans(docs, spans, id_col=id_col, text_col=text_col)
 
 
 def weighted_mixture_resample(

@@ -849,6 +849,80 @@ def ivf_cluster_profile(
     )
 
 
+def prototype_prune(
+    vectors: DataFrame,
+    centroids,
+    prune_frac: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Prototype-based dataset pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws: beating power law scaling via data pruning",
+    NeurIPS 2022): rank every example by how PROTOTYPICAL it is —
+    cosine to its nearest codebook centroid — and drop the most
+    prototypical ``prune_frac`` of each cluster.  In the paper's
+    abundant-data regime, keeping the HARD (boundary) examples and
+    discarding easy/redundant ones beats random subsetting; this is
+    the embedding-space companion to SemDeDup (which removes
+    near-copies, while pruning removes the over-represented core).
+
+    Mechanics: unit-normalize, assign each vector to its max-dot
+    centroid (``array_position`` first-max — deterministic ties, the
+    :func:`nearest_cell` contract), rank within the cell by that max
+    dot DESC (ties → lowest id), and drop ranks ≤
+    ``floor(n_cell · prune_frac)``.  Ranking by the raw-centroid dot
+    equals ranking by cosine within a fixed cell (the centroid's norm
+    is a per-cell constant), so no second normalization pass runs.
+
+    Returns one row per vector:
+    ``(id, cell_id, n_cell, proto_rank, keep)`` — integers and a
+    boolean only, so the decision replays exactly in ANSI SQL (the
+    dots reuse the left-fold IEEE trees every hash-green cosine oracle
+    relies on; they are never emitted).
+
+    Scale shape (100 TB): the codebook ships as ONE parsed literal
+    (`k × dim` doubles) into a map-only score/assign stage; the only
+    exchange is the per-cell rank — one hash partition on ``cell_id``
+    (k partitions at n/k expected rows each) carrying ``(id, cell,
+    score)`` — 16 bytes + the score per vector, never the embedding
+    itself.  A pathological hot cell is a data signal (an
+    over-represented core is what the operator removes) and bounds at
+    the same Σc² discipline as SemDeDup cells; the rank itself stays a
+    sort within one partition.  Per-cell quotas (floor(n·frac)) need
+    the full per-cell order, so the window is inherent to the
+    semantics — not a removable shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    scored = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        centroid_scores(unit_vector(F.col(vec_col)), centroids).alias("_s"),
+    ).select(
+        "vec_id",
+        nearest_cell(F.col("_s")).cast("int").alias("cell_id"),
+        F.array_max(F.col("_s")).alias("_proto"),
+    )
+    w = Window.partitionBy("cell_id")
+    ranked = scored.select(
+        "vec_id",
+        "cell_id",
+        F.row_number()
+        .over(w.orderBy(F.desc("_proto"), F.asc("vec_id")))
+        .alias("proto_rank"),
+        F.count("*").over(w).cast("long").alias("n_cell"),
+    )
+    return ranked.select(
+        "vec_id",
+        "cell_id",
+        "n_cell",
+        "proto_rank",
+        (
+            F.col("proto_rank")
+            > F.floor(F.col("n_cell") * F.lit(float(prune_frac)))
+        ).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (Jégou, Douze, Schmid, "Product Quantization for
 # Nearest Neighbor Search", TPAMI 2011) — the compressed-domain ANN

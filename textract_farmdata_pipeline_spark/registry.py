@@ -7133,6 +7133,227 @@ def corpus_build_substring_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =========================================================================
+# Span-level eval-set decontamination — the ExactSubstr machinery
+# (window hashes → hit islands → shared _remove_spans rewrite) with
+# the matching state swapped from "duplicated within the corpus" to
+# "present in the eval set".  The standalone queries run against a
+# corpus with PLANTED partial contamination (five eval docs wrapped in
+# novel context tokens, the frozen-SemDeDup planted-copy discipline)
+# so the span boundaries are exercised deterministically on top of the
+# natural cross-boundary twins; dc-prefixed CTEs, ONE chain shared by
+# the spans and scrub oracles.  Window length 8 with the doc_id % 11
+# holdout (the % 97 slice shares almost no ≥8-token window with the
+# rest of this corpus — measured, not assumed).
+# =========================================================================
+_DECONTAM_SPAN_CTES = """
+dccorp AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 200000,
+    'planted intro context ' || text || ' planted outro context'
+  FROM documents WHERE doc_id % 11 = 0 AND doc_id < 50
+),
+dctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM dccorp),
+dcwin AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i : i + 7], ' ') AS w
+  FROM dctoks, LATERAL unnest(generate_series(1, len(t) - 8 + 1)) AS u(i)
+  WHERE len(t) >= 8
+),
+dcev AS (
+  SELECT DISTINCT array_to_string(t[i : i + 7], ' ') AS w
+  FROM (SELECT string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 11 = 0) e,
+       LATERAL unnest(generate_series(1, len(t) - 8 + 1)) AS u(i)
+  WHERE len(t) >= 8
+),
+dchit AS (SELECT c.doc_id, c.pos FROM dcwin c JOIN dcev USING (w)),
+dcisl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM (
+    SELECT doc_id, pos,
+      LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM dchit
+  )
+),
+dcspans AS (
+  SELECT doc_id,
+    CAST(MIN(pos) AS BIGINT) AS span_start,
+    CAST(MAX(pos) + 7 AS BIGINT) AS span_end
+  FROM dcisl GROUP BY doc_id, isl
+)"""
+
+_DECONTAM_SPANS_ORACLE = f"""
+WITH {_DECONTAM_SPAN_CTES}
+SELECT doc_id, span_start, span_end,
+  span_end - span_start + 1 AS n_tokens
+FROM dcspans
+"""
+
+
+def _planted_decontam_corpus(spark: SparkSession, sf_dir: str):
+    """Corpus + eval pair for the standalone decontamination queries:
+    eval = the doc_id % 11 holdout; corpus = the rest UNION five eval
+    docs re-id'd (+200000) and wrapped in novel context tokens —
+    partial contamination with known span boundaries (positions 4 ..
+    3+len), the planted-twin discipline."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    planted = ev.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.lit("planted intro context "),
+            F.col("text"),
+            F.lit(" planted outro context"),
+        ).alias("text"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    return corpus, ev
+
+
+@register("corpus_decontam_spans", _DECONTAM_SPANS_ORACLE)
+def corpus_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination decision table
+    (:func:`..operators.corpus.decontaminate_spans`): maximal corpus
+    token spans whose every stride-1 8-token window occurs verbatim in
+    the eval holdout — the localization the GPT-3-style whole-document
+    n-gram drop (doc_decontaminate) cannot give.  Eval window hashes
+    are a distinct broadcastable set; only hit positions shuffle."""
+    from .operators.corpus import decontaminate_spans
+
+    corpus, ev = _planted_decontam_corpus(spark, sf_dir)
+    return decontaminate_spans(corpus, ev, min_len=8)
+
+
+_DECONTAM_SCRUB_ORACLE = f"""
+WITH {_DECONTAM_SPAN_CTES},
+dctokpos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM dctoks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+),
+dckept AS (
+  SELECT k.doc_id, k.pos, k.tok
+  FROM dctokpos k LEFT JOIN dcspans s
+    ON k.doc_id = s.doc_id AND k.pos BETWEEN s.span_start AND s.span_end
+  WHERE s.doc_id IS NULL
+),
+dcagg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+    CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM dckept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(a.clean_text, '') AS clean_text,
+  COALESCE(a.n_kept, 0) AS n_tokens_kept,
+  CAST(len(d.t) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_tokens_dropped
+FROM dctoks d LEFT JOIN dcagg a USING (doc_id)
+"""
+
+
+@register("corpus_decontam_scrub", _DECONTAM_SCRUB_ORACLE)
+def corpus_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply span-level decontamination
+    (:func:`..operators.corpus.decontaminate_scrub`): every token
+    covered by a ≥8-token verbatim eval overlap is dropped and the
+    document reassembles from the survivors — remove the
+    contamination, keep the document.  The rewrite is the shared
+    ``_remove_spans`` tail (identical boundary semantics to
+    ExactSubstr removal, one definition)."""
+    from .operators.corpus import decontaminate_scrub
+
+    corpus, ev = _planted_decontam_corpus(spark, sf_dir)
+    return decontaminate_scrub(corpus, ev, min_len=8)
+
+
+# Scrub-mode build: _CORPUS_BUILD_ORACLE with the decontamination CTEs
+# swapped from the 3-gram document-drop rule to the dc span-scrub
+# chain re-rooted on the deduped base; survivors = docs with ≥1 kept
+# token (a dcagg row), then the counts/rates/sampled/shard tail sliced
+# VERBATIM from _CORPUS_BUILD_ORACLE — one spelling of the build tail.
+_CORPUS_BUILD_DECONTAM_SCRUB_ORACLE = (
+    """
+WITH dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+base AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d JOIN dedup USING (doc_id)
+),
+dctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+dcwin AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i : i + 7], ' ') AS w
+  FROM dctoks, LATERAL unnest(generate_series(1, len(t) - 8 + 1)) AS u(i)
+  WHERE len(t) >= 8
+),
+dcev AS (
+  SELECT DISTINCT array_to_string(t[i : i + 7], ' ') AS w
+  FROM (SELECT string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 11 = 0) e,
+       LATERAL unnest(generate_series(1, len(t) - 8 + 1)) AS u(i)
+  WHERE len(t) >= 8
+),
+dchit AS (SELECT c.doc_id, c.pos FROM dcwin c JOIN dcev USING (w)),
+dcisl AS (
+  SELECT doc_id, pos,
+    SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM (
+    SELECT doc_id, pos,
+      LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM dchit
+  )
+),
+dcspans AS (
+  SELECT doc_id,
+    CAST(MIN(pos) AS BIGINT) AS span_start,
+    CAST(MAX(pos) + 7 AS BIGINT) AS span_end
+  FROM dcisl GROUP BY doc_id, isl
+),
+dctokpos AS (
+  SELECT doc_id, i AS pos
+  FROM dctoks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+),
+dckept AS (
+  SELECT k.doc_id FROM dctokpos k LEFT JOIN dcspans s
+    ON k.doc_id = s.doc_id AND k.pos BETWEEN s.span_start AND s.span_end
+  WHERE s.doc_id IS NULL
+),
+dcagg AS (SELECT doc_id FROM dckept GROUP BY doc_id),
+clean AS (
+  SELECT b.doc_id, b.source FROM base b JOIN dcagg a USING (doc_id)
+),
+counts AS ("""
+    + _CORPUS_BUILD_ORACLE.split("counts AS (", 1)[1]
+)
+
+
+@register("corpus_build_decontam_scrub", _CORPUS_BUILD_DECONTAM_SCRUB_ORACLE)
+def corpus_build_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus build with SPAN-SCRUB decontamination
+    (``build_corpus(decontam_scrub_len=8)``): after exact dedup, every
+    ≥8-token verbatim overlap with the doc_id % 11 eval holdout is
+    removed from the surviving text and only documents with NOTHING
+    left (the eval docs themselves and their full twins) exit — vs the
+    3-gram drop rule, which at this holdout density would discard the
+    corpus wholesale (17 surviving docs vs 450, measured at sf0.01).
+    The data-efficient decontamination discipline for long documents,
+    in its production position."""
+    from .operators.corpus import build_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_corpus(
+        docs,
+        docs.filter(F.col("doc_id") % 11 == 0),
+        num_shards=16,
+        decontam_scrub_len=8,
+    )
+
+
 # Composed from the shared _GOPHER_CTES + _gopher_rules_sql (defined
 # next to the compressibility-gated variant) — one rule definition for
 # both gates.
@@ -10268,6 +10489,102 @@ def embedding_semantic_dedup_frozen(spark: SparkSession, sf_dir: str) -> DataFra
         .collect()
     ]
     return semantic_dedup(corpus, anchors, threshold=0.999, hamming_gate=16)
+
+
+# Prototype-based dataset pruning (Sorscher et al. 2022) — the
+# frozen-anchor member is fully hash-checkable (integer ranks/quotas
+# only; the float dots replay via list_dot_product left-folds and are
+# never emitted), the Lloyd member is the quality path (rows-only,
+# iterative training — the ivf_hot_split / semantic_dedup duality).
+_PROTO_PRUNE_ORACLE = """
+WITH ppv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+ppn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM ppv),
+ppu AS (
+  SELECT vec_id,
+    CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS u
+  FROM ppn
+),
+ppa AS (
+  SELECT aid, j FROM (
+    SELECT vec_id AS aid,
+      ROW_NUMBER() OVER (ORDER BY
+        CAST(('0x' || substr(md5('prot|' || CAST(vec_id AS VARCHAR)), 1, 15))
+             AS BIGINT) ASC,
+        vec_id ASC) AS j
+    FROM embeddings) ranked
+  WHERE j <= 16
+),
+ppav AS (
+  SELECT ppa.j, CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings JOIN ppa ON vec_id = ppa.aid
+),
+ppcell AS (
+  SELECT vec_id, j AS cell_id, d AS proto FROM (
+    SELECT r.vec_id, a.j, list_dot_product(a.c, r.u) AS d,
+      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+        ORDER BY list_dot_product(a.c, r.u) DESC, a.j ASC) AS rk
+    FROM ppu r CROSS JOIN ppav a) t
+  WHERE rk = 1
+),
+ppr AS (
+  SELECT vec_id, CAST(cell_id AS INT) AS cell_id,
+    CAST(COUNT(*) OVER (PARTITION BY cell_id) AS BIGINT) AS n_cell,
+    CAST(ROW_NUMBER() OVER (PARTITION BY cell_id
+      ORDER BY proto DESC, vec_id ASC) AS INT) AS proto_rank
+  FROM ppcell
+)
+SELECT vec_id, cell_id, n_cell, proto_rank,
+  proto_rank > CAST(floor(n_cell * 0.5) AS BIGINT) AS keep
+FROM ppr
+"""
+_PROTO_PRUNE_ORACLE = _force_materialized(_PROTO_PRUNE_ORACLE)
+
+
+@register("embedding_prototype_prune", _PROTO_PRUNE_ORACLE)
+def embedding_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-based dataset pruning (Sorscher et al. 2022, NeurIPS
+    — "Beyond neural scaling laws")
+    (:func:`..operators.similarity.prototype_prune`): assign every
+    embedding to its nearest frozen md5-anchor centroid, rank within
+    the cell by cosine-to-centroid DESC, and drop the most prototypical
+    half — keep the hard boundary examples, remove the over-represented
+    core.  The embedding-space companion to SemDeDup: dedup removes
+    near-copies, pruning removes redundancy that isn't duplication.
+    Map-only score/assign against the broadcast codebook + ONE 16-byte
+    rank exchange on cell_id; decisions are integers, hash-checked."""
+    from .operators.dedup import md5_long
+    from .operators.similarity import prototype_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = [
+        r["e"]
+        for r in emb.select(
+            F.col("embedding").cast("array<double>").alias("e"),
+            md5_long(F.col("vec_id").cast("string"), "prot|").alias("_r"),
+            "vec_id",
+        )
+        .orderBy(F.asc("_r"), F.asc("vec_id"))
+        .limit(16)
+        .collect()
+    ]
+    return prototype_prune(emb, anchors, prune_frac=0.5)
+
+
+@register("embedding_prototype_prune_kmeans")  # no oracle: iterative training
+def embedding_prototype_prune_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype pruning over a TRAINED Lloyd codebook — the quality
+    path (anchors are a coarse quantizer; trained centroids give the
+    paper's actual prototypes).  Same prune_frac=0.5 and ranking
+    contract as the frozen registration, so per-cell quotas are
+    directly comparable across codebooks; rows-only like every Lloyd
+    registration (keep-count and quota invariants pytest-pinned)."""
+    from .operators.similarity import kmeans_train, prototype_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_train(emb, k=16, max_iter=4)
+    return prototype_prune(emb, cents, prune_frac=0.5)
 
 
 # =========================================================================

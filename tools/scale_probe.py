@@ -166,6 +166,13 @@ PROBE = (
     "doc_paragraph_dedup",
     "doc_paragraph_bloom_dedup",
     "doc_bloom_stream_replay",
+    # round-10 additions: span-level eval decontamination (ExactSubstr
+    # machinery vs an eval matching state) and prototype pruning
+    "corpus_decontam_spans",
+    "corpus_decontam_scrub",
+    "corpus_build_decontam_scrub",
+    "embedding_prototype_prune",
+    "embedding_prototype_prune_kmeans",
 )
 
 KEYED = {
