@@ -1473,3 +1473,84 @@ class TestBuildCorpusDecontamScrub:
             for r in build_corpus(docs, ev, num_shards=4, decontam_n=3).collect()
         }
         assert 1 not in dropped and 2 not in dropped
+
+
+class TestDecontamEvalDelta:
+    """Benchmark-release audit: the positional window artifact probed
+    by newly added eval docs must reproduce the one-shot span decision
+    against that same eval slice — artifact == rebuild."""
+
+    _EVAL_A = " ".join(f"a{i}" for i in range(10))
+    _EVAL_B = " ".join(f"b{i}" for i in range(10))
+
+    def _frames(self, spark):
+        corpus = _docs(
+            spark,
+            [
+                (1, "x y z " + self._EVAL_A + " tail tokens"),
+                (2, "p q " + self._EVAL_B + " r s"),
+                (3, " ".join(f"u{i}" for i in range(20))),
+            ],
+        )
+        old_eval = _docs(spark, [(100, self._EVAL_A)])
+        new_eval = _docs(spark, [(101, self._EVAL_B)])
+        return corpus, old_eval, new_eval
+
+    def test_delta_equals_one_shot_on_new_slice(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            decontam_eval_delta,
+            decontaminate_spans,
+            substring_window_index,
+        )
+
+        corpus, _old, new = self._frames(spark)
+        stored = substring_window_index(corpus, min_len=8).localCheckpoint()
+        key = lambda df: sorted(tuple(r) for r in df.collect())
+        got = decontam_eval_delta(stored, new, min_len=8)
+        assert key(got) == key(decontaminate_spans(corpus, new, min_len=8))
+        # only doc 2 (the EVAL_B host) is affected; the EVAL_A overlap
+        # is old news, not part of this release's delta
+        assert {r["doc_id"] for r in got.collect()} == {2}
+        # exact extent: EVAL_B occupies tokens 3..12 of doc 2
+        r = got.collect()[0]
+        assert (r["span_start"], r["span_end"], r["n_tokens"]) == (3, 12, 10)
+
+
+class TestDecontamStreamReplay:
+    """Streaming scrub over K micro-batches against the frozen eval
+    window artifact equals the one-shot scrub — stream-equals-batch,
+    and idempotent by construction (stateless given the artifact)."""
+
+    def test_stream_replay_equals_one_shot(self, spark, tmp_path):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            decontaminate_scrub,
+        )
+        from textract_farmdata_pipeline_spark.streaming.ingest import (
+            replay_decontam_batches,
+        )
+
+        ev_text = " ".join(f"e{i}" for i in range(10))
+        corpus = _docs(
+            spark,
+            [
+                (1, "a b c " + ev_text + " x y z"),
+                (2, ev_text),
+                (3, " ".join(f"u{i}" for i in range(20))),
+                (4, "tiny doc"),
+                (5, "m n " + ev_text),
+            ],
+        )
+        ev = _docs(spark, [(100, ev_text)])
+        rep = replay_decontam_batches(
+            corpus, ev, str(tmp_path / "wd"), k_batches=3, min_len=8
+        )
+        key = lambda df: sorted(tuple(r) for r in df.collect())
+        assert key(rep) == key(decontaminate_scrub(corpus, ev, min_len=8))
+        got = {r["doc_id"]: r["clean_text"] for r in rep.collect()}
+        assert got == {
+            1: "a b c x y z",
+            2: "",
+            3: " ".join(f"u{i}" for i in range(20)),
+            4: "tiny doc",
+            5: "m n",
+        }

@@ -7354,6 +7354,69 @@ def corpus_build_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Eval-set UPDATE audit: the corpus is represented ONLY by its
+# positional window artifact (h, doc_id, pos) and the newly released
+# benchmarks probe it — the reverse-direction incremental form.  The
+# oracle recomputes everything from raw text, so the hash match also
+# proves the artifact equals a rebuild (the corpus_substring_incremental
+# discipline).  dcev narrows to the NEW eval slice only.
+_DECONTAM_DELTA_ORACLE = f"""
+WITH {_DECONTAM_SPAN_CTES.replace(
+    "WHERE doc_id % 11 = 0) e", "WHERE doc_id % 11 = 0 AND doc_id < 50) e"
+)}
+SELECT doc_id, span_start, span_end,
+  span_end - span_start + 1 AS n_tokens
+FROM dcspans
+"""
+
+
+@register("corpus_decontam_eval_delta", _DECONTAM_DELTA_ORACLE)
+def corpus_decontam_eval_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-release audit
+    (:func:`..operators.corpus.decontam_eval_delta`): the corpus is
+    represented ONLY by its positional window artifact
+    (:func:`..operators.corpus.substring_window_index`, staged — a
+    bucketed table in production) and the NEWLY ADDED eval documents
+    (the doc_id < 50 slice of the holdout) probe it on the 8-byte
+    equality key — which admitted documents, and which exact spans,
+    does the new benchmark contaminate, with NO corpus re-shingle.
+    The frozen-corpus incremental discipline in the reverse direction;
+    the oracle recomputes from raw text, so the hash also proves
+    artifact == rebuild."""
+    from .operators.checkpoints import tracked_local_checkpoint
+    from .operators.corpus import decontam_eval_delta, substring_window_index
+
+    corpus, ev = _planted_decontam_corpus(spark, sf_dir)
+    stored, _ = tracked_local_checkpoint(
+        substring_window_index(corpus, min_len=8)
+    )
+    return decontam_eval_delta(
+        stored, ev.filter(F.col("doc_id") < 50), min_len=8
+    )
+
+
+@register("doc_decontam_stream_replay", _DECONTAM_SCRUB_ORACLE)
+def doc_decontam_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING decontamination scrubber, driver-checkable:
+    reduce the eval holdout to its window-hash artifact once (frozen,
+    localCheckpointed), replay the planted corpus through
+    ``decontam_ingest_stream`` in 4 deterministic micro-batches
+    (``doc_id % 4``, availableNow), and return the accumulated clean
+    table.  This runs the REAL streaming path — foreachBatch,
+    per-batch ``decontaminate_scrub_against``, keyed
+    ``ParquetMergeTable`` MERGE commits.  Frozen artifact + stateless
+    per-doc scrubbing make the 4-batch union EQUAL the one-shot
+    ``corpus_decontam_scrub`` plan, so this replay shares that query's
+    DuckDB oracle verbatim — hash-checked."""
+    import tempfile
+
+    from .streaming.ingest import replay_decontam_batches
+
+    corpus, ev = _planted_decontam_corpus(spark, sf_dir)
+    workdir = tempfile.mkdtemp(prefix="decontam_replay_")
+    return replay_decontam_batches(corpus, ev, workdir, k_batches=4, min_len=8)
+
+
 # Composed from the shared _GOPHER_CTES + _gopher_rules_sql (defined
 # next to the compressibility-gated variant) — one rule definition for
 # both gates.

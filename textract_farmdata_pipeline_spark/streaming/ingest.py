@@ -780,3 +780,103 @@ def replay_bloom_batches(
         .read()
         .select("doc_id", "bloom_member", "is_new")
     )
+
+
+def decontam_ingest_stream(
+    docs: DataFrame,
+    ev_hashes: DataFrame,
+    clean_path: str,
+    min_len: int = 8,
+    hash_family: str = "xxhash64",
+    sink=None,
+):
+    """Returns a ``DataStreamWriter`` that SCRUBS every arriving
+    micro-batch against a FROZEN eval window-hash artifact
+    (:func:`..operators.corpus.decontaminate_scrub_against`) and MERGEs
+    the ``(doc_id, clean_text, n_tokens_kept, n_tokens_dropped)`` rows
+    into a clean-corpus table — decontamination at its deployment
+    cadence: the benchmark set is released once, reduced once to its
+    8-byte window set, and every admitted document is span-scrubbed on
+    the way in (batch windows explode map-side, ONE semi join against
+    the broadcastable artifact, islands over the batch's few hits).
+
+    ``ev_hashes`` must be materialized by the caller (localCheckpoint
+    or a table read) — the dsir_ingest_stream doctrine: a lazy lineage
+    would re-run the eval shingle explode inside every micro-batch.
+
+    Replay-idempotent BY CONSTRUCTION: the scrub is stateless per
+    document given the artifact — no batch reads state its own commit
+    mutated, so a replayed batch re-derives byte-identical rows and
+    the keyed MERGE overwrites them in place (contrast
+    :func:`dhash_ingest_stream`, whose matching state grows with
+    admissions and needed explicit self-exclusion)."""
+    from ..operators.corpus import decontaminate_scrub_against
+    from ..operators.merge import ParquetMergeTable
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        scrubbed = decontaminate_scrub_against(
+            ev_hashes, batch_df, min_len=min_len, hash_family=hash_family
+        )
+        table = ParquetMergeTable(spark, clean_path)
+        if os.path.isdir(os.path.join(clean_path, "_manifests")):
+            table.merge(scrubbed, key="doc_id")
+        elif not scrubbed.isEmpty():
+            table.create(scrubbed)
+        if sink is not None:
+            sink(scrubbed, batch_id)
+
+    return docs.writeStream.foreachBatch(process)
+
+
+def replay_decontam_batches(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    workdir: str,
+    k_batches: int = 4,
+    min_len: int = 8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Replay :func:`decontam_ingest_stream` as a finite run: reduce
+    the eval set to its window-hash artifact once (localCheckpointed),
+    deliver ``docs`` in ``k_batches`` deterministic micro-batches (the
+    shared :func:`_stage_batch_files` harness), and return the
+    accumulated clean table.
+
+    Frozen artifact + stateless per-doc scrubbing make the K-batch
+    union EQUAL the one-shot
+    :func:`..operators.corpus.decontaminate_scrub` of the full input
+    exactly, so the streaming path shares the one-shot query's DuckDB
+    oracle verbatim — hash-checked, the strongest check any streaming
+    twin here gets (the replay_dsir_batches precedent)."""
+    import atexit
+    import shutil
+
+    from ..operators.corpus import eval_window_hashes
+    from ..operators.merge import ParquetMergeTable
+
+    spark = docs.sparkSession
+    ev = eval_window_hashes(
+        eval_docs, min_len=min_len, hash_family=hash_family
+    ).localCheckpoint()  # |eval|-bounded; truncates the eval explode
+    src = _stage_batch_files(docs, workdir, k_batches)
+    clean_path = os.path.join(workdir, "clean")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        decontam_ingest_stream(
+            stream, ev, clean_path, min_len=min_len, hash_family=hash_family
+        )
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return ParquetMergeTable(spark, clean_path).read()

@@ -173,6 +173,8 @@ PROBE = (
     "corpus_build_decontam_scrub",
     "embedding_prototype_prune",
     "embedding_prototype_prune_kmeans",
+    "corpus_decontam_eval_delta",
+    "doc_decontam_stream_replay",
 )
 
 KEYED = {
