@@ -213,6 +213,31 @@ HEADLINE = (
     # against O(bits) state via the three-table crash-safe protocol,
     # hash-checked by the K-round unrolled oracle
     "doc_bloom_stream_replay",
+    # r10: paragraph dedup composed in FRONT of the 4-stage build, the
+    # duplicate-downweighting alternative to removal (unit mass per
+    # distinct text), and per-source marginal-novelty credit
+    "corpus_build_paragraph_gated",
+    "doc_softdedup_weights",
+    "corpus_source_novelty",
+    # r10: span-level eval decontamination — the scrub product (spans
+    # chain + shared rewrite; the spans row is subsumed, probe-only),
+    # the build with scrub replacing the drop rule, the eval-release
+    # delta against the positional window artifact, and the streaming
+    # scrubber (4 REAL foreachBatch batches, shares the one-shot
+    # oracle verbatim)
+    "corpus_decontam_scrub",
+    "corpus_build_decontam_scrub",
+    "corpus_decontam_eval_delta",
+    "doc_decontam_stream_replay",
+    # r10: prototype-based dataset pruning (Sorscher et al. 2022) —
+    # frozen md5-anchor cells, integer ranks/quotas, fully
+    # hash-checked (the kmeans twin stays the probe-only quality path)
+    "embedding_prototype_prune",
+    # r10 flagship: the fully-curated 8-stage build — Gopher gate,
+    # ExactSubstr, paragraph keep-first, exact dedup, span-scrub
+    # decontamination, mixture, shards, leakage-safe split, ONE lazy
+    # plan with one spliced end-to-end oracle
+    "corpus_build_curated",
 )
 
 

@@ -1554,3 +1554,108 @@ class TestDecontamStreamReplay:
             4: "tiny doc",
             5: "m n",
         }
+
+
+class TestBuildCorpusCurated:
+    """All eight stages composed, each doing DISTINCT work (substring
+    L=20 > paragraph 12, the registration's stratification): Gopher
+    drops the degenerate doc, ExactSubstr removes only the >=20-token
+    phase-shifted copy (from ALL owners — byte twins of long docs exit
+    here, which is why exact dedup needs the longer threshold to have
+    anything left to do), paragraph keep-first keeps the FIRST copy of
+    12-word boilerplate ExactSubstr ignores, and the scrub removes the
+    eval overlap while keeping the document."""
+
+    @staticmethod
+    def _filler(p, n):
+        # Gopher-compliant filler: >= 2 distinct stopwords, mean word
+        # length in [3, 10], all bigrams distinct (no repetition flag)
+        return "the with " + " ".join(f"{p}word{i:02d}" for i in range(n))
+
+    def test_stage_signatures_compose(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
+
+        F20 = self._filler  # >= 2 stopwords, distinct bigrams
+        shared20 = " ".join(f"shared{i:02d}" for i in range(20))
+        para12 = " ".join(f"boiler{i:02d}" for i in range(12))
+        ev_text = " ".join(f"evaltok{i}" for i in range(10))
+        rows = [
+            # 1/3: byte twins, 32 tokens each — the whole text is a
+            # >=20-token duplicate, so ExactSubstr (remove ALL
+            # occurrences, no canonical copy — the Lee et al. semantic
+            # this build declares) annihilates BOTH; they never reach
+            # exact dedup.
+            (1, F20("a", 30), "web"),
+            (3, F20("a", 30), "web"),
+            # Gopher kill: < 30 tokens
+            (2, "far too short", "web"),
+            # scrub: eval text embedded mid-doc -> span removed,
+            # document retained
+            (4, F20("b", 15) + " " + ev_text + " " + F20("c", 15), "web"),
+            # ExactSubstr: phase-shifted 20-token copy pair -> block
+            # removed from both, distinct residues survive
+            (5, F20("d", 15) + " " + shared20, "book"),
+            (6, shared20 + " " + F20("g", 15), "book"),
+            # paragraph keep-first: chunk-aligned 12-token boilerplate
+            # (first 12 tokens of both) — 12 < L=20 so ExactSubstr
+            # ignores it; doc 7 (earlier) keeps it, doc 8 loses it,
+            # both survive on their residues
+            (7, para12 + " " + F20("p", 20), "book"),
+            (8, para12 + " " + F20("q", 20), "book"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        ev = spark.createDataFrame(
+            [(100, ev_text, "eval")], "doc_id long, text string, source string"
+        )
+        out = build_corpus(
+            docs,
+            ev,
+            num_shards=2,
+            quality_gate=True,
+            substring_len=20,
+            paragraph_words=12,
+            decontam_scrub_len=8,
+            split_weights=(90, 5, 5),
+        )
+        rows_out = out.collect()
+        kept = {r["doc_id"] for r in rows_out}
+        # mixture rates: web survivors {4} rate 1.0; book survivors
+        # {5,6,7,8} rate 0.625 and all four md5 buckets < 625000 —
+        # so the kept set below is exactly the gate outcomes
+        assert kept == {4, 5, 6, 7, 8}
+        assert {r["split"] for r in rows_out} <= {"train", "val", "test"}
+        assert all(r["shard"] in (0, 1) for r in rows_out)
+
+    def test_annihilated_twins_vs_dedup_first(self, spark):
+        """The declared stage-order semantic, pinned: with ExactSubstr
+        IN FRONT of exact dedup, byte twins of long documents exit
+        entirely (all occurrences of the duplicated text are removed);
+        the 4-stage build (no substring stage) keeps the min-id copy."""
+        from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
+
+        twin = self._filler("t", 30)
+        docs = spark.createDataFrame(
+            [(1, twin, "web"), (2, twin, "web"),
+             (3, self._filler("u", 30), "web")],
+            "doc_id long, text string, source string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "unrelated eval words here", "e")],
+            "doc_id long, text string, source string",
+        )
+        with_ss = {
+            r["doc_id"]
+            for r in build_corpus(
+                docs, ev, num_shards=2, quality_gate=True,
+                substring_len=20, decontam_scrub_len=8,
+            ).collect()
+        }
+        without_ss = {
+            r["doc_id"]
+            for r in build_corpus(
+                docs, ev, num_shards=2, quality_gate=True,
+                decontam_scrub_len=8,
+            ).collect()
+        }
+        assert 1 not in with_ss and 2 not in with_ss and 3 in with_ss
+        assert 1 in without_ss and 2 not in without_ss

@@ -6920,18 +6920,24 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side groups xxhash64(window), the same key-never-in-output split as
 # corpus_span_dedup.  ss-prefixed CTEs, one definition for both the
 # spans decision table and the removal product.
-_SUBSTRING_CTES = """
-sstoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+def _substring_ctes(L: int, src: str = "documents") -> str:
+    """The ExactSubstr decision chain (stride-1 L-token windows →
+    duplicated set → hit islands → maximal spans), L-parameterized and
+    re-rootable — ONE definition for the standalone L=12 registrations
+    and the L=20 stage inside the curated build, so the window/island
+    boundary arithmetic cannot diverge between them."""
+    return f"""
+sstoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {src}),
 sswin AS (
-  SELECT doc_id, i AS pos, array_to_string(t[i : i + 11], ' ') AS w
-  FROM sstoks, LATERAL unnest(generate_series(1, len(t) - 12 + 1)) AS u(i)
-  WHERE len(t) >= 12
+  SELECT doc_id, i AS pos, array_to_string(t[i : i + {L - 1}], ' ') AS w
+  FROM sstoks, LATERAL unnest(generate_series(1, len(t) - {L} + 1)) AS u(i)
+  WHERE len(t) >= {L}
 ),
 ssdup AS (SELECT w FROM sswin GROUP BY w HAVING COUNT(*) >= 2),
 sshit AS (SELECT s.doc_id, s.pos FROM sswin s JOIN ssdup d USING (w)),
 ssisl AS (
   SELECT doc_id, pos,
-    SUM(CASE WHEN prev IS NULL OR pos > prev + 12 THEN 1 ELSE 0 END)
+    SUM(CASE WHEN prev IS NULL OR pos > prev + {L} THEN 1 ELSE 0 END)
       OVER (PARTITION BY doc_id ORDER BY pos) AS isl
   FROM (
     SELECT doc_id, pos,
@@ -6942,9 +6948,12 @@ ssisl AS (
 ssspans AS (
   SELECT doc_id,
     CAST(MIN(pos) AS BIGINT) AS span_start,
-    CAST(MAX(pos) + 11 AS BIGINT) AS span_end
+    CAST(MAX(pos) + {L - 1} AS BIGINT) AS span_end
   FROM ssisl GROUP BY doc_id, isl
 )"""
+
+
+_SUBSTRING_CTES = _substring_ctes(12)
 
 _SUBSTRING_SPANS_ORACLE = f"""
 WITH {_SUBSTRING_CTES}
@@ -6973,7 +6982,10 @@ def corpus_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The removal tail shared by the standalone removal query and the
 # substring-gated corpus build — ONE definition of the token-level
 # rewrite (the _mh_side_ctes discipline).
-_SUBSTRING_REMOVAL_CTES = f"""{_SUBSTRING_CTES},
+def _substring_removal_ctes(L: int, src: str = "documents") -> str:
+    """Decision chain + the token-level removal tail (the SQL twin of
+    the shared ``_remove_spans`` rewrite) — same parameterization."""
+    return f"""{_substring_ctes(L, src)},
 sstokpos AS (
   SELECT doc_id, i AS pos, t[i] AS tok
   FROM sstoks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
@@ -6989,6 +7001,9 @@ ssagg AS (
     CAST(COUNT(*) AS BIGINT) AS n_kept
   FROM sskept GROUP BY doc_id
 )"""
+
+
+_SUBSTRING_REMOVAL_CTES = _substring_removal_ctes(12)
 
 _SUBSTRING_DEDUP_ORACLE = f"""
 WITH {_SUBSTRING_REMOVAL_CTES}
@@ -11353,3 +11368,118 @@ def corpus_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.corpus import source_novelty
 
     return source_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+# =========================================================================
+# r10 flagship: the fully-curated build — every text-cleaning layer in
+# its production position, ONE lazy plan, ONE spliced oracle.  Gopher
+# gate -> ExactSubstr removal -> CCNet paragraph keep-first -> exact
+# dedup -> SPAN-SCRUB decontamination -> uniform mixture -> 16-shard
+# layout -> cluster-atomic leakage-safe split.  Every segment below is
+# sliced VERBATIM from its independently hash-green oracle (the
+# one-definition discipline): the Gopher head from the full build, the
+# ss/p chains re-rooted onto the previous stage's output, the dc scrub
+# chain from the scrub-mode build, the mixture tail from the base
+# build, the split chain from the shared helper.
+# =========================================================================
+_CORPUS_BUILD_CURATED_ORACLE = _force_materialized(
+    # Gopher gate head (tok..gated), verbatim from the full build
+    _CORPUS_BUILD_FULL_ORACLE.split("seg AS (", 1)[0]
+    # ExactSubstr removal chain at L=20 re-rooted on the gated corpus:
+    # LONGER than the paragraph window (12) on purpose, so each stage
+    # does distinct work — ExactSubstr takes the long verbatim runs,
+    # paragraph keep-first takes the 12-word boilerplate ExactSubstr
+    # leaves alone, exact dedup takes whatever byte twins remain.  At
+    # equal thresholds the substring stage (which removes ALL
+    # occurrences of any >=L-token duplicate) subsumes both later
+    # layers — measured, not hypothetical: the first draft at L=12
+    # emptied the paragraph and exact-dedup stages entirely.
+    + _substring_removal_ctes(20, "gated")
+    + """,
+ssgated AS (
+  SELECT g.doc_id, COALESCE(a.clean_text, '') AS text, g.source
+  FROM gated g LEFT JOIN ssagg a USING (doc_id)
+  WHERE COALESCE(a.clean_text, '') <> ''
+),
+"""
+    # CCNet keep-first paragraph chain re-rooted on the substring-clean text
+    + _PARA_KEEPFIRST_CTES.replace("FROM documents", "FROM ssgated")
+    + """,
+pgated AS (
+  SELECT s.doc_id, COALESCE(a.clean_text, '') AS text, s.source
+  FROM ssgated s LEFT JOIN pagg a USING (doc_id)
+  WHERE COALESCE(a.clean_text, '') <> ''
+),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM pgated GROUP BY md5(text)
+),
+base AS (
+  SELECT p.doc_id, p.text, p.source FROM pgated p JOIN dedup USING (doc_id)
+),
+dctoks AS ("""
+    # span-scrub decontamination chain (dcwin..clean), verbatim from the
+    # scrub-mode build — roots on `base`, eval pinned to RAW documents
+    + _CORPUS_BUILD_DECONTAM_SCRUB_ORACLE.split("dctoks AS (", 1)[1].split(
+        "counts AS (", 1
+    )[0]
+    # uniform mixture tail (counts..sampled), verbatim from the base build
+    + "counts AS ("
+    + _CORPUS_BUILD_ORACLE.split("counts AS (", 1)[1].split(
+        "\nSELECT doc_id, source, shard", 1
+    )[0]
+    + """,
+spdocs AS (
+  SELECT p.doc_id, p.text FROM pgated p JOIN sampled USING (doc_id)
+)"""
+    # leakage-safe split chain over the CLEANED text of the final selection
+    + _split_chain_ctes("sp", "spdocs")
+    + """
+SELECT s.doc_id, s.source, s.shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY s.shard ORDER BY s.h) AS INTEGER)
+    AS shard_pos,
+  sp.split
+FROM (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5('|shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 16 AS shard,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM sampled
+) s
+JOIN spsplit sp USING (doc_id)
+WHERE (SELECT n_moved FROM spfix) = 0
+"""
+)
+
+
+@register("corpus_build_curated", _CORPUS_BUILD_CURATED_ORACLE)
+def corpus_build_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-curated 8-stage corpus build, one lazy plan: Gopher
+    quality gate → ExactSubstr duplicated-span removal at L=20 (Lee
+    et al. 2022; longer than the paragraph window so each dedup layer
+    does distinct work) → CCNet keep-first 12-word paragraph dedup
+    (Wenzek et al. 2020) → exact dedup → SPAN-SCRUB decontamination
+    against the doc_id % 11 eval holdout (overlap removed, documents
+    retained) → uniform source mixture → 16-shard layout →
+    cluster-atomic leakage-safe train/val/test split over the final
+    selection's CLEANED text.
+    Every stage is independently hash-green; this registration checks
+    the COMPOSITION — which text each stage sees, which docs survive
+    each gate, and the manifest's shard/split assignment — against one
+    spliced end-to-end oracle.  The plan stages each text-rewriting
+    layer once (the build_corpus checkpoint boundaries), so composing
+    eight stages adds no re-scan: the scale shape is the SUM of the
+    stage shapes, which is the entire point of declaring curation as
+    one plan."""
+    from .operators.corpus import build_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_corpus(
+        docs,
+        docs.filter(F.col("doc_id") % 11 == 0),
+        num_shards=16,
+        quality_gate=True,
+        substring_len=20,
+        paragraph_words=_PARA_W,
+        decontam_scrub_len=8,
+        split_weights=(90, 5, 5),
+    )

@@ -175,6 +175,7 @@ PROBE = (
     "embedding_prototype_prune_kmeans",
     "corpus_decontam_eval_delta",
     "doc_decontam_stream_replay",
+    "corpus_build_curated",
 )
 
 KEYED = {
