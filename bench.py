@@ -238,6 +238,10 @@ HEADLINE = (
     # decontamination, mixture, shards, leakage-safe split, ONE lazy
     # plan with one spliced end-to-end oracle
     "corpus_build_curated",
+    # r10: token-budget mixture composed into the build (domains
+    # balanced by token mass, the unit a training run budgets; rates
+    # stay integer-sourced rationals so the composition hash-checks)
+    "corpus_build_token_mixture",
 )
 
 

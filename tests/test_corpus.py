@@ -1659,3 +1659,42 @@ class TestBuildCorpusCurated:
         }
         assert 1 not in with_ss and 2 not in with_ss and 3 in with_ss
         assert 1 in without_ss and 2 not in without_ss
+
+
+class TestBuildCorpusTokenMixture:
+    """mixture_unit='tokens': the resample stage balances expected
+    TOKEN mass per domain, not document count — a domain of few huge
+    docs downsamples while a domain of many small docs keeps all."""
+
+    def test_token_budget_rates_in_build(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import build_corpus
+
+        small = " ".join(f"s{i}" for i in range(10))  # 10 tokens
+        rows = (
+            # 'tiny': 4 docs x 10 tokens = 40 tokens
+            [(i, small + f" u{i}", "tiny") for i in range(1, 5)]
+            # 'huge': 4 docs x 200 tokens = 800 tokens
+            + [
+                (10 + i, " ".join(f"h{i}w{j}" for j in range(200)), "huge")
+                for i in range(4)
+            ]
+        )
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        ev = spark.createDataFrame(
+            [(100, "zz yy xx ww", "e")], "doc_id long, text string, source string"
+        )
+        doc_bal = build_corpus(docs, ev, num_shards=2, decontam_n=3)
+        tok_bal = build_corpus(
+            docs, ev, num_shards=2, decontam_n=3, mixture_unit="tokens"
+        )
+        per = lambda df: {
+            s: n
+            for s, n in df.groupBy("source").count().rdd.map(tuple).collect()
+        }
+        # doc-balanced: 4 docs/source target -> rate 1.0 both sides
+        assert per(doc_bal) == {"tiny": 4, "huge": 4}
+        tok = per(tok_bal)
+        # token-balanced: total 844 tokens, 2 domains -> target 422
+        # tokens/domain; tiny (44 tokens) keeps all at rate 1.0; huge
+        # rate = 422/800 = 0.5275 -> the md5 buckets thin the 4 docs
+        assert tok["tiny"] == 4 and tok.get("huge", 0) < 4

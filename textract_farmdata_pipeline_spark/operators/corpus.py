@@ -311,6 +311,7 @@ def build_corpus(
     substring_min_count: int = 2,
     paragraph_words: int | None = None,
     decontam_scrub_len: int | None = None,
+    mixture_unit: str | None = None,
 ) -> DataFrame:
     """The end-to-end corpus build: [KN-LM quality gate →] [Gopher
     quality gate → cross-document span dedup →] [ExactSubstr removal →]
@@ -380,6 +381,17 @@ def build_corpus(
     retained minus exactly their overlapping spans — the data-efficient
     decontamination discipline for long documents.  ``decontam_n`` is
     ignored in this mode.
+
+    ``mixture_unit="tokens"`` switches the resample stage from
+    doc-balanced (:func:`mixture_resample`) to TOKEN-budget-balanced
+    (:func:`weighted_mixture_resample` on whitespace-token counts of
+    the post-dedup — and, in scrub mode, post-scrub — text): every
+    domain contributes ≈ the same expected token mass, the unit a
+    training run actually budgets (doc-balanced mixtures silently
+    over-train low-fertility domains).  The rates stay pure rationals
+    of integer sums, so the composed build remains hash-checkable —
+    which is exactly why this form (and not float-pow temperature
+    scaling) is the one composed into the product.
 
     ``quality_gate=True`` prepends the Gopher composite gate
     (:func:`..operators.text_analysis.gopher_quality_filter`) so
@@ -528,19 +540,38 @@ def build_corpus(
             id_col=key_col,
             text_col=text_col,
         ).where(F.col("clean_text") != "")
-        clean = base.select(key_col, by).join(
-            survivors.select(key_col), key_col
-        )
+        if mixture_unit == "tokens":
+            # budget the tokens that actually remain after the scrub
+            clean = base.select(key_col, by).join(
+                survivors.select(
+                    key_col, F.col("n_tokens_kept").alias("_w")
+                ),
+                key_col,
+            )
+        else:
+            clean = base.select(key_col, by).join(
+                survivors.select(key_col), key_col
+            )
     else:
         contaminated = decontaminate(
             base, eval_docs, n=decontam_n, text_col=text_col, id_col=key_col
         ).select(key_col)
-        clean = base.join(F.broadcast(contaminated), key_col, "left_anti").select(
-            key_col, by
-        )
+        keep_cols = [F.col(key_col), F.col(by)]
+        if mixture_unit == "tokens":
+            keep_cols.append(
+                F.size(F.split(F.col(text_col), " ")).cast("long").alias("_w")
+            )
+        clean = base.join(
+            F.broadcast(contaminated), key_col, "left_anti"
+        ).select(*keep_cols)
     if persist_intermediate:
         clean = clean.persist()
-    sampled = mixture_resample(clean, by=by, key_col=key_col)
+    if mixture_unit == "tokens":
+        sampled = weighted_mixture_resample(
+            clean, "_w", by=by, key_col=key_col
+        ).select(key_col, by)
+    else:
+        sampled = mixture_resample(clean, by=by, key_col=key_col)
     if split_weights is not None:
         # `sampled` re-roots the whole build subtree and is about to be
         # referenced TWICE (shard layout + the split chain's doc set);

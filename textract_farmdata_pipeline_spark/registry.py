@@ -7369,6 +7369,71 @@ def corpus_build_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-budget mixture composed into the build: the counts/rates CTEs
+# swap doc counts for whitespace-token sums over the clean survivors;
+# the keep predicate and shard tail are verbatim _CORPUS_BUILD_ORACLE.
+# Rates stay pure rationals of integer sums (LEAST(1, (Σw/k)/w_d)) —
+# which is why THIS mixture upgrade composes hash-checkably while
+# float-pow temperature scaling stays a standalone rate table
+# (doc_mixture_temperature, ROUND-guarded).
+_CORPUS_BUILD_TOKMIX_ORACLE = (
+    _CORPUS_BUILD_ORACLE.split("clean AS (", 1)[0]
+    + """clean AS (
+  SELECT b.doc_id, b.source,
+    CAST(len(string_split(b.text, ' ')) AS BIGINT) AS w
+  FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = b.doc_id)
+),
+sums AS (SELECT source, SUM(w) AS w_d FROM clean GROUP BY source),
+tot AS (SELECT SUM(w_d) AS total, COUNT(*) AS n_groups FROM sums),
+rates AS (
+  SELECT source,
+    LEAST(1.0, CAST(total AS DOUBLE) / n_groups / CAST(w_d AS DOUBLE)) AS rate
+  FROM sums, tot
+),
+sampled AS (
+  SELECT c.doc_id, c.source FROM clean c JOIN rates r USING (source)
+  WHERE CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 1000000 < r.rate * 1000000
+)
+SELECT doc_id, source, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h) AS INTEGER) AS shard_pos
+FROM (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5('|shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 16 AS shard,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM sampled
+) s
+"""
+)
+
+
+@register("corpus_build_token_mixture", _CORPUS_BUILD_TOKMIX_ORACLE)
+def corpus_build_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus build with the TOKEN-budget mixture
+    (``build_corpus(mixture_unit="tokens")``): after dedup and
+    decontamination, domains are resampled so each contributes ≈ the
+    same whitespace-TOKEN mass instead of the same document count —
+    the unit a training run budgets, and the fix for doc-balanced
+    mixtures silently over-training low-fertility domains
+    (``corpus_tokenizer_fertility``'s finding composed into the
+    product).  Same plan shapes as the uniform build: one integer-sum
+    aggregate per domain, broadcast rates, md5 Bernoulli keep — the
+    token weights ride the existing clean projection, adding no
+    exchange."""
+    from .operators.corpus import build_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_corpus(
+        docs,
+        docs.filter(F.col("doc_id") % 97 == 0),
+        num_shards=16,
+        decontam_n=3,
+        mixture_unit="tokens",
+    )
+
+
 # Eval-set UPDATE audit: the corpus is represented ONLY by its
 # positional window artifact (h, doc_id, pos) and the newly released
 # benchmarks probe it — the reverse-direction incremental form.  The

@@ -176,6 +176,7 @@ PROBE = (
     "corpus_decontam_eval_delta",
     "doc_decontam_stream_replay",
     "corpus_build_curated",
+    "corpus_build_token_mixture",
 )
 
 KEYED = {
