@@ -242,6 +242,10 @@ HEADLINE = (
     # balanced by token mass, the unit a training run budgets; rates
     # stay integer-sourced rationals so the composition hash-checks)
     "corpus_build_token_mixture",
+    # r10: the benchmark-integrity report — per EVAL doc, verbatim
+    # window coverage in the corpus (the eval-team view of the overlap
+    # the scrub removes); one corpus scan to a distinct 8-byte set
+    "corpus_decontam_report",
 )
 
 

@@ -1698,3 +1698,37 @@ class TestBuildCorpusTokenMixture:
         # tokens/domain; tiny (44 tokens) keeps all at rate 1.0; huge
         # rate = 422/800 = 0.5275 -> the md5 buckets thin the 4 docs
         assert tok["tiny"] == 4 and tok.get("huge", 0) < 4
+
+
+class TestDecontamEvalReport:
+    """Reverse-direction report: per EVAL doc, verbatim-coverage of
+    its windows in the corpus — planted full hosts at 10000 bp, partial
+    hosts at the exact window fraction, clean benchmarks at 0."""
+
+    def test_coverage_fractions(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            decontam_eval_report,
+        )
+
+        ev_a = " ".join(f"a{i}" for i in range(10))  # fully hosted
+        ev_b = " ".join(f"b{i}" for i in range(12))  # partially hosted
+        ev_c = " ".join(f"c{i}" for i in range(10))  # clean
+        corpus = _docs(
+            spark,
+            [
+                (1, "x y " + ev_a + " z"),
+                # hosts only the first 9 tokens of ev_b -> 2 of its 5
+                # windows found
+                (2, "p " + " ".join(f"b{i}" for i in range(9)) + " q"),
+                (3, " ".join(f"u{i}" for i in range(20))),
+            ],
+        )
+        ev = _docs(spark, [(100, ev_a), (101, ev_b), (102, ev_c), (103, "tiny")])
+        rep = {
+            r["doc_id"]: (r["n_windows"], r["n_found"], r["coverage_bp"])
+            for r in decontam_eval_report(corpus, ev, min_len=8).collect()
+        }
+        assert rep[100] == (3, 3, 10000)
+        assert rep[101] == (5, 2, 4000)
+        assert rep[102] == (3, 0, 0)
+        assert rep[103] == (0, 0, 0)  # shorter than L: nothing to leak

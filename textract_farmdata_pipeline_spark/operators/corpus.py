@@ -1145,6 +1145,82 @@ def decontaminate_scrub_against(
     return _remove_spans(docs, spans, id_col=id_col, text_col=text_col)
 
 
+def decontam_eval_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    min_len: int = 8,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-integrity report — the REVERSE aggregation of
+    :func:`decontaminate_spans`: for each EVAL document, how much of
+    it appears verbatim in the training corpus.  Returns one row per
+    eval doc: ``(id, n_windows, n_found, coverage_bp)`` — its stride-1
+    ``min_len``-token window count, how many of those windows occur
+    anywhere in the corpus, and basis-point coverage (integer, so the
+    report hash-checks).  Eval docs shorter than ``min_len`` report
+    ``n_windows = 0`` (nothing to leak at this granularity).
+
+    This is the eval-team view of the same overlap the scrub removes:
+    a benchmark at high coverage is compromised for any model trained
+    on this corpus REGARDLESS of later curation, so the report gates
+    benchmark selection the way the scrub gates document admission.
+
+    Scale shape: corpus windows reduce to their distinct 8-byte hash
+    set ONCE (map-side combined groupBy — the
+    :func:`substring_window_counts` artifact without counts, reusable
+    from it when materialized); eval windows (tiny) LEFT-join it on
+    the equality key and aggregate per eval doc.  The corpus pass is
+    the one unavoidable scan; nothing scales with |eval| × |corpus|.
+    """
+    h = _shingle_hash(hash_family)
+    L = min_len
+    corpus_hashes = (
+        ngram_shingles(
+            docs.select(F.col(id_col).alias("doc_id"), text_col).where(
+                F.size(F.split(F.col(text_col), " ")) >= L
+            ),
+            L,
+            text_col=text_col,
+            id_col="doc_id",
+        )
+        .select(h(F.col("shingle")).alias("h"))
+        .distinct()
+        .withColumn("_found", F.lit(1))
+    )
+    ev = eval_docs.select(F.col(id_col).alias("doc_id"), text_col)
+    ev_win = ngram_shingles(
+        ev.where(F.size(F.split(F.col(text_col), " ")) >= L),
+        L,
+        text_col=text_col,
+        id_col="doc_id",
+    ).select("doc_id", h(F.col("shingle")).alias("h"))
+    per = (
+        ev_win.join(corpus_hashes, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum(F.coalesce(F.col("_found"), F.lit(0)))
+            .cast("long")
+            .alias("n_found"),
+        )
+    )
+    base = ev.select("doc_id").distinct()
+    return base.join(per, "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce(F.col("n_windows"), F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce(F.col("n_found"), F.lit(0)).cast("long").alias("n_found"),
+        F.when(
+            F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+            F.expr("(n_found * 10000) div n_windows"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("coverage_bp"),
+    )
+
+
 def substring_window_index(
     docs: DataFrame,
     min_len: int = 8,

@@ -7434,6 +7434,65 @@ def corpus_build_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benchmark-integrity report: the reverse aggregation — per EVAL doc,
+# what fraction of its stride-1 8-token windows appears verbatim in
+# the (planted) corpus.  dr-prefixed CTEs; same planted corpus as the
+# scrub family so the planted wraps show up at 10000 bp.
+_DECONTAM_REPORT_ORACLE = """
+WITH drcorp AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 200000,
+    'planted intro context ' || text || ' planted outro context'
+  FROM documents WHERE doc_id % 11 = 0 AND doc_id < 50
+),
+drch AS (
+  SELECT DISTINCT array_to_string(t[i : i + 7], ' ') AS w
+  FROM (SELECT string_split(text, ' ') AS t FROM drcorp) c,
+       LATERAL unnest(generate_series(1, len(t) - 8 + 1)) AS u(i)
+  WHERE len(t) >= 8
+),
+drev AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i : i + 7], ' ') AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 11 = 0) e,
+       LATERAL unnest(generate_series(1, len(t) - 8 + 1)) AS u(i)
+  WHERE len(t) >= 8
+),
+drper AS (
+  SELECT e.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_windows,
+    CAST(SUM(CASE WHEN c.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+  FROM drev e LEFT JOIN drch c USING (w)
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(p.n_windows, 0) AS n_windows,
+  COALESCE(p.n_found, 0) AS n_found,
+  CASE WHEN COALESCE(p.n_windows, 0) > 0
+       THEN (p.n_found * 10000) // p.n_windows ELSE 0 END AS coverage_bp
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 11 = 0) d
+LEFT JOIN drper p USING (doc_id)
+"""
+
+
+@register("corpus_decontam_report", _DECONTAM_REPORT_ORACLE)
+def corpus_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-integrity report
+    (:func:`..operators.corpus.decontam_eval_report`): per EVAL doc,
+    how many of its 8-token windows occur verbatim anywhere in the
+    training corpus — integer basis-point coverage, the eval-team view
+    of the same overlap the scrub removes (a benchmark at high
+    coverage is compromised regardless of later curation).  The
+    planted wraps must report exactly 10000 bp — the known-answer rows
+    inside the hash check.  One corpus scan reduced to a distinct
+    8-byte set; eval windows LEFT-join it and aggregate."""
+    from .operators.corpus import decontam_eval_report
+
+    corpus, ev = _planted_decontam_corpus(spark, sf_dir)
+    return decontam_eval_report(corpus, ev, min_len=8)
+
+
 # Eval-set UPDATE audit: the corpus is represented ONLY by its
 # positional window artifact (h, doc_id, pos) and the newly released
 # benchmarks probe it — the reverse-direction incremental form.  The

@@ -177,6 +177,7 @@ PROBE = (
     "doc_decontam_stream_replay",
     "corpus_build_curated",
     "corpus_build_token_mixture",
+    "corpus_decontam_report",
 )
 
 KEYED = {
