@@ -246,6 +246,10 @@ HEADLINE = (
     # window coverage in the corpus (the eval-team view of the overlap
     # the scrub removes); one corpus scan to a distinct 8-byte set
     "corpus_decontam_report",
+    # r10: fuzzy decontamination — corpus docs near-duplicate to ANY
+    # eval doc (the paraphrase leak exact windows miss); portable md5
+    # MinHash, eval side broadcast, corpus never self-joins
+    "doc_decontam_fuzzy",
 )
 
 

@@ -1732,3 +1732,70 @@ class TestDecontamEvalReport:
         assert rep[101] == (5, 2, 4000)
         assert rep[102] == (3, 0, 0)
         assert rep[103] == (0, 0, 0)  # shorter than L: nothing to leak
+
+
+class TestDecontaminateFuzzy:
+    """The third decontamination rung: near-duplicate eval leakage —
+    catches the paraphrase that exact-window scrubbing misses, and
+    ignores low-overlap docs that merely quote a short phrase."""
+
+    def test_catches_paraphrase_exact_windows_miss(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            decontaminate_fuzzy,
+            decontaminate_spans,
+        )
+
+        ev_text = " ".join(f"ev{i}" for i in range(30))
+        # paraphrase: tokens 7 and 22 edited -> the longest surviving
+        # verbatim run is 14 tokens, so at min_len=15 the exact-window
+        # rung sees nothing; 3-gram Jaccard stays ~0.66 (22 shared of
+        # 34 union after 2x3 destroyed shingles) -> fuzzy catches it
+        para = " ".join(
+            (f"XX{i}" if i in (7, 22) else f"ev{i}") for i in range(30)
+        )
+        corpus = _docs(
+            spark,
+            [
+                (1, para),
+                (2, " ".join(f"u{i}" for i in range(30))),  # clean
+                # quotes a 5-token eval phrase inside an unrelated doc:
+                # low Jaccard -> NOT flagged by the fuzzy rung
+                (3, "ev0 ev1 ev2 ev3 ev4 " + " ".join(f"q{i}" for i in range(40))),
+            ],
+        )
+        ev = _docs(spark, [(100, ev_text)])
+        fuzzy = {
+            (r["doc_id"], r["matched_eval_id"])
+            for r in decontaminate_fuzzy(
+                corpus, ev, n_hashes=8, bands=4, threshold=0.5, hash_family="md5"
+            ).collect()
+        }
+        assert fuzzy == {(1, 100)}
+        # ...and the exact-window rung sees NOTHING in the paraphrase
+        # at a 15-token threshold (longest verbatim run is 14)
+        assert (
+            decontaminate_spans(
+                corpus.filter(F.col("doc_id") == 1), ev, min_len=15
+            ).count()
+            == 0
+        )
+
+    def test_members_map_through_reps(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            decontaminate_fuzzy,
+        )
+
+        ev_text = " ".join(f"ev{i}" for i in range(30))
+        corpus = _docs(
+            spark,
+            [(1, ev_text), (2, ev_text), (3, "other words entirely here")],
+        )
+        ev = _docs(spark, [(100, ev_text)])
+        got = {
+            (r["doc_id"], r["matched_eval_id"])
+            for r in decontaminate_fuzzy(
+                corpus, ev, n_hashes=8, bands=4, hash_family="md5"
+            ).collect()
+        }
+        # both exact copies flagged (the non-rep member through its rep)
+        assert got == {(1, 100), (2, 100)}

@@ -1145,6 +1145,114 @@ def decontaminate_scrub_against(
     return _remove_spans(docs, spans, id_col=id_col, text_col=text_col)
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FUZZY decontamination: flag corpus documents whose shingle-set
+    Jaccard with ANY eval document ≥ ``threshold`` — the
+    near-duplicate leak that BOTH n-gram flagging and exact-window
+    scrubbing structurally miss (a paraphrased, re-rendered, or
+    lightly edited benchmark item shares high Jaccard but few long
+    verbatim windows).  The third rung of the decontamination ladder:
+    :func:`decontaminate` (any shared n-gram), :func:`decontaminate_
+    spans`/:func:`decontaminate_scrub` (long verbatim overlap,
+    localized), and this (near-duplicate whole documents).
+
+    Returns one row per CONTAMINATED corpus doc:
+    ``(id, matched_eval_id)`` — the minimum eval id whose verified
+    Jaccard clears the threshold.  Anti-join against the corpus to
+    drop them, or feed the pairs to a review queue.
+
+    Plan shape (the :func:`..operators.dedup.incremental_minhash_dedup`
+    vs-corpus leg with the eval set as the stored side, batch leg
+    deleted — the corpus NEVER self-joins): both sides exact-collapse
+    to distinct-text representatives, MinHash/LSH band buckets are
+    built per side, candidates come from the band equality join with
+    the |eval|-sized side broadcast, and only candidates pay the exact
+    hashed-shingle Jaccard verification.  Corpus-side work is linear
+    (signatures + buckets); members map back through their rep, so
+    duplicated corpus text cannot inflate the pair leg."""
+    from pyspark.sql.window import Window as _W
+
+    from .dedup import band_buckets, minhash_signatures, shingles
+
+    portable = hash_family == "md5"
+    corpg = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("rep_id", F.min("doc_id").over(_W.partitionBy("text")))
+    corp_reps = corpg.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
+    )
+    evg = eval_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("rep_id", F.min("doc_id").over(_W.partitionBy("text")))
+    ev_reps = evg.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
+    )
+
+    corp_sigs = band_buckets(
+        minhash_signatures(corp_reps, n_hashes, shingle_n, hash_family=hash_family),
+        n_hashes,
+        bands,
+        portable=portable,
+    )
+    ev_sigs = band_buckets(
+        minhash_signatures(ev_reps, n_hashes, shingle_n, hash_family=hash_family),
+        n_hashes,
+        bands,
+        portable=portable,
+    )
+    cands = (
+        corp_sigs.alias("x")
+        .join(
+            F.broadcast(ev_sigs.alias("y")),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
+        .distinct()
+    )
+    if portable:
+        hashed_sh = shingles(F.col("text"), shingle_n)
+    else:
+        hashed_sh = F.array_distinct(
+            F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
+        )
+    corp_sh = corp_reps.select("doc_id", hashed_sh.alias("sa")).withColumn(
+        "sza", F.size("sa")
+    )
+    ev_sh = (
+        ev_reps.select("doc_id", hashed_sh.alias("sb"))
+        .withColumn("szb", F.size("sb"))
+        .withColumnRenamed("doc_id", "cand")
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jaccard = inter.cast("double") / (
+        F.col("sza") + F.col("szb") - inter
+    ).cast("double")
+    verified = (
+        cands.join(corp_sh, "doc_id")
+        .join(F.broadcast(ev_sh), "cand")
+        .filter(jaccard >= threshold)
+        .groupBy("doc_id")
+        .agg(F.min("cand").alias("matched_eval_id"))
+        .withColumnRenamed("doc_id", "rep_id")
+    )
+    return (
+        corpg.select("doc_id", "rep_id")
+        .join(verified, "rep_id")
+        .select(F.col("doc_id").alias(id_col), "matched_eval_id")
+    )
+
+
 def decontam_eval_report(
     docs: DataFrame,
     eval_docs: DataFrame,

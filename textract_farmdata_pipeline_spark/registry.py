@@ -7493,6 +7493,89 @@ def corpus_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam_eval_report(corpus, ev, min_len=8)
 
 
+# FUZZY decontamination — the third decontamination rung: corpus docs
+# near-duplicate (Jaccard >= 0.5) to ANY eval doc, the paraphrase-leak
+# neither n-gram flagging nor exact-window scrubbing can see.  The
+# vs-corpus leg of the incremental-dedup oracle with the eval set as
+# the stored side (fz/fc/fe prefixes, shared _mh_side_ctes chain);
+# planted near-dups ('FUZZDUP ' prefix on five eval docs, near-dup but
+# NOT byte-equal) are the known-answer rows.
+_DECONTAM_FUZZY_ORACLE = (
+    """
+WITH fzc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 300000, 'FUZZDUP ' || text
+  FROM documents WHERE doc_id % 11 = 0 AND doc_id < 50
+),
+fze AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
+fzcg AS (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep_id FROM fzc
+),
+fzc_reps AS (SELECT doc_id, text FROM fzcg WHERE doc_id = rep_id),
+fzeg AS (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep_id FROM fze
+),
+fze_reps AS (SELECT doc_id, text FROM fzeg WHERE doc_id = rep_id),
+"""
+    + _mh_side_ctes("fc", "fzc_reps")
+    + ",\n"
+    + _mh_side_ctes("fe", "fze_reps")
+    + """,
+fzcand AS (
+  SELECT DISTINCT x.doc_id, y.doc_id AS cand
+  FROM fcbanded x JOIN febanded y ON x.band = y.band AND x.bucket = y.bucket
+),
+fzver AS (
+  SELECT iv.doc_id AS rep_id, min(iv.cand) AS matched_eval_id
+  FROM (
+    SELECT v.doc_id, v.cand, count(*) AS i
+    FROM fzcand v
+    JOIN fcsh a ON a.doc_id = v.doc_id
+    JOIN fesh b ON b.doc_id = v.cand AND a.s = b.s
+    GROUP BY v.doc_id, v.cand
+  ) iv
+  JOIN fcsz sa ON sa.doc_id = iv.doc_id
+  JOIN fesz sb ON sb.doc_id = iv.cand
+  WHERE CAST(iv.i AS DOUBLE) / CAST(sa.sz + sb.sz - iv.i AS DOUBLE) >= 0.5
+  GROUP BY iv.doc_id
+)
+SELECT m.doc_id, v.matched_eval_id
+FROM fzcg m JOIN fzver v ON v.rep_id = m.rep_id
+"""
+)
+
+
+@register("doc_decontam_fuzzy", _DECONTAM_FUZZY_ORACLE)
+def doc_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination
+    (:func:`..operators.corpus.decontaminate_fuzzy`): corpus documents
+    whose 3-gram shingle Jaccard with ANY eval doc ≥ 0.5 — the
+    paraphrased/lightly-edited benchmark leak that exact-window
+    scrubbing structurally misses (few long verbatim windows, high set
+    overlap).  Planted 'FUZZDUP '-prefixed eval copies are near-dup
+    but not byte-equal, so they can ONLY be caught by this rung.
+    Portable md5 MinHash family, eval side broadcast, corpus never
+    self-joins; hash-checked end to end including the min-eval-id
+    annotate contract."""
+    from .operators.corpus import decontaminate_fuzzy
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    planted = ev.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("FUZZDUP "), F.col("text")).alias("text"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    return decontaminate_fuzzy(
+        corpus, ev, n_hashes=8, bands=4, threshold=0.5, hash_family="md5"
+    )
+
+
 # Eval-set UPDATE audit: the corpus is represented ONLY by its
 # positional window artifact (h, doc_id, pos) and the newly released
 # benchmarks probe it — the reverse-direction incremental form.  The

@@ -178,6 +178,7 @@ PROBE = (
     "corpus_build_curated",
     "corpus_build_token_mixture",
     "corpus_decontam_report",
+    "doc_decontam_fuzzy",
 )
 
 KEYED = {
