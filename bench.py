@@ -250,6 +250,10 @@ HEADLINE = (
     # eval doc (the paraphrase leak exact windows miss); portable md5
     # MinHash, eval side broadcast, corpus never self-joins
     "doc_decontam_fuzzy",
+    # r10: two-stage matryoshka ANN — 16-dim prefix shortlist, exact
+    # full-dim rerank (dimension-count compression next to the
+    # BQ/SQ/PQ precision compressors; both stages hash-checked)
+    "embedding_matryoshka_topk",
 )
 
 

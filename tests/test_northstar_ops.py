@@ -5027,3 +5027,65 @@ class TestPrototypePrune:
         for r in per:
             assert r["n_keep"] == r["n"] - r["n"] // 2
             assert (r["rmin"], r["rmax"], r["rdist"]) == (1, r["n"], r["n"])
+
+
+class TestMatryoshkaTopk:
+    """Two-stage matryoshka ANN: prefix shortlist -> full-dim rerank.
+    Degenerate-parameter identities pin the stage contract against the
+    exact scan."""
+
+    def test_full_shortlist_equals_exact(self, spark, emb):
+        """shortlist >= |corpus| makes stage 1 a no-op filter: the
+        rerank sees every candidate, so the product must equal
+        cosine_topk exactly."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            cosine_topk,
+            matryoshka_topk,
+        )
+
+        q = emb.filter(F.col("vec_id") < 5)
+        key = lambda df: sorted(tuple(r) for r in df.collect())
+        got = matryoshka_topk(emb, q, prefix_dim=8, k=3, shortlist=10**6)
+        assert key(got) == key(cosine_topk(emb, q, k=3))
+
+    def test_full_prefix_equals_exact(self, spark, emb):
+        """prefix_dim >= dim makes stage 1 the exact ranking: even a
+        tight shortlist (>= k) returns the exact top-k."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            cosine_topk,
+            matryoshka_topk,
+        )
+
+        dim = len(emb.first()["embedding"])
+        q = emb.filter(F.col("vec_id") < 5)
+        key = lambda df: sorted(tuple(r) for r in df.collect())
+        got = matryoshka_topk(emb, q, prefix_dim=dim, k=3, shortlist=3)
+        assert key(got) == key(cosine_topk(emb, q, k=3))
+
+    def test_shortlist_bounds_candidates(self, spark, emb):
+        """Every returned neighbor must be in the query's prefix-dim
+        shortlist — the rerank can reorder but never resurrect."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            _cosine_scored,
+            _rank_per_query,
+            matryoshka_topk,
+        )
+        from pyspark.sql import functions as SF
+
+        q = emb.filter(F.col("vec_id") < 5)
+        sliced = lambda df: df.select(
+            "vec_id", SF.slice(SF.col("embedding").cast("array<double>"), 1, 8).alias("embedding")
+        )
+        short = {
+            (r["query_id"], r["neighbor_id"])
+            for r in _rank_per_query(
+                _cosine_scored(sliced(emb), sliced(q)), 20
+            ).collect()
+        }
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in matryoshka_topk(
+                emb, q, prefix_dim=8, k=5, shortlist=20
+            ).collect()
+        }
+        assert got <= short

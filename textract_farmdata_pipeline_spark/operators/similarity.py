@@ -192,6 +192,70 @@ def matryoshka_recall(
     )
 
 
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int = 16,
+    k: int = 5,
+    shortlist: int = 50,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Two-stage matryoshka ANN — the DEPLOYMENT of what
+    :func:`matryoshka_recall` profiles (Kusupati et al. 2022): stage 1
+    shortlists per query by PREFIX-dimension cosine (first
+    ``prefix_dim`` components of both sides — the cheap scan an
+    MRL-trained embedding is built to support), stage 2 exact
+    FULL-dimension rerank of the ``|queries| · shortlist`` survivors
+    only, under the repo-wide 4-dp + neighbor-id ranking rule
+    (:func:`_rank_per_query`, one definition).
+
+    The BQ/SQ/PQ families compress per-coordinate precision; this one
+    compresses the COORDINATE COUNT — at ``prefix_dim=16`` over
+    64-dim vectors the whole-collection scan touches 25% of the
+    floats with zero quantization machinery, and the recall profile
+    says exactly what that costs before you commit.
+
+    Scale shape: stage 1 is the :func:`cosine_topk` plan on sliced
+    vectors (queries broadcast, corpus never shuffles, per-query
+    window over scored candidates); stage 2 re-reads full vectors for
+    shortlist members only — a |shortlist·queries|-row equality join,
+    never a second corpus scan of all pairs.  Both stages replay in
+    ANSI SQL (prefix slice = ``e[1:d]``, same left-fold dots), so the
+    two-stage product hash-checks end to end like the BQ twin."""
+    def sliced(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.slice(_as_double(F.col("embedding")), 1, prefix_dim).alias(
+                "embedding"
+            ),
+        )
+
+    stage1 = _rank_per_query(
+        _cosine_scored(sliced(corpus), sliced(queries), round_digits), shortlist
+    ).select("query_id", "neighbor_id")
+    cvec = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    ).withColumn("cnorm", norm(F.col("cv")))
+    qvec = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("qv"),
+        ).withColumn("qnorm", norm(F.col("qv")))
+    )
+    score = guarded_cosine(
+        dot(F.col("qv"), F.col("cv")), F.col("qnorm"), F.col("cnorm")
+    )
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    rer = (
+        stage1.join(cvec, "neighbor_id")
+        .join(qvec, "query_id")
+        .select("query_id", "neighbor_id", score.alias("cosine"))
+    )
+    return _rank_per_query(rer, k)
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

@@ -2825,6 +2825,64 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Two-stage matryoshka ANN: prefix-dim shortlist (e[1:16] left-fold
+# dots) -> exact full-dim rerank of survivors; both stages under the
+# repo-wide 4-dp + neighbor-id rule, so the product hash-checks like
+# the BQ two-stage twin.
+_MRL_TOPK_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 20),
+s1 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(q.e[1:16], c.e[1:16])
+          / (sqrt(list_dot_product(q.e[1:16], q.e[1:16]))
+             * sqrt(list_dot_product(c.e[1:16], c.e[1:16]))), 4) AS pcos
+  FROM v c, q
+  WHERE c.vec_id <> q.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY pcos DESC, neighbor_id ASC) AS r
+    FROM s1
+  ) t WHERE r <= 50
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+    round(list_dot_product(qq.e, cc.e)
+          / (sqrt(list_dot_product(qq.e, qq.e))
+             * sqrt(list_dot_product(cc.e, cc.e))), 4) AS cosine
+  FROM short s
+  JOIN v cc ON cc.vec_id = s.neighbor_id
+  JOIN q qq ON qq.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM rer
+) ranked
+WHERE rank <= 5
+"""
+
+
+@register("embedding_matryoshka_topk", _MRL_TOPK_ORACLE)
+def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage matryoshka ANN
+    (:func:`..operators.similarity.matryoshka_topk`): 16-dim prefix
+    cosine shortlists 50 per query, exact 64-dim rerank picks the top
+    5 — the deployment of the truncation trade
+    ``embedding_matryoshka_recall`` profiles (Kusupati et al. 2022).
+    Dimension-count compression next to the BQ/SQ/PQ precision
+    compressors: the whole-collection scan touches 25% of the floats
+    with no codebook, and both stages hash-check."""
+    from .operators.similarity import matryoshka_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_topk(
+        emb, emb.filter(F.col("vec_id") < 20), prefix_dim=16, k=5, shortlist=50
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 _MRL_DIMS = (32, 16, 8)
 
 

@@ -179,6 +179,7 @@ PROBE = (
     "corpus_build_token_mixture",
     "corpus_decontam_report",
     "doc_decontam_fuzzy",
+    "embedding_matryoshka_topk",
 )
 
 KEYED = {
