@@ -254,6 +254,10 @@ HEADLINE = (
     # full-dim rerank (dimension-count compression next to the
     # BQ/SQ/PQ precision compressors; both stages hash-checked)
     "embedding_matryoshka_topk",
+    # r10: containment decontamination — the benchmark-inside-a-big-
+    # page leak (near-total eval-shingle containment at low Jaccard);
+    # broadcast eval map, per-pair integer counts
+    "doc_decontam_containment",
 )
 
 

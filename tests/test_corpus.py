@@ -1799,3 +1799,62 @@ class TestDecontaminateFuzzy:
         }
         # both exact copies flagged (the non-rep member through its rep)
         assert got == {(1, 100), (2, 100)}
+
+
+class TestDecontaminateContainment:
+    """The fourth decontamination rung: a benchmark pasted into a much
+    larger page — near-total containment of the eval shingle set, but
+    Jaccard far below the fuzzy threshold."""
+
+    def test_host_page_caught_fuzzy_misses(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            decontaminate_containment,
+            decontaminate_fuzzy,
+        )
+
+        ev_text = " ".join(f"ev{i}" for i in range(30))
+        host = " ".join(f"page{i}" for i in range(90)) + " " + ev_text
+        corpus = _docs(
+            spark,
+            [
+                (1, host),  # benchmark inside a big page
+                (2, " ".join(f"u{i}" for i in range(40))),  # clean
+                (3, "ev0 ev1 ev2 plus other words here now"),  # tiny overlap
+            ],
+        )
+        ev = _docs(spark, [(100, ev_text)])
+        got = {
+            (r["doc_id"], r["eval_id"], r["containment_bp"])
+            for r in decontaminate_containment(
+                corpus, ev, threshold_bp=8000
+            ).collect()
+        }
+        # all 28 eval shingles occur in the host -> 10000 bp
+        assert got == {(1, 100, 10000)}
+        # ...and the Jaccard rung does NOT flag the host: union is
+        # dominated by the page (28 shared / ~120 union ~ 0.23 < 0.5)
+        fuzzy = decontaminate_fuzzy(
+            corpus, ev, n_hashes=8, bands=4, threshold=0.5, hash_family="md5"
+        )
+        assert fuzzy.count() == 0
+
+    def test_threshold_is_integer_exact(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            decontaminate_containment,
+        )
+
+        # eval has 8 shingles (10 tokens); host carries exactly 4 of
+        # them (6 eval tokens -> 4 shingles): 5000 bp
+        ev_text = " ".join(f"e{i}" for i in range(10))
+        partial = " ".join(f"e{i}" for i in range(6)) + " " + " ".join(
+            f"w{i}" for i in range(20)
+        )
+        corpus = _docs(spark, [(1, partial)])
+        ev = _docs(spark, [(100, ev_text)])
+        at_50 = decontaminate_containment(corpus, ev, threshold_bp=5000).collect()
+        assert [(r["doc_id"], r["n_shared"], r["containment_bp"]) for r in at_50] == [
+            (1, 4, 5000)
+        ]
+        assert (
+            decontaminate_containment(corpus, ev, threshold_bp=5001).count() == 0
+        )

@@ -1253,6 +1253,91 @@ def decontaminate_fuzzy(
     )
 
 
+def decontaminate_containment(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    threshold_bp: int = 8000,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CONTAINMENT decontamination — the fourth rung of the ladder:
+    flag corpus documents that contain ≥ ``threshold_bp``/10000 of an
+    eval document's distinct ``shingle_n``-gram set.  This is the leak
+    shape the other three rungs miss TOGETHER: a benchmark item pasted
+    into a much larger page has low Jaccard (the union is dominated by
+    the page, so :func:`decontaminate_fuzzy` scores it under any
+    sane threshold) and may be quoted in scattered fragments shorter
+    than the span window (so :func:`decontaminate_scrub` removes
+    nothing) — but its shingle-set CONTAINMENT in the host is high by
+    construction.  The directional-containment insight of
+    :func:`..operators.dedup.containment_cover_map`, pointed across
+    the corpus/eval boundary.
+
+    Returns one row per flagged ``(corpus doc, eval doc)`` pair:
+    ``(id, eval_id, n_shared, n_eval_distinct, containment_bp)`` —
+    distinct shared shingles, the eval doc's distinct-shingle count,
+    and integer basis points (``n_shared·10000 // n_eval_distinct``),
+    so the decision replays exactly in ANSI SQL.  The threshold
+    comparison is pure integers: ``n_shared·10000 ≥ threshold_bp ·
+    n_eval_distinct``.
+
+    Scale shape: the eval side reduces to a distinct ``(hash,
+    eval_id)`` map (|eval|-bounded, broadcast); the corpus's DISTINCT
+    per-doc shingle hashes flow through that broadcast join map-side
+    and partial-aggregate per ``(doc, eval)`` pair — only pairs with
+    ≥1 shared shingle ever exist, and the count exchange carries 16
+    bytes + a count per such pair.  No LSH, no corpus self-join, no
+    pair blow-up: the candidate universe is bounded by corpus hits on
+    eval shingles, which is what decontamination is looking for."""
+    h = _shingle_hash(hash_family)
+    corpus_sh = (
+        ngram_shingles(
+            docs.select(F.col(id_col).alias("doc_id"), text_col),
+            shingle_n,
+            text_col=text_col,
+            id_col="doc_id",
+        )
+        .select("doc_id", h(F.col("shingle")).alias("_h"))
+        .distinct()
+    )
+    ev_sh = (
+        ngram_shingles(
+            eval_docs.select(F.col(id_col).alias("doc_id"), text_col),
+            shingle_n,
+            text_col=text_col,
+            id_col="doc_id",
+        )
+        .select(F.col("doc_id").alias("eval_id"), h(F.col("shingle")).alias("_h"))
+        .distinct()
+    )
+    ev_sizes = ev_sh.groupBy("eval_id").agg(
+        F.count("*").cast("long").alias("n_eval_distinct")
+    )
+    shared = (
+        corpus_sh.join(F.broadcast(ev_sh), "_h")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(ev_sizes), "eval_id")
+        .filter(
+            F.col("n_shared") * F.lit(10000)
+            >= F.lit(int(threshold_bp)) * F.col("n_eval_distinct")
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "eval_id",
+            "n_shared",
+            "n_eval_distinct",
+            F.expr("(n_shared * 10000) div n_eval_distinct").alias(
+                "containment_bp"
+            ),
+        )
+    )
+
+
 def decontam_eval_report(
     docs: DataFrame,
     eval_docs: DataFrame,

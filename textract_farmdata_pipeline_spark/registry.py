@@ -7634,6 +7634,81 @@ def doc_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CONTAINMENT decontamination — the fourth rung: a benchmark pasted
+# into a much larger page (host = neighbor doc's text || eval text,
+# planted at doc_id + 400000) has LOW Jaccard (union dominated by the
+# host) and possibly no long verbatim run after edits — but near-total
+# containment of the eval doc's shingle set.  cn-prefixed CTEs; the
+# oracle groups shingle TEXT (the usual key-never-in-output split vs
+# Spark's xxhash64 keys); every decision number is an integer.
+_DECONTAM_CONTAIN_ORACLE = """
+WITH cncorp AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT e.doc_id + 400000, h.text || ' ' || e.text
+  FROM documents e JOIN documents h ON h.doc_id = e.doc_id + 1
+  WHERE e.doc_id % 11 = 0 AND e.doc_id < 50
+),
+cnsh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM cncorp) c,
+       LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+),
+cnev AS (
+  SELECT DISTINCT doc_id AS eval_id, array_to_string(t[i : i + 2], ' ') AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 11 = 0) e,
+       LATERAL unnest(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)
+),
+cnsz AS (
+  SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_eval_distinct
+  FROM cnev GROUP BY eval_id
+),
+cnsha AS (
+  SELECT c.doc_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM cnsh c JOIN cnev e USING (s) GROUP BY c.doc_id, e.eval_id
+)
+SELECT s.doc_id, s.eval_id, s.n_shared, z.n_eval_distinct,
+  (s.n_shared * 10000) // z.n_eval_distinct AS containment_bp
+FROM cnsha s JOIN cnsz z USING (eval_id)
+WHERE s.n_shared * 10000 >= 8000 * z.n_eval_distinct
+"""
+
+
+@register("doc_decontam_containment", _DECONTAM_CONTAIN_ORACLE)
+def doc_decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment decontamination
+    (:func:`..operators.corpus.decontaminate_containment`): corpus
+    documents containing ≥ 80% of an eval document's distinct 3-gram
+    set — the benchmark-inside-a-big-page leak that Jaccard-based
+    fuzzy matching under-scores (the union is dominated by the host)
+    and span scrubbing can miss when the quoting is fragmented.  The
+    planted hosts (neighbor doc's text + eval text) are flagged at
+    ~10000 bp while their Jaccard sits far below the fuzzy threshold
+    — the rung separation, pinned in pytest.  Eval shingle map
+    broadcast; per-(doc, eval) counts partial-aggregate map-side; all
+    integers, hash-checked."""
+    from .operators.corpus import decontaminate_containment
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    hosts = (
+        ev.filter(F.col("doc_id") < 50)
+        .alias("e")
+        .join(docs.alias("h"), F.col("h.doc_id") == F.col("e.doc_id") + 1)
+        .select(
+            (F.col("e.doc_id") + 400000).alias("doc_id"),
+            F.concat(F.col("h.text"), F.lit(" "), F.col("e.text")).alias("text"),
+        )
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select("doc_id", "text")
+        .unionByName(hosts)
+    )
+    return decontaminate_containment(corpus, ev, threshold_bp=8000, shingle_n=3)
+
+
 # Eval-set UPDATE audit: the corpus is represented ONLY by its
 # positional window artifact (h, doc_id, pos) and the newly released
 # benchmarks probe it — the reverse-direction incremental form.  The

@@ -180,6 +180,7 @@ PROBE = (
     "corpus_decontam_report",
     "doc_decontam_fuzzy",
     "embedding_matryoshka_topk",
+    "doc_decontam_containment",
 )
 
 KEYED = {
