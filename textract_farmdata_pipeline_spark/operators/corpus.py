@@ -1283,48 +1283,71 @@ def decontaminate_containment(
     comparison is pure integers: ``n_shared·10000 ≥ threshold_bp ·
     n_eval_distinct``.
 
-    Scale shape: the eval side reduces to a distinct ``(hash,
-    eval_id)`` map (|eval|-bounded, broadcast); the corpus's DISTINCT
-    per-doc shingle hashes flow through that broadcast join map-side
-    and partial-aggregate per ``(doc, eval)`` pair — only pairs with
-    ≥1 shared shingle ever exist, and the count exchange carries 16
-    bytes + a count per such pair.  No LSH, no corpus self-join, no
-    pair blow-up: the candidate universe is bounded by corpus hits on
-    eval shingles, which is what decontamination is looking for."""
+    Scale shape: BOTH sides exact-collapse to one representative per
+    distinct text before any shingle work (the incremental-dedup rep
+    discipline — containment depends only on the texts, so rep-level
+    decisions are exact and members map back through their reps at
+    the end; without this, d corpus copies × d' eval copies of the
+    same text pair inflate the candidate pair count d·d'-fold, the
+    O(d²) duplication disease every pair-generating operator here has
+    already been cured of).  The eval-rep side reduces to a distinct
+    ``(hash, eval_rep)`` map (|eval|-bounded, broadcast); corpus-rep
+    DISTINCT shingle hashes flow through that broadcast join map-side
+    and partial-aggregate per ``(rep, eval_rep)`` pair — only pairs
+    with ≥1 shared shingle ever exist.  Output is member-level (the
+    true pair answer), expanded from the (small) flagged rep pairs
+    only."""
+    from pyspark.sql.window import Window as _W
+
     h = _shingle_hash(hash_family)
+    corpg = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("rep_id", F.min("doc_id").over(_W.partitionBy("text")))
+    corp_reps = corpg.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
+    )
+    evg = eval_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("rep_id", F.min("doc_id").over(_W.partitionBy("text")))
+    ev_reps = evg.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
+    )
+
     corpus_sh = (
-        ngram_shingles(
-            docs.select(F.col(id_col).alias("doc_id"), text_col),
-            shingle_n,
-            text_col=text_col,
-            id_col="doc_id",
-        )
+        ngram_shingles(corp_reps, shingle_n, text_col="text", id_col="doc_id")
         .select("doc_id", h(F.col("shingle")).alias("_h"))
         .distinct()
     )
     ev_sh = (
-        ngram_shingles(
-            eval_docs.select(F.col(id_col).alias("doc_id"), text_col),
-            shingle_n,
-            text_col=text_col,
-            id_col="doc_id",
-        )
-        .select(F.col("doc_id").alias("eval_id"), h(F.col("shingle")).alias("_h"))
+        ngram_shingles(ev_reps, shingle_n, text_col="text", id_col="doc_id")
+        .select(F.col("doc_id").alias("eval_rep"), h(F.col("shingle")).alias("_h"))
         .distinct()
     )
-    ev_sizes = ev_sh.groupBy("eval_id").agg(
+    ev_sizes = ev_sh.groupBy("eval_rep").agg(
         F.count("*").cast("long").alias("n_eval_distinct")
     )
-    shared = (
+    flagged = (
         corpus_sh.join(F.broadcast(ev_sh), "_h")
-        .groupBy("doc_id", "eval_id")
+        .groupBy("doc_id", "eval_rep")
         .agg(F.count("*").cast("long").alias("n_shared"))
-    )
-    return (
-        shared.join(F.broadcast(ev_sizes), "eval_id")
+        .join(F.broadcast(ev_sizes), "eval_rep")
         .filter(
             F.col("n_shared") * F.lit(10000)
             >= F.lit(int(threshold_bp)) * F.col("n_eval_distinct")
+        )
+        .withColumnRenamed("doc_id", "corp_rep")
+    )
+    return (
+        corpg.select("doc_id", F.col("rep_id").alias("corp_rep"))
+        .join(flagged, "corp_rep")
+        .join(
+            F.broadcast(
+                evg.select(
+                    F.col("doc_id").alias("eval_id"),
+                    F.col("rep_id").alias("eval_rep"),
+                )
+            ),
+            "eval_rep",
         )
         .select(
             F.col("doc_id").alias(id_col),
