@@ -312,6 +312,7 @@ def build_corpus(
     paragraph_words: int | None = None,
     decontam_scrub_len: int | None = None,
     mixture_unit: str | None = None,
+    return_text: bool = False,
 ) -> DataFrame:
     """The end-to-end corpus build: [KN-LM quality gate →] [Gopher
     quality gate → cross-document span dedup →] [ExactSubstr removal →]
@@ -380,7 +381,22 @@ def build_corpus(
     documents that the n-gram drop rule would discard wholesale are
     retained minus exactly their overlapping spans — the data-efficient
     decontamination discipline for long documents.  ``decontam_n`` is
-    ignored in this mode.
+    ignored in this mode.  The corpus is REWRITTEN with the scrubbed
+    text (the substring/paragraph-stage pattern): every downstream
+    stage — token-budget mixture weights, the leakage-safe split's
+    near-dup clustering, and the ``return_text`` manifest — sees the
+    post-scrub text.  Consumers of an id-only manifest (``return_text
+    =False``) MUST NOT join text back from the raw document store in
+    scrub mode — that would re-import the verbatim eval spans; set
+    ``return_text=True`` (or materialize :func:`decontaminate_scrub`
+    separately) to ship the clean text.
+
+    ``return_text=True`` appends the final per-document text column to
+    the manifest — post-dedup text, and post-scrub in scrub mode — so
+    the manifest alone is a loadable corpus (id → text join already
+    done, on the cleaned side of every rewrite stage).  Default off:
+    an id manifest is what a 100 TB build materializes (the text join
+    runs in the loader against the staged clean corpus).
 
     ``mixture_unit="tokens"`` switches the resample stage from
     doc-balanced (:func:`mixture_resample`) to TOKEN-budget-balanced
@@ -524,14 +540,17 @@ def build_corpus(
         base = base.join(drop, key_col, "left_anti")
     if persist_intermediate:
         base = base.persist()
+    clean_docs = docs  # corpus whose text downstream consumers see
     if decontam_scrub_len is not None:
         # Span-scrub mode: the scrub chain references base from three
         # branches (corpus windows, rewrite, pass-through) — the same
         # staging rule as the front gates, so base's subtree computes
-        # once.  Only fully-contaminated docs (clean_text == '') exit;
-        # downstream mixture/shard layout consumes ids+domains, so the
-        # rewritten text's only manifest effect is that exit rule —
-        # which is exactly the semantic difference vs the drop rule.
+        # once.  Only fully-contaminated docs (clean_text == '') exit,
+        # the span-stage rule; the surviving text is REWRITTEN to the
+        # scrubbed form (the substring/paragraph-stage pattern), so
+        # the mixture weights, the split-stage clustering, and the
+        # ``return_text`` manifest all operate on post-scrub text —
+        # the verbatim eval spans never reach a training consumer.
         base, _ = tracked_local_checkpoint(base)
         survivors = decontaminate_scrub(
             base,
@@ -540,18 +559,22 @@ def build_corpus(
             id_col=key_col,
             text_col=text_col,
         ).where(F.col("clean_text") != "")
+        base = base.drop(text_col).join(
+            survivors.select(
+                key_col,
+                F.col("clean_text").alias(text_col),
+                "n_tokens_kept",
+            ),
+            key_col,
+        )
+        clean_docs = base
         if mixture_unit == "tokens":
             # budget the tokens that actually remain after the scrub
-            clean = base.select(key_col, by).join(
-                survivors.select(
-                    key_col, F.col("n_tokens_kept").alias("_w")
-                ),
-                key_col,
+            clean = base.select(
+                key_col, by, F.col("n_tokens_kept").alias("_w")
             )
         else:
-            clean = base.select(key_col, by).join(
-                survivors.select(key_col), key_col
-            )
+            clean = base.select(key_col, by)
     else:
         contaminated = decontaminate(
             base, eval_docs, n=decontam_n, text_col=text_col, id_col=key_col
@@ -583,14 +606,19 @@ def build_corpus(
         key_col, by, "shard", "shard_pos"
     )
     if split_weights is None:
+        if return_text:
+            manifest = manifest.join(
+                clean_docs.select(key_col, text_col), key_col
+            ).select(key_col, by, "shard", "shard_pos", text_col)
         return manifest
     from .dedup import near_dup_clusters
     from .preprocess import dataset_split
 
-    # Leakage-safe split over the FINAL selection only; `docs` here is
-    # the gated corpus, already staged after the heavy gates, so the
-    # text join below is a cheap scan of that checkpoint.
-    sel = docs.select(
+    # Leakage-safe split over the FINAL selection only; `clean_docs`
+    # is the gated corpus (post-scrub in scrub mode), already staged
+    # after the heavy gates, so the text join below is a cheap scan of
+    # that checkpoint.
+    sel = clean_docs.select(
         F.col(key_col).alias("doc_id"), F.col(text_col).alias("text")
     ).join(sampled.select(F.col(key_col).alias("doc_id")), "doc_id")
     clusters = near_dup_clusters(
@@ -605,9 +633,14 @@ def build_corpus(
     split_map = dataset_split(
         clusters, id_col="cluster_id", weights=split_weights
     ).select(F.col("doc_id").alias(key_col), "split")
-    return manifest.join(split_map, key_col).select(
+    out = manifest.join(split_map, key_col).select(
         key_col, by, "shard", "shard_pos", "split"
     )
+    if return_text:
+        out = out.join(clean_docs.select(key_col, text_col), key_col).select(
+            key_col, by, "shard", "shard_pos", "split", text_col
+        )
+    return out
 
 
 def span_dedup(

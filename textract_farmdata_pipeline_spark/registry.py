@@ -7388,17 +7388,21 @@ dcspans AS (
   FROM dcisl GROUP BY doc_id, isl
 ),
 dctokpos AS (
-  SELECT doc_id, i AS pos
+  SELECT doc_id, i AS pos, t[i] AS tok
   FROM dctoks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
 ),
 dckept AS (
-  SELECT k.doc_id FROM dctokpos k LEFT JOIN dcspans s
+  SELECT k.doc_id, k.pos, k.tok FROM dctokpos k LEFT JOIN dcspans s
     ON k.doc_id = s.doc_id AND k.pos BETWEEN s.span_start AND s.span_end
   WHERE s.doc_id IS NULL
 ),
-dcagg AS (SELECT doc_id FROM dckept GROUP BY doc_id),
+dcagg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM dckept GROUP BY doc_id
+),
 clean AS (
   SELECT b.doc_id, b.source FROM base b JOIN dcagg a USING (doc_id)
+  WHERE COALESCE(a.clean_text, '') <> ''
 ),
 counts AS ("""
     + _CORPUS_BUILD_ORACLE.split("counts AS (", 1)[1]
@@ -7415,7 +7419,11 @@ def corpus_build_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram drop rule, which at this holdout density would discard the
     corpus wholesale (17 surviving docs vs 450, measured at sf0.01).
     The data-efficient decontamination discipline for long documents,
-    in its production position."""
+    in its production position.  The build REWRITES survivors with the
+    scrubbed text (r11: the substring/paragraph-stage pattern), so
+    every downstream consumer sees post-scrub text —
+    ``corpus_build_scrub_text`` hash-checks the delivered text
+    itself."""
     from .operators.corpus import build_corpus
 
     docs = _t(spark, sf_dir, "documents")
@@ -7424,6 +7432,56 @@ def corpus_build_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 11 == 0),
         num_shards=16,
         decontam_scrub_len=8,
+    )
+
+
+# The text-carrying scrub manifest: the scrub-build oracle with the
+# final SELECT joined back to dcagg's reassembled clean_text — the
+# hash check covers the DELIVERED text, proving the verbatim eval
+# spans are absent from what a loader would actually train on (the
+# contract the id-only manifest could not verify).
+_CORPUS_BUILD_SCRUB_TEXT_ORACLE = (
+    _CORPUS_BUILD_DECONTAM_SCRUB_ORACLE.rsplit(
+        "\nSELECT doc_id, source, shard", 1
+    )[0]
+    + """
+SELECT s.doc_id, s.source, s.shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY s.shard ORDER BY s.h) AS INTEGER)
+    AS shard_pos,
+  a.clean_text AS text
+FROM (
+  SELECT doc_id, source,
+    CAST('0x' || substr(md5('|shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 16 AS shard,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM sampled
+) s
+JOIN dcagg a USING (doc_id)
+"""
+)
+
+
+@register("corpus_build_scrub_text", _CORPUS_BUILD_SCRUB_TEXT_ORACLE)
+def corpus_build_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub-mode build with ``return_text=True``: the manifest
+    carries the post-scrub document text, so the DuckDB hash check
+    verifies byte-for-byte that no ≥8-token eval overlap survives in
+    what a training loader would consume.  This is the verification
+    the id-only ``corpus_build_decontam_scrub`` manifest cannot give —
+    a consumer joining ids back to the raw store would re-import the
+    contamination; this form ships the clean text in the manifest
+    itself.  Plan shape: one extra id-keyed join of the (already
+    staged) scrubbed corpus onto the sampled ids — no new corpus pass,
+    no new exchange beyond the join."""
+    from .operators.corpus import build_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_corpus(
+        docs,
+        docs.filter(F.col("doc_id") % 11 == 0),
+        num_shards=16,
+        decontam_scrub_len=8,
+        return_text=True,
     )
 
 
@@ -11769,7 +11827,7 @@ dctoks AS ("""
     )[0]
     + """,
 spdocs AS (
-  SELECT p.doc_id, p.text FROM pgated p JOIN sampled USING (doc_id)
+  SELECT a.doc_id, a.clean_text AS text FROM dcagg a JOIN sampled USING (doc_id)
 )"""
     # leakage-safe split chain over the CLEANED text of the final selection
     + _split_chain_ctes("sp", "spdocs")

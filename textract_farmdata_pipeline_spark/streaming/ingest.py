@@ -644,12 +644,17 @@ def bloom_process_batch(
         try:
             adm_t = ParquetMergeTable(spark, adm_path)
             cov_t = ParquetMergeTable(spark, cov_path)
-            covered = (
-                {r["batch_id"] for r in cov_t.read().collect()}
-                if _exists(cov_path)
-                else set()
+            # Existence probe for THIS batch id only: the covered table
+            # grows one row per committed batch forever, so collecting
+            # it whole here would ship O(total batches) rows to the
+            # driver on EVERY batch — O(n²) over a stream's lifetime.
+            # The filtered isEmpty is a take(1) over parquet row groups
+            # that min/max-prune on batch_id: per-batch cost stays flat
+            # at any stream age (SCALE.md, batch-count axis).
+            is_covered = _exists(cov_path) and not (
+                cov_t.read().where(F.col("batch_id") == batch_id).isEmpty()
             )
-            if batch_id in covered:
+            if is_covered:
                 # Replay of a fully-marked batch: decisions are the
                 # stored ones; re-OR bits in case the words commit was
                 # the step that crashed (window 3 above).
@@ -815,16 +820,25 @@ def decontam_ingest_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # persist: the scrub chain (window explode → semi join →
+        # islands → rewrite) is referenced by BOTH the table commit and
+        # the sink — without it each consumer re-runs the whole chain.
         scrubbed = decontaminate_scrub_against(
             ev_hashes, batch_df, min_len=min_len, hash_family=hash_family
-        )
-        table = ParquetMergeTable(spark, clean_path)
-        if os.path.isdir(os.path.join(clean_path, "_manifests")):
-            table.merge(scrubbed, key="doc_id")
-        elif not scrubbed.isEmpty():
-            table.create(scrubbed)
-        if sink is not None:
-            sink(scrubbed, batch_id)
+        ).persist()
+        try:
+            table = ParquetMergeTable(spark, clean_path)
+            if os.path.isdir(os.path.join(clean_path, "_manifests")):
+                table.merge(scrubbed, key="doc_id")
+            else:
+                # Create unconditionally on the FIRST batch (an empty
+                # frame writes a schema-only parquet file), so a sink
+                # never observes batches before the table exists.
+                table.create(scrubbed)
+            if sink is not None:
+                sink(scrubbed, batch_id)
+        finally:
+            scrubbed.unpersist()
 
     return docs.writeStream.foreachBatch(process)
 
