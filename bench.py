@@ -258,6 +258,14 @@ HEADLINE = (
     # page leak (near-total eval-shingle containment at low Jaccard);
     # broadcast eval map, per-pair integer counts
     "doc_decontam_containment",
+    # r11: the text-carrying scrub manifest (the delivered post-scrub
+    # text under the hash gate — the decontamination contract itself),
+    # the quantized one-step-Lloyd prototype prune (trained decision,
+    # fully hash-checked), and URL-canonicalization keep-first dedup
+    # (the pre-content rung of the dedup ladder)
+    "corpus_build_scrub_text",
+    "embedding_prototype_prune_refined",
+    "doc_url_dedup",
 )
 
 

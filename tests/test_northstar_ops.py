@@ -115,6 +115,50 @@ class TestDedupQuality:
             mass["x" if d != 2 else "y"] = mass.get("x" if d != 2 else "y", 0.0) + w
         assert abs(mass["x"] - 1.0) < 1e-12 and mass["y"] == 1.0
 
+    def test_canonical_url_normalizations(self, spark):
+        """Each normalization rung collapses its variant onto the
+        canonical form; genuinely different pages stay distinct."""
+        from pyspark.sql import functions as F
+
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            canonical_url,
+        )
+
+        cases = [
+            # (input, expected canonical)
+            ("https://Example.com/a/b?b=2&a=1", "https://example.com/a/b?a=1&b=2"),
+            ("HTTPS://www.example.com/a/b/?a=1&b=2#frag", "https://example.com/a/b?a=1&b=2"),
+            ("https://example.com:443/a/b?a=1&b=2", "https://example.com/a/b?a=1&b=2"),
+            ("http://example.com:80/x", "http://example.com/x"),
+            ("http://example.com:8080/x", "http://example.com:8080/x"),  # non-default port kept
+            ("https://example.com", "https://example.com"),  # no path
+            ("https://example.com/", "https://example.com"),  # root slash == root
+            ("https://example.com/A/B", "https://example.com/A/B"),  # path case significant
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [
+            r["c"]
+            for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+        ]
+        assert got == [want for _, want in cases]
+
+    def test_url_dedup_keep_first(self, spark):
+        from textract_farmdata_pipeline_spark.operators.dedup import url_dedup
+
+        df = spark.createDataFrame(
+            [
+                (5, "https://Example.com/p?b=2&a=1"),
+                (2, "https://www.example.com/p/?a=1&b=2"),
+                (9, "https://example.com:443/p?a=1&b=2#x"),
+                (1, "https://example.com/other"),
+            ],
+            "doc_id long, url string",
+        )
+        rows = {r["doc_id"]: r for r in url_dedup(df).collect()}
+        assert [rows[d]["keep"] for d in (2, 5, 9)] == [True, False, False]
+        assert rows[1]["keep"] and rows[1]["n_copies"] == 1
+        assert {rows[d]["n_copies"] for d in (2, 5, 9)} == {3}
+
 
 class TestAnnRecall:
     @pytest.fixture(scope="class")
@@ -5027,6 +5071,82 @@ class TestPrototypePrune:
         for r in per:
             assert r["n_keep"] == r["n"] - r["n"] // 2
             assert (r["rmin"], r["rmax"], r["rdist"]) == (1, r["n"], r["n"])
+
+
+class TestPrototypePruneRefined:
+    """One-step quantized-Lloyd prune: contract parity with the frozen
+    form, a hand-checkable refine step, and the quota invariant on the
+    real corpus."""
+
+    def test_refine_moves_centroid(self, spark):
+        """Two clusters on the axes plus an off-axis member: after one
+        quantized mean step the cell-1 centroid rotates toward the
+        off-axis member, but assignments/quotas stay the hand-computed
+        ones (the refine changes scores, not this partition)."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            prototype_prune_refined,
+        )
+
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.2]),  # pulls cell-1 mean off the x axis
+            (3, [0.0, 1.0]),
+            (4, [0.2, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r["vec_id"]: r
+            for r in prototype_prune_refined(
+                df, [[1.0, 0.0], [0.0, 1.0]], prune_frac=0.5
+            ).collect()
+        }
+        assert {v: out[v]["cell_id"] for v in out} == {1: 1, 2: 1, 3: 2, 4: 2}
+        # after refine the cell-1 centroid is the (normalized-mean) of
+        # v1,v2 -> v2's direction is NOT the prototype; v1 and v2 rank
+        # by dot with the tilted centroid: the mean lies between them,
+        # nearer the bisector, and both cells drop floor(2*0.5)=1.
+        for cell in (1, 2):
+            kept = [v for v in out if out[v]["cell_id"] == cell and out[v]["keep"]]
+            assert len(kept) == 1
+
+    def test_quota_and_rank_invariants_on_corpus(self, spark, emb):
+        """Same per-cell quota/permutation invariants as the frozen
+        form, over the refined codebook on the real embeddings."""
+        from pyspark.sql import functions as F
+
+        from textract_farmdata_pipeline_spark.operators.dedup import md5_long
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            prototype_prune_refined,
+        )
+
+        anchors = [
+            r["e"]
+            for r in emb.select(
+                F.col("embedding").cast("array<double>").alias("e"),
+                md5_long(F.col("vec_id").cast("string"), "prot|").alias("_r"),
+                "vec_id",
+            )
+            .orderBy(F.asc("_r"), F.asc("vec_id"))
+            .limit(16)
+            .collect()
+        ]
+        out = prototype_prune_refined(emb, anchors, prune_frac=0.5)
+        per = (
+            out.groupBy("cell_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("keep").cast("int")).alias("n_keep"),
+                F.min("proto_rank").alias("rmin"),
+                F.max("proto_rank").alias("rmax"),
+                F.count_distinct("proto_rank").alias("rdist"),
+            )
+            .collect()
+        )
+        assert per
+        for r in per:
+            assert r["n_keep"] == r["n"] - r["n"] // 2
+            assert (r["rmin"], r["rmax"], r["rdist"]) == (1, r["n"], r["n"])
+        assert out.count() == emb.count()  # every vector decided
 
 
 class TestMatryoshkaTopk:

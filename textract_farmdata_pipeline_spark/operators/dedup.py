@@ -78,6 +78,83 @@ def soft_dedup_weights(
     )
 
 
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL column for source-level dedup (the
+    CCNet/RefinedWeb pre-content rung: recrawls of one page differ in
+    scheme case, ``www.``, default ports, trailing slashes, query
+    order, and fragments long before their text differs).
+
+    Normalizations, all pure column expressions (codegen, no UDF) with
+    engine-portable semantics (split/sort/regexp twins exist in ANSI
+    dialects):
+
+    * drop the ``#fragment``;
+    * lowercase scheme and authority (path/query case is significant);
+    * strip a leading ``www.`` and the scheme's default port
+      (``:80`` for http, ``:443`` for https);
+    * strip trailing ``/`` runs from the path (root == root-slash);
+    * sort query parameters byte-wise (``?b=2&a=1`` == ``?a=1&b=2``).
+    """
+    u0 = F.substring_index(url, "#", 1)
+    pre = F.substring_index(u0, "?", 1)
+    q = F.when(
+        F.length(u0) > F.length(pre),
+        F.substring(u0, F.length(pre) + F.lit(2), F.length(u0)),
+    ).otherwise(F.lit(""))
+    scheme = F.lower(
+        F.regexp_extract(pre, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    auth = F.lower(
+        F.regexp_extract(pre, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
+    )
+    auth = F.regexp_replace(auth, r"^www\.", "")
+    auth = F.when(
+        scheme == "http", F.regexp_replace(auth, ":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(auth, ":443$", "")
+    ).otherwise(auth)
+    path = F.regexp_replace(
+        pre, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
+    )
+    path = F.regexp_replace(path, "/+$", "")
+    qsorted = F.when(
+        q == "", F.lit("")
+    ).otherwise(F.concat(F.lit("?"), F.concat_ws("&", F.array_sort(F.split(q, "&")))))
+    return F.concat(scheme, F.lit("://"), auth, path, qsorted)
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-first dedup by CANONICAL URL (:func:`canonical_url`) — the
+    cheapest rung of the dedup ladder, run BEFORE any content pass
+    (CCNet §3.1 / RefinedWeb §3: dropping same-page recrawls by URL
+    costs a string normalization, vs hashing or shingling megabytes of
+    body text; content dedup then only pays for genuinely distinct
+    pages).
+
+    Returns a decision row per document: ``(id, canonical_url,
+    n_copies, keep)`` with ``keep`` = lowest id among the canonical
+    group (deterministic, the :func:`exact_dedup` representative
+    rule).  Scale shape: canonicalization is map-side codegen; the
+    only exchange is ONE hash partition on the canonical string
+    (~tens of bytes/row — the cheapest possible key this side of a
+    digest), carrying id + url; body text never shuffles.  Group
+    cardinality is bounded by recrawl count per page, so no salting is
+    needed — a pathologically re-crawled page is exactly what the
+    operator exists to collapse.
+    """
+    w = Window.partitionBy("canonical_url")
+    return (
+        docs.select(
+            F.col(id_col),
+            canonical_url(F.col(url_col)).alias("canonical_url"),
+        )
+        .withColumn("n_copies", F.count("*").over(w).cast("long"))
+        .withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
+    )
+
+
 def count_distinct_two_phase(
     df: DataFrame, key: str, value_cols: dict[str, str]
 ) -> DataFrame:

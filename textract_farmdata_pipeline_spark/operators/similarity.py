@@ -956,8 +956,6 @@ def prototype_prune(
     the full per-cell order, so the window is inherent to the
     semantics — not a removable shuffle.
     """
-    from pyspark.sql.window import Window
-
     scored = vectors.select(
         F.col(id_col).alias("vec_id"),
         centroid_scores(unit_vector(F.col(vec_col)), centroids).alias("_s"),
@@ -966,6 +964,16 @@ def prototype_prune(
         nearest_cell(F.col("_s")).cast("int").alias("cell_id"),
         F.array_max(F.col("_s")).alias("_proto"),
     )
+    return _proto_rank_tail(scored, prune_frac)
+
+
+def _proto_rank_tail(scored: DataFrame, prune_frac: float) -> DataFrame:
+    """Shared prune tail: per-cell rank by prototypicality DESC (ties →
+    lowest id), quota ``floor(n_cell · prune_frac)``, keep above it.
+    One definition so the frozen-anchor and refined-codebook forms
+    cannot diverge on the decision rule."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("cell_id")
     ranked = scored.select(
         "vec_id",
@@ -985,6 +993,98 @@ def prototype_prune(
             > F.floor(F.col("n_cell") * F.lit(float(prune_frac)))
         ).alias("keep"),
     )
+
+
+def prototype_prune_refined(
+    vectors: DataFrame,
+    anchors,
+    prune_frac: float = 0.5,
+    scale_bits: int = 24,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Prototype pruning over a ONE-STEP QUANTIZED-LLOYD codebook —
+    the hash-checkable trained form sitting between the frozen-anchor
+    :func:`prototype_prune` (no training) and the float-Lloyd
+    ``kmeans_train`` twin (quality path, unhashable).
+
+    Float Lloyd training is rows-only by nature: the per-cell MEAN sums
+    doubles in partition order, so no two engines (or two runs) agree
+    bit-for-bit.  This form makes one Lloyd update deterministic by
+    quantizing each unit-vector coordinate to ``round(x · 2^scale_bits)``
+    (spelled ``floor(x·2^b + 0.5)`` — both engines floor identically)
+    and INTEGER-summing per (cell, coordinate): integer addition is
+    exact and order-independent, so the refined centroid ``s / (n ·
+    2^b)`` is ONE IEEE division of exact integers — bit-identical in
+    Spark, Python, and DuckDB.  Assignment → quantized mean → reassign
+    → rank is a faithful Lloyd step (quantization error 2^-24 per
+    coordinate), and the keep/prune decision of the TRAINED codebook
+    becomes replayable in ANSI SQL — the promotion pattern established
+    by the frozen SemDeDup twin.
+
+    Exactness bound: a cell's integer sum stays a faithful double
+    through the division while ``n_cell · 2^scale_bits < 2^53`` —
+    ~5·10⁸ members per cell at the default 24 bits (drop ``scale_bits``
+    for pathologically hot cells; the BIGINT sum itself holds to 2^63).
+
+    Scale shape (100 TB): two corpus passes, same as any Lloyd step —
+    (1) assign + quantize + posexplode to (cell, pos, q) with map-side
+    partial integer sums (shuffle carries k·dim groups, bytes
+    independent of corpus size), collect the k·dim refined codebook to
+    the driver (bounded, the audited codebook pattern); (2) map-only
+    rescore against the broadcast refined book + the per-cell rank
+    exchange inherited from :func:`prototype_prune`.  Returns the same
+    ``(vec_id, cell_id, n_cell, proto_rank, keep)`` contract.
+    """
+    scale = 1 << scale_bits
+    assigned = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        unit_vector(_as_double(F.col(vec_col))).alias("u"),
+    ).select(
+        "vec_id",
+        "u",
+        nearest_cell(centroid_scores(F.col("u"), anchors))
+        .cast("int")
+        .alias("cell0"),
+    )
+    rows = (
+        assigned.select(
+            "cell0",
+            F.posexplode(
+                F.transform(
+                    "u",
+                    lambda x: F.floor(
+                        x * F.lit(float(scale)) + F.lit(0.5)
+                    ).cast("long"),
+                )
+            ).alias("pos", "q"),
+        )
+        .groupBy("cell0", "pos")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .collect()  # k·dim rows — the bounded-codebook pattern
+    )
+    sums: dict[int, dict[int, int]] = {}
+    counts: dict[int, int] = {}
+    for r in rows:
+        sums.setdefault(r["cell0"], {})[r["pos"]] = r["s"]
+        counts[r["cell0"]] = r["n"]
+    cells = sorted(sums)  # ascending original cell id: first-max tie
+    # order in the compacted book == smallest cell id, the SQL j ASC
+    book = [
+        [sums[c][p] / float(counts[c] * scale) for p in sorted(sums[c])]
+        for c in cells
+    ]
+    cell_ids = F.array(*[F.lit(int(c)).cast("int") for c in cells])
+    scored = assigned.select(
+        "vec_id", centroid_scores(F.col("u"), book).alias("_s")
+    ).select(
+        "vec_id",
+        F.element_at(cell_ids, nearest_cell(F.col("_s")).cast("int")).alias(
+            "cell_id"
+        ),
+        F.array_max(F.col("_s")).alias("_proto"),
+    )
+    return _proto_rank_tail(scored, prune_frac)
 
 
 # ---------------------------------------------------------------------------

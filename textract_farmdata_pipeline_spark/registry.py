@@ -11055,12 +11055,122 @@ def embedding_prototype_prune_kmeans(spark: SparkSession, sf_dir: str) -> DataFr
     paper's actual prototypes).  Same prune_frac=0.5 and ranking
     contract as the frozen registration, so per-cell quotas are
     directly comparable across codebooks; rows-only like every Lloyd
-    registration (keep-count and quota invariants pytest-pinned)."""
+    registration (keep-count and quota invariants pytest-pinned).
+    ``embedding_prototype_prune_refined`` is the hash-checkable trained
+    twin: one QUANTIZED Lloyd step whose integer-sum centroids replay
+    exactly in SQL — the keep/prune decision of a trained codebook
+    under the full oracle gate (see docs/BENCH_NOTES.md on why float
+    Lloyd itself cannot be promoted)."""
     from .operators.similarity import kmeans_train, prototype_prune
 
     emb = _t(spark, sf_dir, "embeddings")
     cents, _ = kmeans_train(emb, k=16, max_iter=4)
     return prototype_prune(emb, cents, prune_frac=0.5)
+
+
+# One-step quantized-Lloyd prune: the _PROTO_PRUNE_ORACLE chain with a
+# refine pass spliced between assignment and ranking — per-(cell,
+# coordinate) INTEGER sums of floor(u·2^24 + 0.5) rebuild the refined
+# codebook as s/(n·2^24), one IEEE division of exact integers, so the
+# trained decision replays bit-for-bit (float Lloyd's order-dependent
+# double means cannot).
+_PROTO_PRUNE_REFINED_ORACLE = """
+WITH ppv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+ppn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM ppv),
+ppu AS (
+  SELECT vec_id,
+    CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS u
+  FROM ppn
+),
+ppa AS (
+  SELECT aid, j FROM (
+    SELECT vec_id AS aid,
+      ROW_NUMBER() OVER (ORDER BY
+        CAST(('0x' || substr(md5('prot|' || CAST(vec_id AS VARCHAR)), 1, 15))
+             AS BIGINT) ASC,
+        vec_id ASC) AS j
+    FROM embeddings) ranked
+  WHERE j <= 16
+),
+ppav AS (
+  SELECT ppa.j, CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings JOIN ppa ON vec_id = ppa.aid
+),
+ppc0 AS (
+  SELECT vec_id, u, j AS cell0 FROM (
+    SELECT r.vec_id, r.u, a.j,
+      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+        ORDER BY list_dot_product(a.c, r.u) DESC, a.j ASC) AS rk
+    FROM ppu r CROSS JOIN ppav a) t
+  WHERE rk = 1
+),
+pps AS (
+  SELECT cell0, i AS pos,
+    SUM(CAST(floor(u[i] * 16777216.0 + 0.5) AS BIGINT)) AS s,
+    COUNT(*) AS n
+  FROM ppc0, LATERAL unnest(generate_series(1, len(u))) AS g(i)
+  GROUP BY cell0, i
+),
+ppref AS (
+  SELECT cell0 AS j,
+    list(CAST(s AS DOUBLE) / CAST(n * 16777216 AS DOUBLE) ORDER BY pos) AS c
+  FROM pps GROUP BY cell0
+),
+ppcell AS (
+  SELECT vec_id, j AS cell_id, d AS proto FROM (
+    SELECT r.vec_id, a.j, list_dot_product(a.c, r.u) AS d,
+      ROW_NUMBER() OVER (PARTITION BY r.vec_id
+        ORDER BY list_dot_product(a.c, r.u) DESC, a.j ASC) AS rk
+    FROM ppu r CROSS JOIN ppref a) t
+  WHERE rk = 1
+),
+ppr AS (
+  SELECT vec_id, CAST(cell_id AS INT) AS cell_id,
+    CAST(COUNT(*) OVER (PARTITION BY cell_id) AS BIGINT) AS n_cell,
+    CAST(ROW_NUMBER() OVER (PARTITION BY cell_id
+      ORDER BY proto DESC, vec_id ASC) AS INT) AS proto_rank
+  FROM ppcell
+)
+SELECT vec_id, cell_id, n_cell, proto_rank,
+  proto_rank > CAST(floor(n_cell * 0.5) AS BIGINT) AS keep
+FROM ppr
+"""
+_PROTO_PRUNE_REFINED_ORACLE = _force_materialized(_PROTO_PRUNE_REFINED_ORACLE)
+
+
+@register("embedding_prototype_prune_refined", _PROTO_PRUNE_REFINED_ORACLE)
+def embedding_prototype_prune_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype pruning over a ONE-STEP QUANTIZED-LLOYD codebook
+    (:func:`..operators.similarity.prototype_prune_refined`): md5
+    anchors → assign → integer-quantized per-cell mean (exact,
+    order-independent sums of ``floor(u·2^24 + 0.5)``) → reassign →
+    rank → quota.  The hash-checkable TRAINED member of the prune
+    family — the frozen registration never trains, the Lloyd twin
+    trains but can't be hashed; this one does a faithful Lloyd update
+    whose every arithmetic step replays in DuckDB, putting the trained
+    keep/prune decision itself under the full oracle gate (the frozen-
+    SemDeDup promotion pattern).  Same md5 anchor seed and prune_frac
+    as the frozen form, so the effect of ONE training step on the
+    per-cell quotas is directly measurable between the two green
+    registrations."""
+    from .operators.dedup import md5_long
+    from .operators.similarity import prototype_prune_refined
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = [
+        r["e"]
+        for r in emb.select(
+            F.col("embedding").cast("array<double>").alias("e"),
+            md5_long(F.col("vec_id").cast("string"), "prot|").alias("_r"),
+            "vec_id",
+        )
+        .orderBy(F.asc("_r"), F.asc("vec_id"))
+        .limit(16)
+        .collect()
+    ]
+    return prototype_prune_refined(emb, anchors, prune_frac=0.5)
 
 
 # =========================================================================
@@ -11731,6 +11841,105 @@ def doc_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         planted.select("doc_id", "text")
     )
     return soft_dedup_weights(base)
+
+
+# URL-canonicalization dedup: the synthetic url column plants three
+# deterministic recrawl variants of each page — scheme case, www.,
+# :443 default port, trailing slash, query order, #fragment — that
+# canonicalization must collapse; the canonical chain is the
+# engine-portable twin of operators.dedup.canonical_url step by step.
+_URL_DEDUP_ORACLE = """
+WITH uurl AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN 'https://Example.com/' || source || '/item/'
+        || CAST(doc_id % 40 AS VARCHAR) || '?b=2&a=1'
+      WHEN 1 THEN 'HTTPS://www.example.com/' || source || '/item/'
+        || CAST(doc_id % 40 AS VARCHAR) || '/?a=1&b=2#frag'
+      ELSE 'https://example.com:443/' || source || '/item/'
+        || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2'
+    END AS url
+  FROM documents
+),
+uparts AS (
+  SELECT doc_id, url,
+    split_part(url, '#', 1) AS u0,
+    split_part(split_part(url, '#', 1), '?', 1) AS pre
+  FROM uurl
+),
+unorm AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(
+      lower(regexp_extract(pre, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)),
+      '^www\\.', '') AS auth0,
+    regexp_replace(
+      regexp_replace(pre, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', ''),
+      '/+$', '') AS path,
+    CASE WHEN len(u0) > len(pre) THEN substr(u0, len(pre) + 2) ELSE '' END AS q
+  FROM uparts
+),
+ucan AS (
+  SELECT doc_id,
+    scheme || '://'
+    || CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+            WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+            ELSE auth0 END
+    || path
+    || CASE WHEN q = '' THEN ''
+            ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+       END AS canonical_url
+  FROM unorm
+)
+SELECT doc_id, canonical_url,
+  CAST(COUNT(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_copies,
+  doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS keep
+FROM ucan
+"""
+
+
+@register("doc_url_dedup", _URL_DEDUP_ORACLE)
+def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (:func:`..operators.dedup.url_dedup`)
+    — the standard pre-content rung (CCNet / RefinedWeb): canonicalize
+    each document's URL (lowercase scheme+host, strip ``www.``/default
+    port/trailing slash/fragment, sort query params) and keep the
+    lowest id per canonical page, BEFORE any content hashing pays for
+    the recrawl's bytes.  The documents table has no URL column, so
+    the registration plants three deterministic recrawl variants per
+    page key (``source``, ``doc_id % 40``) covering every
+    normalization — all must collapse to one canonical string for the
+    hash to match.  Map-side canonicalization + one window over the
+    canonical key; bodies never shuffle."""
+    from .operators.dedup import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 40).cast("string")
+    with_url = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 3).cast("int") == 0,
+            F.concat(
+                F.lit("https://Example.com/"), F.col("source"),
+                F.lit("/item/"), page, F.lit("?b=2&a=1"),
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 3).cast("int") == 1,
+            F.concat(
+                F.lit("HTTPS://www.example.com/"), F.col("source"),
+                F.lit("/item/"), page, F.lit("/?a=1&b=2#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com:443/"), F.col("source"),
+                F.lit("/item/"), page, F.lit("?a=1&b=2"),
+            ),
+        )
+        .alias("url"),
+    )
+    return url_dedup(with_url)
 
 
 _SOURCE_NOVELTY_ORACLE = """
