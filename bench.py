@@ -266,6 +266,10 @@ HEADLINE = (
     "corpus_build_scrub_text",
     "embedding_prototype_prune_refined",
     "doc_url_dedup",
+    # r11: CCNet per-language head/middle/tail perplexity strata —
+    # two-phase range-partitioned rank (no lang-partitioned window),
+    # closed-form NTILE hash-matched to the oracle's partitioned NTILE
+    "doc_ccnet_buckets",
 )
 
 

@@ -276,6 +276,54 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_image_stub(b"bytes", "png")
 
+    def test_real_decoder_through_seam(self, spark):
+        """ENV-GATED real-codec drive of the decoder seam (the
+        protobuf-skip pattern): if PIL is importable, decode a tiny
+        generated PNG through a seam-conformant decoder and run the
+        UNCHANGED gradient/packing stage (image_dhash) over the
+        decoded luma bytes — proving the Spark-side plumbing needs no
+        change when a codec lands.
+
+        Re-probed 2026-08-16 (round 11 session start): ``import PIL``
+        still raises ModuleNotFoundError in this container and
+        installs remain disallowed, so this skips; the byte-level
+        deterministic path below stays the tested surface."""
+        PIL_Image = pytest.importorskip(
+            "PIL.Image", reason="no image codec in this container"
+        )
+        import io
+
+        import numpy as np
+
+        # a 12x10 horizontal-gradient RGB image, round-tripped as PNG
+        w, h = 12, 10
+        arr = np.zeros((h, w, 3), dtype=np.uint8)
+        arr[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+        buf = io.BytesIO()
+        PIL_Image.fromarray(arr).save(buf, format="PNG")
+        payload = buf.getvalue()
+
+        def decode_image_real(b: bytes, fmt: str):
+            """Seam contract: (payload, format) -> HxWx3 uint8."""
+            img = PIL_Image.open(io.BytesIO(b)).convert("RGB")
+            return np.asarray(img, dtype=np.uint8)
+
+        decoded = decode_image_real(payload, "png")
+        assert decoded.shape == (h, w, 3) and decoded.dtype == np.uint8
+        assert (decoded == arr).all()  # PNG is lossless — exact bytes
+        # the same gradient/packing stage runs over real luma bytes
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            image_dhash,
+        )
+
+        luma = decoded.mean(axis=2).astype(np.uint8).tobytes()
+        df = spark.createDataFrame(
+            [(1, bytearray(luma))], "doc_id long, media binary"
+        )
+        sig = image_dhash(df).collect()[0]["sig"]
+        assert len(sig) == 2 and all(s >= 0 for s in sig)
+        assert sig != [0, 0]  # a gradient image has gradient bits
+
 
 class TestSqlRegistration:
     def test_registered_functions_compose_in_sql(self, spark):
@@ -2678,6 +2726,38 @@ class TestKnDocScore:
                 # the synthetic fixture shares one token vocabulary
                 # across langs, so OOV can only tie, never invert
                 assert by_lang["en"]["oov_frac"] <= r["oov_frac"], lang
+
+    def test_ccnet_buckets_per_lang_ntile(self, spark, docs):
+        """Per-language NTILE invariants: within each language bucket
+        sizes differ by at most one, earlier buckets are never smaller,
+        and every bucket-1 (head) score >= every bucket-3 (tail) score
+        in the same language."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            ccnet_perplexity_buckets,
+        )
+
+        out = ccnet_perplexity_buckets(
+            docs, train=docs.filter(F.col("lang") == "en"), n_buckets=3
+        )
+        per = (
+            out.groupBy("lang", "bucket")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("kn_score").alias("lo"),
+                F.max("kn_score").alias("hi"),
+            )
+            .collect()
+        )
+        by_lang: dict = {}
+        for r in per:
+            by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+        assert by_lang
+        for lang, b in by_lang.items():
+            sizes = [b[i]["n"] for i in sorted(b)]
+            assert max(sizes) - min(sizes) <= 1, lang
+            assert sizes == sorted(sizes, reverse=True), lang  # extras go first
+            if 1 in b and 3 in b:
+                assert b[1]["lo"] >= b[3]["hi"], lang  # head >= tail
 
 
 class TestClassifierTrain:

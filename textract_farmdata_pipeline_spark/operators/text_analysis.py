@@ -1253,6 +1253,118 @@ def kn_doc_score(
     )
 
 
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    n_buckets: int = 3,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_ranges: int = 8,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3): score every document with the trained LM
+    (:func:`kn_doc_score`), then split EACH LANGUAGE into
+    ``n_buckets`` equal NTILE buckets by score — best-modeled docs
+    (high ``kn_score`` ≈ low perplexity) in bucket 1 ("head").  CCNet
+    ships head/middle/tail as the quality strata a consumer picks
+    from; this is the per-language companion to the GLOBAL curriculum
+    NTILE (``doc_curriculum_phases``) — same rank machinery, language-
+    local quantiles, which is what makes the strata comparable across
+    high- and low-resource languages.
+
+    The per-language global rank is computed the DISTRIBUTED way, not
+    with ``Window.partitionBy(lang)`` — language cardinality is tiny,
+    so a lang-partitioned window plans each language's entire corpus
+    slice into ONE task (the unpartitioned-window disease, sharded by
+    ~30).  Instead: ``repartitionByRange`` on the (lang, score DESC,
+    id) total order, per-(range, lang) local row_number, and the
+    collected per-(range, lang) counts (≤ #ranges · #langs rows — the
+    bounded-scalar collect class) as broadcast offsets; the NTILE
+    bucket is then a closed-form expression over the per-lang rank and
+    the per-lang totals (first ``n mod B`` buckets take the extra row,
+    matching SQL NTILE exactly) — the ``doc_curriculum_phases``
+    two-phase-rank shape, keyed by language.
+
+    Docs the LM cannot score (every bigram context OOV) are excluded,
+    as in the LM gate.  Returns ``(id, lang, kn_score, bucket)`` with
+    ``bucket`` in 1..n_buckets.
+    """
+    from .checkpoints import tracked_local_checkpoint
+
+    scored = (
+        kn_doc_score(docs, train=train, text_col=text_col, id_col=id_col)
+        .filter(F.col("kn_score").isNotNull())
+        .select(id_col, "kn_score")
+        .join(docs.select(id_col, lang_col), id_col)
+    )
+    ranged = scored.repartitionByRange(
+        n_ranges, F.asc(lang_col), F.desc("kn_score"), F.asc(id_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    # the checkpoint pins ONE range assignment for both the size scan
+    # and the rank pass; the returned frame roots on it, so its blocks
+    # live exactly as long as the result (the build_corpus staging
+    # discipline — swap for a staging-table write at 100 TB).
+    ranged, _ = tracked_local_checkpoint(ranged)
+    sizes = (
+        ranged.groupBy("_pid", lang_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in sizes:
+        per_lang.setdefault(r[lang_col], []).append((r["_pid"], r["n"]))
+    off_entries: list[tuple[str, int, int]] = []
+    totals: dict[str, int] = {}
+    for lang, lst in per_lang.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            off_entries.append((lang, pid, acc))
+            acc += cnt
+        totals[lang] = acc
+    off_map = F.create_map(
+        *[
+            x
+            for (lang, pid, off) in off_entries
+            for x in (F.lit(f"{lang}|{pid}"), F.lit(off))
+        ]
+    )
+    # per-lang NTILE parameters as one literal map:
+    # [big, div1, div2, r] with q = n // B, r = n % B,
+    # big = r·(q+1) — SQL NTILE gives the first r buckets q+1 rows.
+    B = n_buckets
+    params = F.create_map(
+        *[
+            x
+            for lang, n in totals.items()
+            for x in (
+                F.lit(lang),
+                F.array(
+                    F.lit((n % B) * (n // B + 1)),
+                    F.lit(n // B + 1),
+                    F.lit(max(n // B, 1)),
+                    F.lit(n % B),
+                ),
+            )
+        ]
+    )
+    key = F.concat_ws("|", F.col(lang_col), F.col("_pid").cast("string"))
+    w = Window.partitionBy("_pid", lang_col).orderBy(
+        F.desc("kn_score"), F.asc(id_col)
+    )
+    rn = (off_map[key] + F.row_number().over(w)).alias("_rn")
+    p = params[F.col(lang_col)]
+    big, div1, div2, rr = p[0], p[1], p[2], p[3]
+    bucket = (
+        F.when(F.col("_rn") <= big, F.ceil(F.col("_rn") / div1))
+        .otherwise(rr + F.ceil((F.col("_rn") - big) / div2))
+        .cast("int")
+    )
+    return ranged.select(id_col, lang_col, "kn_score", rn).select(
+        id_col, lang_col, "kn_score", bucket.alias("bucket")
+    )
+
+
 def hashed_features(
     docs: DataFrame,
     n_buckets: int = 256,

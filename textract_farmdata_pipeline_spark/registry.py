@@ -9850,6 +9850,60 @@ def _curriculum_phases_from(spark, ranged):
     return spark.createDataFrame(out.collect(), out.schema)
 
 
+# CCNet §4.3 per-language perplexity strata: the KN scoring chain +
+# a lang-PARTITIONED NTILE(3) (the curriculum oracle's global NTILE,
+# keyed by language) — head = best-modeled third of EACH language.
+_CCNET_BUCKETS_ORACLE = f"""
+WITH {_KN_CHAIN_CTES},
+scores AS (
+  SELECT doc_id,
+    CAST(CAST(SUM(num) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(den) AS BIGINT) AS DOUBLE)
+      AS kn_score
+  FROM scn GROUP BY doc_id
+  HAVING SUM(den) IS NOT NULL
+),
+bkt AS (
+  SELECT s.doc_id, d.lang, s.kn_score,
+    CAST(NTILE(3) OVER (PARTITION BY d.lang
+      ORDER BY s.kn_score DESC, s.doc_id ASC) AS INT) AS b
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, kn_score,
+  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM bkt
+"""
+
+
+@register("doc_ccnet_buckets", _CCNET_BUCKETS_ORACLE)
+def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail strata
+    (:func:`..operators.text_analysis.ccnet_perplexity_buckets`,
+    Wenzek et al. 2020 §4.3): score the corpus with the en-trained KN
+    bigram LM and NTILE(3) EACH LANGUAGE by score DESC — the
+    per-language quality strata CCNet publishes, so a consumer picks
+    "head" at equal relative quality from high- and low-resource
+    languages alike (the global curriculum NTILE cannot give this: a
+    well-modeled language would swallow the top phase).  The per-lang
+    rank runs as two-phase range-partitioned row numbers — NOT a
+    lang-partitioned window, whose ~|langs| partitions would each sort
+    a language's whole corpus slice in one task — and the closed-form
+    NTILE over (rank, per-lang totals) still hash-matches the oracle's
+    plain partitioned NTILE."""
+    from .operators.text_analysis import ccnet_perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ccnet_perplexity_buckets(
+        docs, train=docs.filter(F.col("lang") == "en"), n_buckets=3
+    )
+    labels = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    return out.select(
+        "doc_id",
+        "lang",
+        "kn_score",
+        F.element_at(labels, F.col("bucket")).alias("bucket"),
+    )
+
+
 # =========================================================================
 # Round 7: binary-quantization ANN + leakage-safe dataset split
 # =========================================================================
