@@ -270,6 +270,13 @@ HEADLINE = (
     # two-phase range-partitioned rank (no lang-partitioned window),
     # closed-form NTILE hash-matched to the oracle's partitioned NTILE
     "doc_ccnet_buckets",
+    # r11: the URL gate composed in FRONT of the 4-stage build —
+    # recrawls drop on a string normalization before any content pass
+    "corpus_build_url_gated",
+    # r11: the URL-dedup ingest stream — 4 REAL foreachBatch batches,
+    # one-row-per-distinct-page owner state, replay-idempotent by the
+    # owner-identity rule; shares the ucan oracle chain + one window
+    "doc_url_stream_replay",
 )
 
 

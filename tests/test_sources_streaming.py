@@ -1640,3 +1640,85 @@ class TestBloomStreamReplay:
             .collect()
         }
         assert adm[2] is False and adm[5] is True
+
+
+class TestUrlStreamReplay:
+    """URL-canonicalization ingest: keep-first across batches with
+    one-row-per-distinct-page owner state, replay-idempotent by the
+    owner-identity rule."""
+
+    K = 4
+    # (doc_id, url): ids 0..3 land in batches 0..3 (doc_id % 4).
+    # Page A arrives as three cosmetic variants in batches 1, 2, 3 —
+    # the BATCH order winner (id 1, batch 1) differs from the global
+    # min id ordering rule only through batch precedence; page B has a
+    # smaller-id arrival in a LATER batch (id 4 batch 0 vs id 7
+    # batch 3 — id 4 wins), and page C is unique.
+    ROWS = [
+        (1, "https://Example.com/a?b=2&a=1"),
+        (2, "https://www.example.com/a/?a=1&b=2#x"),
+        (3, "https://example.com:443/a?a=1&b=2"),
+        (4, "https://example.com/b"),
+        (7, "https://example.com/b/"),
+        (6, "https://example.com/c"),
+    ]
+
+    def test_keep_first_across_batches(self, spark, tmp_path):
+        from textract_farmdata_pipeline_spark.streaming.ingest import (
+            replay_url_batches,
+        )
+
+        docs = spark.createDataFrame(self.ROWS, "doc_id long, url string")
+        got = {
+            r["doc_id"]: (r["canonical_url"], r["admitted"])
+            for r in replay_url_batches(
+                docs, str(tmp_path / "replay"), k_batches=self.K
+            ).collect()
+        }
+        assert set(got) == {1, 2, 3, 4, 6, 7}
+        canon_a = "https://example.com/a?a=1&b=2"
+        assert got[1] == (canon_a, True)
+        assert got[2] == (canon_a, False) and got[3] == (canon_a, False)
+        # batch 0 beats batch 3 for page B even though both ids canonize
+        assert got[4] == ("https://example.com/b", True)
+        assert got[7] == ("https://example.com/b", False)
+        assert got[6] == ("https://example.com/c", True)
+
+    def test_replayed_batch_rederives_decisions(self, spark, tmp_path):
+        """Drive the module-level process fn through the crash-after-
+        commit window: batch 0 runs, commits its owners, then replays.
+        The replay must find ITSELF as owner, produce byte-identical
+        decisions, and leave the owner table unchanged (value-level
+        no-op merge)."""
+        from textract_farmdata_pipeline_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+        from textract_farmdata_pipeline_spark.streaming.ingest import (
+            url_process_batch,
+        )
+
+        docs = spark.createDataFrame(self.ROWS, "doc_id long, url string")
+        seen = str(tmp_path / "seen")
+        decisions = []
+        sink = lambda ann, bid: decisions.append(
+            sorted(tuple(r) for r in ann.collect())
+        )
+        b0 = docs.filter(F.pmod(F.col("doc_id"), F.lit(self.K)) == 0)
+        url_process_batch(b0, 0, seen, sink=sink)
+        owners_1 = sorted(
+            tuple(r) for r in ParquetMergeTable(spark, seen).read().collect()
+        )
+        url_process_batch(b0, 0, seen, sink=sink)  # the replay
+        owners_2 = sorted(
+            tuple(r) for r in ParquetMergeTable(spark, seen).read().collect()
+        )
+        assert decisions[0] == decisions[1]
+        assert owners_1 == owners_2
+        # and a later batch still rejects against the committed owner
+        b3 = docs.filter(F.pmod(F.col("doc_id"), F.lit(self.K)) == 3)
+        url_process_batch(b3, 3, seen, sink=sink)
+        by_id = {d: adm for d, _c, adm in decisions[2]}
+        assert by_id[7] is False  # page B owned by batch-0 doc 4
+        # batches 1-2 never ran here, so batch-3 doc 3 is page A's
+        # first arrival and admits
+        assert by_id[3] is True

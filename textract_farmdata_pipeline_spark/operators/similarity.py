@@ -1036,6 +1036,8 @@ def prototype_prune_refined(
     exchange inherited from :func:`prototype_prune`.  Returns the same
     ``(vec_id, cell_id, n_cell, proto_rank, keep)`` contract.
     """
+    from .checkpoints import tracked_local_checkpoint
+
     scale = 1 << scale_bits
     assigned = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -1047,6 +1049,13 @@ def prototype_prune_refined(
         .cast("int")
         .alias("cell0"),
     )
+    # staged once: the normalize + k-dot assign chain (interpreted
+    # higher-order functions — the expensive part) feeds BOTH the
+    # quantized-sum training pass and the rescore pass; without the
+    # stage each consumer recomputes it (measured 58× at the ×100
+    # probe vs ~10× for the one-pass frozen form).  The local
+    # checkpoint is the staging-table analogue at 100 TB.
+    assigned, _ = tracked_local_checkpoint(assigned)
     rows = (
         assigned.select(
             "cell0",

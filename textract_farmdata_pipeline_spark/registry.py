@@ -11952,24 +11952,12 @@ FROM ucan
 """
 
 
-@register("doc_url_dedup", _URL_DEDUP_ORACLE)
-def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL-canonicalization dedup (:func:`..operators.dedup.url_dedup`)
-    — the standard pre-content rung (CCNet / RefinedWeb): canonicalize
-    each document's URL (lowercase scheme+host, strip ``www.``/default
-    port/trailing slash/fragment, sort query params) and keep the
-    lowest id per canonical page, BEFORE any content hashing pays for
-    the recrawl's bytes.  The documents table has no URL column, so
-    the registration plants three deterministic recrawl variants per
-    page key (``source``, ``doc_id % 40``) covering every
-    normalization — all must collapse to one canonical string for the
-    hash to match.  Map-side canonicalization + one window over the
-    canonical key; bodies never shuffle."""
-    from .operators.dedup import url_dedup
-
-    docs = _t(spark, sf_dir, "documents")
+def _synthetic_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, url) with three deterministic recrawl variants per
+    page key — the planted-variant fixture shared by every URL-dedup
+    registration (the documents table has no URL column)."""
     page = (F.col("doc_id") % 40).cast("string")
-    with_url = docs.select(
+    return docs.select(
         "doc_id",
         F.when(
             (F.col("doc_id") % 3).cast("int") == 0,
@@ -11993,7 +11981,119 @@ def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("url"),
     )
-    return url_dedup(with_url)
+
+
+@register("doc_url_dedup", _URL_DEDUP_ORACLE)
+def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (:func:`..operators.dedup.url_dedup`)
+    — the standard pre-content rung (CCNet / RefinedWeb): canonicalize
+    each document's URL (lowercase scheme+host, strip ``www.``/default
+    port/trailing slash/fragment, sort query params) and keep the
+    lowest id per canonical page, BEFORE any content hashing pays for
+    the recrawl's bytes.  The documents table has no URL column, so
+    the registration plants three deterministic recrawl variants per
+    page key (``source``, ``doc_id % 40``) covering every
+    normalization — all must collapse to one canonical string for the
+    hash to match.  Map-side canonicalization + one window over the
+    canonical key; bodies never shuffle."""
+    from .operators.dedup import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return url_dedup(_synthetic_urls(docs))
+
+
+# URL gate composed in FRONT of the 4-stage build: the ucan chain →
+# keep-first ids → the source-gated oracle's build tail verbatim
+# (already rooted on `gated`).
+_CORPUS_BUILD_URL_GATED_ORACLE = (
+    "WITH "
+    + _URL_DEDUP_ORACLE.split("WITH ", 1)[1].rsplit(
+        "\nSELECT doc_id, canonical_url", 1
+    )[0]
+    + """,
+ukeep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+      doc_id = MIN(doc_id) OVER (PARTITION BY canonical_url) AS keep
+    FROM ucan) u
+  WHERE keep
+),
+gated AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d JOIN ukeep USING (doc_id)
+),
+dedup AS ("""
+    + _CORPUS_BUILD_SOURCE_GATED_ORACLE.split("dedup AS (", 1)[1]
+)
+
+
+@register("corpus_build_url_gated", _CORPUS_BUILD_URL_GATED_ORACLE)
+def corpus_build_url_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-stage corpus build with URL-canonicalization dedup
+    composed in FRONT (CCNet's stage order: recrawls of the same page
+    drop on a string normalization BEFORE any content pass pays for
+    their bytes) — keep-first per canonical URL, then the standard
+    exact dedup → 3-gram decontamination → uniform mixture → 16-shard
+    chain over the survivors.  Unlike the |sources|-bounded blocklist
+    gate (a collected IN-list), the URL keep-set is corpus-sized, so
+    it applies as a semi JOIN on the id — the per-doc-gate composition
+    shape.  The eval holdout stays the FULL corpus's doc_id % 97 slice
+    (curation must not change what you decontaminate against).  Oracle:
+    the ucan chain → keep-first ids → the source-gated build tail
+    sliced verbatim (one spelling of the gated build)."""
+    from .operators.corpus import build_corpus
+    from .operators.dedup import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = (
+        url_dedup(_synthetic_urls(docs)).where(F.col("keep")).select("doc_id")
+    )
+    return build_corpus(
+        docs.join(keep, "doc_id"),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        num_shards=16,
+        decontam_n=3,
+    )
+
+
+# Streaming URL dedup replay: keep-first ACROSS batches == keep-first
+# by (batch_idx, doc_id) per canonical URL — the ucan chain + one
+# window, so the streaming path gets the full hash gate.
+_URL_STREAM_ORACLE = (
+    "WITH "
+    + _URL_DEDUP_ORACLE.split("WITH ", 1)[1].rsplit(
+        "\nSELECT doc_id, canonical_url", 1
+    )[0]
+    + """
+SELECT doc_id, canonical_url,
+  ROW_NUMBER() OVER (PARTITION BY canonical_url
+    ORDER BY doc_id % 4, doc_id) = 1 AS admitted
+FROM ucan
+"""
+)
+
+
+@register("doc_url_stream_replay", _URL_STREAM_ORACLE)
+def doc_url_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL-dedup ingest stream
+    (:func:`..streaming.ingest.url_ingest_stream`) replayed over 4
+    REAL foreachBatch micro-batches: each batch canonicalizes its
+    URLs, takes a batch-local min, joins ONCE against the
+    one-row-per-distinct-page owner table, and MERGEs its admitted
+    keys — the frontier-dedup cadence, with matching state bounded by
+    distinct PAGES (not arrivals), the smallest state exact keep-first
+    allows.  Admission across batches equals keep-first by
+    ``(batch_idx, doc_id)`` per canonical URL, so the replay shares
+    the ucan oracle chain plus one window — hash-checked end to end
+    (the replay_ingest_batches precedent).  Replay idempotency is by
+    construction: a replayed batch finds itself as owner and
+    re-derives identical decisions (docstring crash-window analysis)."""
+    import tempfile
+
+    from .streaming.ingest import replay_url_batches
+
+    docs = _t(spark, sf_dir, "documents")
+    wd = tempfile.mkdtemp(prefix="url_stream_replay_")
+    return replay_url_batches(_synthetic_urls(docs), wd, k_batches=4)
 
 
 _SOURCE_NOVELTY_ORACLE = """

@@ -81,7 +81,12 @@ def dedup_ingest_stream(
     return docs.writeStream.foreachBatch(process)
 
 
-def _stage_batch_files(docs: DataFrame, workdir: str, k_batches: int) -> str:
+def _stage_batch_files(
+    docs: DataFrame,
+    workdir: str,
+    k_batches: int,
+    cols: tuple[str, ...] = ("doc_id", "text"),
+) -> str:
     """Lay out ``k_batches`` deterministic micro-batch parquet files
     (``doc_id % k``, strictly increasing mtimes) so a file-stream
     source under ``maxFilesPerTrigger=1`` + ``availableNow`` delivers
@@ -99,7 +104,7 @@ def _stage_batch_files(docs: DataFrame, workdir: str, k_batches: int) -> str:
     base_t = time.time() - 3600
     stage = os.path.join(workdir, "_stage")
     (
-        docs.select("doc_id", "text")
+        docs.select(*cols)
         # pmod, not %: Spark's % follows the sign of doc_id, and a
         # negative id would land in a b=-1.. dir the glob below never
         # reads — a silently dropped row.
@@ -124,7 +129,7 @@ def _stage_batch_files(docs: DataFrame, workdir: str, k_batches: int) -> str:
         if parts:
             os.replace(parts[0], path)
         else:  # an empty residue class still needs a batch file
-            docs.select("doc_id", "text").limit(0).coalesce(1).write.mode(
+            docs.select(*cols).limit(0).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(stage, f"_empty_{i}"))
             part = glob.glob(
@@ -894,3 +899,151 @@ def replay_decontam_batches(
     shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
     atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     return ParquetMergeTable(spark, clean_path).read()
+
+
+def url_ingest_stream(docs: DataFrame, seen_path: str, url_col: str = "url", sink=None):
+    """Returns a ``DataStreamWriter`` that admits only the FIRST
+    arrival of each canonical URL (:func:`..operators.dedup.
+    canonical_url`) — the pre-content dedup rung at its deployment
+    cadence: a crawl frontier keeps re-emitting the same pages under
+    cosmetic URL variations, and dropping them here costs a string
+    normalization per row BEFORE any content stage pays for the bytes.
+
+    State is ONE row per distinct canonical URL — ``(canonical_url,
+    doc_id)``, the admitted owner — in a keyed
+    :class:`..operators.merge.ParquetMergeTable`; per-batch work is
+    map-side canonicalization, a batch-local min, and one equality
+    join against the state table.  Matching state grows with the
+    number of distinct PAGES (not arrivals) — the smallest possible
+    state for exact keep-first semantics.
+
+    Replay-idempotent BY CONSTRUCTION (the dhash self-exclusion lesson
+    applied at design time): the admission rule is ``owner IS NULL AND
+    doc_id = batch_min`` OR ``owner = doc_id`` — a replayed batch that
+    already committed finds ITSELF as the owner and re-derives the
+    identical decisions, and the keyed MERGE re-upserts identical
+    rows.  Crash windows: before merge → state unchanged, decisions
+    re-derive; after merge → owner = batch's own min, same decisions.
+
+    ``sink(ann, batch_id)`` receives the per-doc decision frame
+    ``(doc_id, canonical_url, admitted)``.
+    """
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        url_process_batch(batch_df, batch_id, seen_path, url_col=url_col, sink=sink)
+
+    return docs.writeStream.foreachBatch(process)
+
+
+def url_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    seen_path: str,
+    url_col: str = "url",
+    sink=None,
+) -> None:
+    """One micro-batch of :func:`url_ingest_stream`, exposed at module
+    level (the ``bloom_process_batch`` pattern) so tests can drive
+    crash-replay windows directly."""
+    from ..operators.dedup import canonical_url
+    from ..operators.merge import ParquetMergeTable
+
+    spark = batch_df.sparkSession
+    canon = batch_df.select(
+        "doc_id", canonical_url(F.col(url_col)).alias("canonical_url")
+    )
+    firsts = canon.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("_batch_min")
+    )
+    table = ParquetMergeTable(spark, seen_path)
+    if os.path.isdir(os.path.join(seen_path, "_manifests")):
+        seen = table.read().withColumnRenamed("doc_id", "_owner")
+        exists = True
+    else:
+        seen = spark.createDataFrame([], "canonical_url string, _owner long")
+        exists = False
+    ann = (
+        canon.join(firsts, "canonical_url")
+        .join(seen, "canonical_url", "left")
+        .select(
+            "doc_id",
+            "canonical_url",
+            # when-form, not OR: `x OR (NULL = y)` is NULL under
+            # three-valued logic, so the naive disjunction returns
+            # NULL (not false) for a non-min doc of an unowned page
+            F.when(
+                F.col("_owner").isNotNull(),
+                F.col("_owner") == F.col("doc_id"),
+            )
+            .otherwise(F.col("doc_id") == F.col("_batch_min"))
+            .alias("admitted"),
+        )
+        .persist()  # consumed twice (state commit + sink); batch-sized
+    )
+    try:
+        admitted_keys = ann.filter(F.col("admitted")).select(
+            "canonical_url", "doc_id"
+        )
+        if exists:
+            table.merge(admitted_keys, key="canonical_url")
+        else:
+            # unconditional create (empty frame writes a schema-only
+            # file) — the decontam_ingest_stream first-batch rule
+            table.create(admitted_keys)
+        if sink is not None:
+            sink(ann, batch_id)
+    finally:
+        ann.unpersist()
+
+
+def replay_url_batches(
+    docs_urls: DataFrame, workdir: str, k_batches: int = 4
+) -> DataFrame:
+    """Replay :func:`url_ingest_stream` as a finite run on the shared
+    deterministic K-batch harness (``(doc_id, url)`` staged by
+    ``doc_id % k``) and return the accumulated per-doc admission log
+    ``(doc_id, canonical_url, admitted)``.
+
+    Keep-first across batches equals keep-first by ``(batch_idx,
+    doc_id)`` per canonical URL — plain SQL over the input — so the
+    streaming path gets the full DuckDB hash gate (the
+    replay_ingest_batches precedent).  Decisions accumulate in a
+    doc-keyed MERGE table (idempotent under replay, like the bloom
+    admissions log)."""
+    import atexit
+    import shutil
+
+    from ..operators.merge import ParquetMergeTable
+
+    spark = docs_urls.sparkSession
+    src = _stage_batch_files(
+        docs_urls, workdir, k_batches, cols=("doc_id", "url")
+    )
+    seen_path = os.path.join(workdir, "seen")
+    dec_path = os.path.join(workdir, "decisions")
+
+    def sink(ann: DataFrame, batch_id: int) -> None:
+        t = ParquetMergeTable(ann.sparkSession, dec_path)
+        if os.path.isdir(os.path.join(dec_path, "_manifests")):
+            t.merge(ann, key="doc_id")
+        else:
+            t.create(ann)
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        url_ingest_stream(stream, seen_path, sink=sink)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return ParquetMergeTable(spark, dec_path).read().select(
+        "doc_id", "canonical_url", "admitted"
+    )
