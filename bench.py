@@ -277,6 +277,14 @@ HEADLINE = (
     # one-row-per-distinct-page owner state, replay-idempotent by the
     # owner-identity rule; shares the ucan oracle chain + one window
     "doc_url_stream_replay",
+    # r11: CCNet's keep rule (drop each language's tail tercile) in
+    # front of the 4-stage build — the fixed-FRACTION twin of the
+    # fixed-threshold corpus_build_lm_gated
+    "corpus_build_ccnet_gated",
+    # r11: A-ES weighted sampling without replacement — deterministic
+    # exponential clocks (md5 uniforms + Mitchell log), the sample
+    # itself hash-checked; map-side keying + distributed TakeOrdered
+    "doc_weighted_sample",
 )
 
 

@@ -1858,3 +1858,66 @@ class TestDecontaminateContainment:
         assert (
             decontaminate_containment(corpus, ev, threshold_bp=5001).count() == 0
         )
+
+
+class TestWeightedSampleTopk:
+    """A-ES weighted sampling: weight-proportional winners, exact
+    determinism, bounded-rank contract."""
+
+    def test_heavy_weights_dominate(self, spark):
+        """Two rows at weight 10_000 vs eight at weight 1: the heavy
+        clocks tick ~10^4 slower, so k=2 picks both heavies (a light
+        row would need u within 2^-20 of 1 to compete)."""
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            weighted_sample_topk,
+        )
+
+        rows = [(i, 10_000 if i < 2 else 1) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = [
+            r["doc_id"]
+            for r in weighted_sample_topk(df, "w", k=2).collect()
+        ]
+        assert sorted(got) == [0, 1]
+
+    def test_deterministic_rank_permutation(self, spark, sf_dir):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            weighted_sample_topk,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        a = weighted_sample_topk(docs, "n_chars", k=50).collect()
+        b = weighted_sample_topk(docs, "n_chars", k=50).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        ranks = [r["sample_rank"] for r in a]
+        assert ranks == list(range(1, 51))
+        assert len({r["doc_id"] for r in a}) == 50  # without replacement
+
+    def test_sample_mean_weight_exceeds_corpus_mean(self, spark, sf_dir):
+        """Weight-proportional selection over a spread weight column
+        must pull the sample's mean weight above the corpus mean."""
+        from pyspark.sql import functions as F
+
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            weighted_sample_topk,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sample_mean = (
+            weighted_sample_topk(docs, "n_chars", k=50)
+            .agg(F.avg("weight"))
+            .collect()[0][0]
+        )
+        corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+        assert sample_mean > corpus_mean
+
+    def test_zero_weight_rows_excluded(self, spark):
+        from textract_farmdata_pipeline_spark.operators.corpus import (
+            weighted_sample_topk,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, -3), (3, 5)], "doc_id long, w long"
+        )
+        got = [r["doc_id"] for r in weighted_sample_topk(df, "w", k=10).collect()]
+        assert got == [3]

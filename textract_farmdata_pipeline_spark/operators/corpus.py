@@ -1586,6 +1586,75 @@ def weighted_mixture_resample(
     return _rate_keep(df, rates, by, key_col, seed)
 
 
+def weighted_sample_topk(
+    docs: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    seed: str = "ws|",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, top-``k`` (Efraimidis &
+    Spirakis 2006, A-ES): give every row the key ``-log2(u) / w`` with
+    ``u`` a deterministic per-row uniform and keep the ``k`` smallest
+    keys — the exponential-clocks construction whose winners are a
+    weight-proportional sample without replacement.  The missing third
+    member of the sampling family: :func:`mixture_resample` balances
+    GROUPS, ``dataset_split`` buckets by hash, this one draws
+    individual rows ∝ an arbitrary per-row weight (quality score,
+    token count, soft-dedup weight) — "give me 10k docs, proportional
+    to quality" in one pass.
+
+    Engine-exact by the DSIR doctrine: ``u = (md5_long(id) mod 2^20 +
+    1) / 2^20`` and ``-log2(u) = 20 − plog2(num)`` with
+    :func:`mitchell_plog2_sql`'s piecewise-linear log — every step
+    exact or correctly-rounded IEEE, so keys (and the top-k) replay
+    bit-for-bit in any engine.  Mitchell's log is monotone with ≤0.086
+    bits of error, so this is A-ES under a slightly-perturbed-but-
+    deterministic clock — the provable-portability trade the DSIR
+    scorer already made, documented there.
+
+    Scale shape: keying is map-side codegen; the top-k is Spark's
+    distributed TakeOrdered (per-partition heads, no global sort, no
+    single-partition exchange); the final rank numbers only the ``k``
+    returned rows (a bounded single-partition window, k ≪ corpus).
+    Rows with non-positive weight are excluded (a zero-weight row has
+    an infinite clock).  Returns ``(id, weight, sample_rank)``.
+    """
+    from .dedup import md5_long
+
+    num = F.pmod(
+        md5_long(F.col(id_col).cast("string"), seed), F.lit(1 << 20)
+    ) + F.lit(1)
+    keyed = (
+        docs.where(F.col(weight_col) > 0)
+        .select(
+            id_col,
+            F.col(weight_col).cast("double").alias("_w"),
+            num.alias("_num"),
+        )
+        .select(
+            id_col,
+            "_w",
+            (
+                (
+                    F.lit(20.0)
+                    - F.expr(
+                        mitchell_plog2_sql("_num", "shiftleft({b}, {f})")
+                    )
+                )
+                / F.col("_w")
+            ).alias("_key"),
+        )
+    )
+    top = keyed.orderBy(F.asc("_key"), F.asc(id_col)).limit(k)
+    w_rank = Window.orderBy(F.asc("_key"), F.asc(id_col))
+    return top.select(
+        id_col,
+        F.col("_w").alias("weight"),
+        F.row_number().over(w_rank).cast("int").alias("sample_rank"),
+    )
+
+
 def contamination_profile(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -9904,6 +9904,69 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CCNet's keep rule composed into the build: drop each language's tail
+# tercile, then the 4-stage chain over the survivors.  The strata
+# chain reduces to a keep-list; the build tail is the source-gated
+# oracle's, verbatim (rooted on `gated`).
+_CORPUS_BUILD_CCNET_ORACLE = (
+    f"""
+WITH {_KN_CHAIN_CTES},
+cbscores AS (
+  SELECT doc_id,
+    CAST(CAST(SUM(num) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(den) AS BIGINT) AS DOUBLE)
+      AS kn_score
+  FROM scn GROUP BY doc_id
+  HAVING SUM(den) IS NOT NULL
+),
+cbkeep AS (
+  SELECT doc_id FROM (
+    SELECT s.doc_id,
+      NTILE(3) OVER (PARTITION BY d.lang
+        ORDER BY s.kn_score DESC, s.doc_id ASC) AS b
+    FROM cbscores s JOIN documents d USING (doc_id)) t
+  WHERE b <= 2
+),
+gated AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d JOIN cbkeep USING (doc_id)
+),
+dedup AS ("""
+    + _CORPUS_BUILD_SOURCE_GATED_ORACLE.split("dedup AS (", 1)[1]
+)
+
+
+@register("corpus_build_ccnet_gated", _CORPUS_BUILD_CCNET_ORACLE)
+def corpus_build_ccnet_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-stage build with CCNet's per-language strata rule
+    composed in FRONT: each language's TAIL tercile (worst-modeled
+    third under the en-trained KN LM, plus all-OOV docs) exits before
+    the dedup shuffle or shingle explode, then exact dedup → 3-gram
+    decontamination → uniform mixture → 16 shards over the head+middle
+    survivors — Wenzek et al. 2020's published keep rule in its
+    production position (the threshold-gate twin
+    ``corpus_build_lm_gated`` keeps a FIXED score cut; this one keeps
+    a fixed per-language FRACTION, which is what survives language
+    mix shift).  The strata chain reduces to a keep-list applied as a
+    semi join; eval holdout stays the FULL corpus's doc_id % 97 slice.
+    Hash-checked end to end via the spliced strata + build oracle."""
+    from .operators.corpus import build_corpus
+    from .operators.text_analysis import ccnet_perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = (
+        ccnet_perplexity_buckets(
+            docs, train=docs.filter(F.col("lang") == "en"), n_buckets=3
+        )
+        .filter(F.col("bucket") <= 2)
+        .select("doc_id")
+    )
+    return build_corpus(
+        docs.join(keep, "doc_id"),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        num_shards=16,
+        decontam_n=3,
+    )
+
+
 # =========================================================================
 # Round 7: binary-quantization ANN + leakage-safe dataset split
 # =========================================================================
@@ -12244,3 +12307,42 @@ def corpus_build_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         decontam_scrub_len=8,
         split_weights=(90, 5, 5),
     )
+
+
+# A-ES weighted sampling: the exponential-clocks key with the Mitchell
+# log (the _duck_plog2 twin of operators.corpus.mitchell_plog2_sql),
+# u from the 60-bit md5 family reduced to 2^20 resolution.
+_WEIGHTED_SAMPLE_ORACLE = f"""
+WITH wsu AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+    CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) % 1048576 + 1 AS num
+  FROM documents WHERE n_chars > 0
+),
+wsk AS (
+  SELECT doc_id, w,
+    (CAST(20.0 AS DOUBLE) - {_duck_plog2('num')}) / w AS k
+  FROM wsu
+)
+SELECT doc_id, w AS weight,
+  CAST(ROW_NUMBER() OVER (ORDER BY k ASC, doc_id ASC) AS INT) AS sample_rank
+FROM wsk ORDER BY k ASC, doc_id ASC LIMIT 100
+"""
+
+
+@register("doc_weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (:func:`..operators.corpus.weighted_sample_topk`, Efraimidis &
+    Spirakis 2006): draw the 100 winners of per-row exponential clocks
+    ``-log2(u)/w`` with weight = ``n_chars`` — "give me k documents,
+    probability proportional to size/quality," the third member of the
+    sampling family next to group-balanced mixtures and hash splits.
+    Deterministic md5 uniforms + the Mitchell piecewise-linear log
+    (the DSIR portability doctrine) make every clock bit-identical in
+    DuckDB, so the SAMPLE ITSELF is hash-checked, not just its size.
+    Map-side keying + distributed TakeOrdered; no global sort."""
+    from .operators.corpus import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_topk(docs, weight_col="n_chars", k=100)
