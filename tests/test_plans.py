@@ -396,3 +396,46 @@ class TestR06Plans:
         # the reference is a materialized bounded relation either way
         assert "Scan ExistingRDD" in text or "LocalTableScan" in text
         assert plan_summary(df)["python_eval"] == 0
+
+
+class TestRound11PlanShapes:
+    """Plan pins for the r11 operators: every one stays JVM-side, and
+    the only exchanges are the ones the semantics require."""
+
+    def test_url_dedup_one_canonical_exchange(self, spark):
+        """Canonicalization is map-side codegen; the keep-first window
+        is the ONE exchange (hash on the canonical string).  No joins,
+        no Python."""
+        s = plan_summary(QUERIES["doc_url_dedup"](spark, SF))
+        assert s["exchanges"] == 1
+        assert s["bhj"] + s["smj"] + s["shj"] + s["bnlj"] == 0
+        assert s["python_eval"] == 0
+
+    def test_weighted_sample_no_exchange(self, spark):
+        """A-ES top-k plans as distributed TakeOrdered — ZERO
+        exchanges: per-partition heads, no global sort, and the k-row
+        rank collapses into the take."""
+        from textract_farmdata_pipeline_spark.plans.inspect import plan_text
+
+        df = QUERIES["doc_weighted_sample"](spark, SF)
+        s = plan_summary(df)
+        assert s["exchanges"] == 0
+        assert "TakeOrdered" in plan_text(df)
+        assert s["python_eval"] == 0
+
+    def test_refined_prune_one_rank_exchange(self, spark):
+        """The returned plan roots on the staged assignment (training
+        pass already ran); rescoring is map-side against the broadcast
+        refined book and the per-cell rank is the one exchange."""
+        s = plan_summary(QUERIES["embedding_prototype_prune_refined"](spark, SF))
+        assert s["exchanges"] == 1
+        assert s["python_eval"] == 0
+
+    def test_ccnet_buckets_one_rank_exchange(self, spark):
+        """The returned plan roots on the range-staged rank input; the
+        per-(range, lang) local window is the one exchange, and the
+        NTILE parameters are literals (no join back)."""
+        s = plan_summary(QUERIES["doc_ccnet_buckets"](spark, SF))
+        assert s["exchanges"] == 1
+        assert s["bhj"] + s["smj"] + s["shj"] + s["bnlj"] == 0
+        assert s["python_eval"] == 0
