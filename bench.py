@@ -285,6 +285,9 @@ HEADLINE = (
     # exponential clocks (md5 uniforms + Mitchell log), the sample
     # itself hash-checked; map-side keying + distributed TakeOrdered
     "doc_weighted_sample",
+    # r11: MMR diverse selection — the k-step greedy unrolled into a
+    # materialized CTE chain; full trajectory hash-checked
+    "embedding_mmr_select",
 )
 
 

@@ -5289,3 +5289,50 @@ class TestMatryoshkaTopk:
             ).collect()
         }
         assert got <= short
+
+
+class TestMmrSelect:
+    """Greedy MMR: the hand-computed trajectory where diversity beats
+    a higher-relevance near-duplicate, plus the no-self-retrieval and
+    exhaustion contracts."""
+
+    def test_diversity_beats_near_duplicate(self, spark):
+        """q at 0 deg; candidates at 10 deg, 10.5 deg (near-dup of the
+        first pick, higher rel than the diverse one), and -30 deg.
+        Plain top-2 by relevance is {10, 10.5}; MMR's second slot goes
+        to -30 deg (penalty cos(0.5 deg) ~ 1 kills the near-dup)."""
+        import math
+
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            mmr_select,
+        )
+
+        def vec(deg):
+            r = math.radians(deg)
+            return [math.cos(r), math.sin(r)]
+
+        rows = [
+            (0, vec(0.0)),    # the query itself
+            (1, vec(10.5)),   # near-dup of 2, rel 0.983
+            (2, vec(10.0)),   # highest rel 0.985 -> picked first
+            (3, vec(-30.0)),  # rel 0.866, far from 2 -> diverse pick
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = [
+            (r["vec_id"], r["mmr_rank"])
+            for r in mmr_select(df, query_id=0, k=3).collect()
+        ]
+        assert got == [(2, 1), (3, 2), (1, 3)]
+
+    def test_query_never_retrieved_and_k_caps(self, spark):
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            mmr_select,
+        )
+
+        rows = [(i, [1.0, float(i)]) for i in range(4)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = mmr_select(df, query_id=0, k=10).collect()
+        ids = [r["vec_id"] for r in got]
+        assert 0 not in ids            # the query is not a candidate
+        assert sorted(ids) == [1, 2, 3]  # exhausted at 3 < k
+        assert [r["mmr_rank"] for r in got] == [1, 2, 3]

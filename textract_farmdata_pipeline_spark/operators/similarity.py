@@ -913,6 +913,90 @@ def ivf_cluster_profile(
     )
 
 
+def mmr_select(
+    vectors: DataFrame,
+    query_id: int = 0,
+    k: int = 8,
+    lam: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein
+    1998): greedily pick ``k`` vectors maximizing ``lam * rel(d) -
+    (1-lam) * max_{s in S} sim(d, s)`` — relevance to the query minus
+    redundancy against what is already selected.  The
+    diversity-aware companion to :func:`cosine_topk`: plain top-k
+    returns near-duplicate neighbors; MMR spends each slot on new
+    information (retrieval-augmented sampling, eval-set selection,
+    context packing).
+
+    The query is a corpus member (``query_id``); relevance and
+    redundancy are unit-vector dots, so every score replays exactly in
+    SQL (the left-fold IEEE discipline) and the k-step greedy unrolls
+    to a hash-checkable CTE chain.  Ties break to the lowest id.
+
+    Scale shape: the unit+relevance pass is staged ONCE
+    (tracked_local_checkpoint); each of the ``k`` iterations is one
+    map-side rescoring against ≤k broadcast literal vectors plus a
+    distributed TakeOrdered(1) — k bounded corpus scans, no shuffle,
+    no growing exchange.  The selected set (id, vector) lives on the
+    driver — k·dim doubles, the audited codebook class.  Returns
+    ``(vec_id, mmr_rank)`` built from that bounded set.
+    """
+    from .checkpoints import tracked_local_checkpoint
+
+    spark = vectors.sparkSession
+    base = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        unit_vector(_as_double(F.col(vec_col))).alias("u"),
+    )
+    base, _ = tracked_local_checkpoint(base)
+    q_rows = base.filter(F.col("vec_id") == query_id).limit(1).collect()
+    if not q_rows:
+        raise ValueError(f"query_id {query_id} not in vectors")
+    q_u = [float(x) for x in q_rows[0]["u"]]
+    # the query is not a candidate (retrieving the query itself is a
+    # wasted slot, and with rel == self-sim every later score collapses
+    # to a 0 tie — the degenerate trajectory the filter prevents)
+    scored = base.filter(F.col("vec_id") != query_id).select(
+        "vec_id", "u", dot(F.col("u"), _double_array_literal(q_u)).alias("rel")
+    )
+    selected: list[tuple[int, list[float]]] = []
+    avail = scored
+    for _ in range(k):
+        if selected:
+            pen = F.array_max(
+                F.array(
+                    *[
+                        dot(F.col("u"), _double_array_literal(u))
+                        for (_sid, u) in selected
+                    ]
+                )
+            )
+            score = F.lit(float(lam)) * F.col("rel") - F.lit(
+                1.0 - float(lam)
+            ) * pen
+        else:
+            score = F.col("rel")
+        pick = (
+            avail.select("vec_id", "u", score.alias("_s"))
+            .orderBy(F.desc("_s"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        row = pick[0]
+        selected.append((row["vec_id"], [float(x) for x in row["u"]]))
+        avail = avail.filter(
+            ~F.col("vec_id").isin([sid for sid, _u in selected])
+        )
+    return spark.createDataFrame(
+        [(sid, i + 1) for i, (sid, _u) in enumerate(selected)],
+        "vec_id long, mmr_rank int",
+    )
+
+
 def prototype_prune(
     vectors: DataFrame,
     centroids,

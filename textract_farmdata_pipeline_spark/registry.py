@@ -11084,6 +11084,70 @@ def embedding_semantic_dedup_frozen(spark: SparkSession, sf_dir: str) -> DataFra
     return semantic_dedup(corpus, anchors, threshold=0.999, hamming_gate=16)
 
 
+def _mmr_oracle(k: int = 8) -> str:
+    """The k-step MMR greedy, unrolled (the unrolled-fixpoint oracle
+    discipline): pick1 is plain argmax-by-relevance; pick_i excludes
+    sel_{i-1} and orders by ``0.5·rel − 0.5·max_sim_to_selected`` with
+    the lowest-id tie-break — every dot the same left-fold IEEE tree
+    the Spark side builds."""
+    ctes = [
+        """mmru AS (
+  SELECT vec_id,
+    CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS u
+  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings) t1) t2)""",
+        "mmrq AS (SELECT u FROM mmru WHERE vec_id = 0)",
+        """mmrr AS (
+  SELECT c.vec_id, c.u, list_dot_product(c.u, q.u) AS rel
+  FROM mmru c CROSS JOIN mmrq q WHERE c.vec_id <> 0)""",
+        """pick1 AS (
+  SELECT vec_id, u FROM mmrr ORDER BY rel DESC, vec_id ASC LIMIT 1)""",
+        "sel1 AS (SELECT vec_id, u, 1 AS mmr_rank FROM pick1)",
+    ]
+    for i in range(2, k + 1):
+        prev = f"sel{i - 1}"
+        ctes.append(
+            f"""pick{i} AS (
+  SELECT r.vec_id, r.u FROM mmrr r
+  WHERE r.vec_id NOT IN (SELECT vec_id FROM {prev})
+  ORDER BY 0.5 * r.rel
+    - 0.5 * (SELECT MAX(list_dot_product(r.u, s.u)) FROM {prev} s)
+    DESC, r.vec_id ASC
+  LIMIT 1)"""
+        )
+        ctes.append(
+            f"sel{i} AS (SELECT * FROM {prev} UNION ALL "
+            f"SELECT vec_id, u, {i} AS mmr_rank FROM pick{i})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, CAST(mmr_rank AS INT) AS mmr_rank FROM sel{k}"
+    )
+
+
+@register("embedding_mmr_select", _force_materialized(_mmr_oracle(8)))
+def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance selection
+    (:func:`..operators.similarity.mmr_select`, Carbonell & Goldstein
+    1998): greedily pick 8 vectors maximizing ``0.5·rel −
+    0.5·max_sim_to_selected`` against corpus member 0 as the query —
+    the diversity-aware top-k (plain cosine top-k spends slots on
+    near-duplicates; MMR spends each slot on new information — the
+    retrieval face of the dedup doctrine).  The k-step greedy is
+    inherently sequential, so the oracle UNROLLS it (the
+    connected-components precedent): pick_i excludes sel_{i-1} and
+    replays the identical IEEE score tree, making the full greedy
+    trajectory — not just the final set — hash-checked.  Per step:
+    one map-side rescoring against ≤k broadcast vectors + a
+    distributed TakeOrdered(1); the unit+relevance pass is staged
+    once."""
+    from .operators.similarity import mmr_select
+
+    return mmr_select(_t(spark, sf_dir, "embeddings"), query_id=0, k=8, lam=0.5)
+
+
 # Prototype-based dataset pruning (Sorscher et al. 2022) — the
 # frozen-anchor member is fully hash-checkable (integer ranks/quotas
 # only; the float dots replay via list_dot_product left-folds and are
