@@ -567,6 +567,12 @@ def build_corpus(
             ),
             key_col,
         )
+        # stage the REWRITTEN corpus too: the scrub subtree (window
+        # explode → islands → rewrite) would otherwise re-expand into
+        # every downstream reference (mixture weights, split-stage
+        # text, return_text join) — measured as the curated build's
+        # exchange count doubling when this was lazy.
+        base, _ = tracked_local_checkpoint(base)
         clean_docs = base
         if mixture_unit == "tokens":
             # budget the tokens that actually remain after the scrub
