@@ -288,6 +288,9 @@ HEADLINE = (
     # r11: MMR diverse selection — the k-step greedy unrolled into a
     # materialized CTE chain; full trajectory hash-checked
     "embedding_mmr_select",
+    # r11: per-language percentile outlier trim — integer cut counts
+    # on the shared two-phase rank machinery
+    "doc_quantile_trim",
 )
 
 

@@ -5336,3 +5336,40 @@ class TestMmrSelect:
         assert 0 not in ids            # the query is not a candidate
         assert sorted(ids) == [1, 2, 3]  # exhausted at 3 < k
         assert [r["mmr_rank"] for r in got] == [1, 2, 3]
+
+
+class TestQuantileTrim:
+    """Per-group percentile trim: integer cut counts, keep contract."""
+
+    def test_cut_counts_per_group(self, spark):
+        """20 rows in one group at 5/95: drop exactly floor(20*5/100)=1
+        at each end; a 3-row group drops none (floor(3*5/100)=0)."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            quantile_trim,
+        )
+
+        rows = [(i, "a", i * 10) for i in range(20)] + [
+            (100, "b", 7), (101, "b", 8), (102, "b", 9)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+        got = {r["doc_id"]: r["keep"] for r in quantile_trim(df, "n_chars").collect()}
+        assert len(got) == 23  # every row gets a decision
+        assert not got[0] and not got[19]          # extremes dropped
+        assert all(got[i] for i in range(1, 19))   # interior kept
+        assert got[100] and got[101] and got[102]  # small group intact
+
+    def test_tie_break_is_deterministic(self, spark):
+        """Equal scores: the lowest id ranks first, so it is the one
+        cut at the bottom end."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            quantile_trim,
+        )
+
+        rows = [(i, "a", 5) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+        got = {r["doc_id"]: r["keep"] for r in quantile_trim(df, "n_chars").collect()}
+        # 40 rows: drop 2 at each end; ties order by id, so ids 0,1
+        # fall below the low cut and ids 38,39 above the high cut
+        assert [got[i] for i in (0, 1)] == [False, False]
+        assert [got[i] for i in (38, 39)] == [False, False]
+        assert all(got[i] for i in range(2, 38))

@@ -1253,6 +1253,120 @@ def kn_doc_score(
     )
 
 
+def _grouped_global_rank(
+    df: DataFrame,
+    group_col: str,
+    sort_col: str,
+    id_col: str,
+    n_ranges: int = 8,
+    descending: bool = True,
+):
+    """Two-phase distributed rank WITHIN each group — the shared
+    machinery behind the per-language NTILE and the quantile trim:
+    ``repartitionByRange`` on the (group, sort, id) total order, a
+    staged checkpoint pinning ONE range assignment, per-(range, group)
+    counts collected (≤ #ranges · #groups rows, the bounded-scalar
+    class) into broadcast offsets.  Returns ``(ranged, off_map,
+    totals)``: the staged frame with ``_pid``, the ``"group|pid" →
+    offset`` literal map, and the per-group totals dict.  The caller
+    adds its local row_number over ``Window.partitionBy("_pid",
+    group)`` in the SAME sort order and derives its decision from
+    ``offset + local_rank`` and ``totals`` — never a group-partitioned
+    window over corpus rows (group cardinality is tiny; that window
+    would sort each group's whole slice in one task)."""
+    from .checkpoints import tracked_local_checkpoint
+
+    sort_expr = F.desc(sort_col) if descending else F.asc(sort_col)
+    ranged = df.repartitionByRange(
+        n_ranges, F.asc(group_col), sort_expr, F.asc(id_col)
+    ).withColumn("_pid", F.spark_partition_id())
+    # the checkpoint pins ONE range assignment for both the size scan
+    # and the rank pass; the returned frame roots on it, so its blocks
+    # live exactly as long as the result (the build_corpus staging
+    # discipline — swap for a staging-table write at 100 TB).
+    ranged, _ = tracked_local_checkpoint(ranged)
+    sizes = (
+        ranged.groupBy("_pid", group_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    per_group: dict[str, list[tuple[int, int]]] = {}
+    for r in sizes:
+        per_group.setdefault(r[group_col], []).append((r["_pid"], r["n"]))
+    off_entries: list[tuple[str, int, int]] = []
+    totals: dict[str, int] = {}
+    for g, lst in per_group.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            off_entries.append((g, pid, acc))
+            acc += cnt
+        totals[g] = acc
+    off_map = F.create_map(
+        *[
+            x
+            for (g, pid, off) in off_entries
+            for x in (F.lit(f"{g}|{pid}"), F.lit(off))
+        ]
+    )
+    return ranged, off_map, totals
+
+
+def quantile_trim(
+    docs: DataFrame,
+    score_col: str,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    n_ranges: int = 8,
+) -> DataFrame:
+    """Percentile outlier trim WITHIN each group: drop the lowest
+    ``lo_pct``% and the highest ``100-hi_pct``% of rows by
+    ``score_col`` — the adaptive companion to Gopher's absolute
+    bounds (a fixed min/max length rule breaks the moment the corpus
+    mix shifts; rank cut-offs do not).  Cut counts are pure integers
+    (``n·lo_pct // 100`` rows dropped at each end — no float
+    percentile, no approx sketch), so the keep decision hash-replays
+    exactly.
+
+    Rank machinery is the shared :func:`_grouped_global_rank` (never a
+    group-partitioned window).  Returns ``(id, group, score, keep)``
+    for every input row.
+    """
+    base = docs.select(id_col, group_col, score_col)
+    ranged, off_map, totals = _grouped_global_rank(
+        base,
+        group_col=group_col,
+        sort_col=score_col,
+        id_col=id_col,
+        n_ranges=n_ranges,
+        descending=False,
+    )
+    cuts = F.create_map(
+        *[
+            x
+            for g, n in totals.items()
+            for x in (
+                F.lit(g),
+                F.array(
+                    F.lit(n * lo_pct // 100),
+                    F.lit(n - n * (100 - hi_pct) // 100),
+                ),
+            )
+        ]
+    )
+    key = F.concat_ws("|", F.col(group_col), F.col("_pid").cast("string"))
+    w = Window.partitionBy("_pid", group_col).orderBy(
+        F.asc(score_col), F.asc(id_col)
+    )
+    rn = (off_map[key] + F.row_number().over(w)).alias("_rn")
+    c = cuts[F.col(group_col)]
+    keep = (F.col("_rn") > c[0]) & (F.col("_rn") <= c[1])
+    return ranged.select(id_col, group_col, score_col, rn).select(
+        id_col, group_col, score_col, keep.alias("keep")
+    )
+
+
 def ccnet_perplexity_buckets(
     docs: DataFrame,
     train: DataFrame | None = None,
@@ -1290,44 +1404,19 @@ def ccnet_perplexity_buckets(
     as in the LM gate.  Returns ``(id, lang, kn_score, bucket)`` with
     ``bucket`` in 1..n_buckets.
     """
-    from .checkpoints import tracked_local_checkpoint
-
     scored = (
         kn_doc_score(docs, train=train, text_col=text_col, id_col=id_col)
         .filter(F.col("kn_score").isNotNull())
         .select(id_col, "kn_score")
         .join(docs.select(id_col, lang_col), id_col)
     )
-    ranged = scored.repartitionByRange(
-        n_ranges, F.asc(lang_col), F.desc("kn_score"), F.asc(id_col)
-    ).withColumn("_pid", F.spark_partition_id())
-    # the checkpoint pins ONE range assignment for both the size scan
-    # and the rank pass; the returned frame roots on it, so its blocks
-    # live exactly as long as the result (the build_corpus staging
-    # discipline — swap for a staging-table write at 100 TB).
-    ranged, _ = tracked_local_checkpoint(ranged)
-    sizes = (
-        ranged.groupBy("_pid", lang_col)
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )
-    per_lang: dict[str, list[tuple[int, int]]] = {}
-    for r in sizes:
-        per_lang.setdefault(r[lang_col], []).append((r["_pid"], r["n"]))
-    off_entries: list[tuple[str, int, int]] = []
-    totals: dict[str, int] = {}
-    for lang, lst in per_lang.items():
-        acc = 0
-        for pid, cnt in sorted(lst):
-            off_entries.append((lang, pid, acc))
-            acc += cnt
-        totals[lang] = acc
-    off_map = F.create_map(
-        *[
-            x
-            for (lang, pid, off) in off_entries
-            for x in (F.lit(f"{lang}|{pid}"), F.lit(off))
-        ]
+    ranged, off_map, totals = _grouped_global_rank(
+        scored,
+        group_col=lang_col,
+        sort_col="kn_score",
+        id_col=id_col,
+        n_ranges=n_ranges,
+        descending=True,
     )
     # per-lang NTILE parameters as one literal map:
     # [big, div1, div2, r] with q = n // B, r = n % B,

@@ -9904,6 +9904,42 @@ def doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Percentile outlier trim: per-language rank over n_chars, integer cut
+# counts (n·5 // 100 at each end) — the adaptive companion to Gopher's
+# absolute length bounds.
+_QUANTILE_TRIM_ORACLE = """
+WITH qt AS (
+  SELECT doc_id, lang, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY lang
+      ORDER BY n_chars ASC, doc_id ASC) AS r,
+    COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+  (r > (n * 5) // 100) AND (r <= n - (n * 5) // 100) AS keep
+FROM qt
+"""
+
+
+@register("doc_quantile_trim", _QUANTILE_TRIM_ORACLE)
+def doc_quantile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile outlier trim
+    (:func:`..operators.text_analysis.quantile_trim`): drop each
+    language's shortest and longest 5% by ``n_chars`` — the ADAPTIVE
+    companion to Gopher's absolute length bounds (fixed min/max rules
+    break when the corpus mix shifts; rank cuts track the
+    distribution).  Cut counts are pure integers (``n·5 // 100`` rows
+    per end — no float percentile, no approx sketch), so the keep
+    decision itself hash-replays.  Rank runs on the shared two-phase
+    range-partitioned machinery (one exchange; never a
+    lang-partitioned window over corpus rows), the same one the CCNet
+    strata use — one definition for every per-group global rank."""
+    from .operators.text_analysis import quantile_trim
+
+    docs = _t(spark, sf_dir, "documents")
+    return quantile_trim(docs, "n_chars", lo_pct=5, hi_pct=95)
+
+
 # CCNet's keep rule composed into the build: drop each language's tail
 # tercile, then the 4-stage chain over the survivors.  The strata
 # chain reduces to a keep-list; the build tail is the source-gated
