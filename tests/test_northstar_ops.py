@@ -134,6 +134,9 @@ class TestDedupQuality:
             ("https://example.com", "https://example.com"),  # no path
             ("https://example.com/", "https://example.com"),  # root slash == root
             ("https://example.com/A/B", "https://example.com/A/B"),  # path case significant
+            # non-absolute inputs pass through verbatim (no '://' junk key)
+            ("example.com/a/b?b=2&a=1", "example.com/a/b?b=2&a=1"),
+            ("not a url", "not a url"),
         ]
         df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
         got = [
@@ -5373,3 +5376,36 @@ class TestQuantileTrim:
         assert [got[i] for i in (0, 1)] == [False, False]
         assert [got[i] for i in (38, 39)] == [False, False]
         assert all(got[i] for i in range(2, 38))
+
+    def test_null_group_fails_loudly(self, spark):
+        """A NULL group value raises instead of silently producing
+        NULL keep decisions (the offset-map key would drop the group
+        segment Spark-side while the Python side rendered 'None')."""
+        import pytest
+
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            quantile_trim,
+        )
+
+        rows = [(i, "a" if i % 2 else None, i * 10) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+        with pytest.raises(ValueError, match="NULL value in group column"):
+            quantile_trim(df, "n_chars").collect()
+
+    def test_n_ranges_invariance(self, spark):
+        """The keep decision is identical for any explicit n_ranges and
+        for the auto-scaled default (offsets derive from actual counts,
+        not sampled boundaries)."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            quantile_trim,
+        )
+
+        rows = [(i, "ab"[i % 2], (i * 37) % 101) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+        base = {r["doc_id"]: r["keep"] for r in quantile_trim(df, "n_chars").collect()}
+        for nr in (1, 3, 64):
+            got = {
+                r["doc_id"]: r["keep"]
+                for r in quantile_trim(df, "n_chars", n_ranges=nr).collect()
+            }
+            assert got == base

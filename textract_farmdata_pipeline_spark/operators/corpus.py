@@ -1610,8 +1610,12 @@ def weighted_sample_topk(
     token count, soft-dedup weight) — "give me 10k docs, proportional
     to quality" in one pass.
 
-    Engine-exact by the DSIR doctrine: ``u = (md5_long(id) mod 2^20 +
-    1) / 2^20`` and ``-log2(u) = 20 − plog2(num)`` with
+    Engine-exact by the DSIR doctrine: ``u = (md5_long(id) mod 2^40 +
+    1) / 2^40`` (2^40 resolution, not 2^20: at 2^20 roughly ``n/2^20``
+    rows draw ``num = 2^20`` exactly — key 0 regardless of weight — so
+    a 10^8-row corpus would fill the whole top-k with weight-blind
+    zero keys; at 2^40 the expected zero-key count stays < 1 up to
+    10^12 rows) and ``-log2(u) = 40 − plog2(num)`` with
     :func:`mitchell_plog2_sql`'s piecewise-linear log — every step
     exact or correctly-rounded IEEE, so keys (and the top-k) replay
     bit-for-bit in any engine.  Mitchell's log is monotone with ≤0.086
@@ -1629,7 +1633,7 @@ def weighted_sample_topk(
     from .dedup import md5_long
 
     num = F.pmod(
-        md5_long(F.col(id_col).cast("string"), seed), F.lit(1 << 20)
+        md5_long(F.col(id_col).cast("string"), seed), F.lit(1 << 40)
     ) + F.lit(1)
     keyed = (
         docs.where(F.col(weight_col) > 0)
@@ -1643,7 +1647,7 @@ def weighted_sample_topk(
             "_w",
             (
                 (
-                    F.lit(20.0)
+                    F.lit(40.0)
                     - F.expr(
                         mitchell_plog2_sql("_num", "shiftleft({b}, {f})")
                     )

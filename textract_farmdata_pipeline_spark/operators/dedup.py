@@ -120,7 +120,15 @@ def canonical_url(url: Column) -> Column:
     qsorted = F.when(
         q == "", F.lit("")
     ).otherwise(F.concat(F.lit("?"), F.concat_ws("&", F.array_sort(F.split(q, "&")))))
-    return F.concat(scheme, F.lit("://"), auth, path, qsorted)
+    # Non-absolute inputs (no scheme://) pass through verbatim: without
+    # this gate the scheme/authority extracts degrade to '' and the
+    # path regex leaves the raw string, producing a surprising
+    # '://'-prefixed non-URL key that still fails to collapse host-case
+    # variants — pass-through is honest (no collapse claimed) and keeps
+    # the column total.
+    return F.when(scheme == "", url).otherwise(
+        F.concat(scheme, F.lit("://"), auth, path, qsorted)
+    )
 
 
 def url_dedup(

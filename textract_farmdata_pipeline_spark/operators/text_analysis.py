@@ -1258,7 +1258,7 @@ def _grouped_global_rank(
     group_col: str,
     sort_col: str,
     id_col: str,
-    n_ranges: int = 8,
+    n_ranges: int | None = None,
     descending: bool = True,
 ):
     """Two-phase distributed rank WITHIN each group — the shared
@@ -1276,6 +1276,15 @@ def _grouped_global_rank(
     would sort each group's whole slice in one task)."""
     from .checkpoints import tracked_local_checkpoint
 
+    if n_ranges is None:
+        # Auto-scale the range count to the input's parallelism: a
+        # fixed 8 means each (range, group) sort task owns ~1/8 of the
+        # corpus at 100 TB.  The rank is exact for ANY range count
+        # (offsets come from actual per-(pid, group) counts, not the
+        # sampled boundaries), so this only changes task sizing — the
+        # decision columns, and therefore the oracle hashes, are
+        # invariant.
+        n_ranges = max(8, df.rdd.getNumPartitions())
     sort_expr = F.desc(sort_col) if descending else F.asc(sort_col)
     ranged = df.repartitionByRange(
         n_ranges, F.asc(group_col), sort_expr, F.asc(id_col)
@@ -1292,6 +1301,17 @@ def _grouped_global_rank(
     )
     per_group: dict[str, list[tuple[int, int]]] = {}
     for r in sizes:
+        if r[group_col] is None:
+            # A NULL group would silently fall out of the broadcast
+            # offset map (concat_ws drops NULL segments on the Spark
+            # side while the Python f-string would render 'None'),
+            # turning keep/bucket into NULL for those rows.  Fail
+            # loudly instead: the caller must filter or fill the
+            # group column before ranking.
+            raise ValueError(
+                f"_grouped_global_rank: NULL value in group column "
+                f"{group_col!r}; filter or coalesce NULL groups first"
+            )
         per_group.setdefault(r[group_col], []).append((r["_pid"], r["n"]))
     off_entries: list[tuple[str, int, int]] = []
     totals: dict[str, int] = {}
@@ -1318,7 +1338,7 @@ def quantile_trim(
     hi_pct: int = 95,
     group_col: str = "lang",
     id_col: str = "doc_id",
-    n_ranges: int = 8,
+    n_ranges: int | None = None,
 ) -> DataFrame:
     """Percentile outlier trim WITHIN each group: drop the lowest
     ``lo_pct``% and the highest ``100-hi_pct``% of rows by
@@ -1374,7 +1394,7 @@ def ccnet_perplexity_buckets(
     lang_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_ranges: int = 8,
+    n_ranges: int | None = None,
 ) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
     §4.3): score every document with the trained LM

@@ -12098,6 +12098,7 @@ unorm AS (
 ),
 ucan AS (
   SELECT doc_id,
+    CASE WHEN scheme = '' THEN url ELSE
     scheme || '://'
     || CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
             WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
@@ -12105,7 +12106,7 @@ ucan AS (
     || path
     || CASE WHEN q = '' THEN ''
             ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
-       END AS canonical_url
+       END END AS canonical_url
   FROM unorm
 )
 SELECT doc_id, canonical_url,
@@ -12411,17 +12412,18 @@ def corpus_build_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # A-ES weighted sampling: the exponential-clocks key with the Mitchell
 # log (the _duck_plog2 twin of operators.corpus.mitchell_plog2_sql),
-# u from the 60-bit md5 family reduced to 2^20 resolution.
+# u from the 60-bit md5 family reduced to 2^40 resolution (2^20 would
+# hand ~n/2^20 rows an exactly-zero key; see the operator docstring).
 _WEIGHTED_SAMPLE_ORACLE = f"""
 WITH wsu AS (
   SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
     CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 15))
-         AS BIGINT) % 1048576 + 1 AS num
+         AS BIGINT) % 1099511627776 + 1 AS num
   FROM documents WHERE n_chars > 0
 ),
 wsk AS (
   SELECT doc_id, w,
-    (CAST(20.0 AS DOUBLE) - {_duck_plog2('num')}) / w AS k
+    (CAST(40.0 AS DOUBLE) - {_duck_plog2('num')}) / w AS k
   FROM wsu
 )
 SELECT doc_id, w AS weight,

@@ -90,18 +90,32 @@ def main() -> int:
                 "rows": rows,
                 "total_sec": round(dt, 2),
                 "per_batch_sec": round(dt / k, 3),
+                # unrounded value kept for the ratio — a fast run's
+                # per_batch_sec can round to 0.0 and poison the divide
+                "_per_batch_raw": dt / k,
             }
             results[name][k] = rec
-            print(json.dumps({"stream": name, **rec}), flush=True)
+            print(
+                json.dumps(
+                    {
+                        "stream": name,
+                        **{kk: v for kk, v in rec.items() if kk != "_per_batch_raw"},
+                    }
+                ),
+                flush=True,
+            )
 
     summary = {}
     for name, by_k in results.items():
         lo, hi = min(ks), max(ks)
         summary[name] = {
             "per_batch_ratio": round(
-                by_k[hi]["per_batch_sec"] / by_k[lo]["per_batch_sec"], 2
+                by_k[hi]["_per_batch_raw"] / by_k[lo]["_per_batch_raw"], 2
             ),
-            "detail": by_k,
+            "detail": {
+                k: {kk: v for kk, v in rec.items() if kk != "_per_batch_raw"}
+                for k, rec in by_k.items()
+            },
         }
     print(json.dumps({"ks": ks, "summary": summary}), flush=True)
     return 0
