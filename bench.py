@@ -349,17 +349,14 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
-        calib_start = _calibration(spark, sf_dir)
-        timings: dict[str, float] = {}
-        for name in HEADLINE:
-            fn = QUERIES[name]
+        import gc
+
+        def _timed_best(fn, runs: int) -> float:
             # Release the previous query's broadcast/shuffle debt before
             # timing, not during: Spark's ContextCleaner frees broadcast
             # blocks only after the corresponding Python/JVM objects are
             # GC'd, and an unlucky full GC mid-query otherwise lands in
             # that query's wall time.
-            import gc
-
             gc.collect()
             spark._jvm.System.gc()
             # Best of three runs: the engine's speed is the reproducible
@@ -368,12 +365,52 @@ def main() -> None:
             # two, after r03's doc_gopher_filter showed a single
             # disturbed run can survive best-of-2 (docs/BENCH_NOTES.md).
             best = float("inf")
-            for _ in range(3):
+            for _ in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        calib_end = _calibration(spark, sf_dir)
+            return best
+
+        # Interleaved calibration (r11 directive): one probe before the
+        # first query, one after every CALIB_EVERY queries, one after
+        # the last — so a regression can be attributed to a SEGMENT of
+        # the run, not adjudicated against the whole record.  Segment i
+        # covers queries [i*CALIB_EVERY, (i+1)*CALIB_EVERY) and is
+        # bounded by calibs[i] (before) and calibs[i+1] (after).
+        CALIB_EVERY = 25
+        calibs: list[float] = [_calibration(spark, sf_dir)]
+        timings: dict[str, float] = {}
+        segment_of: dict[str, int] = {}
+        for idx, name in enumerate(HEADLINE):
+            if idx and idx % CALIB_EVERY == 0:
+                calibs.append(_calibration(spark, sf_dir))
+            segment_of[name] = idx // CALIB_EVERY
+            timings[name] = round(_timed_best(QUERIES[name], 3), 3)
+        calibs.append(_calibration(spark, sf_dir))
+
+        # Self-adjudication: a segment whose bounding probes BOTH sit
+        # inside the clean-host band is trusted as-is; a segment with
+        # an out-of-band boundary was measured on a loaded host, so
+        # every query in it gets ONE extra timed run (min-merged — the
+        # best-of-N floor can only improve) and the record names them.
+        hi = CALIB_BAND_S[1]
+        n_segments = (len(HEADLINE) + CALIB_EVERY - 1) // CALIB_EVERY
+        dirty = [
+            s
+            for s in range(n_segments)
+            if calibs[s] > hi or calibs[min(s + 1, len(calibs) - 1)] > hi
+        ]
+        requeried: list[str] = []
+        if dirty:
+            recheck = _calibration(spark, sf_dir)
+            if recheck <= hi:  # host has calmed down; re-runs are useful
+                for name in HEADLINE:
+                    if segment_of[name] in dirty:
+                        rerun = _timed_best(QUERIES[name], 1)
+                        if rerun < timings[name]:
+                            timings[name] = round(rerun, 3)
+                        requeried.append(name)
+            calibs.append(recheck)
         total = round(sum(timings.values()), 3)
         sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
         try:
@@ -388,11 +425,19 @@ def main() -> None:
             "sf": sf_val,
             "runs_per_query": 3,
             "timing": "best_of_runs",
-            # Host-load evidence: the fixed calibration scan
-            # timed before the first and after the last query.
-            # Readings above calib_band_s ⇒ the host was loaded
-            # and this record's per-query times are inflated.
-            "calib_s": {"start": calib_start, "end": calib_end},
+            # Host-load evidence: the fixed calibration scan timed
+            # before the first query, after every calib_every queries,
+            # and after the last (plus one post-adjudication reading
+            # when a requery pass ran).  A reading above calib_band_s
+            # ⇒ the host was loaded DURING THAT SEGMENT and only that
+            # segment's per-query times are suspect; queries in dirty
+            # segments were re-run once on a calmed host (min-merged)
+            # and are listed in "requeried".
+            "calib_s": {"start": calibs[0], "end": calibs[-1]},
+            "calib_interleaved_s": calibs,
+            "calib_every": CALIB_EVERY,
+            "calib_segment_of": segment_of,
+            "requeried": requeried,
             "calib_band_s": list(CALIB_BAND_S),
         }
         # The driver keeps only the LAST ~2000 characters of stdout and
@@ -411,6 +456,10 @@ def main() -> None:
             fh.write("\n")
         line = dict(record)
         line["queries_full"] = "docs/preflight/bench_full.json"
+        # per-query segment map and requery list live in the full file;
+        # the printed line keeps the compact evidence (readings + count)
+        del line["calib_segment_of"]
+        line["requeried"] = len(requeried)
         by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
         budget = 1900  # < the driver's 2000-char tail window
         while True:

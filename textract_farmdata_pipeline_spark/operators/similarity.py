@@ -1120,6 +1120,53 @@ def prototype_prune_refined(
     exchange inherited from :func:`prototype_prune`.  Returns the same
     ``(vec_id, cell_id, n_cell, proto_rank, keep)`` contract.
     """
+    assigned, cells, book = quantized_lloyd_step(
+        vectors, anchors, scale_bits=scale_bits, vec_col=vec_col, id_col=id_col
+    )
+    cell_ids = F.array(*[F.lit(int(c)).cast("int") for c in cells])
+    scored = assigned.select(
+        "vec_id", centroid_scores(F.col("u"), book).alias("_s")
+    ).select(
+        "vec_id",
+        F.element_at(cell_ids, nearest_cell(F.col("_s")).cast("int")).alias(
+            "cell_id"
+        ),
+        F.array_max(F.col("_s")).alias("_proto"),
+    )
+    return _proto_rank_tail(scored, prune_frac)
+
+
+def quantized_lloyd_step(
+    vectors: DataFrame,
+    anchors,
+    scale_bits: int = 24,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """ONE deterministic Lloyd update — the shared training core of the
+    hash-checkable "refined" family (:func:`prototype_prune_refined`,
+    :func:`ivf_cluster_profile_quantized` and the topic-cluster twin).
+
+    Assign each unit vector to its nearest anchor (max dot, first-max
+    tie), then rebuild every cell's centroid as the INTEGER-quantized
+    mean ``s / (n · 2^scale_bits)`` with ``s = Σ floor(u·2^b + 0.5)``
+    per coordinate: integer addition is exact and order-independent,
+    so the refined codebook — and any decision derived from it — is
+    bit-identical in Spark, Python, and DuckDB (float Lloyd's
+    partition-order double means are not; see docs/BENCH_NOTES.md).
+
+    Returns ``(assigned, cells, book)``: the STAGED assignment frame
+    ``(vec_id, u, cell0)`` (local-checkpointed once — the normalize +
+    k-dot chain feeds both the training sum and whatever rescore pass
+    the caller runs; measured 58× at the ×100 probe without the
+    stage), the sorted original cell ids that survived (empty cells
+    vanish), and the refined centroid list in ``cells`` order.
+
+    Scale shape: one corpus pass for the sums — posexplode to (cell,
+    pos, q) with map-side partial integer aggregation, shuffle bytes
+    k·dim regardless of corpus size — and a k·dim driver collect (the
+    audited bounded-codebook pattern).
+    """
     from .checkpoints import tracked_local_checkpoint
 
     scale = 1 << scale_bits
@@ -1133,12 +1180,6 @@ def prototype_prune_refined(
         .cast("int")
         .alias("cell0"),
     )
-    # staged once: the normalize + k-dot assign chain (interpreted
-    # higher-order functions — the expensive part) feeds BOTH the
-    # quantized-sum training pass and the rescore pass; without the
-    # stage each consumer recomputes it (measured 58× at the ×100
-    # probe vs ~10× for the one-pass frozen form).  The local
-    # checkpoint is the staging-table analogue at 100 TB.
     assigned, _ = tracked_local_checkpoint(assigned)
     rows = (
         assigned.select(
@@ -1167,17 +1208,62 @@ def prototype_prune_refined(
         [sums[c][p] / float(counts[c] * scale) for p in sorted(sums[c])]
         for c in cells
     ]
+    return assigned, cells, book
+
+
+def ivf_cluster_profile_quantized(
+    vectors: DataFrame,
+    anchors,
+    scale_bits: int = 24,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balance profile of a ONE-STEP QUANTIZED-LLOYD codebook —
+    the hash-checkable trained twin of :func:`ivf_cluster_profile`
+    (whose float ``avg(cos)`` is a partition-order double sum and so
+    rows-only by nature).  Two substitutions make the whole report
+    replayable: the codebook comes from :func:`quantized_lloyd_step`
+    (exact integer means), and per-cluster coherence is reported as
+    ``avg_dot_q = Σ floor(dot·2^b + 0.5) / (n · 2^b)`` — the mean dot
+    of each member's unit vector against its refined centroid, with
+    the SUM carried as exact integers so the mean is ONE IEEE division
+    (the same trick that made the codebook hashable, applied to the
+    profile statistic; exact while ``n_cell · 2^b < 2^53``).
+
+    The dot is against the raw refined centroid (norm ≤ 1), not a
+    re-normalized one — re-normalizing would put a driver-computed
+    ``sqrt``-fold inside the hashed value whose summation order the
+    SQL twin cannot replicate; the un-normalized dot ranks cluster
+    coherence identically per cluster.
+
+    Scale shape: the assign pass is staged by the Lloyd step; the
+    profile itself is a map-only rescore + one k-row aggregate.
+    Returns ``(cluster_id, n_members, avg_dot_q)`` keyed by ORIGINAL
+    anchor index (1-based, matching :func:`ivf_cluster_profile`'s
+    nearest_cell convention).
+    """
+    assigned, cells, book = quantized_lloyd_step(
+        vectors, anchors, scale_bits=scale_bits, vec_col=vec_col, id_col=id_col
+    )
+    scale = 1 << scale_bits
     cell_ids = F.array(*[F.lit(int(c)).cast("int") for c in cells])
     scored = assigned.select(
         "vec_id", centroid_scores(F.col("u"), book).alias("_s")
     ).select(
-        "vec_id",
         F.element_at(cell_ids, nearest_cell(F.col("_s")).cast("int")).alias(
-            "cell_id"
+            "cluster_id"
         ),
-        F.array_max(F.col("_s")).alias("_proto"),
+        F.floor(F.array_max(F.col("_s")) * F.lit(float(scale)) + F.lit(0.5))
+        .cast("long")
+        .alias("_qdot"),
     )
-    return _proto_rank_tail(scored, prune_frac)
+    return scored.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        (
+            F.sum("_qdot").cast("double")
+            / (F.count("*") * F.lit(scale)).cast("double")
+        ).alias("avg_dot_q"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1113,6 +1113,7 @@ def tfidf_vectors(
     vocab_size: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    weight: str = "ln",
 ) -> DataFrame:
     """Dense TF-IDF document vectors over the top-``vocab_size``
     document-frequency terms: ``(id, embedding array<double>)`` — the
@@ -1126,6 +1127,14 @@ def tfidf_vectors(
     count → map-literal lookup → one groupBy(doc) assembling the dense
     array.  Ties in the vocabulary cut break (df desc, term asc), so
     the feature space is deterministic.
+
+    ``weight`` picks the IDF log: ``"ln"`` (default, libm — the
+    quality path) or ``"mitchell"`` — ``plog2(N) − plog2(df)`` with
+    Mitchell's piecewise-linear log2, every step exact or
+    correctly-rounded IEEE, so the VECTORS replay bit-for-bit in any
+    engine (the DSIR-scorer portability trade).  The mitchell form is
+    what lets a clustering built on these vectors be hash-oracle-
+    checked end to end (``doc_topic_clusters_refined``).
     """
     tok = docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
     tf = tok.filter(F.col("term") != "").groupBy(id_col, "term").agg(
@@ -1136,9 +1145,22 @@ def tfidf_vectors(
     vocab = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(vocab_size).collect()
     import math
 
-    idx_w = {
-        r["term"]: (i, math.log(n_docs / r["df"])) for i, r in enumerate(vocab)
-    }
+    def _plog2(n: int) -> float:
+        # Mitchell 1962: floor(log2 n) + (n / 2^floor(log2 n) - 1) —
+        # the exact tree mitchell_plog2_sql/_duck_plog2 build, so the
+        # driver-computed weight is bit-identical to the SQL twin's.
+        f = n.bit_length() - 1
+        return float(f) + (float(n) / float(1 << f) - 1.0)
+
+    if weight == "mitchell":
+        idx_w = {
+            r["term"]: (i, _plog2(n_docs) - _plog2(r["df"]))
+            for i, r in enumerate(vocab)
+        }
+    else:
+        idx_w = {
+            r["term"]: (i, math.log(n_docs / r["df"])) for i, r in enumerate(vocab)
+        }
     idx_map = F.create_map(
         *[x for t, (i, _w) in idx_w.items() for x in (F.lit(t), F.lit(i))]
     )

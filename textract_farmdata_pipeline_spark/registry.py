@@ -11354,6 +11354,25 @@ SELECT vec_id, cell_id, n_cell, proto_rank,
   proto_rank > CAST(floor(n_cell * 0.5) AS BIGINT) AS keep
 FROM ppr
 """
+# The trained-profile twin reuses the SAME chain through the refined
+# reassignment (ppcell), then replaces the rank tail with the
+# integer-quantized coherence aggregate: qd = floor(dot·2^24 + 0.5)
+# per member, SUM as exact BIGINT, mean = one IEEE division — the
+# codebook trick applied to the profile statistic.
+_KMEANS_IVF_REFINED_ORACLE = (
+    _PROTO_PRUNE_REFINED_ORACLE.split("ppr AS (", 1)[0]
+    + """ppq AS (
+  SELECT cell_id,
+    CAST(floor(proto * 16777216.0 + 0.5) AS BIGINT) AS qd
+  FROM ppcell
+)
+SELECT CAST(cell_id AS INT) AS cluster_id,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(SUM(qd) AS DOUBLE) / CAST(COUNT(*) * 16777216 AS DOUBLE) AS avg_dot_q
+FROM ppq GROUP BY cell_id
+"""
+)
+_KMEANS_IVF_REFINED_ORACLE = _force_materialized(_KMEANS_IVF_REFINED_ORACLE)
 _PROTO_PRUNE_REFINED_ORACLE = _force_materialized(_PROTO_PRUNE_REFINED_ORACLE)
 
 
@@ -11390,6 +11409,38 @@ def embedding_prototype_prune_refined(spark: SparkSession, sf_dir: str) -> DataF
     return prototype_prune_refined(emb, anchors, prune_frac=0.5)
 
 
+@register("embedding_kmeans_ivf_refined", _KMEANS_IVF_REFINED_ORACLE)
+def embedding_kmeans_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cluster-balance profile over a ONE-STEP QUANTIZED-LLOYD
+    codebook (:func:`..operators.similarity.ivf_cluster_profile_quantized`)
+    — the hash-checkable trained twin of the rows-only
+    ``embedding_kmeans_ivf`` (float Lloyd + float ``avg(cos)``, both
+    partition-order-dependent).  Two exact-integer substitutions put
+    the whole codebook-acceptance report under the oracle gate: the
+    trained centroids are quantized means (the
+    ``embedding_prototype_prune_refined`` promotion pattern, same md5
+    anchors) and the per-cluster coherence is the mean QUANTIZED dot —
+    integer sum, one IEEE division.  Size skew and coherence ranking
+    are the same signals the float profile reports; the float form
+    remains the quality path."""
+    from .operators.dedup import md5_long
+    from .operators.similarity import ivf_cluster_profile_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = [
+        r["e"]
+        for r in emb.select(
+            F.col("embedding").cast("array<double>").alias("e"),
+            md5_long(F.col("vec_id").cast("string"), "prot|").alias("_r"),
+            "vec_id",
+        )
+        .orderBy(F.asc("_r"), F.asc("vec_id"))
+        .limit(16)
+        .collect()
+    ]
+    return ivf_cluster_profile_quantized(emb, anchors)
+
+
 # =========================================================================
 # DSIR importance resampling (hashed n-gram features vs a target set)
 # =========================================================================
@@ -11404,6 +11455,125 @@ def _duck_plog2(x: str) -> str:
         f"(CAST({f} AS DOUBLE) + "
         f"(CAST({x} AS DOUBLE) / {p} - CAST(1.0 AS DOUBLE)))"
     )
+
+
+# Topic clustering made hash-checkable end to end: Mitchell-weighted
+# TF-IDF vectors (plog2(N) − plog2(df) — the libm-free IDF, bit-equal
+# to the driver's Python tree), md5 doc anchors, one quantized-Lloyd
+# step, and the integer-quantized coherence profile — the full
+# text → vector → trained-cluster report under the oracle gate.
+_TOPIC_REFINED_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, u.term
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL unnest(t) AS u(term)
+  WHERE u.term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+vocab AS (
+  SELECT term,
+    ({_duck_plog2('n')} - {_duck_plog2('df')}) AS w,
+    CAST(row_number() OVER (ORDER BY df DESC, term) - 1 AS BIGINT) AS idx
+  FROM dfreq CROSS JOIN nd ORDER BY df DESC, term LIMIT 64
+),
+grid AS (
+  SELECT d.doc_id, v.idx, v.term, v.w
+  FROM (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN vocab v
+),
+dvec AS (
+  SELECT g.doc_id,
+    list(coalesce(tf.tf * g.w, 0.0) ORDER BY g.idx) AS e
+  FROM grid g LEFT JOIN tf ON tf.doc_id = g.doc_id AND tf.term = g.term
+  GROUP BY g.doc_id
+),
+tnrm AS (SELECT doc_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM dvec),
+tun AS (
+  SELECT doc_id,
+    CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS u
+  FROM tnrm
+),
+tanch AS (
+  SELECT aid, j FROM (
+    SELECT doc_id AS aid,
+      ROW_NUMBER() OVER (ORDER BY
+        CAST(('0x' || substr(md5('topic|' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) ASC,
+        doc_id ASC) AS j
+    FROM dvec) ranked
+  WHERE j <= 8
+),
+tav AS (
+  SELECT tanch.j, dvec.e AS c FROM dvec JOIN tanch ON dvec.doc_id = tanch.aid
+),
+tc0 AS (
+  SELECT doc_id, u, j AS cell0 FROM (
+    SELECT r.doc_id, r.u, a.j,
+      ROW_NUMBER() OVER (PARTITION BY r.doc_id
+        ORDER BY list_dot_product(a.c, r.u) DESC, a.j ASC) AS rk
+    FROM tun r CROSS JOIN tav a) t
+  WHERE rk = 1
+),
+ts AS (
+  SELECT cell0, i AS pos,
+    SUM(CAST(floor(u[i] * 16777216.0 + 0.5) AS BIGINT)) AS s,
+    COUNT(*) AS n
+  FROM tc0, LATERAL unnest(generate_series(1, len(u))) AS g(i)
+  GROUP BY cell0, i
+),
+tref AS (
+  SELECT cell0 AS j,
+    list(CAST(s AS DOUBLE) / CAST(n * 16777216 AS DOUBLE) ORDER BY pos) AS c
+  FROM ts GROUP BY cell0
+),
+tcell AS (
+  SELECT doc_id, j AS cell_id, d AS proto FROM (
+    SELECT r.doc_id, a.j, list_dot_product(a.c, r.u) AS d,
+      ROW_NUMBER() OVER (PARTITION BY r.doc_id
+        ORDER BY list_dot_product(a.c, r.u) DESC, a.j ASC) AS rk
+    FROM tun r CROSS JOIN tref a) t
+  WHERE rk = 1
+)
+SELECT CAST(cell_id AS INT) AS cluster_id,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(SUM(CAST(floor(proto * 16777216.0 + 0.5) AS BIGINT)) AS DOUBLE)
+    / CAST(COUNT(*) * 16777216 AS DOUBLE) AS avg_dot_q
+FROM tcell GROUP BY cell_id
+"""
+_TOPIC_REFINED_ORACLE = _force_materialized(_TOPIC_REFINED_ORACLE)
+
+
+@register("doc_topic_clusters_refined", _TOPIC_REFINED_ORACLE)
+def doc_topic_clusters_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document topic clustering with EVERY stage hash-checkable — the
+    oracle twin of the rows-only ``doc_topic_clusters``: Mitchell-
+    weighted TF-IDF vectors (``tfidf_vectors(weight="mitchell")`` —
+    the libm ``ln`` is the one non-portable step in the float form,
+    swapped for the exact plog2 tree), 8 md5-ranked document anchors,
+    one quantized-Lloyd training step, and the integer-quantized
+    cluster profile.  The text → vector → trained-cluster-report
+    workflow lands under the full oracle gate; the ln/float-Lloyd
+    registration stays as the quality path."""
+    from .operators.dedup import md5_long
+    from .operators.similarity import ivf_cluster_profile_quantized
+    from .operators.text_analysis import tfidf_vectors
+
+    vecs = tfidf_vectors(
+        _t(spark, sf_dir, "documents"), vocab_size=64, weight="mitchell"
+    ).withColumnRenamed("doc_id", "vec_id")
+    anchors = [
+        r["e"]
+        for r in vecs.select(
+            F.col("embedding").alias("e"),
+            md5_long(F.col("vec_id").cast("string"), "topic|").alias("_r"),
+            "vec_id",
+        )
+        .orderBy(F.asc("_r"), F.asc("vec_id"))
+        .limit(8)
+        .collect()
+    ]
+    return ivf_cluster_profile_quantized(vecs, anchors)
 
 
 def _dsir_ctes() -> str:
