@@ -291,6 +291,11 @@ HEADLINE = (
     # r11: per-language percentile outlier trim — integer cut counts
     # on the shared two-phase rank machinery
     "doc_quantile_trim",
+    # r12: the composed ANN→MMR retrieval (shortlist bounds the greedy)
+    # and the quantized-Lloyd promotions of the k-means family
+    "embedding_mmr_ann",
+    "embedding_kmeans_ivf_refined",
+    "doc_topic_clusters_refined",
 )
 
 

@@ -5422,6 +5422,51 @@ class TestMmrSelect:
         assert [r["mmr_rank"] for r in got] == [1, 2, 3]
 
 
+class TestMmrAnnComposed:
+    """ANN shortlist → MMR: the picks come from the shortlist, the
+    rank contract holds, and the pool restriction is real."""
+
+    def test_picks_subset_of_shortlist(self, spark, emb):
+        from pyspark.sql import functions as F
+
+        from textract_farmdata_pipeline_spark.operators.dedup import md5_long
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            ann_topk_ivf,
+            mmr_select,
+        )
+
+        anchors = [
+            r["e"]
+            for r in emb.select(
+                F.col("embedding").cast("array<double>").alias("e"),
+                md5_long(F.col("vec_id").cast("string"), "ivfq|").alias("_r"),
+                "vec_id",
+            )
+            .orderBy(F.asc("_r"), F.asc("vec_id"))
+            .limit(16)
+            .collect()
+        ]
+        short = ann_topk_ivf(
+            emb,
+            emb.filter(F.col("vec_id") == 0),
+            k=40,
+            n_centroids=16,
+            n_probe=4,
+            centroids=anchors,
+        )
+        short_ids = {r["neighbor_id"] for r in short.collect()}
+        assert 0 < len(short_ids) <= 40 and 0 not in short_ids
+        pool = emb.join(
+            F.broadcast(short.select(F.col("neighbor_id").alias("vec_id"))),
+            "vec_id",
+        ).unionByName(emb.filter(F.col("vec_id") == 0))
+        out = mmr_select(pool, query_id=0, k=8).collect()
+        picked = [r["vec_id"] for r in out]
+        assert set(picked) <= short_ids          # restricted to the pool
+        assert [r["mmr_rank"] for r in out] == list(range(1, len(out) + 1))
+        assert len(picked) == min(8, len(short_ids))
+
+
 class TestQuantileTrim:
     """Per-group percentile trim: integer cut counts, keep contract."""
 

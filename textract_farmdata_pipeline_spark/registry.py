@@ -11120,12 +11120,16 @@ def embedding_semantic_dedup_frozen(spark: SparkSession, sf_dir: str) -> DataFra
     return semantic_dedup(corpus, anchors, threshold=0.999, hamming_gate=16)
 
 
-def _mmr_oracle(k: int = 8) -> str:
+def _mmr_oracle(k: int = 8, extra_ctes: str = "", cand_filter: str = "") -> str:
     """The k-step MMR greedy, unrolled (the unrolled-fixpoint oracle
     discipline): pick1 is plain argmax-by-relevance; pick_i excludes
     sel_{i-1} and orders by ``0.5·rel − 0.5·max_sim_to_selected`` with
     the lowest-id tie-break — every dot the same left-fold IEEE tree
-    the Spark side builds."""
+    the Spark side builds.
+
+    ``extra_ctes`` (each ``name AS (...)`` followed by ``,\n``) are
+    prepended so a shortlist chain can feed ``cand_filter`` — an extra
+    predicate on the candidate pool (the ANN→MMR composition)."""
     ctes = [
         """mmru AS (
   SELECT vec_id,
@@ -11134,9 +11138,9 @@ def _mmr_oracle(k: int = 8) -> str:
         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
               FROM embeddings) t1) t2)""",
         "mmrq AS (SELECT u FROM mmru WHERE vec_id = 0)",
-        """mmrr AS (
+        f"""mmrr AS (
   SELECT c.vec_id, c.u, list_dot_product(c.u, q.u) AS rel
-  FROM mmru c CROSS JOIN mmrq q WHERE c.vec_id <> 0)""",
+  FROM mmru c CROSS JOIN mmrq q WHERE c.vec_id <> 0{cand_filter})""",
         """pick1 AS (
   SELECT vec_id, u FROM mmrr ORDER BY rel DESC, vec_id ASC LIMIT 1)""",
         "sel1 AS (SELECT vec_id, u, 1 AS mmr_rank FROM pick1)",
@@ -11158,6 +11162,7 @@ def _mmr_oracle(k: int = 8) -> str:
         )
     return (
         "WITH "
+        + extra_ctes
         + ",\n".join(ctes)
         + f"\nSELECT vec_id, CAST(mmr_rank AS INT) AS mmr_rank FROM sel{k}"
     )
@@ -11182,6 +11187,105 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import mmr_select
 
     return mmr_select(_t(spark, sf_dir, "embeddings"), query_id=0, k=8, lam=0.5)
+
+
+# ANN→MMR composition: the IVF shortlist chain (md5-ranked raw-vector
+# coarse codebook — the hash-checkable anchor discipline — first-argmax
+# bucket assignment, top-4 probes, 4-dp cosine + neighbor-id rank) cut
+# at top-40, feeding the unrolled MMR greedy restricted to that pool.
+_MMR_ANN_SHORTLIST_CTES = """av AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+aanch AS (
+  SELECT j, e AS c FROM (
+    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY
+      CAST(('0x' || substr(md5('ivfq|' || CAST(vec_id AS VARCHAR)), 1, 15))
+           AS BIGINT) ASC,
+      vec_id ASC) AS j
+    FROM av) r
+  WHERE j <= 16),
+acb AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS cnorm, j AS bucket FROM (
+    SELECT v.vec_id, v.e, a.j,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY list_dot_product(a.c, v.e) DESC, a.j ASC) AS rk
+    FROM av v CROSS JOIN aanch a) t
+  WHERE rk = 1),
+aqb AS (
+  SELECT q.e AS qe, sqrt(list_dot_product(q.e, q.e)) AS qnorm, a.j AS bucket,
+    ROW_NUMBER() OVER (ORDER BY list_dot_product(a.c, q.e) DESC, a.j ASC) AS pr
+  FROM av q CROSS JOIN aanch a WHERE q.vec_id = 0),
+ascored AS (
+  SELECT c.vec_id AS neighbor_id,
+    CASE WHEN q.qnorm * c.cnorm > 0
+         THEN round(list_dot_product(q.qe, c.e) / (q.qnorm * c.cnorm), 4)
+    END AS cosine
+  FROM acb c JOIN (SELECT * FROM aqb WHERE pr <= 4) q ON c.bucket = q.bucket
+  WHERE c.vec_id <> 0),
+annsl AS (
+  SELECT neighbor_id FROM (
+    SELECT neighbor_id,
+      ROW_NUMBER() OVER (ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM ascored) t
+  WHERE rank <= 40),
+"""
+
+
+@register(
+    "embedding_mmr_ann",
+    _force_materialized(
+        _mmr_oracle(
+            8,
+            extra_ctes=_MMR_ANN_SHORTLIST_CTES,
+            cand_filter=" AND c.vec_id IN (SELECT neighbor_id FROM annsl)",
+        )
+    ),
+)
+def embedding_mmr_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed retrieval a production deployment actually runs:
+    IVF shortlist → MMR re-rank.  ``ann_topk_ivf`` (md5-ranked frozen
+    coarse codebook, 4 of 16 buckets probed) cuts query 0's candidate
+    pool to the top 40 by cosine, then :func:`..operators.similarity.
+    mmr_select` runs its 8-step diversity greedy over THAT pool — so
+    the k sequential MMR passes scan 40 rows instead of the corpus,
+    turning the greedy's k-corpus-scan cost into a k·shortlist
+    non-issue (the shortlist is broadcast-sized by construction; at
+    100 TB the IVF stage does the data-scale work and MMR's cost is
+    O(k·shortlist·dim) regardless of corpus size).  Every stage is
+    hash-checked: the bucket argmax, probe cut, 4-dp cosine rank, and
+    the full unrolled greedy trajectory replay in the oracle."""
+    from .operators.dedup import md5_long
+    from .operators.similarity import ann_topk_ivf, mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = [
+        r["e"]
+        for r in emb.select(
+            F.col("embedding").cast("array<double>").alias("e"),
+            md5_long(F.col("vec_id").cast("string"), "ivfq|").alias("_r"),
+            "vec_id",
+        )
+        .orderBy(F.asc("_r"), F.asc("vec_id"))
+        .limit(16)
+        .collect()
+    ]
+    short = ann_topk_ivf(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        k=40,
+        n_centroids=16,
+        n_probe=4,
+        centroids=anchors,
+    )
+    pool = emb.join(
+        F.broadcast(short.select(F.col("neighbor_id").alias("vec_id"))),
+        "vec_id",
+    )
+    return mmr_select(
+        pool.unionByName(emb.filter(F.col("vec_id") == 0)),
+        query_id=0,
+        k=8,
+        lam=0.5,
+    )
 
 
 # Prototype-based dataset pruning (Sorscher et al. 2022) — the
