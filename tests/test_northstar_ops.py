@@ -287,10 +287,12 @@ class TestMultimodal:
         decoded luma bytes — proving the Spark-side plumbing needs no
         change when a codec lands.
 
-        Re-probed 2026-08-16 (round 11 session start): ``import PIL``
+        Re-probed 2026-08-16 (round 12 session start): ``import PIL``
         still raises ModuleNotFoundError in this container and
-        installs remain disallowed, so this skips; the byte-level
-        deterministic path below stays the tested surface."""
+        installs remain disallowed, so this skips.  The CODEC formats
+        are the only thing this gate still covers — the uncompressed
+        raster path (BMP/PPM) now decodes in pure bytes and is
+        exercised NON-skipped by TestRasterDecode below."""
         PIL_Image = pytest.importorskip(
             "PIL.Image", reason="no image codec in this container"
         )
@@ -326,6 +328,138 @@ class TestMultimodal:
         sig = image_dhash(df).collect()[0]["sig"]
         assert len(sig) == 2 and all(s >= 0 for s in sig)
         assert sig != [0, 0]  # a gradient image has gradient bits
+
+
+def _make_bmp24(arr):
+    """Minimal 24-bit uncompressed BMP writer (test-side ground truth):
+    bottom-up rows, 4-byte padding, BGR — the format the pure-bytes
+    decoder must invert exactly."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    pix = bytearray()
+    for r in range(h - 1, -1, -1):           # bottom-up
+        row = arr[r][:, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        pix += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    size = off + len(pix)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return bytes(header + info + pix)
+
+
+def _make_ppm(arr):
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    return b"P6\n# test raster\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+class TestRasterDecode:
+    """The NON-skipped real-image path: pure-bytes BMP/PPM decoding
+    through the decode_image seam, and resize/dHash running end to end
+    on a genuine raster (round-11 directive #6 — the seam had never
+    executed on a real image)."""
+
+    @staticmethod
+    def _gradient(h=10, w=12):
+        import numpy as np
+
+        arr = np.zeros((h, w, 3), dtype=np.uint8)
+        # non-monotonic ramp (mod-wraparound) so the dHash gradient
+        # bits are a mix of 0s and 1s, not the all-descending zero hash
+        arr[:, :, 0] = (np.arange(w) * 37 % 256).astype(np.uint8)[None, :]
+        arr[:, :, 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+        arr[:, :, 2] = 7
+        return arr
+
+    def test_bmp_and_ppm_roundtrip_exact(self):
+        import numpy as np
+
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        arr = self._gradient()
+        for payload in (_make_bmp24(arr), _make_ppm(arr)):
+            out = decode_image(payload)
+            assert out.shape == arr.shape and out.dtype == np.uint8
+            assert (out == arr).all()  # both formats are lossless
+
+    def test_bmp_padding_and_odd_width(self):
+        import numpy as np
+
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        arr = self._gradient(h=3, w=5)  # stride 15 -> padded to 16
+        out = decode_image(_make_bmp24(arr))
+        assert (out == arr).all()
+
+    def test_codec_formats_still_route_to_seam(self):
+        import pytest as _pytest
+
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        with _pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG\r\n\x1a\n....", "png")
+
+    def test_resize_and_dhash_on_real_raster(self, spark):
+        """End-to-end through Spark: real BMP/PPM payloads in a binary
+        column, resize_image(decode='raster') emits a valid PPM at the
+        target dims, image_dhash(decode='raster') hashes the true luma
+        — and the resized image re-decodes through the same seam."""
+        import numpy as np
+
+        from pyspark.sql import functions as F
+
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            decode_image,
+            image_dhash,
+            luma_u8,
+            resize_image,
+        )
+
+        arr = self._gradient(h=20, w=30)
+        rows = [
+            (1, bytearray(_make_bmp24(arr)), {"n_bytes": 0, "width": 30, "height": 20, "format": "bmp"}),
+            (2, bytearray(_make_ppm(arr)), {"n_bytes": 0, "width": 30, "height": 20, "format": "ppm"}),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "doc_id long, media binary, media_meta struct<n_bytes:long,width:int,height:int,format:string>",
+        )
+        resized = {
+            r["doc_id"]: r
+            for r in resize_image(media, target_w=8, target_h=6, decode="raster").collect()
+        }
+        for d in (1, 2):
+            out = decode_image(bytes(resized[d]["media"]))  # re-enters the seam
+            assert out.shape == (6, 8, 3)
+            assert resized[d]["media_meta"]["format"] == "ppm"
+        # identical source raster in two containers -> identical resize
+        assert bytes(resized[1]["media"]) == bytes(resized[2]["media"])
+
+        sigs = {
+            r["doc_id"]: r["sig"]
+            for r in image_dhash(media, decode="raster").collect()
+        }
+        assert sigs[1] == sigs[2] != [0, 0]  # format-invariant, non-trivial
+        # the hash is the documented function of the true luma grid
+        g = luma_u8(arr)
+        ri = np.minimum((np.arange(8) * (20 / 8.0)).astype(int), 19)
+        ci = np.minimum((np.arange(9) * (30 / 9.0)).astype(int), 29)
+        px = g[ri][:, ci]
+        bits = (px[:, :-1] > px[:, 1:]).astype(np.int64).ravel()
+        w0 = int((bits[:32] << np.arange(32)).sum())
+        w1 = int((bits[32:] << np.arange(32)).sum())
+        assert sigs[1] == [w0, w1]
 
 
 class TestSqlRegistration:
@@ -5420,6 +5554,71 @@ class TestMmrSelect:
         assert 0 not in ids            # the query is not a candidate
         assert sorted(ids) == [1, 2, 3]  # exhausted at 3 < k
         assert [r["mmr_rank"] for r in got] == [1, 2, 3]
+
+
+class TestSemanticDecontaminate:
+    """Embedding-level decontamination: hand-computed flags, the
+    lowest-eval-id tie-break, and the loud empty/zero-eval guards."""
+
+    def test_hand_computed_flags(self, spark):
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (10, [1.0, 0.0]),     # cos 1.0 vs eval 1 -> drop
+                (11, [0.0, 1.0]),     # cos 0.0 and 1.0 vs eval 2 -> drop
+                (12, [0.6, 0.8]),     # cos 0.6 / 0.8 -> keep at 0.95
+                (13, [-1.0, 0.0]),    # cos -1.0 / 0.0 -> keep
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        ev = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in semantic_decontaminate(corpus, ev, threshold=0.95).collect()
+        }
+        assert {d: out[d]["drop_doc"] for d in out} == {
+            10: True, 11: True, 12: False, 13: False
+        }
+        assert out[10]["matched_eval_id"] == 1
+        assert out[11]["matched_eval_id"] == 2
+        assert out[12]["max_eval_cosine"] == 0.8
+        # tie on max cosine -> lowest eval id (doc 13: -1.0 vs 0.0 ->
+        # max is 0.0 from eval 2... doc 12 ties nothing; exercise the
+        # tie with an equidistant doc instead
+        tie = spark.createDataFrame(
+            [(20, [1.0, 1.0])], "vec_id long, embedding array<double>"
+        )
+        ev_tie = spark.createDataFrame(
+            [(5, [1.0, 0.0]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        t = semantic_decontaminate(tie, ev_tie, threshold=0.99).collect()[0]
+        assert t["matched_eval_id"] == 3  # equal cosines -> lowest eid
+
+    def test_guards(self, spark):
+        import pytest
+
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        empty = corpus.filter("vec_id < 0")
+        with pytest.raises(ValueError, match="empty eval set"):
+            semantic_decontaminate(corpus, empty)
+        zero = spark.createDataFrame(
+            [(9, [0.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="all-zero"):
+            semantic_decontaminate(corpus, zero)
 
 
 class TestMmrAnnComposed:

@@ -565,7 +565,7 @@ class TestStatefulStreaming:
         the ungated tests below (fake-handle drive +
         plan-construction time-mode pin).
 
-        Re-probed 2026-08-16 (round 11 session start): ``import
+        Re-probed 2026-08-16 (round 12 session start): ``import
         google.protobuf`` still raises ModuleNotFoundError in this
         container and installs remain disallowed, so the gate stands
         unchanged."""

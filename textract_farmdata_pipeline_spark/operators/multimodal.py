@@ -66,6 +66,111 @@ def decode_image_stub(payload: bytes, fmt: str) -> "object":
     )
 
 
+def decode_image(payload: bytes, fmt: str | None = None) -> np.ndarray:
+    """Decode an image payload to an ``HxWx3 uint8`` array.
+
+    The uncompressed raster formats decode here in PURE BYTES — no
+    codec library — so the seam is exercisable end to end in any
+    environment: ``BM`` magic → 24-bit uncompressed BMP (bottom-up
+    rows, 4-byte row padding, BGR order), ``P6`` magic → binary PPM
+    (``#`` comments, maxval 255).  Anything else (PNG/JPEG/WebP need a
+    real codec) delegates to :func:`decode_image_stub`, the
+    wire-a-codec-here seam.
+    """
+    b = bytes(payload or b"")
+    if b[:2] == b"BM":
+        return _decode_bmp24(b)
+    if b[:2] == b"P6":
+        return _decode_ppm(b)
+    return decode_image_stub(b, fmt or "")
+
+
+def _decode_bmp24(b: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP: BITMAPFILEHEADER (14) + BITMAPINFOHEADER,
+    little-endian fields, rows padded to 4 bytes, stored bottom-up in
+    BGR — returned top-down RGB."""
+    import struct
+
+    if len(b) < 54:
+        raise ValueError("BMP: truncated header")
+    off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"BMP: only 24-bit uncompressed supported (bpp={bpp}, compression={comp})")
+    if w <= 0 or h == 0:
+        raise ValueError("BMP: bad dimensions")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = off + stride * h
+    if len(b) < need:
+        raise ValueError("BMP: truncated pixel array")
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6): ASCII header of magic / width / height / maxval
+    with ``#`` comments, one whitespace byte, then raw RGB."""
+    pos = 2  # past 'P6'
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("PPM: truncated header")
+        fields.append(int(b[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError("PPM: only maxval 255 supported")
+    need = pos + w * h * 3
+    if len(b) < need:
+        raise ValueError("PPM: truncated pixel data")
+    return (
+        np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def luma_u8(img: np.ndarray) -> np.ndarray:
+    """Integer Rec.601 luma: ``(77R + 150G + 29B) >> 8`` — exact
+    integer math (77+150+29 = 256), no float rounding to drift."""
+    arr = img.astype(np.int64)
+    return (
+        (77 * arr[:, :, 0] + 150 * arr[:, :, 1] + 29 * arr[:, :, 2]) >> 8
+    ).astype(np.uint8)
+
+
+def _nn_grid(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """2-D nearest-neighbor sample — the raster twin of the strided
+    byte take: ``idx = min(trunc(k * (n/out)), n-1)`` per axis, the
+    same float64 index math."""
+    h, w = gray.shape[:2]
+    ri = np.minimum(
+        (np.arange(out_h, dtype=np.float64) * (h / float(out_h))).astype(np.int64),
+        h - 1,
+    )
+    ci = np.minimum(
+        (np.arange(out_w, dtype=np.float64) * (w / float(out_w))).astype(np.int64),
+        w - 1,
+    )
+    return gray[ri][:, ci]
+
+
 _FEATURES_SCHEMA = (
     "doc_id long, n_bytes long, mean_byte double, max_byte long, "
     "min_byte long, entropy_proxy double"
@@ -158,18 +263,26 @@ _RESIZE_SCHEMA = (
 )
 
 
-def resize_image(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+def resize_image(
+    media: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    decode: str = "bytes",
+) -> DataFrame:
     """Image resize plumbing: same-shape output column + updated
     metadata, payload transformed executor-side.
 
-    The real implementation decodes via :func:`decode_image_stub`,
-    resamples, re-encodes.  Without codecs in the container the
-    "resample" is a deterministic strided byte take sized
-    ``target_w * target_h`` (so output payload size tracks the target
-    resolution exactly, as a real resize's decoded buffer would),
-    which keeps the full contract testable: schema preserved, metadata
-    struct rewritten to the target dims, payload bytes a pure function
-    of the input.
+    ``decode="bytes"`` (default, oracle-checkable): the "resample" is
+    a deterministic strided byte take sized ``target_w * target_h``
+    (so output payload size tracks the target resolution exactly, as a
+    real resize's decoded buffer would) — real plumbing, fake decode.
+
+    ``decode="raster"``: the payload is decoded through
+    :func:`decode_image` (pure-bytes BMP/PPM, codec seam for the
+    rest), nearest-neighbor resampled in 2-D, and re-encoded as a P6
+    PPM — a REAL image in, a real image out, same schema and UDF
+    shape.  This is the production path with a codec wired into the
+    seam; BMP/PPM exercise it end to end with no codec at all.
     """
     from ..shipping import ensure_package_shipped
 
@@ -185,6 +298,23 @@ def resize_image(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
                 b = bytes(payload or b"")
                 if not b:
                     resized = b""
+                    fmt = (meta or {}).get("format", "png")
+                elif decode == "raster":
+                    img = decode_image(b)
+                    h, w = img.shape[:2]
+                    ri = np.minimum(
+                        (np.arange(target_h, dtype=np.float64) * (h / float(target_h))).astype(np.int64),
+                        h - 1,
+                    )
+                    ci = np.minimum(
+                        (np.arange(target_w, dtype=np.float64) * (w / float(target_w))).astype(np.int64),
+                        w - 1,
+                    )
+                    out = img[ri][:, ci]
+                    resized = (
+                        b"P6\n%d %d\n255\n" % (target_w, target_h) + out.tobytes()
+                    )
+                    fmt = "ppm"
                 else:
                     # strided nearest-neighbor take: same float64 index
                     # math as the scalar int(i * step), vectorized
@@ -192,6 +322,7 @@ def resize_image(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
                     step = len(b) / out_len
                     idx = (np.arange(out_len, dtype=np.float64) * step).astype(np.int64)
                     resized = arr[np.minimum(idx, len(b) - 1)].tobytes()
+                    fmt = (meta or {}).get("format", "png")
                 rows.append(
                     (
                         doc_id,
@@ -200,7 +331,7 @@ def resize_image(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
                             "n_bytes": len(resized),
                             "width": target_w,
                             "height": target_h,
-                            "format": (meta or {}).get("format", "png"),
+                            "format": fmt,
                         },
                     )
                 )
@@ -222,7 +353,7 @@ _DHASH_ROWS, _DHASH_COLS = 8, 9
 _DHASH_PIXELS = _DHASH_ROWS * _DHASH_COLS  # 72
 
 
-def image_dhash(media: DataFrame) -> DataFrame:
+def image_dhash(media: DataFrame, decode: str = "bytes") -> DataFrame:
     """Perceptual difference hash (dHash) over the binary media column.
 
     The classic recipe (resize to a (rows × cols+1) grayscale grid,
@@ -243,6 +374,14 @@ def image_dhash(media: DataFrame) -> DataFrame:
     Returns ``(doc_id, sig array<bigint>)`` — two packed 32-bit words;
     empty payloads hash to ``[0, 0]``.  ``mapInPandas`` + numpy like
     every media operator here: the payload never leaves the executor.
+
+    ``decode="raster"`` swaps the fake decode for the real one: the
+    payload decodes through :func:`decode_image` (pure-bytes BMP/PPM;
+    codec seam for the rest), the grid is the integer Rec.601 luma
+    2-D-sampled to 8×9, and the IDENTICAL gradient/packing tail runs —
+    a true perceptual dHash on a real raster.  Rows-only by nature
+    (the decode is Python); the default bytes mode stays the
+    oracle-checked form.
     """
     from ..shipping import ensure_package_shipped
 
@@ -257,15 +396,20 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 if not b:
                     rows.append((doc_id, [0, 0]))
                     continue
-                arr = np.frombuffer(b, dtype=np.uint8)
-                # the resize_image strided take, fixed 72-byte target
-                step = len(b) / float(_DHASH_PIXELS)
-                idx = (
-                    np.arange(_DHASH_PIXELS, dtype=np.float64) * step
-                ).astype(np.int64)
-                px = arr[np.minimum(idx, len(b) - 1)].reshape(
-                    _DHASH_ROWS, _DHASH_COLS
-                )
+                if decode == "raster":
+                    px = _nn_grid(
+                        luma_u8(decode_image(b)), _DHASH_ROWS, _DHASH_COLS
+                    )
+                else:
+                    arr = np.frombuffer(b, dtype=np.uint8)
+                    # the resize_image strided take, fixed 72-byte target
+                    step = len(b) / float(_DHASH_PIXELS)
+                    idx = (
+                        np.arange(_DHASH_PIXELS, dtype=np.float64) * step
+                    ).astype(np.int64)
+                    px = arr[np.minimum(idx, len(b) - 1)].reshape(
+                        _DHASH_ROWS, _DHASH_COLS
+                    )
                 # bit (r*8 + c) = px[r][c] > px[r][c+1]
                 bits = (px[:, :-1] > px[:, 1:]).astype(np.int64).ravel()
                 w0 = int((bits[:32] << shifts).sum())

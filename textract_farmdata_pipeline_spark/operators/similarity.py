@@ -913,6 +913,88 @@ def ivf_cluster_profile(
     )
 
 
+def semantic_decontaminate(
+    corpus_vectors: DataFrame,
+    eval_vectors: DataFrame,
+    threshold: float = 0.98,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-level eval-set decontamination — the rung of the
+    decontamination ladder ABOVE text overlap: n-gram/span/fuzzy/
+    containment catch verbatim and near-verbatim leakage, but a
+    PARAPHRASED eval item shares no shingles with its source; its
+    embedding still sits next to the eval embedding.  Flag every
+    corpus document whose max cosine against ANY eval embedding
+    reaches ``threshold`` (frozen-anchor scoring — the eval set is a
+    fixed benchmark, there is nothing to train, so the decision is
+    hash-checkable under the repo-wide 4-dp cosine + lowest-id
+    tie-break rule).
+
+    Scale shape: the eval side is collected and shipped as literal
+    vectors (an eval benchmark is thousands of items — the broadcast
+    codebook class; at 100 TB the corpus is the big side and it NEVER
+    shuffles: one map-only scan computes all |eval| dots per row,
+    exactly the SemDeDup assignment stage's cost profile).  Corpus
+    vectors unit-normalize in-engine; eval norms are in-engine folds
+    over the literals, so every arithmetic step replays in SQL.
+
+    Returns one row per corpus vector: ``(doc_id, max_eval_cosine,
+    matched_eval_id, drop_doc)`` — the graded report plus the binary
+    gate, mirroring the text ladder's ``contamination_profile`` /
+    ``decontaminate`` pair in one pass.
+    """
+    rows = (
+        eval_vectors.select(
+            F.col(id_col).alias("eid"), _as_double(F.col(vec_col)).alias("e")
+        )
+        .orderBy(F.asc("eid"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("semantic_decontaminate: empty eval set")
+    eids: list[int] = []
+    evecs: list[list[float]] = []
+    for r in rows:
+        vec = [float(x) for x in r["e"]]
+        if not any(x != 0.0 for x in vec):
+            raise ValueError(
+                f"semantic_decontaminate: eval vector {r['eid']} is all-zero"
+            )
+        eids.append(int(r["eid"]))
+        evecs.append(vec)
+    base = corpus_vectors.select(
+        F.col(id_col).alias("doc_id"),
+        unit_vector(_as_double(F.col(vec_col))).alias("u"),
+    )
+    # one rounded cosine per eval vector, eval order = eid ASC so the
+    # first-max position IS the lowest matching eval id; the eval norm
+    # is an in-engine fold over the literal (the SQL twin's tree)
+    cos_arr = F.array(
+        *[
+            F.round(
+                dot(F.col("u"), _double_array_literal(e))
+                / norm(_double_array_literal(e)),
+                4,
+            )
+            for e in evecs
+        ]
+    )
+    eid_arr = F.array(*[F.lit(int(i)).cast("long") for i in eids])
+    # the cosine array lands in ONE named column so codegen's common-
+    # subexpression elimination sees a single fold per eval vector
+    scored = base.select("doc_id", cos_arr.alias("_c"))
+    mx = F.array_max(F.col("_c"))
+    return scored.select(
+        "doc_id",
+        mx.alias("max_eval_cosine"),
+        F.element_at(
+            eid_arr, F.array_position(F.col("_c"), mx).cast("int")
+        ).alias("matched_eval_id"),
+        (mx >= F.lit(float(threshold))).alias("drop_doc"),
+    )
+
+
 def mmr_select(
     vectors: DataFrame,
     query_id: int = 0,

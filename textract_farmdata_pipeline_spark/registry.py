@@ -11189,6 +11189,139 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(_t(spark, sf_dir, "embeddings"), query_id=0, k=8, lam=0.5)
 
 
+# Semantic (embedding-level) decontamination: frozen-anchor scoring
+# against the eval embeddings (vec_id < 50), 4-dp cosine + lowest-id
+# tie-break.  The registration plants a perturbed copy of every eval
+# embedding (first coordinate ×1.5, cosine 0.989..0.99999 to its
+# source — a "paraphrase" that shares no text shingles) so the gate
+# has real cross-id work to do, the soft-dedup planting convention.
+_SEMDC_SCORE_CTES = """sdv AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+sdall AS (
+  SELECT vec_id, e FROM sdv
+  UNION ALL
+  SELECT vec_id + 200000, list_concat([e[1] * 1.5], e[2:])
+  FROM sdv WHERE vec_id < 50),
+sdev AS (SELECT vec_id AS eid, e FROM sdv WHERE vec_id < 50),
+sdu AS (
+  SELECT vec_id,
+    CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS u
+  FROM (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM sdall) t),
+sdsc AS (
+  SELECT c.vec_id, v.eid,
+    round(list_dot_product(c.u, v.e) / sqrt(list_dot_product(v.e, v.e)), 4)
+      AS cos
+  FROM sdu c CROSS JOIN sdev v),
+sdtop AS (
+  SELECT vec_id, eid, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, eid ASC) AS rk
+    FROM sdsc) t
+  WHERE rk = 1)"""
+
+_SEMDC_ORACLE = f"""
+WITH {_SEMDC_SCORE_CTES}
+SELECT vec_id AS doc_id, cos AS max_eval_cosine,
+  CAST(eid AS BIGINT) AS matched_eval_id,
+  cos >= 0.98 AS drop_doc
+FROM sdtop
+"""
+
+
+@register("doc_decontam_semantic", _SEMDC_ORACLE)
+def doc_decontam_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination
+    (:func:`..operators.similarity.semantic_decontaminate`) — the
+    ladder rung the text side cannot reach: a PARAPHRASED eval item
+    shares no n-grams/spans with its source, but its embedding still
+    sits next to the eval embedding.  Eval set = embeddings
+    ``vec_id < 50`` (the decontam family's eval convention); the
+    corpus additionally carries a planted perturbed copy of each eval
+    vector (first coordinate ×1.5 — cosine ≥ 0.989 to its source yet
+    textually unrelated), all of which the 0.98 gate must flag while
+    the genuine corpus (max cross-eval cosine 0.44 in this data)
+    passes.  Frozen-anchor scoring keeps the trained-nothing decision
+    hash-exact: eval vectors broadcast as literals, in-engine norm
+    folds, 4-dp round, lowest-eval-id tie-break.  One map-only corpus
+    scan — no shuffle at any corpus size."""
+    from .operators.similarity import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(e, 1) * F.lit(1.5)),
+            F.slice(e, 2, F.size(e) - 1),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", e.alias("embedding")).unionByName(planted)
+    return semantic_decontaminate(
+        corpus, emb.filter(F.col("vec_id") < 50), threshold=0.98
+    )
+
+
+# Semantic gate composed in FRONT of the 4-stage build: score the real
+# corpus (no planting — the gate's production position) against the
+# eval embeddings and drop flagged docs before the build chain.  In
+# this data the flags are the eval items themselves sitting in the
+# corpus (self-cosine 1.0) — removing the benchmark from the training
+# set, decontamination's original job.
+_CORPUS_BUILD_SEMDC_ORACLE = (
+    "WITH "
+    + _SEMDC_SCORE_CTES.replace(
+        """sdall AS (
+  SELECT vec_id, e FROM sdv
+  UNION ALL
+  SELECT vec_id + 200000, list_concat([e[1] * 1.5], e[2:])
+  FROM sdv WHERE vec_id < 50),""",
+        "sdall AS (SELECT vec_id, e FROM sdv),",
+    )
+    + """,
+gated AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d JOIN sdtop s ON s.vec_id = d.doc_id
+  WHERE s.cos < 0.98
+),
+dedup AS ("""
+    + _CORPUS_BUILD_SOURCE_GATED_ORACLE.split("dedup AS (", 1)[1]
+)
+
+
+@register("corpus_build_semantic_gated", _CORPUS_BUILD_SEMDC_ORACLE)
+def corpus_build_semantic_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-stage corpus build with embedding-level decontamination
+    composed in FRONT: every document whose embedding's max 4-dp
+    cosine against any eval embedding reaches 0.98 exits before the
+    build chain — here that is exactly the eval items themselves
+    living in the corpus (self-cosine 1.0), i.e. the gate removes the
+    benchmark from the training set, which the n-gram decontam stage
+    would ALSO catch for verbatim text but not for a paraphrase.  The
+    flag set is corpus-sized, so it applies as an id join (the
+    per-doc-gate composition shape); the eval holdout inside the
+    build tail stays the raw corpus's ``doc_id % 97`` slice.  Oracle:
+    the scoring chain without planting → the source-gated build tail
+    sliced verbatim."""
+    from .operators.corpus import build_corpus
+    from .operators.similarity import semantic_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    keep = (
+        semantic_decontaminate(
+            emb, emb.filter(F.col("vec_id") < 50), threshold=0.98
+        )
+        .where(~F.col("drop_doc"))
+        .select(F.col("doc_id"))
+    )
+    return build_corpus(
+        docs.join(keep, "doc_id"),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        num_shards=16,
+        decontam_n=3,
+    )
+
+
 # ANN→MMR composition: the IVF shortlist chain (md5-ranked raw-vector
 # coarse codebook — the hash-checkable anchor discipline — first-argmax
 # bucket assignment, top-4 probes, 4-dp cosine + neighbor-id rank) cut
