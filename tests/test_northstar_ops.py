@@ -4082,6 +4082,43 @@ class TestIvfHotSplit:
         # ingest trips the rule (the case the driver oracle replays)
         assert self._check_shape(rows, n, sum_ids) >= 1
 
+    def test_refined_split_conserves_and_keeps_cold_lists(self, spark, sf_dir):
+        """refine=True: same conservation/shape contract, identical
+        cold lists (the refine touches only hot-cell sub-assignment),
+        and per-hot-cell member totals unchanged — the quantized Lloyd
+        step moves members BETWEEN sub-lists, never across cells."""
+        from textract_farmdata_pipeline_spark.operators.similarity import (
+            ivf_hot_cell_split,
+        )
+
+        emb, existing, batch = self._natural_split(spark, sf_dir)
+        frozen = ivf_hot_cell_split(existing, batch, k_coarse=16, k_split=4).collect()
+        refined = ivf_hot_cell_split(
+            existing, batch, k_coarse=16, k_split=4, refine=True
+        ).collect()
+        n, sum_ids = emb.count(), emb.agg(F.sum("vec_id")).first()[0]
+        assert self._check_shape(refined, n, sum_ids) >= 1
+        cold_f = {r["cell"]: (r["n_members"], r["sum_vec_id"])
+                  for r in frozen if r["sub_cell"] == 0}
+        cold_r = {r["cell"]: (r["n_members"], r["sum_vec_id"])
+                  for r in refined if r["sub_cell"] == 0}
+        assert cold_f == cold_r
+        hot_f: dict[int, list[int]] = {}
+        hot_r: dict[int, list[int]] = {}
+        for r in frozen:
+            if r["sub_cell"]:
+                hot_f[r["cell"]] = [
+                    hot_f.get(r["cell"], [0, 0])[0] + r["n_members"],
+                    hot_f.get(r["cell"], [0, 0])[1] + r["sum_vec_id"],
+                ]
+        for r in refined:
+            if r["sub_cell"]:
+                hot_r[r["cell"]] = [
+                    hot_r.get(r["cell"], [0, 0])[0] + r["n_members"],
+                    hot_r.get(r["cell"], [0, 0])[1] + r["sum_vec_id"],
+                ]
+        assert hot_f == hot_r  # per-cell totals conserved through refine
+
     def test_kmeans_conservation_and_forced_split(self, spark, sf_dir):
         """Lloyd cells are balanced, so a uniform ingest trips nothing
         — drive a concentrated batch (60 copies of one direction) at

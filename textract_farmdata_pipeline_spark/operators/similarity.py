@@ -3057,6 +3057,7 @@ def ivf_hot_cell_split(
     split_seed: str = "sqsplit|",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine: bool = False,
 ) -> DataFrame:
     """IVF maintenance ACTION (not just the report): ingest a batch
     against the frozen quantizer, detect hot cells with the
@@ -3095,6 +3096,17 @@ def ivf_hot_cell_split(
     re-expands the encode+argmax subtree per reference (~5 corpus
     re-encodes; the build_corpus staging argument).  A real deployment
     materializes exactly this table as the posting-list layout.
+
+    ``refine=True`` adds ONE quantized Lloyd step to each hot cell's
+    sub-codebook — the hash-checkable TRAINED split sitting between
+    this frozen form and the float :func:`ivf_hot_cell_split_kmeans`:
+    after the frozen sub-assignment, every sub-centroid becomes the
+    integer-ROUNDED mean of its members' codes (``(2·s + n) // (2·n)``
+    per coordinate — pure integer arithmetic, order-independent, and
+    the result lives back on the 0..255 code grid), and members
+    re-assign through the IDENTICAL exact-integer ``ad/sqrt(an)``
+    scoring.  Cost: one extra bounded integer aggregate (≤ hot_cells ·
+    k_split · dim groups) + one more scan of the hot members only.
     """
     from pyspark.sql.window import Window
 
@@ -3154,6 +3166,48 @@ def ivf_hot_cell_split(
         .filter(F.col("_rk") == 1)
         .select("cell", "vec_id", F.col("j").alias("sub_cell"))
     )
+    if refine:
+        # one quantized Lloyd step in code space: per-(cell, j, coord)
+        # exact integer sums over the frozen assignment, rounded back
+        # to the code grid, then the same ad/sqrt(an) re-assignment
+        sums = (
+            sub.join(hot_m.select("vec_id", "codes"), "vec_id")
+            .select(
+                "cell",
+                F.col("sub_cell").alias("j"),
+                F.posexplode("codes").alias("i", "c"),
+            )
+            .groupBy("cell", "j", "i")
+            .agg(F.sum("c").alias("s"), F.count("*").alias("n"))
+            .collect()  # ≤ hot_cells · k_split · dim — bounded
+        )
+        books: dict[tuple[int, int], dict[int, int]] = {}
+        for r in sums:
+            books.setdefault((int(r["cell"]), int(r["j"])), {})[int(r["i"])] = (
+                2 * int(r["s"]) + int(r["n"])
+            ) // (2 * int(r["n"]))
+        ref_rows = [
+            (cell, j, [codes[i] for i in sorted(codes)])
+            for (cell, j), codes in sorted(books.items())
+        ]
+        ref = F.broadcast(
+            existing.sparkSession.createDataFrame(
+                ref_rows, "cell int, j int, acodes array<bigint>"
+            )
+        )
+        rad = int_dot(F.col("codes"), F.col("acodes"))
+        ran = int_dot(F.col("acodes"), F.col("acodes"))
+        rescored = hot_m.join(ref, "cell").select(
+            "cell",
+            "vec_id",
+            "j",
+            (rad.cast("double") / F.sqrt(ran.cast("double"))).alias("score"),
+        )
+        sub = (
+            rescored.withColumn("_rk", F.row_number().over(w_m))
+            .filter(F.col("_rk") == 1)
+            .select("cell", "vec_id", F.col("j").alias("sub_cell"))
+        )
     hot_rows = sub.groupBy("cell", "sub_cell").agg(
         F.count("*").alias("n_members"), F.sum("vec_id").alias("sum_vec_id")
     )

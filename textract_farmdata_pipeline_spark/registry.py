@@ -3059,6 +3059,80 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Frozen-codebook IVF ANN twin: the rows-only embedding_ann_ivf samples
+# its coarse codebook with xxhash64 (engine-local); this twin swaps in
+# the md5-ranked anchor discipline so the SAME shortlist plan — bucket
+# argmax, 4-probe cut, 4-dp cosine rank — hash-checks end to end.
+_ANN_IVF_FROZEN_ORACLE = """
+WITH av AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+aanch AS (
+  SELECT j, e AS c FROM (
+    SELECT vec_id, e, ROW_NUMBER() OVER (ORDER BY
+      CAST(('0x' || substr(md5('ivfq|' || CAST(vec_id AS VARCHAR)), 1, 15))
+           AS BIGINT) ASC,
+      vec_id ASC) AS j
+    FROM av) r
+  WHERE j <= 16),
+acb AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS cnorm, j AS bucket FROM (
+    SELECT v.vec_id, v.e, a.j,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        ORDER BY list_dot_product(a.c, v.e) DESC, a.j ASC) AS rk
+    FROM av v CROSS JOIN aanch a) t
+  WHERE rk = 1),
+aqb AS (
+  SELECT q.vec_id AS query_id, q.e AS qe,
+    sqrt(list_dot_product(q.e, q.e)) AS qnorm, a.j AS bucket,
+    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      ORDER BY list_dot_product(a.c, q.e) DESC, a.j ASC) AS pr
+  FROM av q CROSS JOIN aanch a WHERE q.vec_id < 20),
+ascored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    CASE WHEN q.qnorm * c.cnorm > 0
+         THEN round(list_dot_product(q.qe, c.e) / (q.qnorm * c.cnorm), 4)
+    END AS cosine
+  FROM acb c JOIN (SELECT * FROM aqb WHERE pr <= 4) q USING (bucket)
+  WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM ascored) t
+WHERE rank <= 5
+"""
+
+
+@register("embedding_ann_ivf_frozen", _ANN_IVF_FROZEN_ORACLE)
+def embedding_ann_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-5 for queries ``vec_id < 20`` over a
+    FROZEN md5-ranked coarse codebook — the hash-checkable twin of the
+    rows-only ``embedding_ann_ivf`` (whose codebook is an
+    xxhash64-ordered corpus sample, an engine-local hash no oracle can
+    replay).  Identical plan and parameters (16 cells, 4 probes, k=5);
+    only the anchor-selection hash changes, so the shortlist mechanics
+    — map-side bucket argmax, broadcast probed queries, per-query
+    4-dp-cosine rank — land under the full oracle gate.  The sampled
+    form stays registered as the zero-setup default."""
+    from .operators.dedup import md5_long
+    from .operators.similarity import ann_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = [
+        r["e"]
+        for r in emb.select(
+            F.col("embedding").cast("array<double>").alias("e"),
+            md5_long(F.col("vec_id").cast("string"), "ivfq|").alias("_r"),
+            "vec_id",
+        )
+        .orderBy(F.asc("_r"), F.asc("vec_id"))
+        .limit(16)
+        .collect()
+    ]
+    return ann_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_probe=4, centroids=anchors
+    )
+
+
 @register("embedding_ann_ivf")  # no oracle: codebook-sample semantics
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF-flat coarse quantization (rows-only;
@@ -3466,6 +3540,73 @@ def embedding_ivf_hot_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.pmod(md5_long(F.col("vec_id").cast("string"), "ingest|"), F.lit(5))
     return ivf_hot_cell_split(
         emb.filter(bucket != 0), emb.filter(bucket == 0), k_coarse=16, k_split=4
+    )
+
+
+# One quantized-Lloyd step on the hot-cell sub-codebooks: the frozen
+# split chain through `subcell`, then per-(cell, sub_cell, coord)
+# exact integer sums rounded back to the code grid ((2s+n)//(2n) —
+# pure integer arithmetic) and the SAME ad/sqrt(an) re-assignment.
+_IVF_HOT_SPLIT_REFINED_ORACLE = (
+    _IVF_HOT_SPLIT_ORACLE.split("coldrows AS (", 1)[0]
+    + """rsum AS (
+  SELECT sc.cell, sc.sub_cell AS j, mc.i,
+    CAST(SUM(mc.c) AS BIGINT) AS s, COUNT(*) AS n
+  FROM subcell sc JOIN cd mc ON mc.vec_id = sc.vec_id
+  GROUP BY sc.cell, sc.sub_cell, mc.i
+),
+rcd AS (SELECT cell, j, i, (2 * s + n) // (2 * n) AS c FROM rsum),
+ran AS (
+  SELECT cell, j, CAST(SUM(c * c) AS BIGINT) AS an FROM rcd GROUP BY cell, j
+),
+rsubscore AS (
+  SELECT hm.vec_id, hm.cell, rcd.j, CAST(SUM(mc.c * rcd.c) AS BIGINT) AS ad
+  FROM hotm hm
+  JOIN cd mc ON mc.vec_id = hm.vec_id
+  JOIN rcd ON rcd.cell = hm.cell AND rcd.i = mc.i
+  GROUP BY hm.vec_id, hm.cell, rcd.j
+),
+rsubcell AS (
+  SELECT vec_id, cell, j AS sub_cell FROM (
+    SELECT ss.vec_id, ss.cell, ss.j,
+      ROW_NUMBER() OVER (PARTITION BY ss.vec_id
+        ORDER BY CAST(ss.ad AS DOUBLE) / sqrt(CAST(ran.an AS DOUBLE)) DESC,
+                 ss.j ASC) AS rk
+    FROM rsubscore ss JOIN ran ON ran.cell = ss.cell AND ran.j = ss.j) r
+  WHERE rk = 1
+),
+coldrows AS ("""
+    + _IVF_HOT_SPLIT_ORACLE.split("coldrows AS (", 1)[1].replace(
+        "FROM subcell GROUP BY", "FROM rsubcell GROUP BY"
+    )
+)
+
+
+@register("embedding_ivf_hot_split_refined", _IVF_HOT_SPLIT_REFINED_ORACLE)
+def embedding_ivf_hot_split_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell split over ONE-STEP-TRAINED sub-codebooks
+    (:func:`..operators.similarity.ivf_hot_cell_split` with
+    ``refine=True``) — the hash-checkable trained member of the split
+    family, completing the promotion trio (prototype prune, k-means
+    IVF profile, and now the index-maintenance action): the frozen
+    md5 sub-anchors take one quantized Lloyd update, each sub-centroid
+    becoming the integer-ROUNDED mean of its members' SQ codes
+    (``(2s+n)//(2n)`` per coordinate — exact, order-independent, back
+    on the 0..255 grid), and members re-assign through the identical
+    exact-integer scoring.  The posting layout of a TRAINED split —
+    which vectors land in which refined list — hash-replays in SQL;
+    the float grouped-Lloyd form stays the quality path."""
+    from .operators.dedup import md5_long
+    from .operators.similarity import ivf_hot_cell_split
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucket = F.pmod(md5_long(F.col("vec_id").cast("string"), "ingest|"), F.lit(5))
+    return ivf_hot_cell_split(
+        emb.filter(bucket != 0),
+        emb.filter(bucket == 0),
+        k_coarse=16,
+        k_split=4,
+        refine=True,
     )
 
 
