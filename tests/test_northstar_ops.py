@@ -5771,3 +5771,142 @@ class TestQuantileTrim:
                 for r in quantile_trim(df, "n_chars", n_ranges=nr).collect()
             }
             assert got == base
+
+
+class TestPiiStats:
+    """PII detection + redaction report: hand-planted PII of each
+    class, the replacement-order trap (an SSN must not be half-eaten
+    by the phone pattern), and the zero-residual invariant."""
+
+    def _run(self, spark, texts):
+        from textract_farmdata_pipeline_spark.operators.preprocess import (
+            pii_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r["doc_id"]: r for r in pii_stats(df).collect()}
+
+    def test_counts_and_scrub(self, spark):
+        got = self._run(
+            spark,
+            [
+                "write to alice@example.com or bob@sub.example.co.uk now",
+                "call 415-555-0199 or (415) 555 0100 today",
+                "ssn 123-45-6789 on file",
+                "clean text with no pii at all",
+            ],
+        )
+        assert (got[0]["n_emails"], got[0]["n_ssns"], got[0]["n_phones"]) == (2, 0, 0)
+        assert got[0]["scrubbed"] == "write to <EMAIL> or <EMAIL> now"
+        assert (got[1]["n_emails"], got[1]["n_ssns"], got[1]["n_phones"]) == (0, 0, 2)
+        assert got[1]["scrubbed"] == "call <PHONE> or <PHONE> today"
+        assert (got[2]["n_emails"], got[2]["n_ssns"], got[2]["n_phones"]) == (0, 1, 0)
+        assert got[2]["scrubbed"] == "ssn <SSN> on file"
+        assert got[3]["scrubbed"] == "clean text with no pii at all"
+        assert all(r["n_residual"] == 0 for r in got.values())
+
+    def test_ssn_not_matched_as_phone(self, spark):
+        """The SSN groups (3-2-4) must not count as a phone (3-3-4)."""
+        got = self._run(spark, ["id 987-65-4321 end"])
+        assert got[0]["n_phones"] == 0
+        assert got[0]["n_ssns"] == 1
+        assert got[0]["scrubbed"] == "id <SSN> end"
+
+
+class TestKeepBestPerCluster:
+    """Quality-aware canonical selection: max quality wins, ties break
+    to min id, singletons keep themselves, decision table is total."""
+
+    def test_best_wins_ties_to_min_id(self, spark):
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            keep_best_per_cluster,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "short"),
+                (2, "muchlonger"),
+                (3, "muchlonge2"),  # same length as 2 -> tie, 2 wins
+                (4, "solo"),
+            ],
+            "doc_id long, text string",
+        )
+        clusters = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 10), (4, 4)], "doc_id long, cluster_id long"
+        )
+        got = {
+            r["doc_id"]: r for r in keep_best_per_cluster(docs, clusters).collect()
+        }
+        assert len(got) == 4  # every doc appears: total decision table
+        assert [got[i]["kept"] for i in (1, 2, 3, 4)] == [False, True, False, True]
+        assert got[1]["cluster_size"] == 3 and got[4]["cluster_size"] == 1
+        assert got[2]["quality"] == 10
+
+    def test_custom_quality_column(self, spark):
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            keep_best_per_cluster,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "aaaa", 1), (2, "bb", 9)], "doc_id long, text string, score long"
+        )
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+        )
+        got = {
+            r["doc_id"]: r["kept"]
+            for r in keep_best_per_cluster(
+                docs, clusters, quality=F.col("score")
+            ).collect()
+        }
+        assert got == {1: False, 2: True}  # score beats length
+
+
+class TestVideoNearDup:
+    """Frame-level video near-dup: re-encodes (tiny per-frame byte
+    perturbations) match, different videos don't, identical videos
+    pair at max-Hamming 0 through the exact collapse."""
+
+    def _media(self, spark, rows):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+        )
+
+        return attach_media(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+
+    def test_identical_and_perturbed_match(self, spark):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            video_near_dup,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [
+            (1, base),
+            (2, base),                      # identical -> hamming 0
+            (3, "~" + base[1:]),            # frame-0 byte perturbed
+            (4, "z" * len(base)),           # constant payload: far away
+        ]
+        got = {
+            (r["id_a"], r["id_b"]): r["max_frame_hamming"]
+            for r in video_near_dup(self._media(spark, rows)).collect()
+        }
+        assert got[(1, 2)] == 0
+        assert (1, 3) in got and got[(1, 3)] <= 7
+        assert not any(4 in p for p in got)
+
+    def test_one_bad_frame_rejects(self, spark):
+        """A video matching on 3 of 4 frames but wild on one frame is
+        NOT a near-dup — the verify is MAX over frames, not average."""
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            video_near_dup,
+        )
+
+        base = "abcdefgh" * 16  # 128 bytes, 4 frames of 32
+        tail_swapped = base[:96] + "zyxwvutsrqponmlk" * 2  # frame 3 replaced
+        rows = [(1, base), (2, tail_swapped)]
+        pairs = video_near_dup(self._media(spark, rows)).collect()
+        assert pairs == []

@@ -78,6 +78,54 @@ def soft_dedup_weights(
     )
 
 
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality: Column | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: keep the BEST document of
+    each near-dup cluster, not the first.
+
+    Keep-first (min id) is an accident of crawl order; production
+    dedup (FineWeb, RefinedWeb) retains the highest-quality member —
+    longest text, best quality score — so dedup never trades a clean
+    page for its boilerplate-mangled recrawl.  ``clusters`` is any
+    ``(doc_id, cluster_id)`` labeling (e.g. :func:`near_dup_clusters`);
+    ``quality`` is a column over ``docs`` (default: text length, the
+    "keep longest" recipe).  Winner = max quality, ties to min id.
+
+    Returns the full decision table — ``(doc_id, cluster_id,
+    cluster_size, quality, kept)`` for every document — so the
+    keep/drop decision itself is checkable, not just the survivor set.
+
+    Scale shape: the winner is computed with a map-side-combinable
+    groupBy ``max(struct(quality, -id))`` — NOT a per-cluster window
+    sort, which would plan each cluster into one task's sort buffer
+    and die on the mega-cluster a boilerplate text produces — then one
+    hash join back on ``cluster_id``.  Quality travels as a long;
+    document bodies never shuffle.
+    """
+    q = (quality if quality is not None else F.length(F.col("text"))).cast("long")
+    members = clusters.join(docs.select(id_col, q.alias("quality")), id_col)
+    best = members.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.max(
+            F.struct(F.col("quality"), (-F.col(id_col)).alias("neg_id"))
+        ).alias("_b"),
+    )
+    return members.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        "quality",
+        (
+            (F.col("quality") == F.col("_b.quality"))
+            & (F.col(id_col) == -F.col("_b.neg_id"))
+        ).alias("kept"),
+    )
+
+
 def canonical_url(url: Column) -> Column:
     """Canonicalize a URL column for source-level dedup (the
     CCNet/RefinedWeb pre-content rung: recrawls of one page differ in

@@ -523,6 +523,138 @@ def dhash_pairs(
     return cross_groups.unionByName(within)
 
 
+def video_near_dup(
+    media: DataFrame,
+    n_frames: int = 4,
+    max_hamming: int = 7,
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs via frame-level perceptual hashing —
+    the video member of the dedup product family, composed from the
+    operators this module already has: :func:`frame_sample` fans each
+    payload into ``n_frames`` evenly-spaced frames, :func:`image_dhash`
+    hashes every frame (the same strided-grid kernel, applied to the
+    frame bytes through a composite ``vid * 8 + frame_idx`` id — zero
+    new hash code), and two videos are near-dups when EVERY
+    frame-aligned pair is within ``max_hamming`` (the standard
+    frame-fingerprint recipe: a re-encode perturbs pixels a little in
+    every frame; a different video disagrees wildly in at least one).
+
+    Returns ``(id_a, id_b, max_frame_hamming)`` with ``id_a < id_b``
+    and ``max_frame_hamming <= max_hamming``.
+
+    Capture is EXACT: the accept region requires frame 0 within
+    ``max_hamming``, and the pigeonhole chunk banding on frame 0's
+    signature (8 chunks × 8 bits over 64 bits) covers Hamming ≤ 7
+    completely — so banding on one frame loses nothing, while paying
+    1/``n_frames`` of the banding volume.
+
+    Scale shape: the per-frame signature table (4 rows × 16 bytes per
+    video) is staged once (localCheckpoint) and every later stage
+    re-roots on it — payload bytes are read exactly once, in the
+    hashing pass.  Videos whose ENTIRE frame signature vector is
+    identical exact-collapse to a min-id representative before
+    banding (re-uploads band once, not d times); candidates come from
+    an equality self-join on (band, chunk); each candidate verifies
+    with ``n_frames`` XOR+popcounts via a frame-aligned join on the
+    16-byte signatures.  Linear in distinct signature vectors
+    everywhere before the final member expansion.
+    """
+    from pyspark.sql.window import Window
+
+    from .checkpoints import tracked_local_checkpoint
+    from .similarity import hamming, sig_chunk_bands
+
+    assert 1 <= n_frames <= 8
+    frames = frame_sample(media, n_frames=n_frames)
+    fsig = image_dhash(
+        frames.select(
+            (F.col("doc_id") * 8 + F.col("frame_idx")).alias("doc_id"),
+            F.col("frame").alias("media"),
+        )
+    ).select(
+        (F.col("doc_id") / 8).cast("long").alias("vid"),
+        (F.col("doc_id") % 8).cast("int").alias("frame_idx"),
+        "sig",
+    )
+    fsig, _ = tracked_local_checkpoint(fsig)
+
+    vcanon = fsig.groupBy("vid").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame_idx", "sig"))),
+                lambda s: F.concat_ws(
+                    ",",
+                    s["sig"][0].cast("string"),
+                    s["sig"][1].cast("string"),
+                ),
+            ),
+        ).alias("vs")
+    )
+    vrep = vcanon.withColumn(
+        "rep_id", F.min("vid").over(Window.partitionBy("vs"))
+    ).select("vid", "rep_id")
+    members = vrep
+    reps_f0 = (
+        fsig.filter(F.col("frame_idx") == 0)
+        .join(
+            vrep.filter(F.col("vid") == F.col("rep_id")).select("vid"), "vid"
+        )
+        .select("vid", "sig")
+    )
+    banded = sig_chunk_bands(reps_f0, chunk_bits, id_col="vid")
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.vid") < F.col("y.vid")),
+        )
+        .select(F.col("x.vid").alias("ra"), F.col("y.vid").alias("rb"))
+        .distinct()
+    )
+    fa = fsig.select(
+        F.col("vid").alias("ra"), "frame_idx", F.col("sig").alias("sa")
+    )
+    fb = fsig.select(
+        F.col("vid").alias("rb"), "frame_idx", F.col("sig").alias("sb")
+    )
+    rep_pairs = (
+        cand.join(fa, "ra")
+        .join(fb, ["rb", "frame_idx"])
+        .groupBy("ra", "rb")
+        .agg(F.max(hamming(F.col("sa"), F.col("sb"))).alias("max_frame_hamming"))
+        .filter(F.col("max_frame_hamming") <= max_hamming)
+    )
+    ma = members.select(F.col("rep_id").alias("ra"), F.col("vid").alias("id_a"))
+    mb = members.select(F.col("rep_id").alias("rb"), F.col("vid").alias("id_b"))
+    cross_groups = (
+        rep_pairs.join(ma, "ra")
+        .join(mb, "rb")
+        .select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+            "max_frame_hamming",
+        )
+    )
+    within = (
+        members.alias("p")
+        .join(
+            members.alias("q"),
+            (F.col("p.rep_id") == F.col("q.rep_id"))
+            & (F.col("p.vid") < F.col("q.vid")),
+        )
+        .select(
+            F.col("p.vid").alias("id_a"),
+            F.col("q.vid").alias("id_b"),
+            F.lit(0).cast("bigint").alias("max_frame_hamming"),
+        )
+    )
+    return cross_groups.unionByName(within)
+
+
 def dhash_clusters(media: DataFrame, max_hamming: int = 7, chunk_bits: int = 8) -> DataFrame:
     """The media-dedup DECISION product: union :func:`dhash_pairs`
     into clusters (min-label connected components, the shared

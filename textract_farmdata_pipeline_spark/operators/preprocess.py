@@ -7,6 +7,8 @@ nothing: even chunking is a higher-order-function explode.
 * :func:`clean_text` — whitespace/control normalization.
 * :func:`scrub_pii` — regex redaction of emails / phone numbers / SSNs
   to typed placeholder tokens (the standard pre-training scrub).
+* :func:`pii_stats` — per-document PII match counts + scrubbed text +
+  a residual-count column proving the scrub left nothing behind.
 * :func:`dataset_split` — deterministic hash split into train/val/test;
   md5-derived so any engine (and any future rerun) assigns every
   document identically.  No sampling state, no shuffle.
@@ -39,6 +41,41 @@ def scrub_pii(text: Column) -> Column:
     t = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     t = F.regexp_replace(t, SSN_RE, "<SSN>")
     return F.regexp_replace(t, PHONE_RE, "<PHONE>")
+
+
+def pii_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII detection + redaction report.
+
+    For each document: match counts per PII class (emails, SSNs, phone
+    numbers — non-overlapping, leftmost-first, the shared Java/RE2
+    semantics), the scrubbed text (:func:`scrub_pii`, same replacement
+    order: email → SSN → phone), and ``n_residual`` — the three
+    patterns re-counted on the scrubbed text, which a correct scrub
+    drives to zero.  The residual column turns "we redacted PII" from
+    a claim into a checked invariant, per document.
+
+    All pure codegen'd regex Column expressions: no shuffle, no
+    Python — at 100 TB this is a map-only pass that fuses into
+    whatever scan feeds it.
+    """
+    t = F.col(text_col)
+    scrubbed = scrub_pii(t)
+
+    def n(col: Column, pat: str) -> Column:
+        return F.regexp_count(col, F.lit(pat))
+
+    return docs.select(
+        id_col,
+        n(t, EMAIL_RE).cast("int").alias("n_emails"),
+        n(t, SSN_RE).cast("int").alias("n_ssns"),
+        n(t, PHONE_RE).cast("int").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+        (n(scrubbed, EMAIL_RE) + n(scrubbed, SSN_RE) + n(scrubbed, PHONE_RE))
+        .cast("int")
+        .alias("n_residual"),
+    )
 
 
 def dataset_split(

@@ -12996,3 +12996,268 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return weighted_sample_topk(docs, weight_col="n_chars", k=100)
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction, exercised for real: the corpus's synthetic
+# word-salad contains no PII, so doc_clean_scrub's regexes never fire in
+# its hash check — this registration plants deterministic PII per
+# doc_id % 5 residue (the _synthetic_urls planted-variant discipline) so
+# the match counts, every replacement, AND the zero-residual invariant
+# are what the hash checks.
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_pii_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) with deterministic planted PII — one email, one
+    phone, one SSN, or an email+phone pair per ``doc_id % 5`` residue
+    (residue 4 plants nothing: the false-positive control)."""
+    did = F.col("doc_id").cast("string")
+    r = (F.col("doc_id") % 5).cast("int")
+    p4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    p3 = F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0")
+    planted = (
+        F.when(
+            r == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@Example.COM today")),
+        )
+        .when(r == 1, F.concat(F.lit(" call 415-555-"), p4, F.lit(" now")))
+        .when(r == 2, F.concat(F.lit(" ssn "), p3, F.lit("-45-6789 on file")))
+        .when(
+            r == 3,
+            F.concat(
+                F.lit(" (415) 555 "), p4, F.lit(" or user"), did, F.lit("@ex.co")
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", F.concat(F.col("text"), planted).alias("text"))
+
+
+def _pii_oracle() -> str:
+    from .operators.preprocess import EMAIL_RE, PHONE_RE, SSN_RE
+
+    def cnt(col: str, pat: str) -> str:
+        return f"len(regexp_extract_all({col}, '{pat}'))"
+
+    return f"""
+WITH pii AS (
+  SELECT doc_id, text ||
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@Example.COM today'
+      WHEN 1 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+      WHEN 2 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-45-6789 on file'
+      WHEN 3 THEN ' (415) 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' or user' || CAST(doc_id AS VARCHAR) || '@ex.co'
+      ELSE '' END AS t
+  FROM documents
+),
+scr AS (
+  SELECT doc_id, t,
+    regexp_replace(regexp_replace(regexp_replace(t,
+      '{EMAIL_RE}', '<EMAIL>', 'g'),
+      '{SSN_RE}', '<SSN>', 'g'),
+      '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+  FROM pii
+)
+SELECT doc_id,
+  CAST({cnt('t', EMAIL_RE)} AS INT) AS n_emails,
+  CAST({cnt('t', SSN_RE)} AS INT) AS n_ssns,
+  CAST({cnt('t', PHONE_RE)} AS INT) AS n_phones,
+  scrubbed,
+  CAST({cnt('scrubbed', EMAIL_RE)} + {cnt('scrubbed', SSN_RE)}
+     + {cnt('scrubbed', PHONE_RE)} AS INT) AS n_residual
+FROM scr
+"""
+
+
+@register("doc_pii_stats", _pii_oracle())
+def doc_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction with the regexes actually firing
+    (:func:`..operators.preprocess.pii_stats`): per-document match
+    counts for emails / SSNs / phone numbers, the scrubbed text
+    (email → SSN → phone replacement order, leftmost-first
+    non-overlapping — the semantics Java regex and RE2 share), and the
+    re-counted residual, which a correct scrub drives to zero — the
+    redaction CLAIM is hash-checked, not asserted.  Planted PII per
+    ``doc_id % 5`` (residue 4 is the no-PII control) because the
+    synthetic corpus contains none naturally.  All codegen'd regex
+    column expressions: a map-only pass that fuses into the scan."""
+    from .operators.preprocess import pii_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return pii_stats(_synthetic_pii_text(docs))
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical selection: keep the BEST member of each
+# near-dup cluster (longest text, ties to min id), not the first-crawled
+# one — composed on the portable clustering chain so the keep/drop
+# decision table hash-checks end to end.
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = f"""
+WITH members AS MATERIALIZED (
+  SELECT doc_id, cluster_id FROM ({_NEARDUP_CLUSTERS_PORTABLE_ORACLE}) c
+),
+mq AS MATERIALIZED (
+  SELECT m.doc_id, m.cluster_id, CAST(length(d.text) AS BIGINT) AS quality
+  FROM members m JOIN documents d USING (doc_id)
+),
+b AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+         MAX(quality) AS bq
+  FROM mq GROUP BY cluster_id
+),
+bid AS (
+  SELECT mq.cluster_id, MIN(mq.doc_id) AS best_id
+  FROM mq JOIN b ON b.cluster_id = mq.cluster_id AND mq.quality = b.bq
+  GROUP BY mq.cluster_id
+)
+SELECT mq.doc_id, mq.cluster_id, b.cluster_size, mq.quality,
+       mq.doc_id = bid.best_id AS kept
+FROM mq
+JOIN b ON b.cluster_id = mq.cluster_id
+JOIN bid ON bid.cluster_id = mq.cluster_id
+"""
+
+
+@register("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup
+    (:func:`..operators.dedup.keep_best_per_cluster`): within each
+    near-dup cluster keep the HIGHEST-QUALITY member (text length —
+    the "keep longest" recipe; ties to min id), not the first-crawled
+    one, so dedup never trades a clean page for its boilerplate-mangled
+    recrawl.  Clusters come from the portable minhash chain
+    (``dedup_clusters_portable``); the output is the full per-document
+    decision table (cluster, size, quality, kept), so the keep/drop
+    DECISIONS hash-check, not just the survivor count.  Winner via a
+    map-side-combinable ``max(struct(quality, -id))`` groupBy — never
+    a per-cluster window sort, which plans the mega-cluster one
+    boilerplate text produces into a single task."""
+    from .operators.dedup import keep_best_per_cluster, near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(
+        docs,
+        n_hashes=8,
+        bands=4,
+        threshold=0.5,
+        shingle_n=3,
+        max_bucket_size=None,
+        hash_family="md5",
+    )
+    return keep_best_per_cluster(docs, clusters)
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: frame-sample -> per-frame dHash (composite id through
+# the SAME kernel) -> exact-collapse on the full frame-signature vector
+# -> pigeonhole banding on frame 0 -> frame-aligned MAX-Hamming verify.
+# The oracle reuses _DHASH_CTES verbatim with a frames dhsrc keyed by
+# vid * 8 + frame_idx.
+# ---------------------------------------------------------------------------
+
+_VIDEO_NEAR_DUP_ORACLE = f"""
+WITH vids AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100001 AS doc_id, '~' || substr(text, 2) AS text
+  FROM documents WHERE doc_id < 50
+),
+vstep AS (
+  SELECT doc_id AS vid, text, length(text) AS vn,
+         greatest(length(text) // 4, 1) AS step
+  FROM vids
+),
+dhsrc AS (
+  SELECT vid * 8 + u.i AS doc_id,
+    substr(text, CAST(u.i * step + 1 AS INT), CAST(step AS INT)) AS text,
+    length(substr(text, CAST(u.i * step + 1 AS INT), CAST(step AS INT))) AS n
+  FROM vstep, LATERAL unnest(generate_series(0, 3)) AS u(i)
+),
+{_DHASH_CTES},
+fsig AS (
+  SELECT doc_id // 8 AS vid, CAST(doc_id % 8 AS INT) AS fi,
+    MAX(CASE WHEN w = 0 THEN word END) AS w0,
+    MAX(CASE WHEN w = 1 THEN word END) AS w1
+  FROM dhwords GROUP BY doc_id
+),
+vcanon AS (
+  SELECT vid,
+    string_agg(CAST(w0 AS VARCHAR) || ',' || CAST(w1 AS VARCHAR),
+               '|' ORDER BY fi) AS vs
+  FROM fsig GROUP BY vid
+),
+vrep AS (
+  SELECT vid, MIN(vid) OVER (PARTITION BY vs) AS rep_id FROM vcanon
+),
+f0 AS (
+  SELECT f.vid, f.w0, f.w1
+  FROM fsig f JOIN vrep r ON r.vid = f.vid AND r.vid = r.rep_id
+  WHERE f.fi = 0
+),
+vchunks AS (
+  SELECT vid, CAST(t.b AS INT) AS band,
+    ((CASE WHEN t.b < 4 THEN w0 ELSE w1 END)
+     // (1::BIGINT << CAST((t.b % 4) * 8 AS INT))) % 256 AS chunk
+  FROM f0, UNNEST(generate_series(0, 7)) AS t(b)
+),
+vcand AS (
+  SELECT DISTINCT x.vid AS ra, y.vid AS rb
+  FROM vchunks x JOIN vchunks y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.vid < y.vid
+),
+vph AS (
+  SELECT c.ra, c.rb,
+    CAST(MAX(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)))
+         AS BIGINT) AS max_frame_hamming
+  FROM vcand c
+  JOIN fsig a ON a.vid = c.ra
+  JOIN fsig b ON b.vid = c.rb AND b.fi = a.fi
+  GROUP BY c.ra, c.rb
+),
+vrp AS (
+  SELECT ra, rb, max_frame_hamming FROM vph WHERE max_frame_hamming <= 7
+)
+SELECT LEAST(ma.vid, mb.vid) AS id_a, GREATEST(ma.vid, mb.vid) AS id_b,
+       p.max_frame_hamming
+FROM vrp p
+JOIN vrep ma ON ma.rep_id = p.ra
+JOIN vrep mb ON mb.rep_id = p.rb
+UNION ALL
+SELECT a.vid AS id_a, b.vid AS id_b, CAST(0 AS BIGINT) AS max_frame_hamming
+FROM vrep a JOIN vrep b ON a.rep_id = b.rep_id AND a.vid < b.vid
+"""
+
+
+@register("multimodal_video_near_dup", _VIDEO_NEAR_DUP_ORACLE)
+def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO pairs
+    (:func:`..operators.multimodal.video_near_dup`): sample 4 frames
+    per payload, dHash every frame through the SAME strided-grid
+    kernel (composite ``vid * 8 + frame_idx`` id — zero new hash
+    code), and match videos whose frame-aligned signatures are ALL
+    within Hamming 7 (max over frames).  Candidates band frame 0's
+    signature only — exact capture, since the accept region includes
+    frame 0 within 7 and the 8×8-bit pigeonhole covers that radius
+    completely — at a quarter of the banding volume.  Same planted
+    twins as ``multimodal_dhash_pairs`` (first byte perturbed: frame 0
+    moves ≤2 gradient bits, frames 1–3 stay identical), so real
+    near-dup VIDEOS exist at max-Hamming 0–2.  The oracle replays
+    frame slicing, the dHash CTE chain, the full-vector exact
+    collapse, banding, and the frame-aligned MAX verify — the entire
+    product hash-checks."""
+    from .operators.multimodal import attach_media, video_near_dup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100001).alias("doc_id"),
+        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    return video_near_dup(
+        attach_media(docs.unionByName(twins)),
+        n_frames=4,
+        max_hamming=7,
+        chunk_bits=8,
+    )
