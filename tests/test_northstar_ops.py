@@ -5910,3 +5910,161 @@ class TestVideoNearDup:
         rows = [(1, base), (2, tail_swapped)]
         pairs = video_near_dup(self._media(spark, rows)).collect()
         assert pairs == []
+
+
+class TestBoilerplateStrip:
+    """RefinedWeb line-wise filtering: the per-source frequency rule
+    drops site furniture from ALL occurrences (not keep-first), rare
+    repeats and unique prose survive, pure-boilerplate documents exit
+    as clean_text ''."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        # srcA: 4 docs sharing the footer line "f1..f12"; doc 4 is
+        # ONLY the footer.  srcB: 2 docs sharing a line — under
+        # min_docs=3, kept.  12-word lines throughout.
+        foot = " ".join(f"f{i}" for i in range(12))
+        rare = " ".join(f"r{i}" for i in range(12))
+        uniq = lambda d: " ".join(f"u{d}w{i}" for i in range(12))
+        rows = [
+            (1, "srcA", foot + " " + uniq(1)),
+            (2, "srcA", uniq(2) + " " + foot),
+            (3, "srcA", foot + " " + uniq(3)),
+            (4, "srcA", foot),
+            (5, "srcB", rare + " " + uniq(5)),
+            (6, "srcB", rare + " " + uniq(6)),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    def test_strip_decisions(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.paragraphs import (
+            boilerplate_strip,
+        )
+
+        got = {
+            r["doc_id"]: r
+            for r in boilerplate_strip(
+                docs, para_words=12, ratio_bp=5000, min_docs=3
+            ).collect()
+        }
+        assert len(got) == 6  # total: every input doc has a row
+        # footer (4/4 docs of srcA) stripped from every occurrence,
+        # including mid-document and the doc that is nothing else
+        for d in (1, 2, 3):
+            assert got[d]["n_boiler_dropped"] == 1
+            assert "f0" not in got[d]["clean_text"]
+            assert f"u{d}w0" in got[d]["clean_text"]
+        assert got[4]["clean_text"] == "" and got[4]["n_kept"] == 0
+        # srcB's repeated line: 2 docs < min_docs=3 -> kept
+        for d in (5, 6):
+            assert got[d]["n_boiler_dropped"] == 0
+            assert got[d]["clean_text"].startswith("r0 r1")
+        # reassembly preserves original line order
+        assert got[2]["clean_text"] == got[2]["clean_text"].strip()
+        assert got[2]["clean_text"].startswith("u2w0")
+
+    def test_profile_reports_both_outcomes(self, spark, docs):
+        from textract_farmdata_pipeline_spark.operators.paragraphs import (
+            boilerplate_profile,
+        )
+
+        prof = {
+            (r["source"], r["line_text"].split()[0]): r
+            for r in boilerplate_profile(
+                docs, para_words=12, ratio_bp=5000, min_docs=3
+            ).collect()
+        }
+        # only repeated lines report (min_report_docs=2 default)
+        assert set(prof) == {("srcA", "f0"), ("srcB", "r0")}
+        assert prof[("srcA", "f0")]["is_boiler"] is True
+        assert prof[("srcA", "f0")]["n_docs"] == 4
+        assert prof[("srcB", "r0")]["is_boiler"] is False
+
+    def test_frequency_scoped_per_source(self, spark):
+        """The same line shared across sources below each source's
+        threshold is NOT boilerplate — scope is the source, not the
+        corpus (a quote syndicated across sites is prose)."""
+        from textract_farmdata_pipeline_spark.operators.paragraphs import (
+            boilerplate_strip,
+        )
+
+        line = " ".join(f"q{i}" for i in range(12))
+        pad = lambda d: " ".join(f"p{d}x{i}" for i in range(12))
+        rows = [
+            (i, f"src{i}", line + " " + pad(i)) for i in range(1, 7)
+        ]  # 6 sources, 1 doc each: per-source n_docs=1
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        got = boilerplate_strip(
+            docs, para_words=12, ratio_bp=5000, min_docs=3
+        ).collect()
+        assert all(r["n_boiler_dropped"] == 0 for r in got)
+
+
+class TestAudioFingerprint:
+    """Haitsma–Kalker energy-delta fingerprint: bit-exact vs a numpy
+    reference, zero-pad convention, and the near-dup product's
+    capture/exclusion behavior on planted re-encodes."""
+
+    @staticmethod
+    def _ref_fp(text: str, window_bytes: int = 16, n_bits: int = 32) -> int:
+        b = text.encode()[: (n_bits + 1) * window_bytes]
+        padded = [0] * ((n_bits + 1) * window_bytes)
+        for i, x in enumerate(b):
+            padded[i] = x
+        e = [
+            sum(v * v for v in padded[i * window_bytes : (i + 1) * window_bytes])
+            for i in range(n_bits + 1)
+        ]
+        return sum((1 << i) for i in range(n_bits) if e[i + 1] > e[i])
+
+    def test_matches_reference_bits(self, spark):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            audio_fingerprint,
+        )
+
+        texts = [
+            (1, "abcdefgh" * 70),         # long: full span covered
+            (2, "za" * 20),               # short: zero-padded tail
+            (3, ""),                      # empty: all-zero energies -> fp 0
+            (4, "".join(chr(65 + (i * 7) % 26) for i in range(400))),
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["fp"]
+            for r in audio_fingerprint(attach_media(docs)).collect()
+        }
+        for doc_id, text in texts:
+            assert got[doc_id] == self._ref_fp(text), doc_id
+        assert got[3] == 0
+
+    def test_near_dup_capture_and_gate(self, spark):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            audio_near_dup,
+        )
+
+        base = "".join(chr(97 + (i * 11) % 26) for i in range(300))
+        other = "".join(chr(97 + (i * 5 + 3) % 26) for i in range(300))
+        rows = [
+            (1, base),
+            (2, base),                # exact copy -> hamming 0 via collapse
+            (3, "~" + base[1:]),      # re-encode -> window 0 only
+            (4, other),               # different stream
+            (5, "tiny clip"),         # under min_bytes -> excluded
+            (6, "tiny clip"),         # identical short clip, also excluded
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in audio_near_dup(attach_media(docs)).collect()
+        }
+        assert pairs[(1, 2)] == 0
+        assert (1, 3) in pairs and pairs[(1, 3)] <= 1
+        assert (2, 3) in pairs
+        assert not any(4 in p for p in pairs)  # different stream: no pair
+        assert not any(5 in p or 6 in p for p in pairs)  # gated out

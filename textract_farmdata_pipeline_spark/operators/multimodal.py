@@ -436,12 +436,24 @@ def _dhash_rep_pairs(media: DataFrame, max_hamming: int, chunk_bits: int):
     each branch re-ran the payload-hashing ``mapInPandas`` (9 copies
     in the pairs plan) — at media scale that is nine decode passes
     over the corpus instead of one."""
-    from pyspark.sql.window import Window
-
     from .checkpoints import tracked_local_checkpoint
-    from .similarity import hamming, sig_chunk_bands
 
     sig, _ = tracked_local_checkpoint(image_dhash(media))
+    return _sig_rep_pairs(sig, max_hamming, chunk_bits)
+
+
+def _sig_rep_pairs(sig: DataFrame, max_hamming: int, chunk_bits: int):
+    """Signature-generic rep-collapse → pigeonhole band → XOR-popcount
+    verify: the one near-dup kernel every media modality shares (image
+    dHash words, video frame vectors via composite ids, audio
+    fingerprint words).  ``sig`` must be a staged ``(doc_id, sig
+    array<bigint>)`` frame — staging is the CALLER's job, right after
+    its hash/decode pass, so every branch here re-roots on one decode
+    of the corpus."""
+    from pyspark.sql.window import Window
+
+    from .similarity import hamming, sig_chunk_bands
+
     g = sig.withColumn(
         "rep_id", F.min("doc_id").over(Window.partitionBy("sig"))
     )
@@ -496,6 +508,14 @@ def dhash_pairs(
     DISTINCT signatures.
     """
     members, rep_pairs = _dhash_rep_pairs(media, max_hamming, chunk_bits)
+    return _expand_member_pairs(members, rep_pairs)
+
+
+def _expand_member_pairs(members: DataFrame, rep_pairs: DataFrame) -> DataFrame:
+    """Expand rep-level verified pairs back to member-level ``(id_a,
+    id_b, hamming)``: cross-group pairs inherit their reps' distance,
+    within-group pairs are the Hamming-0 cliques the exact collapse
+    established for free."""
     ma = members.select(F.col("rep_id").alias("ra"), F.col("doc_id").alias("id_a"))
     mb = members.select(F.col("rep_id").alias("rb"), F.col("doc_id").alias("id_b"))
     cross_groups = (
@@ -853,3 +873,110 @@ def audio_windows(media: DataFrame, window_bytes: int = 256) -> DataFrame:
             )
 
     return media.select("doc_id", "media").mapInPandas(run, schema=_AUDIO_SCHEMA)
+
+
+_AUDIO_FP_SCHEMA = "doc_id long, fp long"
+
+
+def audio_fingerprint(
+    media: DataFrame, window_bytes: int = 16, n_bits: int = 32
+) -> DataFrame:
+    """Robust audio fingerprint over the binary payload — the
+    Haitsma–Kalker (2002) construction reduced to the byte stand-in:
+    frame the stream into ``n_bits + 1`` non-overlapping
+    ``window_bytes`` windows (zero-padded past end-of-stream — zero
+    padding is identity for the integer energy sum, the
+    :func:`audio_windows` convention), take per-window integer energy,
+    and emit one sign bit per consecutive-window energy DELTA
+    (``bit_i = energy[i+1] > energy[i]``) packed little-endian into
+    one 32-bit word.  Energy-delta signs survive volume scaling and
+    mild noise — which is why the construction is the classic robust
+    audio hash — and here every step is integer, so the fingerprint is
+    bit-identical in any engine and the whole product hash-checks.
+
+    Swap the byte view for decoded PCM via the
+    :func:`decode_image_stub`-style seam when codecs are available;
+    the framing, energy, and delta-sign packing are codec-agnostic.
+
+    Scale shape: one Arrow-batched pass over the payloads (numpy
+    reshape + reduce per batch), no shuffle — fingerprint parallelism
+    is row parallelism.
+    """
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    n_win = n_bits + 1
+    total = n_win * window_bytes
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(
+                pdf["doc_id"].tolist(), pdf["media"].tolist()
+            ):
+                b = bytes(payload or b"")[:total]
+                padded = np.zeros(total, dtype=np.int64)
+                padded[: len(b)] = np.frombuffer(b, dtype=np.uint8).astype(
+                    np.int64
+                )
+                e = (padded.reshape(n_win, window_bytes) ** 2).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                fp = int((bits << np.arange(n_bits, dtype=np.int64)).sum())
+                rows.append((doc_id, fp))
+            yield pd.DataFrame(rows, columns=["doc_id", "fp"])
+
+    return media.select("doc_id", "media").mapInPandas(
+        run, schema=_AUDIO_FP_SCHEMA
+    )
+
+
+def audio_near_dup(
+    media: DataFrame,
+    window_bytes: int = 16,
+    n_bits: int = 32,
+    max_hamming: int = 3,
+    chunk_bits: int = 8,
+    min_bytes: int | None = None,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs: integer Hamming over
+    :func:`audio_fingerprint` words, same rep-collapse + pigeonhole
+    banding + XOR-popcount verify as the image
+    (:func:`dhash_pairs`) and video (:func:`video_near_dup`) products
+    — the third modality on the one shared near-dup kernel.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
+    ``hamming <= max_hamming``.  With the defaults (32-bit word, 4
+    chunks of 8 bits, ``max_hamming = 3``) capture is EXACT: a pair
+    within Hamming 3 differs in at most 3 of 4 chunks, so it agrees on
+    at least one and always candidates — the pigeonhole radius covers
+    the whole accept region.
+
+    ``min_bytes`` (default: half the fingerprint span, ``(n_bits + 1)
+    * window_bytes // 2``) drops payloads too short to fingerprint:
+    a stream much shorter than the span leaves most windows
+    zero-padded, the tail delta bits all read 0, and every short clip
+    lands within Hamming 3 of every other — one giant spurious clique
+    (measured: ~5k pairs on 550 docs ungated, ~planted-twins-only
+    gated).  Real audio matchers gate on minimum duration for exactly
+    this reason; the filter runs BEFORE the Arrow decode pass, so
+    short clips never pay fingerprinting either.
+
+    Scale shape: fingerprints are STAGED (localCheckpoint — 16
+    bytes/row) so the rep/member split, banding, and both verify
+    joins re-root on the one decode pass (the
+    :func:`_dhash_rep_pairs` discipline); identical fingerprints
+    exact-collapse to min-id reps before banding
+    (:func:`_sig_rep_pairs`); everything before the final membership
+    expansion (:func:`_expand_member_pairs`) is linear in DISTINCT
+    fingerprints."""
+    from .checkpoints import tracked_local_checkpoint
+
+    if min_bytes is None:
+        min_bytes = (n_bits + 1) * window_bytes // 2
+    gated = media.where(F.length("media") >= min_bytes)
+    fp = audio_fingerprint(gated, window_bytes=window_bytes, n_bits=n_bits)
+    sig, _ = tracked_local_checkpoint(
+        fp.select("doc_id", F.array(F.col("fp")).alias("sig"))
+    )
+    members, rep_pairs = _sig_rep_pairs(sig, max_hamming, chunk_bits)
+    return _expand_member_pairs(members, rep_pairs)

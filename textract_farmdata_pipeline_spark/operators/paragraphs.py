@@ -227,3 +227,171 @@ def paragraph_bloom_dedup(
             F.coalesce("_ne", F.lit(0)).alias("n_dropped_exact"),
         )
     )
+
+
+def _segments_with_group(
+    docs: DataFrame,
+    para_words: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`_segments` with a grouping column carried through the
+    explode (``chunk_tokens`` projects it away): ``(doc_id, group,
+    chunk_idx, chunk_text)``.  Same codegen'd slice-and-posexplode —
+    no shuffle, no Python."""
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(para_words)), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * para_words + 1, para_words), " "
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("_grp"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+
+
+def boilerplate_profile(
+    docs: DataFrame,
+    para_words: int = 12,
+    ratio_bp: int = 5000,
+    min_docs: int = 3,
+    min_report_docs: int = 2,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source repeated-line census — the detection half of
+    RefinedWeb-style line-wise filtering (Penedo et al. 2023 §3.3:
+    lines that recur across many documents of the same *source* are
+    navigation menus / footers / cookie banners, not prose; CCNet
+    applies the same document-frequency idea at the paragraph level).
+    A line (``para_words``-word window — the corpus has no newline
+    structure, the :func:`paragraph_dedup_keepfirst` convention) is
+    **boilerplate** when it appears in ``>= ratio_bp`` basis points of
+    its source's documents AND in ``>= min_docs`` documents — both
+    sides exact integers, so the decision is engine-portable.
+
+    Returns one row per (source, line) seen in ``>= min_report_docs``
+    documents: ``(source, line_text, n_docs, src_docs, doc_ratio_bp,
+    is_boiler)`` — the report a curation run reviews before committing
+    the strip.
+
+    Scale shape (100 TB): document-frequency is a two-phase count —
+    ``(source, line, doc)`` distinct collapse, then ``(source, line)``
+    count — both map-side combinable groupBys on an 8-byte line hash
+    (the million-copy footer collapses per map task before either
+    shuffle).  Per-source totals are a |sources|-row aggregate joined
+    by broadcast.  Nothing driver-side; output is bounded by
+    ``min_report_docs`` to genuinely-repeated lines."""
+    seg = _segments_with_group(docs, para_words, group_col, id_col, text_col)
+    df_per_line = (
+        seg.select("_grp", "doc_id", "chunk_text")
+        .distinct()
+        .groupBy("_grp", "chunk_text")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    src_tot = docs.groupBy(F.col(group_col).alias("_grp")).agg(
+        F.count("*").cast("bigint").alias("src_docs")
+    )
+    return (
+        df_per_line.where(F.col("n_docs") >= min_report_docs)
+        .join(F.broadcast(src_tot), "_grp")
+        .select(
+            F.col("_grp").alias(group_col),
+            F.col("chunk_text").alias("line_text"),
+            "n_docs",
+            "src_docs",
+            (F.col("n_docs") * 10000 / F.col("src_docs"))
+            .cast("double")
+            .alias("doc_ratio_bp"),
+            (
+                (F.col("n_docs") * 10000 >= F.lit(ratio_bp) * F.col("src_docs"))
+                & (F.col("n_docs") >= min_docs)
+            ).alias("is_boiler"),
+        )
+    )
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    para_words: int = 12,
+    ratio_bp: int = 5000,
+    min_docs: int = 3,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RefinedWeb-style boilerplate-line removal (Penedo et al. 2023
+    §3.3): drop every line whose source-level document frequency marks
+    it boilerplate (the :func:`boilerplate_profile` rule), reassemble
+    each document from the survivors.  Distinct from every dedup rung:
+    :func:`paragraph_dedup_keepfirst` keeps ONE copy of a repeated
+    line; the boilerplate rule keeps NONE — a footer on every page of
+    a site is noise in all its occurrences, and keep-first would
+    still train on it once per site.
+
+    Returns ``(id, source, n_lines, n_kept, n_boiler_dropped,
+    clean_text)``; ``clean_text = ''`` when a document was pure
+    boilerplate.
+
+    Scale shape (100 TB): the decision table from
+    :func:`boilerplate_profile` is bounded by lines repeated across
+    ``min_docs``+ documents — vastly smaller than the corpus — and
+    joins back to segments on the 8-byte ``xxhash64(line)`` within
+    source; AQE's skew-join splitting covers a hot footer hash.
+    Reassembly shuffles corpus bytes once, keyed by the doc id (the
+    :func:`_reassemble` shape — skew bounded by document length,
+    never line popularity)."""
+    seg = _segments_with_group(
+        docs, para_words, group_col, id_col, text_col
+    ).withColumn("_h", F.xxhash64("_grp", "chunk_text"))
+    df_per_line = (
+        seg.select("_grp", "doc_id", "_h")
+        .distinct()
+        .groupBy("_grp", "_h")
+        .agg(F.count("*").cast("bigint").alias("_n_docs"))
+    )
+    src_tot = docs.groupBy(F.col(group_col).alias("_grp")).agg(
+        F.count("*").cast("bigint").alias("_src_docs")
+    )
+    boiler = (
+        df_per_line.join(F.broadcast(src_tot), "_grp")
+        .where(
+            (F.col("_n_docs") * 10000 >= F.lit(ratio_bp) * F.col("_src_docs"))
+            & (F.col("_n_docs") >= min_docs)
+        )
+        .select("_h", F.lit(True).alias("_boiler"))
+    )
+    marked = seg.join(boiler, "_h", "left")
+    kept = marked.where(F.col("_boiler").isNull()).select(
+        "doc_id", "chunk_idx", "chunk_text"
+    )
+    dropped = marked.groupBy("doc_id").agg(
+        F.sum(F.coalesce(F.col("_boiler").cast("int"), F.lit(0)))
+        .cast("int")
+        .alias("_nb")
+    )
+    out = _reassemble(kept)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(group_col).alias(group_col)
+        )
+        .join(_totals(docs, para_words, id_col, text_col), "doc_id")
+        .join(out, "doc_id", "left")
+        .join(dropped, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            group_col,
+            F.col("_n_paras").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("_nb", F.lit(0)).alias("n_boiler_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

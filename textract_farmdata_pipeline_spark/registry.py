@@ -13261,3 +13261,436 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=7,
         chunk_bits=8,
     )
+
+
+# =========================================================================
+# r12: RefinedWeb line-wise boilerplate removal (per-source document
+# frequency), profile + strip + gated build.  The documents table has
+# no site boilerplate, so every registration plants a per-source
+# 12-word header on EVERY document (ratio 100% — must be stripped)
+# and a rare promo line on doc_id % 200 == 0 (repeated but under both
+# the ratio and min-docs gates — must be kept).  bl-prefixed CTEs,
+# defined once and spliced into all three oracles.
+# =========================================================================
+
+_BOILER_HDR = "nav home about contact terms privacy cookie login search menu footer"
+_BOILER_PROMO = (
+    "limited time offer subscribe now and save big on annual plans today"
+)
+assert len(_BOILER_HDR.split()) == 11 and len(_BOILER_PROMO.split()) == 12
+
+
+def _boiler_docs(docs: DataFrame) -> DataFrame:
+    """Plant the boilerplate fixture: ``source + 11 words`` (exactly
+    one 12-word line) prepended to every document, plus the 12-word
+    promo line in front of that on ``doc_id % 200 == 0`` — whole-line
+    blocks so the fixed-window segmentation keeps the original text's
+    windows aligned at their original offsets."""
+    base = F.concat_ws(
+        " ", F.col("source"), F.lit(_BOILER_HDR), F.col("text")
+    )
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 200 == 0,
+            F.concat_ws(" ", F.lit(_BOILER_PROMO), base),
+        ).otherwise(base),
+    )
+
+
+_BOILER_CTES = f"""bldocs AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 200 = 0 THEN '{_BOILER_PROMO} ' ELSE '' END
+      || source || ' {_BOILER_HDR} ' || text AS text
+  FROM documents
+),
+blseg AS (
+  SELECT doc_id, source, CAST(i - 1 AS INTEGER) AS ci,
+    array_to_string(toks[(i-1)*12 + 1 : (i-1)*12 + 12], ' ') AS seg
+  FROM (
+    SELECT doc_id, source, string_split(text, ' ') AS toks,
+      greatest(CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT), 1) AS nc
+    FROM bldocs
+  ) d, LATERAL unnest(generate_series(1, nc)) AS t(i)
+),
+bldf AS (
+  SELECT source, seg, COUNT(*) AS n_docs
+  FROM (SELECT DISTINCT source, doc_id, seg FROM blseg) u
+  GROUP BY source, seg
+),
+bltot AS (SELECT source, COUNT(*) AS src_docs FROM documents GROUP BY source),
+blboil AS (
+  SELECT f.source, f.seg FROM bldf f JOIN bltot t USING (source)
+  WHERE f.n_docs * 10000 >= 5000 * t.src_docs AND f.n_docs >= 3
+)"""
+
+_BOILER_PROFILE_ORACLE = f"""
+WITH {_BOILER_CTES}
+SELECT f.source, f.seg AS line_text, f.n_docs, t.src_docs,
+  CAST(f.n_docs * 10000 AS DOUBLE) / t.src_docs AS doc_ratio_bp,
+  (f.n_docs * 10000 >= 5000 * t.src_docs AND f.n_docs >= 3) AS is_boiler
+FROM bldf f JOIN bltot t USING (source)
+WHERE f.n_docs >= 2
+"""
+
+
+@register("corpus_boilerplate_profile", _BOILER_PROFILE_ORACLE)
+def corpus_boilerplate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repeated-line census
+    (:func:`..operators.paragraphs.boilerplate_profile`) — the
+    detection half of RefinedWeb line-wise filtering (Penedo et al.
+    2023 §3.3): a 12-word line recurring in ≥ 50% (and ≥ 3) of a
+    source's documents is site furniture, not prose.  The planted
+    header hits the rule in every source; the rare promo line
+    (3 repeats in one source at sf0.01) reports but stays under both
+    gates — the decision column carries BOTH outcomes under the hash.
+    Document frequency is a two-phase map-side-combinable count on the
+    line; per-source totals broadcast; output bounded to lines seen
+    twice."""
+    from .operators.paragraphs import boilerplate_profile
+
+    return boilerplate_profile(
+        _boiler_docs(_t(spark, sf_dir, "documents")),
+        para_words=12,
+        ratio_bp=5000,
+        min_docs=3,
+        min_report_docs=2,
+    )
+
+
+_BOILER_STRIP_TAIL = """blkept AS (
+  SELECT s.doc_id, s.ci, s.seg FROM blseg s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM blboil b WHERE b.source = s.source AND b.seg = s.seg)
+),
+blagg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY ci) AS clean_text,
+         CAST(COUNT(*) AS INTEGER) AS n_kept
+  FROM blkept GROUP BY doc_id
+),
+bldrop AS (
+  SELECT s.doc_id,
+    CAST(COUNT(*) FILTER (WHERE b.seg IS NOT NULL) AS INTEGER) AS n_b
+  FROM blseg s LEFT JOIN blboil b
+    ON b.source = s.source AND b.seg = s.seg
+  GROUP BY s.doc_id
+),
+bltotd AS (
+  SELECT doc_id, source,
+    CAST(greatest(CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT), 1)
+         AS INTEGER) AS n_lines
+  FROM bldocs
+)"""
+
+_BOILER_STRIP_ORACLE = f"""
+WITH {_BOILER_CTES},
+{_BOILER_STRIP_TAIL}
+SELECT t.doc_id, t.source, t.n_lines,
+  COALESCE(a.n_kept, 0) AS n_kept,
+  COALESCE(d.n_b, 0) AS n_boiler_dropped,
+  COALESCE(a.clean_text, '') AS clean_text
+FROM bltotd t
+LEFT JOIN blagg a USING (doc_id)
+LEFT JOIN bldrop d USING (doc_id)
+"""
+
+
+@register("doc_boilerplate_strip", _BOILER_STRIP_ORACLE)
+def doc_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style boilerplate-line removal
+    (:func:`..operators.paragraphs.boilerplate_strip`): every line
+    whose per-source document frequency marks it boilerplate is
+    dropped from ALL its occurrences and documents reassemble from
+    the survivors — distinct from ``doc_paragraph_dedup``'s keep-first
+    (a footer on every page is noise in all its copies; keep-first
+    would still train on it once per site).  Planted header out, promo
+    line and every original window kept — the delivered ``clean_text``
+    hash-checks both directions.  Decision table is bounded by
+    genuinely-repeated lines, joined back on the 8-byte line hash;
+    reassembly is the one corpus-byte shuffle, keyed by doc id."""
+    from .operators.paragraphs import boilerplate_strip
+
+    return boilerplate_strip(
+        _boiler_docs(_t(spark, sf_dir, "documents")),
+        para_words=12,
+        ratio_bp=5000,
+        min_docs=3,
+    )
+
+
+# Boilerplate strip composed in FRONT of the 4-stage build (the
+# RefinedWeb stage order: line-wise filtering before any document-level
+# dedup, so content hashes never see site furniture): bl chain →
+# rewritten corpus → the source-gated oracle's build tail verbatim
+# (rooted on `gated`; eval holdout stays the RAW corpus's doc_id % 97
+# slice — eval text is external content, never planted).
+_CORPUS_BUILD_BOILER_GATED_ORACLE = (
+    f"WITH {_BOILER_CTES},\n{_BOILER_STRIP_TAIL},\n"
+    + """gated AS (
+  SELECT t.doc_id, a.clean_text AS text, t.source
+  FROM bltotd t JOIN blagg a USING (doc_id)
+  WHERE a.clean_text <> ''
+),
+dedup AS ("""
+    + _CORPUS_BUILD_SOURCE_GATED_ORACLE.split("dedup AS (", 1)[1]
+)
+
+
+@register("corpus_build_boilerplate_gated", _CORPUS_BUILD_BOILER_GATED_ORACLE)
+def corpus_build_boilerplate_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-stage corpus build with line-wise boilerplate removal
+    composed in FRONT — the RefinedWeb order (Penedo et al. 2023: line
+    filtering precedes document dedup, so exact-dedup hashes and
+    decontamination shingles see prose, not site furniture).  The
+    strip REWRITES text (the scrub/substring-stage pattern): every
+    downstream stage — md5 exact dedup, 3-gram decontamination,
+    mixture, shards — operates on the post-strip text, and documents
+    reduced to nothing exit (clean-text ``''`` rule).  The eval
+    holdout stays the RAW corpus's ``doc_id % 97`` slice (eval text is
+    external content — never carries the planted furniture).  Oracle:
+    bl chain → rewritten corpus → the source-gated build tail spliced
+    verbatim (one spelling of the gated build)."""
+    from .operators.corpus import build_corpus
+    from .operators.paragraphs import boilerplate_strip
+
+    docs = _t(spark, sf_dir, "documents")
+    stripped = boilerplate_strip(
+        _boiler_docs(docs), para_words=12, ratio_bp=5000, min_docs=3
+    )
+    cleaned = stripped.where(F.col("clean_text") != "").select(
+        "doc_id", F.col("clean_text").alias("text"), "source"
+    )
+    return build_corpus(
+        cleaned,
+        docs.filter(F.col("doc_id") % 97 == 0),
+        num_shards=16,
+        decontam_n=3,
+    )
+
+
+# =========================================================================
+# r12: audio fingerprint + near-dup — the third modality on the shared
+# near-dup kernel.  Haitsma–Kalker energy-delta sign bits: 33 windows
+# of 16 payload bytes (zero-padded), bit_i = energy[i+1] > energy[i],
+# packed little-endian into one 32-bit word.  af-prefixed CTEs; the
+# afsrc root is supplied per query (plain corpus vs planted twins).
+# =========================================================================
+
+_AUDIO_FP_CTES = """afwin AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS wi,
+    substr(text, (i-1)*16 + 1, 16) AS seg
+  FROM afsrc, LATERAL unnest(generate_series(1, 33)) AS u(i)
+),
+afen0 AS (
+  SELECT doc_id, wi,
+    CAST(SUM(ascii(substr(seg, j, 1)) * ascii(substr(seg, j, 1))) AS BIGINT)
+      AS e
+  FROM afwin, LATERAL unnest(generate_series(1, length(seg))) AS v(j)
+  GROUP BY doc_id, wi
+),
+afen AS (
+  SELECT w.doc_id, w.wi, COALESCE(e.e, 0) AS e
+  FROM afwin w LEFT JOIN afen0 e ON e.doc_id = w.doc_id AND e.wi = w.wi
+),
+affp AS (
+  SELECT l.doc_id,
+    CAST(COALESCE(SUM(CASE WHEN r.e > l.e
+      THEN (1::BIGINT << CAST(l.wi AS INT)) ELSE 0 END), 0) AS BIGINT) AS fp
+  FROM afen l JOIN afen r ON r.doc_id = l.doc_id AND r.wi = l.wi + 1
+  WHERE l.wi < 32
+  GROUP BY l.doc_id
+)"""
+
+_AUDIO_FP_ORACLE = f"""
+WITH afsrc AS (SELECT doc_id, text FROM documents),
+{_AUDIO_FP_CTES}
+SELECT doc_id, fp FROM affp
+"""
+
+
+@register("multimodal_audio_fingerprint", _AUDIO_FP_ORACLE)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust audio fingerprint
+    (:func:`..operators.multimodal.audio_fingerprint`) — the
+    Haitsma–Kalker (2002) energy-delta-sign hash over the binary
+    payload: 33 zero-padded 16-byte windows, integer energies, one
+    sign bit per consecutive-window delta packed into a 32-bit word.
+    Every step is integer so the word hash-checks byte-for-byte; the
+    oracle replays framing, per-char energy, and bit packing in SQL
+    (the ``audio_windows`` discipline).  One Arrow-batched pass, no
+    shuffle — fingerprint parallelism is row parallelism."""
+    from .operators.multimodal import attach_media, audio_fingerprint
+
+    return audio_fingerprint(
+        attach_media(_t(spark, sf_dir, "documents")),
+        window_bytes=16,
+        n_bits=32,
+    )
+
+
+_AUDIO_NEAR_DUP_ORACLE = f"""
+WITH afsrc AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100001 AS doc_id, '~' || substr(text, 2) AS text
+    FROM documents WHERE doc_id < 50
+  ) u
+  WHERE length(text) >= 264
+),
+{_AUDIO_FP_CTES},
+afrep AS (
+  SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS rep_id
+  FROM affp
+),
+afreps AS (SELECT doc_id, fp FROM afrep WHERE doc_id = rep_id),
+afchunks AS (
+  SELECT doc_id, CAST(t.b AS INT) AS band,
+    (fp // (1::BIGINT << CAST(t.b * 8 AS INT))) % 256 AS chunk
+  FROM afreps, UNNEST(generate_series(0, 3)) AS t(b)
+),
+afcand AS (
+  SELECT DISTINCT x.doc_id AS ra, y.doc_id AS rb
+  FROM afchunks x JOIN afchunks y
+    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+),
+afrp AS (
+  SELECT ra, rb, hamming FROM (
+    SELECT c.ra, c.rb,
+      CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM afcand c
+    JOIN afreps a ON a.doc_id = c.ra
+    JOIN afreps b ON b.doc_id = c.rb
+  ) s WHERE hamming <= 3
+)
+SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a,
+       GREATEST(ma.doc_id, mb.doc_id) AS id_b, p.hamming
+FROM afrp p
+JOIN afrep ma ON ma.rep_id = p.ra
+JOIN afrep mb ON mb.rep_id = p.rb
+UNION ALL
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+FROM afrep a JOIN afrep b ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id
+"""
+
+
+@register("multimodal_audio_near_dup", _AUDIO_NEAR_DUP_ORACLE)
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO pairs
+    (:func:`..operators.multimodal.audio_near_dup`): integer Hamming
+    over the 32-bit energy-delta fingerprints, rep-collapse +
+    pigeonhole banding + XOR-popcount verify — the SAME shared kernel
+    as the image (``multimodal_dhash_pairs``) and video
+    (``multimodal_video_near_dup``) products, completing the modality
+    triple.  With 4 chunks of 8 bits and ``max_hamming = 3`` the
+    pigeonhole radius covers the whole accept region (capture EXACT).
+    Planted re-encodes (first payload byte overwritten — perturbs only
+    window 0's energy, so at most delta bit 0 flips) give the fixture
+    real near-dup audio at Hamming 0–1; the oracle replays framing,
+    energies, packing, collapse, banding, and the radius verify — the
+    entire product hash-checks.  The ``min_bytes`` duration gate (264
+    = half the 528-byte span, mirrored in the oracle's WHERE) drops
+    payloads too short to fingerprint — ungated, every short clip's
+    zero-padded tail bits agree and the fixture collapses into one
+    ~5k-pair spurious clique; gated, the pair set is the planted twins
+    plus exact copies, the product a matcher actually wants."""
+    from .operators.multimodal import attach_media, audio_near_dup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100001).alias("doc_id"),
+        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    return audio_near_dup(
+        attach_media(docs.unionByName(twins)),
+        window_bytes=16,
+        n_bits=32,
+        max_hamming=3,
+        chunk_bits=8,
+    )
+
+
+# =========================================================================
+# r12: hash-checked BPE training twin — the last iterative-training
+# family without an oracle-checked member.  Sequential rounds unroll
+# as CTE blocks (pair count → argmax → apply), and the batched
+# production trainer is PROVABLY equal to sequential
+# (_select_disjoint_batch's dominance argument, pinned by pytest), so
+# the oracle checks the real code path.  Greedy merge application in
+# ANSI SQL uses a double-separator wrapped encoding ('␞a␞␞b␞') so a
+# literal replace() consumes exactly one symbol pair per match and
+# back-to-back runs merge pairwise left-to-right — byte-equivalent to
+# the engine's lookahead regex on the single-separator form (both
+# verified on the 'aaaa' → [aa, aa] case in tests).
+# =========================================================================
+
+_BPE_SEP_SQL = "\x1e"
+
+_BPE_UNROLL_ROUND = """,
+ubp{n} AS (
+  SELECT y[i] AS a, y[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM (
+    SELECT cnt, regexp_extract_all(s, '{S}([^{S}]+){S}', 1) AS y FROM ust{p}
+  ) t, LATERAL unnest(generate_series(1, len(y) - 1)) AS u(i)
+  WHERE len(y) >= 2
+  GROUP BY y[i], y[i + 1]
+),
+um{n} AS (
+  SELECT a, b, pc FROM ubp{n} WHERE pc >= 2
+  ORDER BY pc DESC, a ASC, b ASC LIMIT 1
+),
+ust{n} AS (
+  SELECT t.cnt,
+    replace(t.s, '{S}' || m.a || '{S}{S}' || m.b || '{S}',
+                 '{S}' || m.a || m.b || '{S}') AS s
+  FROM ust{p} t, um{n} m
+)"""
+
+_BPE_UNROLLED_ORACLE = (
+    f"""
+WITH ust0 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+    '{_BPE_SEP_SQL}' || array_to_string(regexp_extract_all(w, '.', 0),
+      '{_BPE_SEP_SQL}{_BPE_SEP_SQL}') || '{_BPE_SEP_SQL}' AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) u
+  WHERE w <> ''
+  GROUP BY w
+)"""
+    + "".join(
+        _BPE_UNROLL_ROUND.format(n=n, p=n - 1, S=_BPE_SEP_SQL)
+        for n in range(1, 5)
+    )
+    + """
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS merge_rank, a AS "left", b AS "right",
+         a || b AS merged, pc AS pair_count FROM um1
+  UNION ALL SELECT 1, a, b, a || b, pc FROM um2
+  UNION ALL SELECT 2, a, b, a || b, pc FROM um3
+  UNION ALL SELECT 3, a, b, a || b, pc FROM um4
+) z
+"""
+)
+
+
+@register("corpus_bpe_merges_unrolled", _BPE_UNROLLED_ORACLE)
+def corpus_bpe_merges_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checked member of the BPE-training family — the
+    check-strength upgrade ``corpus_bpe_merges`` itself cannot get (12
+    data-dependent argmax rounds are impractical to unroll): the SAME
+    :func:`..operators.text_analysis.bpe_train` code path — batched
+    disjoint selection, chained-regex application, checkpoint
+    truncation and all — at ``n_merges = 4``, against a 4-round
+    SEQUENTIAL unroll in SQL.  The equality being checked is exactly
+    the trainer's central claim (batched == sequential, argued in
+    ``_select_disjoint_batch`` and pinned by pytest on interacting
+    merges); the oracle re-derives every round's pair counts, the
+    (count desc, left, right) argmax, and the greedy application from
+    the raw corpus.  Same scale shape as the production registration:
+    one corpus scan, vocab-sized loop state."""
+    from .operators.text_analysis import bpe_train
+
+    merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=4)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left string, right string, merged string, pair_count long",
+    )

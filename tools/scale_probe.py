@@ -181,6 +181,17 @@ PROBE = (
     "doc_decontam_fuzzy",
     "embedding_matryoshka_topk",
     "doc_decontam_containment",
+    # round-12 additions: PII scrub, quality-aware canonical pick,
+    # video fingerprints, and line-wise boilerplate removal
+    "doc_pii_stats",
+    "dedup_keep_best",
+    "multimodal_video_near_dup",
+    "doc_boilerplate_strip",
+    "corpus_boilerplate_profile",
+    "corpus_build_boilerplate_gated",
+    "multimodal_audio_fingerprint",
+    "multimodal_audio_near_dup",
+    "corpus_bpe_merges_unrolled",
 )
 
 KEYED = {
