@@ -1722,3 +1722,69 @@ class TestUrlStreamReplay:
         # batches 1-2 never ran here, so batch-3 doc 3 is page A's
         # first arrival and admits
         assert by_id[3] is True
+
+
+class TestBoilerplateIngest:
+    """Ninth ingest family — additive-count census state: per-batch
+    deltas keyed by (group, line, batch) so at-least-once replay
+    re-upserts instead of double-counting, and the accumulated census
+    equals the one-shot census for any batching."""
+
+    @staticmethod
+    def _docs(spark):
+        foot = " ".join(f"f{i}" for i in range(12))
+        uniq = lambda d: " ".join(f"u{d}w{i}" for i in range(12))
+        rows = [
+            (i, "srcA", foot + " " + uniq(i)) for i in range(8)
+        ]  # footer in 8/8 docs of srcA
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    def test_replayed_batch_does_not_double_count(self, spark, tmp_path):
+        from textract_farmdata_pipeline_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+        from textract_farmdata_pipeline_spark.streaming.ingest import (
+            boilerplate_process_batch,
+            read_boilerplate_census,
+        )
+
+        docs = self._docs(spark)
+        state = str(tmp_path / "census")
+        b0 = docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 0)
+        boilerplate_process_batch(b0, 0, state)
+        lines_1, tot_1 = read_boilerplate_census(spark, state)
+        n_1 = {r["_h"]: r["_n_docs"] for r in lines_1.collect()}
+        t_1 = {r["_grp"]: r["_src_docs"] for r in tot_1.collect()}
+        boilerplate_process_batch(b0, 0, state)  # crash-after-commit replay
+        lines_2, tot_2 = read_boilerplate_census(spark, state)
+        assert {r["_h"]: r["_n_docs"] for r in lines_2.collect()} == n_1
+        assert {r["_grp"]: r["_src_docs"] for r in tot_2.collect()} == t_1
+        assert t_1 == {"srcA": 2}  # docs 0 and 4, counted once
+
+    def test_accumulated_census_equals_one_shot(self, spark, tmp_path):
+        from textract_farmdata_pipeline_spark.operators.paragraphs import (
+            boilerplate_census,
+        )
+        from textract_farmdata_pipeline_spark.streaming.ingest import (
+            boilerplate_process_batch,
+            read_boilerplate_census,
+        )
+
+        docs = self._docs(spark)
+        state = str(tmp_path / "census")
+        for b in range(4):
+            boilerplate_process_batch(
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == b), b, state
+            )
+        acc_lines, acc_tot = read_boilerplate_census(spark, state)
+        one_lines, one_tot = boilerplate_census(docs)
+        assert sorted(
+            (r["_grp"], r["_h"], r["_n_docs"]) for r in acc_lines.collect()
+        ) == sorted(
+            (r["_grp"], r["_h"], r["_n_docs"]) for r in one_lines.collect()
+        )
+        assert sorted(tuple(r) for r in acc_tot.collect()) == sorted(
+            tuple(r) for r in one_tot.collect()
+        )

@@ -349,6 +349,36 @@ def boilerplate_strip(
     Reassembly shuffles corpus bytes once, keyed by the doc id (the
     :func:`_reassemble` shape — skew bounded by document length,
     never line popularity)."""
+    df_per_line, src_tot = boilerplate_census(
+        docs, para_words, group_col, id_col, text_col
+    )
+    return boilerplate_apply(
+        docs,
+        df_per_line,
+        src_tot,
+        para_words=para_words,
+        ratio_bp=ratio_bp,
+        min_docs=min_docs,
+        group_col=group_col,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def boilerplate_census(
+    docs: DataFrame,
+    para_words: int = 12,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """The census half of the strip, exposed so it can ACCUMULATE:
+    ``(line doc-frequency table (_grp, _h, _n_docs), per-source doc
+    totals (_grp, _src_docs))``.  Both are plain additive counts, so
+    per-batch censuses sum to the one-shot census regardless of how
+    the corpus was batched — the property the streaming ingest's
+    hash gate rests on (:func:`..streaming.ingest.
+    replay_boilerplate_batches`)."""
     seg = _segments_with_group(
         docs, para_words, group_col, id_col, text_col
     ).withColumn("_h", F.xxhash64("_grp", "chunk_text"))
@@ -361,6 +391,29 @@ def boilerplate_strip(
     src_tot = docs.groupBy(F.col(group_col).alias("_grp")).agg(
         F.count("*").cast("bigint").alias("_src_docs")
     )
+    return df_per_line, src_tot
+
+
+def boilerplate_apply(
+    docs: DataFrame,
+    df_per_line: DataFrame,
+    src_tot: DataFrame,
+    para_words: int = 12,
+    ratio_bp: int = 5000,
+    min_docs: int = 3,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the boilerplate decision given an (externally
+    accumulated) census — the publish-time half of the two-phase
+    deployment: the census accumulates while the corpus ingests, the
+    strip runs once against the final counts.  ``df_per_line`` /
+    ``src_tot`` must use :func:`boilerplate_census`'s schema (line
+    keys are ``xxhash64(group, line)``)."""
+    seg = _segments_with_group(
+        docs, para_words, group_col, id_col, text_col
+    ).withColumn("_h", F.xxhash64("_grp", "chunk_text"))
     boiler = (
         df_per_line.join(F.broadcast(src_tot), "_grp")
         .where(

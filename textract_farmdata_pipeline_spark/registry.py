@@ -13694,3 +13694,31 @@ def corpus_bpe_merges_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         "merge_rank long, left string, right string, merged string, pair_count long",
     )
+
+
+@register("doc_boilerplate_stream_replay", _BOILER_STRIP_ORACLE)
+def doc_boilerplate_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING boilerplate census
+    (:func:`..streaming.ingest.boilerplate_ingest_stream`) replayed
+    over 4 deterministic micro-batches and resolved by the
+    publish-time strip — the ninth ingest family, and a new state
+    class: ADDITIVE COUNTS (per-batch deltas keyed by ``(group, line,
+    batch)`` so at-least-once replay re-upserts instead of
+    double-counting), where the other families keep memberships,
+    decisions, or frozen scores.  A line's document frequency is a
+    corpus property no stream prefix can decide, so the deployment is
+    two-phase — census accumulates during ingest, strip applies once
+    at publish — and because the census is a sum, the accumulated
+    state equals the one-shot census for ANY batching: this replay
+    runs the real streaming path (foreachBatch, keyed MERGE deltas,
+    availableNow) yet shares ``doc_boilerplate_strip``'s oracle
+    verbatim — hash-checked end to end."""
+    import tempfile
+
+    from .streaming.ingest import replay_boilerplate_batches
+
+    docs = _boiler_docs(_t(spark, sf_dir, "documents"))
+    workdir = tempfile.mkdtemp(prefix="boiler_replay_")
+    return replay_boilerplate_batches(
+        docs, workdir, k_batches=4, para_words=12, ratio_bp=5000, min_docs=3
+    )

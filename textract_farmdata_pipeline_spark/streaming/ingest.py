@@ -1047,3 +1047,162 @@ def replay_url_batches(
     return ParquetMergeTable(spark, dec_path).read().select(
         "doc_id", "canonical_url", "admitted"
     )
+
+
+def boilerplate_ingest_stream(
+    docs: DataFrame, state_path: str, para_words: int = 12, sink=None
+):
+    """Returns a ``DataStreamWriter`` that accumulates the
+    line-frequency CENSUS the RefinedWeb boilerplate strip consumes
+    (:func:`..operators.paragraphs.boilerplate_census`) — the ninth
+    ingest family, and a new state CLASS: additive counts, where every
+    earlier family keeps memberships (hash/URL/Bloom), decisions
+    (splits, admissions), or frozen scores.
+
+    The deployment is two-phase by design: frequency evidence
+    ACCUMULATES while the corpus ingests (a line's document frequency
+    is a corpus property — no prefix of the stream can decide it), and
+    the strip applies ONCE at publish
+    (:func:`..operators.paragraphs.boilerplate_apply`).  Because both
+    census tables are plain sums, the accumulated state after any
+    batching of the corpus equals the one-shot census — which is what
+    lets the replay product carry the full one-shot DuckDB hash gate.
+
+    Replay-idempotent BY CONSTRUCTION: state rows are keyed by
+    ``(group, line_hash, batch_id)`` — per-batch DELTAS, not running
+    totals — so a replayed batch re-upserts byte-identical rows
+    instead of double-counting (running totals under at-least-once
+    delivery were the design bug this key avoids).  Crash windows:
+    before merge → delta absent, re-derives; after merge → identical
+    delta re-upserts.  State is one row per distinct (line, batch)
+    pair; a production deployment compacts closed batches by summing
+    into a ``batch_id = -1`` row — same table, same reader.
+
+    ``sink(census_delta, batch_id)`` receives the per-batch line
+    census ``(_grp, _h, _n_docs, batch_id)``.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        boilerplate_process_batch(
+            batch_df, batch_id, state_path, para_words=para_words, sink=sink
+        )
+
+    return docs.writeStream.foreachBatch(process)
+
+
+def boilerplate_process_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    para_words: int = 12,
+    sink=None,
+) -> None:
+    """One micro-batch of :func:`boilerplate_ingest_stream`, exposed at
+    module level (the ``bloom_process_batch`` pattern) so tests can
+    drive crash-replay windows directly.  Maintains two keyed MERGE
+    tables under ``state_path``: ``lines`` (per-batch line
+    doc-frequency deltas) and ``totals`` (per-batch per-source doc
+    counts)."""
+    from ..operators.merge import ParquetMergeTable
+    from ..operators.paragraphs import boilerplate_census
+
+    spark = batch_df.sparkSession
+    df_per_line, src_tot = boilerplate_census(batch_df, para_words)
+    b = F.lit(batch_id).cast("long")
+    line_delta = df_per_line.select(
+        F.concat_ws("|", "_grp", F.col("_h").cast("string"), b).alias("_key"),
+        "_grp",
+        "_h",
+        "_n_docs",
+        b.alias("batch_id"),
+    )
+    tot_delta = src_tot.select(
+        F.concat_ws("|", "_grp", b).alias("_key"),
+        "_grp",
+        "_src_docs",
+        b.alias("batch_id"),
+    )
+    for sub, delta in (("lines", line_delta), ("totals", tot_delta)):
+        t = ParquetMergeTable(spark, os.path.join(state_path, sub))
+        if os.path.isdir(os.path.join(state_path, sub, "_manifests")):
+            t.merge(delta, key="_key")
+        else:
+            t.create(delta)
+    if sink is not None:
+        sink(line_delta, batch_id)
+
+
+def read_boilerplate_census(spark, state_path: str):
+    """Fold the accumulated per-batch deltas back into the one-shot
+    census shape: ``(line counts (_grp, _h, _n_docs), source totals
+    (_grp, _src_docs))`` — the frames
+    :func:`..operators.paragraphs.boilerplate_apply` consumes."""
+    from ..operators.merge import ParquetMergeTable
+
+    lines = (
+        ParquetMergeTable(spark, os.path.join(state_path, "lines"))
+        .read()
+        .groupBy("_grp", "_h")
+        .agg(F.sum("_n_docs").cast("bigint").alias("_n_docs"))
+    )
+    totals = (
+        ParquetMergeTable(spark, os.path.join(state_path, "totals"))
+        .read()
+        .groupBy("_grp")
+        .agg(F.sum("_src_docs").cast("bigint").alias("_src_docs"))
+    )
+    return lines, totals
+
+
+def replay_boilerplate_batches(
+    docs: DataFrame,
+    workdir: str,
+    k_batches: int = 4,
+    para_words: int = 12,
+    ratio_bp: int = 5000,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Replay :func:`boilerplate_ingest_stream` as a finite run on the
+    shared deterministic K-batch harness (``doc_id % k``), then run
+    the publish-time strip against the ACCUMULATED census.  Additive
+    counts make the accumulated state equal the one-shot census for
+    any batching, so this replay — the real streaming path:
+    foreachBatch, keyed delta MERGEs, availableNow — shares
+    ``doc_boilerplate_strip``'s DuckDB oracle verbatim (the
+    ``doc_dsir_stream_replay`` precedent, extended from frozen-state
+    to accumulated-state products)."""
+    import atexit
+    import shutil
+
+    from ..operators.paragraphs import boilerplate_apply
+
+    spark = docs.sparkSession
+    src = _stage_batch_files(
+        docs, workdir, k_batches, cols=("doc_id", "source", "text")
+    )
+    state_path = os.path.join(workdir, "census")
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        boilerplate_ingest_stream(stream, state_path, para_words=para_words)
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    lines, totals = read_boilerplate_census(spark, state_path)
+    return boilerplate_apply(
+        docs,
+        lines,
+        totals,
+        para_words=para_words,
+        ratio_bp=ratio_bp,
+        min_docs=min_docs,
+    )
