@@ -296,6 +296,13 @@ HEADLINE = (
     "embedding_mmr_ann",
     "embedding_kmeans_ivf_refined",
     "doc_topic_clusters_refined",
+    # r12: RefinedWeb line-wise boilerplate removal (drop-all, not
+    # keep-first) and its gated build; the audio near-dup completing
+    # the modality triple; the BPE family's hash-checked unroll twin
+    "doc_boilerplate_strip",
+    "corpus_build_boilerplate_gated",
+    "multimodal_audio_near_dup",
+    "corpus_bpe_merges_unrolled",
 )
 
 

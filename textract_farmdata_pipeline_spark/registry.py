@@ -4721,8 +4721,11 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold per round, lineage checkpoint-truncated.  Each round's argmax
     feeds the next round's state, so no single SQL statement expresses
     the chain (recursive CTEs cannot aggregate their own recursive
-    table) — rows-only here; pytest pins exact equality with an
-    in-memory reference BPE on both a classic corpus and the fixture."""
+    table) — rows-only here at the production merge count; pytest pins
+    exact equality with an in-memory reference BPE on both a classic
+    corpus and the fixture, and the SAME code path is hash-checked
+    end-to-end at ``n_merges = 4`` against a sequential SQL unroll by
+    ``corpus_bpe_merges_unrolled`` (the family's oracle twin)."""
     from .operators.text_analysis import bpe_train
 
     merges = bpe_train(_t(spark, sf_dir, "documents"), n_merges=12)
@@ -13453,12 +13456,20 @@ def corpus_build_boilerplate_gated(spark: SparkSession, sf_dir: str) -> DataFram
     from .operators.corpus import build_corpus
     from .operators.paragraphs import boilerplate_strip
 
+    from .operators.checkpoints import tracked_local_checkpoint
+
     docs = _t(spark, sf_dir, "documents")
     stripped = boilerplate_strip(
         _boiler_docs(docs), para_words=12, ratio_bp=5000, min_docs=3
     )
-    cleaned = stripped.where(F.col("clean_text") != "").select(
-        "doc_id", F.col("clean_text").alias("text"), "source"
+    # Stage the REWRITTEN corpus (the scrub-build rule): the strip
+    # chain (segment -> census -> reassembly) would otherwise
+    # re-expand into every downstream build branch - measured as 90
+    # exchanges lazy vs the build's usual ~23 staged.
+    cleaned, _ = tracked_local_checkpoint(
+        stripped.where(F.col("clean_text") != "").select(
+            "doc_id", F.col("clean_text").alias("text"), "source"
+        )
     )
     return build_corpus(
         cleaned,

@@ -192,6 +192,7 @@ PROBE = (
     "multimodal_audio_fingerprint",
     "multimodal_audio_near_dup",
     "corpus_bpe_merges_unrolled",
+    "doc_boilerplate_stream_replay",
 )
 
 KEYED = {
