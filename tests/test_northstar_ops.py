@@ -6068,3 +6068,48 @@ class TestAudioFingerprint:
         assert (2, 3) in pairs
         assert not any(4 in p for p in pairs)  # different stream: no pair
         assert not any(5 in p or 6 in p for p in pairs)  # gated out
+
+
+class TestQualityGateRocchio:
+    """Closed-form trained gate: separates a vocabulary-split fixture
+    perfectly, weights are bounded by the 2^24 quantization, and the
+    decision table is total over labeled docs with tokens."""
+
+    def test_separates_and_bounds(self, spark):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            quality_gate_rocchio,
+        )
+
+        pos_vocab = ["alpha", "beta", "gamma", "delta"]
+        neg_vocab = ["omega", "sigma", "kappa", "zeta"]
+        rows = []
+        for i in range(20):
+            v = pos_vocab if i % 2 == 0 else neg_vocab
+            rows.append(
+                (i, i % 2 == 0 and 1 or 0, " ".join(v[(i + j) % 4] for j in range(6)))
+            )
+        docs = spark.createDataFrame(rows, "doc_id long, label int, text string")
+        got = {r["doc_id"]: r for r in quality_gate_rocchio(docs).collect()}
+        assert len(got) == 20
+        for i in range(20):
+            assert got[i]["passes"] == (i % 2 == 0), i
+            assert got[i]["label"] == (1 if i % 2 == 0 else 0)
+            # weights are quantized class-share differences, so a
+            # 6-token doc's |logit| is bounded by 6·2^24; disjoint
+            # vocabularies put every doc strictly on its class's side
+            assert 0 < abs(got[i]["logit"]) <= 6 * (1 << 24)
+            assert (got[i]["logit"] > 0) == (i % 2 == 0)
+
+    def test_mixed_doc_lands_between(self, spark):
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            quality_gate_rocchio,
+        )
+
+        rows = [
+            (1, 1, "alpha alpha alpha"),
+            (2, 0, "omega omega omega"),
+            (3, 0, "alpha omega alpha"),  # mislabeled mixed doc
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, label int, text string")
+        got = {r["doc_id"]: r["logit"] for r in quality_gate_rocchio(docs).collect()}
+        assert got[2] < got[3] < got[1]

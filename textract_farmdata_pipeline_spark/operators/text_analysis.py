@@ -1705,3 +1705,89 @@ def compressibility(
         run,
         schema=f"{out_id} long, n_bytes long, n_zlib long, zlib_ratio double",
     )
+
+
+def quality_gate_rocchio(
+    docs: DataFrame,
+    label_col: str = "label",
+    n_buckets: int = 256,
+    bucket_seed: str = "qc|",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Closed-form TRAINED quality gate — the hash-checkable member of
+    the learned-gate family (:func:`classifier_train` keeps the
+    iterative sigmoid-GD quality path; this is its ``_refined``-style
+    twin, the quantized-Lloyd precedent applied to classification):
+    the weight of hashed bucket ``b`` is the Rocchio / class-centroid
+    difference of class-conditional token rates,
+
+    ``w_b = floor((pos_b/P - neg_b/N) * 2^24 + 0.5)``
+
+    (``pos_b``/``neg_b`` = tokens of positive/negative documents
+    hashing to ``b``; ``P``/``N`` the class token totals), and a
+    document's logit is the integer sum of its tokens' weights.  Every
+    training statistic is an exact integer count, the one float step
+    (two divisions, one multiply-add) is a fixed per-row expression
+    tree — bit-identical in any IEEE engine — and the quantization
+    bounds ``|w_b| <= 2^24`` at ANY corpus size, so logits stay exact
+    BIGINTs however large the corpus grows (raw cross-multiplied
+    integer weights would overflow int64 near 1e13 tokens).
+
+    Returns one row per labeled document with tokens: ``(id, label,
+    n_tokens, logit, passes)`` — the full trained-gate decision table
+    under the hash.
+
+    Scale shape: two token-level corpus passes (train counts, score) —
+    the same budget as the GD path's first iteration; training state
+    is the ``n_buckets``-row weight table, broadcast to the scoring
+    join; both groupBys are map-side combinable on the 8-byte bucket /
+    the doc id."""
+    from .corpus import md5_bucket
+
+    tok = docs.select(
+        F.col(id_col),
+        F.col(label_col).cast("long").alias("_y"),
+        F.explode(F.split(F.col(text_col), " ")).alias("_t"),
+    ).filter(F.col("_t") != "")
+    tok = tok.select(
+        id_col, "_y", md5_bucket(F.col("_t"), n_buckets, seed=bucket_seed).alias("_b")
+    )
+    cls = tok.groupBy("_b").agg(
+        F.sum("_y").alias("_pos_b"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_neg_b"),
+    )
+    tot = tok.agg(
+        F.sum("_y").alias("_p"), F.sum(F.lit(1) - F.col("_y")).alias("_n")
+    )
+    w = cls.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        F.floor(
+            (
+                (F.col("_pos_b") / F.col("_p"))
+                - (F.col("_neg_b") / F.col("_n"))
+            )
+            * F.lit(float(1 << 24))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_w"),
+    )
+    scored = (
+        tok.join(F.broadcast(w), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_w").cast("long").alias("logit"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+    return scored.join(
+        docs.select(id_col, F.col(label_col).cast("long").alias("label")),
+        id_col,
+    ).select(
+        id_col,
+        "label",
+        "n_tokens",
+        "logit",
+        (F.col("logit") > 0).alias("passes"),
+    )

@@ -13733,3 +13733,61 @@ def doc_boilerplate_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     return replay_boilerplate_batches(
         docs, workdir, k_batches=4, para_words=12, ratio_bp=5000, min_docs=3
     )
+
+
+_QUALITY_GATE_REFINED_ORACLE = """
+WITH rgl AS (
+  SELECT doc_id, text,
+    CASE WHEN list_contains(string_split(text, ' '), 'spark')
+         THEN 1 ELSE 0 END AS label
+  FROM documents
+),
+rgt AS (
+  SELECT doc_id, label,
+    CAST(('0x' || substr(md5('qc|' || t), 1, 8)) AS BIGINT) % 256 AS b
+  FROM (
+    SELECT doc_id, label, unnest(string_split(text, ' ')) AS t FROM rgl
+  ) u WHERE t <> ''
+),
+rgc AS (
+  SELECT b, SUM(label) AS pos_b, SUM(1 - label) AS neg_b FROM rgt GROUP BY b
+),
+rgtot AS (SELECT SUM(label) AS p, SUM(1 - label) AS n FROM rgt),
+rgw AS (
+  SELECT b,
+    CAST(floor((CAST(pos_b AS DOUBLE) / p - CAST(neg_b AS DOUBLE) / n)
+               * 16777216.0 + 0.5) AS BIGINT) AS w
+  FROM rgc, rgtot
+),
+rgs AS (
+  SELECT t.doc_id, CAST(SUM(w.w) AS BIGINT) AS logit,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM rgt t JOIN rgw w USING (b) GROUP BY t.doc_id
+)
+SELECT s.doc_id, CAST(l.label AS BIGINT) AS label, s.n_tokens, s.logit,
+  s.logit > 0 AS passes
+FROM rgs s JOIN rgl l USING (doc_id)
+"""
+
+
+@register("doc_quality_gate_refined", _QUALITY_GATE_REFINED_ORACLE)
+def doc_quality_gate_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checked TRAINED quality gate
+    (:func:`..operators.text_analysis.quality_gate_rocchio`) — the
+    last rows-only family gains its oracle twin: where
+    ``doc_quality_gate_trained`` runs 20 sigmoid-GD iterations
+    (engine-specific libm, honestly rows-only), this trains the SAME
+    hashed-bag-of-words feature space with the closed-form Rocchio
+    class-rate difference, dyadic-quantized (``floor(rate_diff * 2^24
+    + 0.5)``, the quantized-Lloyd precedent) so weights stay bounded
+    and logits stay exact BIGINTs at any corpus size.  Same lexical
+    seed labels (document mentions 'spark'), so the two registrations
+    are directly comparable gates over one feature space; the full
+    per-document decision table — label, token count, integer logit,
+    pass/fail — is under the hash."""
+    from .operators.text_analysis import quality_gate_rocchio
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "label", F.array_contains(F.split("text", " "), "spark").cast("int")
+    )
+    return quality_gate_rocchio(docs)

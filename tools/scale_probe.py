@@ -193,6 +193,7 @@ PROBE = (
     "multimodal_audio_near_dup",
     "corpus_bpe_merges_unrolled",
     "doc_boilerplate_stream_replay",
+    "doc_quality_gate_refined",
 )
 
 KEYED = {
