@@ -285,23 +285,36 @@ def boilerplate_profile(
 
     Scale shape (100 TB): document-frequency is a two-phase count —
     ``(source, line, doc)`` distinct collapse, then ``(source, line)``
-    count — both map-side combinable groupBys on an 8-byte line hash
-    (the million-copy footer collapses per map task before either
-    shuffle).  Per-source totals are a |sources|-row aggregate joined
-    by broadcast.  Nothing driver-side; output is bounded by
-    ``min_report_docs`` to genuinely-repeated lines."""
-    seg = _segments_with_group(docs, para_words, group_col, id_col, text_col)
-    df_per_line = (
-        seg.select("_grp", "doc_id", "chunk_text")
+    count — both map-side combinable groupBys on the 8-byte
+    ``xxhash64`` line key, so line TEXT never shuffles for counting (a
+    text-keyed groupBy would move a corpus of distinct-line bytes
+    through one exchange).  The report's text column resolves in a
+    second map-side pass: segments broadcast-semi-filtered to the
+    reported hashes — bounded by lines repeated ``min_report_docs``+
+    times, the same boundedness the strip's decision table rests on —
+    then one distinct over that filtered sliver.  Per-source totals
+    are a |sources|-row aggregate joined by broadcast.  Nothing
+    driver-side."""
+    seg = _segments_with_group(
+        docs, para_words, group_col, id_col, text_col
+    ).withColumn("_h", F.xxhash64("_grp", "chunk_text"))
+    reported = (
+        seg.select("_grp", "doc_id", "_h")
         .distinct()
-        .groupBy("_grp", "chunk_text")
+        .groupBy("_grp", "_h")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") >= min_report_docs)
+    )
+    texts = (
+        seg.join(F.broadcast(reported.select("_h")), "_h", "leftsemi")
+        .select("_h", "_grp", "chunk_text")
+        .distinct()
     )
     src_tot = docs.groupBy(F.col(group_col).alias("_grp")).agg(
         F.count("*").cast("bigint").alias("src_docs")
     )
     return (
-        df_per_line.where(F.col("n_docs") >= min_report_docs)
+        reported.join(texts, ["_h", "_grp"])
         .join(F.broadcast(src_tot), "_grp")
         .select(
             F.col("_grp").alias(group_col),
