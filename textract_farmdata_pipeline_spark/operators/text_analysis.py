@@ -1738,6 +1738,13 @@ def quality_gate_rocchio(
     n_tokens, logit, passes)`` — the full trained-gate decision table
     under the hash.
 
+    Degenerate input: a single-class corpus (``P == 0`` or ``N == 0``)
+    has no discriminative direction — the rate-difference divisions go
+    NULL and every logit/pass comes back NULL rather than a fabricated
+    decision.  Callers gating real corpora should assert both classes
+    are present in the seed labels (the same loud-failure contract as
+    ``_grouped_global_rank``'s NULL-group guard).
+
     Scale shape: two token-level corpus passes (train counts, score) —
     the same budget as the GD path's first iteration; training state
     is the ``n_buckets``-row weight table, broadcast to the scoring
