@@ -303,6 +303,9 @@ HEADLINE = (
     "corpus_build_boilerplate_gated",
     "multimodal_audio_near_dup",
     "corpus_bpe_merges_unrolled",
+    # r12: trained-classifier-gated build and the audio streaming face
+    "corpus_build_rocchio_gated",
+    "multimodal_audio_stream_replay",
 )
 
 

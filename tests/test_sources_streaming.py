@@ -1788,3 +1788,56 @@ class TestBoilerplateIngest:
         assert sorted(tuple(r) for r in acc_tot.collect()) == sorted(
             tuple(r) for r in one_tot.collect()
         )
+
+
+class TestAudioIngest:
+    """Audio near-dup admission on the signature-generic handler: the
+    duration gate keeps short clips out of the state entirely, twins
+    of admitted docs reject, and a crash-replayed batch re-derives its
+    decisions against the anti-joined state."""
+
+    @staticmethod
+    def _handler(state):
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            audio_fingerprint,
+        )
+        from textract_farmdata_pipeline_spark.streaming.ingest import (
+            _sig_process_batch,
+        )
+
+        def hash_fn(b):
+            media = attach_media(b.select("doc_id", "text"))
+            fp = audio_fingerprint(media.where(F.length("media") >= 264))
+            return fp.select("doc_id", F.array(F.col("fp")).alias("sig"))
+
+        return _sig_process_batch(state, hash_fn, 3, 8)
+
+    def test_gate_twins_and_replay(self, spark, tmp_path):
+        from textract_farmdata_pipeline_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+
+        base = "".join(chr(97 + (i * 11) % 26) for i in range(300))
+        other = "".join(chr(97 + (i * 5 + 3) % 26) for i in range(300))
+        state = str(tmp_path / "audio_state")
+        process = self._handler(state)
+        b0 = spark.createDataFrame(
+            [(1, base), (2, "tiny")], "doc_id long, text string"
+        )
+        process(b0, 0)
+        s1 = {r["doc_id"]: r for r in ParquetMergeTable(spark, state).read().collect()}
+        assert set(s1) == {1}  # short clip never enters the state
+        assert s1[1]["is_new"] is True
+        # crash-after-commit replay: identical state, no self-match flip
+        process(b0, 0)
+        s2 = {r["doc_id"]: r for r in ParquetMergeTable(spark, state).read().collect()}
+        assert set(s2) == {1} and s2[1]["is_new"] is True
+        # batch 1: a re-encode of doc 1 rejects, a new stream admits
+        b1 = spark.createDataFrame(
+            [(3, "~" + base[1:]), (4, other)], "doc_id long, text string"
+        )
+        process(b1, 1)
+        s3 = {r["doc_id"]: r for r in ParquetMergeTable(spark, state).read().collect()}
+        assert s3[3]["is_new"] is False and s3[3]["dup_of"] == 1
+        assert s3[4]["is_new"] is True

@@ -13791,3 +13791,133 @@ def doc_quality_gate_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.array_contains(F.split("text", " "), "spark").cast("int")
     )
     return quality_gate_rocchio(docs)
+
+
+# Trained-classifier gate composed in FRONT of the 4-stage build: the
+# rg chain (train + score, both halves integer/hash-exact) feeds a
+# keep-list semi join — the CCNet deployment shape (gate the corpus on
+# a classifier trained in the same engine run), and the first gated
+# BUILD whose gate is itself a TRAINED model under the hash (lm_gated
+# thresholds a count-ratio score; this thresholds a trained
+# discriminant).  The build tail is the source-gated oracle verbatim.
+_CORPUS_BUILD_ROCCHIO_GATED_ORACLE = (
+    "WITH "
+    + _QUALITY_GATE_REFINED_ORACLE.split("WITH ", 1)[1].rsplit(
+        "\nSELECT s.doc_id", 1
+    )[0]
+    + """,
+rgkeep AS (SELECT doc_id FROM rgs WHERE logit > 0),
+gated AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d JOIN rgkeep USING (doc_id)
+),
+dedup AS ("""
+    + _CORPUS_BUILD_SOURCE_GATED_ORACLE.split("dedup AS (", 1)[1]
+)
+
+
+@register("corpus_build_rocchio_gated", _CORPUS_BUILD_ROCCHIO_GATED_ORACLE)
+def corpus_build_rocchio_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-stage corpus build gated by a classifier TRAINED IN THE
+    SAME PLAN — the CCNet / fineweb-edu deployment shape end-to-end
+    under one hash: seed-label the corpus (the lexical rule), train
+    the quantized Rocchio discriminant
+    (:func:`..operators.text_analysis.quality_gate_rocchio`), keep
+    documents the learned gate passes, then run exact dedup → 3-gram
+    decontamination → uniform mixture → 16-shard layout over the
+    survivors.  ``corpus_build_lm_gated`` thresholds a count-ratio
+    KN score; this is the first gated build whose gate is a trained
+    model, made composable by the same integer-quantization that made
+    it hash-checkable.  The keep-list (ids only — far smaller than a
+    text rewrite) is STAGED so the two token-level training passes
+    run once instead of once per build branch; the eval holdout stays
+    the FULL corpus's ``doc_id % 97`` slice."""
+    from .operators.checkpoints import tracked_local_checkpoint
+    from .operators.corpus import build_corpus
+    from .operators.text_analysis import quality_gate_rocchio
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", F.array_contains(F.split("text", " "), "spark").cast("int")
+    )
+    keep, _ = tracked_local_checkpoint(
+        quality_gate_rocchio(labeled).where(F.col("passes")).select("doc_id")
+    )
+    return build_corpus(
+        docs.join(keep, "doc_id"),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        num_shards=16,
+        decontam_n=3,
+    )
+
+
+def _audio_admit_round(k: int) -> str:
+    """One unrolled audio admission round — the `_dhash_admit_round`
+    shape on the single 32-bit fingerprint word at radius 3 (capture
+    exact over 4 chunks, so banding never changes the decision)."""
+    return f""",
+am{k} AS (
+  SELECT x.doc_id, MIN(s.doc_id) AS dup_of
+  FROM afb x LEFT JOIN aad{k - 1} s
+    ON bit_count(xor(x.fp, s.fp)) <= 3
+  WHERE x.b = {k} GROUP BY x.doc_id
+),
+aad{k} AS (
+  SELECT doc_id, fp FROM aad{k - 1}
+  UNION ALL
+  SELECT h.doc_id, h.fp FROM afb h
+  JOIN am{k} m ON m.doc_id = h.doc_id AND m.dup_of IS NULL
+)"""
+
+
+_AUDIO_STREAM_ORACLE = _force_materialized(
+    f"""
+WITH afsrc AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100001 AS doc_id, '~' || substr(text, 2) AS text
+    FROM documents WHERE doc_id < 50
+  ) u
+  WHERE length(text) >= 264
+),
+{_AUDIO_FP_CTES},
+afb AS (SELECT doc_id, fp, doc_id % 4 AS b FROM affp),
+aad0 AS (SELECT doc_id, fp FROM afb WHERE b = 0)"""
+    + "".join(_audio_admit_round(k) for k in (1, 2, 3))
+    + """
+SELECT doc_id, CAST(NULL AS BIGINT) AS dup_of, TRUE AS is_new
+FROM afb WHERE b = 0
+UNION ALL
+SELECT doc_id, dup_of, dup_of IS NULL AS is_new FROM am1
+UNION ALL
+SELECT doc_id, dup_of, dup_of IS NULL AS is_new FROM am2
+UNION ALL
+SELECT doc_id, dup_of, dup_of IS NULL AS is_new FROM am3
+"""
+)
+
+
+@register("multimodal_audio_stream_replay", _AUDIO_STREAM_ORACLE)
+def multimodal_audio_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio family's streaming face
+    (:func:`..streaming.ingest.audio_ingest_stream` replayed over 4
+    deterministic micro-batches) — and the proof the modality
+    streaming path is ONE code path: the handler is the
+    signature-generic `_sig_process_batch` the dHash ingest also runs
+    (image and audio differ only in the hash function).  Each batch
+    gates sub-duration clips, fingerprints once, is decided against
+    the accumulated admitted-fingerprint state (8 bytes/doc), and
+    MERGE-commits.  Radius-3-over-4-chunks capture is exact, so the
+    K-batch state evolution unrolls to K plain-SQL rounds — streaming
+    decisions hash-checked, not rows-counted."""
+    import tempfile
+
+    from .streaming.ingest import replay_audio_batches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100001).alias("doc_id"),
+        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    workdir = tempfile.mkdtemp(prefix="audio_replay_")
+    return replay_audio_batches(docs.unionByName(twins), workdir, k_batches=4)

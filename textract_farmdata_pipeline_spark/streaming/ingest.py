@@ -476,18 +476,39 @@ def dhash_process_batch(
     exposed as a factory so tests can invoke a batch directly — in
     particular to simulate a checkpoint REPLAY of an already-committed
     batch and assert the state is reproduced, not corrupted."""
-    from ..operators.merge import ParquetMergeTable
-    from ..operators.multimodal import (
-        attach_media,
-        dhash_match_stored,
-        image_dhash,
+    from ..operators.multimodal import attach_media, image_dhash
+
+    return _sig_process_batch(
+        state_path,
+        lambda b: image_dhash(attach_media(b.select("doc_id", "text"))),
+        max_hamming,
+        chunk_bits,
+        sink,
     )
+
+
+def _sig_process_batch(
+    state_path: str,
+    hash_fn,
+    max_hamming: int,
+    chunk_bits: int,
+    sink=None,
+):
+    """Signature-generic per-micro-batch admission: ``hash_fn(batch)``
+    → ``(doc_id, sig array<bigint>)``, decided against the accumulated
+    admitted-signature state with
+    :func:`..operators.multimodal.dhash_match_stored` (itself
+    signature-generic), keyed-MERGE committed.  One handler for every
+    modality on the shared near-dup kernel — image dHash words and
+    audio fingerprint words differ only in ``hash_fn``."""
+    from ..operators.merge import ParquetMergeTable
+    from ..operators.multimodal import dhash_match_stored
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         table = ParquetMergeTable(spark, state_path)
-        bsig = image_dhash(
-            attach_media(batch_df.select("doc_id", "text"))
+        bsig = hash_fn(
+            batch_df
         ).persist()  # consumed twice (decision + state commit); batch-sized
         if os.path.isdir(os.path.join(state_path, "_manifests")):
             # Replay idempotency: a replayed micro-batch may find its OWN
@@ -1205,4 +1226,97 @@ def replay_boilerplate_batches(
         para_words=para_words,
         ratio_bp=ratio_bp,
         min_docs=min_docs,
+    )
+
+
+def audio_ingest_stream(
+    docs: DataFrame,
+    state_path: str,
+    window_bytes: int = 16,
+    n_bits: int = 32,
+    max_hamming: int = 3,
+    chunk_bits: int = 8,
+    min_bytes: int | None = None,
+    sink=None,
+):
+    """Streaming AUDIO near-dup admission — the audio face of
+    :func:`dhash_ingest_stream`, built on the same signature-generic
+    handler (:func:`_sig_process_batch`): each micro-batch gates out
+    sub-duration clips, fingerprints its payloads ONCE
+    (:func:`..operators.multimodal.audio_fingerprint`), is decided
+    against the accumulated admitted-fingerprint state (8 bytes/doc),
+    and MERGE-commits ``(doc_id, sig, dup_of, is_new)``.  Replay
+    idempotency and the stored-side min-collapse are inherited from
+    the shared handler.  At the 4-chunk/radius-3 gate banding capture
+    is exact, so the K-batch state evolution unrolls to plain SQL —
+    the replay twin shares the full hash gate."""
+    from ..operators.multimodal import attach_media, audio_fingerprint
+
+    if min_bytes is None:
+        min_bytes = (n_bits + 1) * window_bytes // 2
+
+    def hash_fn(batch_df: DataFrame) -> DataFrame:
+        media = attach_media(batch_df.select("doc_id", "text"))
+        fp = audio_fingerprint(
+            media.where(F.length("media") >= min_bytes),
+            window_bytes=window_bytes,
+            n_bits=n_bits,
+        )
+        return fp.select("doc_id", F.array(F.col("fp")).alias("sig"))
+
+    return docs.writeStream.foreachBatch(
+        _sig_process_batch(state_path, hash_fn, max_hamming, chunk_bits, sink)
+    )
+
+
+def replay_audio_batches(
+    docs: DataFrame,
+    workdir: str,
+    k_batches: int = 4,
+    window_bytes: int = 16,
+    n_bits: int = 32,
+    max_hamming: int = 3,
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """Replay :func:`audio_ingest_stream` as a finite run on the shared
+    deterministic K-batch harness and return the accumulated admission
+    table ``(doc_id, dup_of, is_new)`` — the
+    :func:`replay_dhash_batches` shape for the audio modality; capture
+    exactness at radius 3 over 4 chunks makes the K-round unroll a
+    plain-SQL oracle."""
+    import atexit
+    import shutil
+
+    from ..operators.merge import ParquetMergeTable
+
+    src = _stage_batch_files(docs, workdir, k_batches)
+    state_path = os.path.join(workdir, "audio_state")
+    spark = docs.sparkSession
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        audio_ingest_stream(
+            stream,
+            state_path,
+            window_bytes=window_bytes,
+            n_bits=n_bits,
+            max_hamming=max_hamming,
+            chunk_bits=chunk_bits,
+        )
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return (
+        ParquetMergeTable(spark, state_path)
+        .read()
+        .select("doc_id", "dup_of", "is_new")
     )

@@ -194,6 +194,8 @@ PROBE = (
     "corpus_bpe_merges_unrolled",
     "doc_boilerplate_stream_replay",
     "doc_quality_gate_refined",
+    "corpus_build_rocchio_gated",
+    "multimodal_audio_stream_replay",
 )
 
 KEYED = {
