@@ -287,7 +287,8 @@ class TestMultimodal:
         decoded luma bytes — proving the Spark-side plumbing needs no
         change when a codec lands.
 
-        Re-probed 2026-08-16 (round 12 session start): ``import PIL``
+        Re-probed 2026-08-16 (round 13 session start, same result as
+        round 12): ``import PIL``
         still raises ModuleNotFoundError in this container and
         installs remain disallowed, so this skips.  The CODEC formats
         are the only thing this gate still covers — the uncompressed
@@ -6042,6 +6043,28 @@ class TestAudioFingerprint:
             assert got[doc_id] == self._ref_fp(text), doc_id
         assert got[3] == 0
 
+    def test_n_bits_out_of_range_raises(self, spark):
+        """n_bits packs little-endian into ONE int64 word — shifts past
+        62 land in the sign bit or wrap (numpy), silently corrupting
+        fingerprints; the guard mirrors sig_chunk_bands' chunk_bits
+        ValueError."""
+        import pytest
+
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            audio_fingerprint,
+        )
+
+        docs = attach_media(
+            spark.createDataFrame([(1, "x" * 64)], "doc_id long, text string")
+        )
+        for bad in (0, -1, 63, 64, 128):
+            with pytest.raises(ValueError, match="n_bits"):
+                audio_fingerprint(docs, n_bits=bad)
+        # 62 is the last safe width: packs to a non-negative BIGINT
+        row = audio_fingerprint(docs, n_bits=62).first()
+        assert row["fp"] >= 0
+
     def test_near_dup_capture_and_gate(self, spark):
         from textract_farmdata_pipeline_spark.operators.multimodal import (
             attach_media,
@@ -6113,3 +6136,32 @@ class TestQualityGateRocchio:
         docs = spark.createDataFrame(rows, "doc_id long, label int, text string")
         got = {r["doc_id"]: r["logit"] for r in quality_gate_rocchio(docs).collect()}
         assert got[2] < got[3] < got[1]
+
+    def test_single_class_seed_raises(self, spark):
+        """A single-class seed has no discriminative direction; the
+        gate must fail LOUDLY (ValueError at build time) rather than
+        return all-NULL decisions that a downstream ``where(passes)``
+        would silently turn into an empty corpus — the
+        ``_grouped_global_rank`` NULL-group precedent."""
+        import pytest
+
+        from textract_farmdata_pipeline_spark.operators.text_analysis import (
+            quality_gate_rocchio,
+        )
+
+        all_pos = spark.createDataFrame(
+            [(1, 1, "alpha beta"), (2, 1, "gamma delta")],
+            "doc_id long, label int, text string",
+        )
+        with pytest.raises(ValueError, match="single-class seed"):
+            quality_gate_rocchio(all_pos)
+        all_neg = spark.createDataFrame(
+            [(1, 0, "alpha beta"), (2, 0, "gamma delta")],
+            "doc_id long, label int, text string",
+        )
+        with pytest.raises(ValueError, match="single-class seed"):
+            quality_gate_rocchio(all_neg)
+        # empty seed is the same degeneracy
+        empty = spark.createDataFrame([], "doc_id long, label int, text string")
+        with pytest.raises(ValueError, match="single-class seed"):
+            quality_gate_rocchio(empty)

@@ -565,10 +565,10 @@ class TestStatefulStreaming:
         the ungated tests below (fake-handle drive +
         plan-construction time-mode pin).
 
-        Re-probed 2026-08-16 (round 12 session start): ``import
-        google.protobuf`` still raises ModuleNotFoundError in this
-        container and installs remain disallowed, so the gate stands
-        unchanged."""
+        Re-probed 2026-08-16 (round 13 session start, same result as
+        round 12): ``import google.protobuf`` still raises
+        ModuleNotFoundError in this container and installs remain
+        disallowed, so the gate stands unchanged."""
         import datetime as dt
 
         pytest.importorskip(

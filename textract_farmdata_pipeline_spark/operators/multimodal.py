@@ -898,12 +898,35 @@ def audio_fingerprint(
     :func:`decode_image_stub`-style seam when codecs are available;
     the framing, energy, and delta-sign packing are codec-agnostic.
 
+    BYTE SEMANTICS CONTRACT: this operator (and :func:`audio_near_dup`
+    / :func:`audio_windows` on top of it) frames and gates on the RAW
+    BYTES of the ``media`` column — ``F.length`` on binary counts
+    bytes, the numpy window view is uint8.  The registry's DuckDB
+    oracles express the same computation in CHARACTER terms
+    (``length(text)``, ``ascii(substr(...))``), which is equivalent
+    only while the fixture text is pure ASCII (1 char = 1 byte = its
+    code point).  The fixtures are ASCII by construction; a non-ASCII
+    payload would diverge from those oracles in the ``min_bytes``
+    gate, the window framing, and the energies — the OPERATOR's byte
+    semantics are the contract, the character-based oracle is the
+    fixture-only convenience.
+
     Scale shape: one Arrow-batched pass over the payloads (numpy
     reshape + reduce per batch), no shuffle — fingerprint parallelism
     is row parallelism.
     """
     from ..shipping import ensure_package_shipped
 
+    if not 0 < n_bits < 63:
+        # bits shift little-endian by 0..n_bits-1 into ONE int64 word;
+        # a shift at 62 is the last that keeps the packed value a
+        # non-negative BIGINT (shift 63 lands in the sign bit, numpy
+        # shifts past 63 wrap) — same caller-contract guard as
+        # sig_chunk_bands' chunk_bits ValueError.
+        raise ValueError(
+            f"audio_fingerprint: n_bits must be in 1..62 to pack into "
+            f"one non-negative int64 word, got {n_bits}"
+        )
     ensure_package_shipped(media.sparkSession)
     n_win = n_bits + 1
     total = n_win * window_bytes
@@ -950,6 +973,11 @@ def audio_near_dup(
     within Hamming 3 differs in at most 3 of 4 chunks, so it agrees on
     at least one and always candidates — the pigeonhole radius covers
     the whole accept region.
+
+    Byte semantics: the ``min_bytes`` gate is ``F.length`` over BINARY
+    (bytes, not characters) and the fingerprint frames raw bytes — see
+    the BYTE SEMANTICS CONTRACT note on :func:`audio_fingerprint`; the
+    registry's character-based oracles match only on ASCII fixtures.
 
     ``min_bytes`` (default: half the fingerprint span, ``(n_bits + 1)
     * window_bytes // 2``) drops payloads too short to fingerprint:

@@ -423,7 +423,23 @@ def boilerplate_apply(
     deployment: the census accumulates while the corpus ingests, the
     strip runs once against the final counts.  ``df_per_line`` /
     ``src_tot`` must use :func:`boilerplate_census`'s schema (line
-    keys are ``xxhash64(group, line)``)."""
+    keys are ``xxhash64(group, line)``).
+
+    ACCEPTED COLLISION RISK: lines match on the bare 64-bit
+    ``xxhash64(group, line)`` key with no text verify-back — the
+    census table deliberately carries no line text (text never
+    shuffles; that IS the scale design), so in the accumulate flow
+    there is nothing to verify against.  A within-group collision
+    between a boilerplate line and an innocent line would drop the
+    innocent line corpus-wide.  Expected damage is ``B * L / 2**64``
+    lines (``B`` = boilerplate lines above threshold — bounded small
+    by construction; ``L`` = distinct lines in the group): at ``B =
+    10**4`` and ``L = 10**9`` that is ~5e-7 lines, and the group key
+    inside the hash confines any collision to one source.  If a
+    deployment's ``B * L`` approaches ``2**64``, widen the census key
+    to two independent 64-bit hashes (salt the second
+    ``xxhash64(lit('bp2'), group, line)``) rather than shuffling
+    text."""
     seg = _segments_with_group(
         docs, para_words, group_col, id_col, text_col
     ).withColumn("_h", F.xxhash64("_grp", "chunk_text"))

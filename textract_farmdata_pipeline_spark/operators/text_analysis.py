@@ -1739,11 +1739,15 @@ def quality_gate_rocchio(
     under the hash.
 
     Degenerate input: a single-class corpus (``P == 0`` or ``N == 0``)
-    has no discriminative direction — the rate-difference divisions go
-    NULL and every logit/pass comes back NULL rather than a fabricated
-    decision.  Callers gating real corpora should assert both classes
-    are present in the seed labels (the same loud-failure contract as
-    ``_grouped_global_rank``'s NULL-group guard).
+    has no discriminative direction, so this RAISES ``ValueError``
+    rather than returning all-NULL decisions (the rate-difference
+    divisions would go NULL and a downstream ``where(passes)`` gate —
+    ``corpus_build_rocchio_gated`` — would silently deliver an EMPTY
+    corpus).  Same loud-failure contract as ``_grouped_global_rank``'s
+    NULL-group guard in this file: the class totals are a 1-row
+    driver-side collect (the totals were already computed as the
+    broadcast side of the weight expression; folding them in as
+    literals costs no extra token pass and drops the crossJoin).
 
     Scale shape: two token-level corpus passes (train counts, score) —
     the same budget as the GD path's first iteration; training state
@@ -1766,13 +1770,22 @@ def quality_gate_rocchio(
     )
     tot = tok.agg(
         F.sum("_y").alias("_p"), F.sum(F.lit(1) - F.col("_y")).alias("_n")
-    )
-    w = cls.crossJoin(F.broadcast(tot)).select(
+    ).first()
+    p_tot = int(tot["_p"] or 0)
+    n_tot = int(tot["_n"] or 0)
+    if p_tot == 0 or n_tot == 0:
+        raise ValueError(
+            f"quality_gate_rocchio: single-class seed (P={p_tot} "
+            f"positive tokens, N={n_tot} negative tokens) has no "
+            f"discriminative direction; provide both classes in "
+            f"{label_col!r} or skip the gate"
+        )
+    w = cls.select(
         "_b",
         F.floor(
             (
-                (F.col("_pos_b") / F.col("_p"))
-                - (F.col("_neg_b") / F.col("_n"))
+                (F.col("_pos_b") / F.lit(p_tot))
+                - (F.col("_neg_b") / F.lit(n_tot))
             )
             * F.lit(float(1 << 24))
             + F.lit(0.5)
