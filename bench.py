@@ -366,7 +366,7 @@ def main() -> None:
 
         import gc
 
-        def _timed_best(fn, runs: int) -> float:
+        def _timed_runs(fn, runs: int) -> list[float]:
             # Release the previous query's broadcast/shuffle debt before
             # timing, not during: Spark's ContextCleaner frees broadcast
             # blocks only after the corresponding Python/JVM objects are
@@ -374,17 +374,21 @@ def main() -> None:
             # that query's wall time.
             gc.collect()
             spark._jvm.System.gc()
-            # Best of three runs: the engine's speed is the reproducible
-            # floor, not the max of (plan time + JIT warm-up + whatever
-            # else the host was doing during run 1). Three runs, not
-            # two, after r03's doc_gopher_filter showed a single
-            # disturbed run can survive best-of-2 (docs/BENCH_NOTES.md).
-            best = float("inf")
+            # ALL run times are kept (r12 directive #1): the headline
+            # number is still the best-of-N floor (the engine's
+            # reproducible speed, not plan time + JIT warm-up + host
+            # noise), but the record now carries every run so a 2×
+            # best-of spread between two same-code records can be
+            # adjudicated from per-run dispersion instead of a judge-
+            # side re-bench.  Three runs, not two, after r03's
+            # doc_gopher_filter showed a single disturbed run can
+            # survive best-of-2 (docs/BENCH_NOTES.md).
+            times: list[float] = []
             for _ in range(runs):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            return best
+                times.append(round(time.perf_counter() - t0, 3))
+            return times
 
         # Interleaved calibration (r11 directive): one probe before the
         # first query, one after every CALIB_EVERY queries, one after
@@ -395,12 +399,14 @@ def main() -> None:
         CALIB_EVERY = 25
         calibs: list[float] = [_calibration(spark, sf_dir)]
         timings: dict[str, float] = {}
+        runs_s: dict[str, list[float]] = {}
         segment_of: dict[str, int] = {}
         for idx, name in enumerate(HEADLINE):
             if idx and idx % CALIB_EVERY == 0:
                 calibs.append(_calibration(spark, sf_dir))
             segment_of[name] = idx // CALIB_EVERY
-            timings[name] = round(_timed_best(QUERIES[name], 3), 3)
+            runs_s[name] = _timed_runs(QUERIES[name], 3)
+            timings[name] = min(runs_s[name])
         calibs.append(_calibration(spark, sf_dir))
 
         # Self-adjudication: a segment whose bounding probes BOTH sit
@@ -421,11 +427,23 @@ def main() -> None:
             if recheck <= hi:  # host has calmed down; re-runs are useful
                 for name in HEADLINE:
                     if segment_of[name] in dirty:
-                        rerun = _timed_best(QUERIES[name], 1)
-                        if rerun < timings[name]:
-                            timings[name] = round(rerun, 3)
+                        rerun = _timed_runs(QUERIES[name], 1)
+                        runs_s[name].extend(rerun)
+                        timings[name] = min(timings[name], *rerun)
                         requeried.append(name)
             calibs.append(recheck)
+        # Per-query dispersion verdict (r12 directive #1): flag any
+        # query whose max/min run spread exceeds 1.5× AND whose
+        # absolute spread exceeds 0.5 s (a 0.2→0.35 s blip on a trivial
+        # query is scheduler noise, not evidence).  A flagged query's
+        # best-of number is still the headline, but a round-over-round
+        # "regression" on a flagged query should be adjudicated against
+        # its run list, not charged to the code.
+        spread_flagged: dict[str, float] = {}
+        for name, ts in runs_s.items():
+            lo, span = min(ts), max(ts) - min(ts)
+            if lo > 0 and span > 0.5 and (lo + span) / lo > 1.5:
+                spread_flagged[name] = round((lo + span) / lo, 2)
         total = round(sum(timings.values()), 3)
         sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
         try:
@@ -454,6 +472,13 @@ def main() -> None:
             "calib_segment_of": segment_of,
             "requeried": requeried,
             "calib_band_s": list(CALIB_BAND_S),
+            # Every individual run time, in run order (requery runs
+            # appended), plus the spread verdicts — the dispersion
+            # evidence that makes a 2× best-of delta between same-code
+            # records adjudicable from the record alone.
+            "runs_s": runs_s,
+            "spread_flagged": spread_flagged,
+            "spread_rule": "max/min > 1.5 and max-min > 0.5s",
         }
         # The driver keeps only the LAST ~2000 characters of stdout and
         # parses the final JSON line; the full per-query dict outgrew
@@ -471,10 +496,14 @@ def main() -> None:
             fh.write("\n")
         line = dict(record)
         line["queries_full"] = "docs/preflight/bench_full.json"
-        # per-query segment map and requery list live in the full file;
-        # the printed line keeps the compact evidence (readings + count)
+        # per-query segment map, run lists, and the requery list live in
+        # the full file; the printed line keeps the compact evidence
+        # (calib readings + requery count + spread-flag count)
         del line["calib_segment_of"]
+        del line["runs_s"]
+        del line["spread_rule"]
         line["requeried"] = len(requeried)
+        line["spread_flagged"] = len(spread_flagged)
         by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
         budget = 1900  # < the driver's 2000-char tail window
         while True:
