@@ -463,6 +463,124 @@ class TestRasterDecode:
         assert sigs[1] == [w0, w1]
 
 
+class TestWavDecode:
+    """The NON-skipped real-audio path (round-12 directive #4): a
+    RIFF/WAV PCM container parsed in pure bytes through the
+    decode_audio seam — the audio twin of TestRasterDecode's BMP/PPM
+    precedent — and the UNCHANGED byte-level fingerprint stage run
+    over the decoded samples."""
+
+    @staticmethod
+    def _wav(data: bytes, *, bits=8, channels=1, rate=8000,
+             extra_chunk=True) -> bytes:
+        """Minimal WAV writer: RIFF header, an unknown LIST chunk (to
+        prove the parser WALKS the chunk list instead of assuming
+        fmt/data at fixed offsets — odd-sized, to exercise the spec's
+        even-byte padding), fmt, data."""
+        import struct
+
+        chunks = []
+        if extra_chunk:
+            body = b"INFOxyz"  # 7 bytes: odd size forces a pad byte
+            chunks.append(b"LIST" + struct.pack("<I", len(body)) + body + b"\x00")
+        block = channels * bits // 8
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * block, block, bits
+        )
+        chunks.append(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+        chunks.append(
+            b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+        payload = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+    def test_pcm8_roundtrip_and_chunk_walk(self):
+        import numpy as np
+
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            decode_audio,
+        )
+
+        data = bytes(range(251))  # odd length: data chunk gets padded
+        samples, rate = decode_audio(self._wav(data))
+        assert rate == 8000
+        assert samples.shape == (251, 1)
+        assert samples.dtype == np.uint8
+        assert samples[:, 0].tobytes() == data
+
+    def test_pcm16_stereo(self):
+        import numpy as np
+
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            decode_audio,
+        )
+
+        frames = np.array(
+            [[-32768, 32767], [0, -1], [12345, -12345]], dtype="<i2"
+        )
+        samples, rate = decode_audio(
+            self._wav(frames.tobytes(), bits=16, channels=2, rate=44100)
+        )
+        assert rate == 44100
+        assert samples.shape == (3, 2)
+        assert (samples == frames).all()
+
+    def test_compressed_and_foreign_delegate_to_seam(self):
+        import pytest
+
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            decode_audio,
+        )
+
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"\xff\xfb\x90\x00 not a riff stream")
+        # a float-PCM WAV is a REAL container this parser must refuse
+        # loudly (wrong samples would be silent corruption), not seam
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        wav = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0)
+        )
+        with pytest.raises(ValueError, match="format tag 3"):
+            decode_audio(wav)
+
+    def test_fingerprint_unchanged_over_decoded_pcm(self, spark):
+        """8-bit mono PCM: the decoded sample bytes ARE the stream the
+        byte-level fingerprint frames, so audio_fingerprint over
+        WAV-decoded samples equals audio_fingerprint over the raw
+        payload — a real container flows through the seam and the
+        UNCHANGED operator (fingerprint oracle untouched)."""
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            audio_fingerprint,
+            decode_audio,
+        )
+
+        texts = [(1, "abcdefgh" * 70), (2, "za" * 20)]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        raw_fp = {
+            r["doc_id"]: r["fp"]
+            for r in audio_fingerprint(attach_media(docs)).collect()
+        }
+        decoded_rows = []
+        for doc_id, text in texts:
+            wav = self._wav(text.encode())
+            samples, _ = decode_audio(wav)
+            decoded_rows.append((doc_id, bytearray(samples[:, 0].tobytes())))
+        decoded = spark.createDataFrame(
+            decoded_rows, "doc_id long, media binary"
+        )
+        wav_fp = {
+            r["doc_id"]: r["fp"]
+            for r in audio_fingerprint(decoded).collect()
+        }
+        assert wav_fp == raw_fp
+
+
 class TestSqlRegistration:
     def test_registered_functions_compose_in_sql(self, spark):
         from textract_farmdata_pipeline_spark.functions.register import (

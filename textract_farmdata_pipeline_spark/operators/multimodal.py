@@ -146,6 +146,86 @@ def _decode_ppm(b: bytes) -> np.ndarray:
     )
 
 
+def decode_audio_stub(payload: bytes, fmt: str) -> "object":
+    """REAL-AUDIO-CODEC SEAM — not implemented in this container.
+
+    Contract: ``(payload bytes, format) -> (samples int ndarray of
+    shape (n_frames, n_channels), sample_rate)``.  Wire a codec
+    (libsndfile/ffmpeg) here for MP3/AAC/OGG/FLAC; the framing, energy,
+    and fingerprint stages below are sample-source-agnostic and do not
+    change when one lands (the :func:`decode_image_stub` precedent).
+    """
+    raise NotImplementedError(
+        "no audio codec in this environment; use the byte-level path "
+        "or inject a decoder"
+    )
+
+
+def decode_audio(
+    payload: bytes, fmt: str | None = None
+) -> tuple[np.ndarray, int]:
+    """Decode an audio payload to ``(samples, sample_rate)`` where
+    ``samples`` is an int ndarray of shape ``(n_frames, n_channels)``.
+
+    The uncompressed container decodes here in PURE BYTES — no codec
+    library (the BMP/PPM precedent): a ``RIFF....WAVE`` magic is
+    parsed as a WAV container — the chunk list is WALKED (unknown
+    chunks like ``LIST``/``fact`` are skipped by their declared size,
+    with the spec's even-byte padding), the ``fmt `` chunk must
+    declare integer PCM (format tag 1) at 8 or 16 bits, and the
+    ``data`` chunk's samples come back as uint8 (8-bit, unsigned per
+    spec) or little-endian int16 (16-bit) frames.  Anything else
+    (MP3/AAC/OGG need a real codec) delegates to
+    :func:`decode_audio_stub`, the wire-a-codec-here seam.
+
+    For 8-bit mono PCM the sample bytes ARE the data-chunk bytes, so
+    the UNCHANGED byte-level :func:`audio_fingerprint` stage over the
+    decoded samples equals the fingerprint of the raw stream — the
+    container adds framing, not semantics (pinned by test).
+    """
+    import struct
+
+    b = bytes(payload or b"")
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        pos = 12
+        fmt_fields: tuple[int, int, int, int] | None = None
+        data: bytes | None = None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (csize,) = struct.unpack_from("<I", b, pos + 4)
+            body = b[pos + 8 : pos + 8 + csize]
+            if cid == b"fmt ":
+                if csize < 16:
+                    raise ValueError("WAV: truncated fmt chunk")
+                tag, ch, rate = struct.unpack_from("<HHI", body, 0)
+                (bits,) = struct.unpack_from("<H", body, 14)
+                fmt_fields = (tag, ch, rate, bits)
+            elif cid == b"data":
+                if len(body) < csize:
+                    raise ValueError("WAV: truncated data chunk")
+                data = body
+            pos += 8 + csize + (csize & 1)  # chunks pad to even size
+        if fmt_fields is None or data is None:
+            raise ValueError("WAV: missing fmt or data chunk")
+        tag, ch, rate, bits = fmt_fields
+        if tag != 1 or bits not in (8, 16):
+            raise ValueError(
+                f"WAV: only 8/16-bit integer PCM supported "
+                f"(format tag {tag}, {bits}-bit); compressed WAV needs "
+                f"the codec seam"
+            )
+        if ch < 1:
+            raise ValueError("WAV: bad channel count")
+        dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+        frame_bytes = ch * bits // 8
+        n_frames = len(data) // frame_bytes
+        samples = np.frombuffer(
+            data, dtype=dtype, count=n_frames * ch
+        ).reshape(n_frames, ch)
+        return samples, int(rate)
+    return decode_audio_stub(b, fmt or "")
+
+
 def luma_u8(img: np.ndarray) -> np.ndarray:
     """Integer Rec.601 luma: ``(77R + 150G + 29B) >> 8`` — exact
     integer math (77+150+29 = 256), no float rounding to drift."""

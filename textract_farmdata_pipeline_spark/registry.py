@@ -13921,3 +13921,76 @@ def multimodal_audio_stream_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
     workdir = tempfile.mkdtemp(prefix="audio_replay_")
     return replay_audio_batches(docs.unionByName(twins), workdir, k_batches=4)
+
+
+# =========================================================================
+# r13: keep-best composed into the corpus build — the FineWeb deployment
+# shape (quality-aware canonical selection feeding the 4-stage chain),
+# closing the gap between the standalone dedup_keep_best decision table
+# and the builds' keep-first dedup.
+# =========================================================================
+
+_CORPUS_BUILD_KEEPBEST_GATED_ORACLE = (
+    f"""WITH kb AS MATERIALIZED (
+  SELECT doc_id, kept FROM ({_KEEP_BEST_ORACLE}) k
+),
+gated AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d JOIN kb USING (doc_id)
+  WHERE kb.kept
+),
+dedup AS ("""
+    + _CORPUS_BUILD_SOURCE_GATED_ORACLE.split("dedup AS (", 1)[1]
+)
+
+
+@register("corpus_build_keepbest_gated", _CORPUS_BUILD_KEEPBEST_GATED_ORACLE)
+def corpus_build_keepbest_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4-stage corpus build with quality-aware canonical selection
+    composed in FRONT — the FineWeb deployment shape: near-dup
+    clusters (portable minhash chain, ``dedup_clusters_portable``) →
+    keep the LONGEST member of each cluster
+    (:func:`..operators.dedup.keep_best_per_cluster`, ties to min id)
+    → survivors through the standard dedup → decontamination →
+    mixture → shard chain.  Distinct from every other gated build:
+    the gate here is a PER-CLUSTER decision, so dedup stops being an
+    accident of crawl order (keep-first retains whichever recrawl was
+    crawled first; keep-best retains the cleanest copy).  The build
+    tail's exact md5 dedup stays in the chain and is a no-op on the
+    survivors (exact copies share a cluster, so only one survives the
+    gate) — kept so the source-gated oracle tail splices verbatim.
+    Eval holdout stays the RAW corpus's ``doc_id % 97`` slice
+    (curation never changes what you decontaminate against).
+
+    Scale shape: the keep-list is STAGED id-only (localCheckpoint — 8
+    bytes/row, the Rocchio keep-list discipline) so the clustering
+    chain (shingle explode → LSH → CC fixpoint) runs ONCE instead of
+    re-expanding into every downstream build branch; the gate applies
+    as a doc_id semi-join (no text movement), and document bodies
+    reach only the build's own stages."""
+    from .operators.checkpoints import tracked_local_checkpoint
+    from .operators.corpus import build_corpus
+    from .operators.dedup import keep_best_per_cluster, near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(
+        docs,
+        n_hashes=8,
+        bands=4,
+        threshold=0.5,
+        shingle_n=3,
+        max_bucket_size=None,
+        hash_family="md5",
+    )
+    keep_ids, _ = tracked_local_checkpoint(
+        keep_best_per_cluster(docs, clusters)
+        .where(F.col("kept"))
+        .select("doc_id")
+    )
+    gated = docs.join(keep_ids, "doc_id")
+    return build_corpus(
+        gated,
+        docs.filter(F.col("doc_id") % 97 == 0),
+        num_shards=16,
+        decontam_n=3,
+    )

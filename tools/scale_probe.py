@@ -196,6 +196,8 @@ PROBE = (
     "doc_quality_gate_refined",
     "corpus_build_rocchio_gated",
     "multimodal_audio_stream_replay",
+    # round-13 additions: keep-best composed into the build
+    "corpus_build_keepbest_gated",
 )
 
 KEYED = {
