@@ -306,6 +306,12 @@ HEADLINE = (
     # r12: trained-classifier-gated build and the audio streaming face
     "corpus_build_rocchio_gated",
     "multimodal_audio_stream_replay",
+    # r13: quality-aware keep-best composed into the build, the video
+    # streaming face (4th modality on the shared handler), and the
+    # fingerprint running THROUGH a real WAV container parse
+    "corpus_build_keepbest_gated",
+    "multimodal_video_stream_replay",
+    "multimodal_audio_wav_fingerprint",
 )
 
 

@@ -6030,6 +6030,52 @@ class TestVideoNearDup:
         pairs = video_near_dup(self._media(spark, rows)).collect()
         assert pairs == []
 
+    def test_match_stored_max_semantics(self, spark):
+        """video_match_stored (the streaming decision core) applies the
+        same frame-aligned MAX predicate: a stored video matching the
+        batch on 3 of 4 frames but wild on one frame does NOT admit as
+        a duplicate, while a frame-0 perturbation does — the behavior
+        that distinguishes it from the image/audio sum-Hamming
+        matcher."""
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            video_match_stored,
+            video_sigs,
+        )
+
+        # the quick-fox base (not a short periodic ramp, whose sparse
+        # gradient signature sits within radius 7 of the all-zero hash
+        # a constant payload produces — the test_identical fixture's
+        # lesson applied here)
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        step = len(base) // 4
+        wild_tail = base[: 3 * step] + "".join(
+            chr(97 + (i * 13) % 26) for i in range(len(base) - 3 * step)
+        )
+        stored_rows = [(1, base)]
+        batch_rows = [
+            (10, "~" + base[1:]),   # re-encode: dup of 1
+            (11, wild_tail),        # frame 3 wild: new (MAX rejects)
+            (12, "z" * len(base)),  # different everywhere: new
+        ]
+        stored = video_sigs(
+            attach_media(
+                spark.createDataFrame(stored_rows, "doc_id long, text string")
+            )
+        )
+        batch = video_sigs(
+            attach_media(
+                spark.createDataFrame(batch_rows, "doc_id long, text string")
+            )
+        )
+        got = {
+            r["doc_id"]: (r["dup_of"], r["is_new"])
+            for r in video_match_stored(stored, batch).collect()
+        }
+        assert got[10] == (1, False)
+        assert got[11] == (None, True)
+        assert got[12] == (None, True)
+
 
 class TestBoilerplateStrip:
     """RefinedWeb line-wise filtering: the per-source frequency rule

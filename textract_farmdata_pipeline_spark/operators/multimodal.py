@@ -226,6 +226,53 @@ def decode_audio(
     return decode_audio_stub(b, fmt or "")
 
 
+def encode_wav_pcm8(data: bytes, sample_rate: int = 8000) -> bytes:
+    """Minimal WAV writer: wrap raw bytes as 8-bit unsigned mono PCM
+    in a spec-correct RIFF container (fmt + data chunks, data padded
+    to even size).  The synthesis half of :func:`decode_audio`'s
+    parser — used to exercise the container path in-plan without a
+    codec (pinned round-trip-exact by test)."""
+    import struct
+
+    pad = b"\x00" if len(data) & 1 else b""
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data + pad
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def attach_wav_media(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Wrap each document's UTF-8 text bytes in a real WAV container
+    (:func:`encode_wav_pcm8`) — the container-path twin of
+    :func:`attach_media`'s raw byte view, so operators taking
+    ``container="wav"`` consume a genuine file format end to end.
+    One Arrow-batched pass; payloads never leave the executor."""
+    from ..shipping import ensure_package_shipped
+
+    ensure_package_shipped(docs.sparkSession)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["_id"],
+                    "media": [
+                        encode_wav_pcm8((t or "").encode("utf-8"))
+                        for t in pdf["_t"].tolist()
+                    ],
+                }
+            )
+
+    return docs.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+    ).mapInPandas(run, schema="doc_id long, media binary")
+
+
 def luma_u8(img: np.ndarray) -> np.ndarray:
     """Integer Rec.601 luma: ``(77R + 150G + 29B) >> 8`` — exact
     integer math (77+150+29 = 256), no float rounding to drift."""
@@ -959,7 +1006,10 @@ _AUDIO_FP_SCHEMA = "doc_id long, fp long"
 
 
 def audio_fingerprint(
-    media: DataFrame, window_bytes: int = 16, n_bits: int = 32
+    media: DataFrame,
+    window_bytes: int = 16,
+    n_bits: int = 32,
+    container: str = "raw",
 ) -> DataFrame:
     """Robust audio fingerprint over the binary payload — the
     Haitsma–Kalker (2002) construction reduced to the byte stand-in:
@@ -991,12 +1041,22 @@ def audio_fingerprint(
     semantics are the contract, the character-based oracle is the
     fixture-only convenience.
 
+    ``container="wav"`` parses each payload as a RIFF/WAV PCM
+    container first (:func:`decode_audio`, pure bytes — channel 0's
+    sample stream feeds the IDENTICAL framing/energy/packing tail),
+    so the fingerprint of a WAV-wrapped stream equals the fingerprint
+    of the raw stream for 8-bit mono PCM — the container adds framing,
+    not semantics, which is what lets the wav-path registry query
+    share the raw oracle verbatim.
+
     Scale shape: one Arrow-batched pass over the payloads (numpy
     reshape + reduce per batch), no shuffle — fingerprint parallelism
     is row parallelism.
     """
     from ..shipping import ensure_package_shipped
 
+    if container not in ("raw", "wav"):
+        raise ValueError(f"unknown container: {container!r}")
     if not 0 < n_bits < 63:
         # bits shift little-endian by 0..n_bits-1 into ONE int64 word;
         # a shift at 62 is the last that keeps the packed value a
@@ -1017,7 +1077,14 @@ def audio_fingerprint(
             for doc_id, payload in zip(
                 pdf["doc_id"].tolist(), pdf["media"].tolist()
             ):
-                b = bytes(payload or b"")[:total]
+                b = bytes(payload or b"")
+                if container == "wav" and b:
+                    # channel 0's raw sample bytes (1 B/sample for
+                    # 8-bit, LE pairs for 16-bit) feed the unchanged
+                    # byte-level tail
+                    samples, _ = decode_audio(b)
+                    b = np.ascontiguousarray(samples[:, 0]).tobytes()
+                b = b[:total]
                 padded = np.zeros(total, dtype=np.int64)
                 padded[: len(b)] = np.frombuffer(b, dtype=np.uint8).astype(
                     np.int64
@@ -1088,3 +1155,118 @@ def audio_near_dup(
     )
     members, rep_pairs = _sig_rep_pairs(sig, max_hamming, chunk_bits)
     return _expand_member_pairs(members, rep_pairs)
+
+
+def video_sigs(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Per-video frame-signature VECTOR: :func:`frame_sample` fans the
+    payload into ``n_frames`` evenly-spaced frames, every frame runs
+    the shared :func:`image_dhash` kernel through the composite
+    ``vid * 8 + frame_idx`` id (the :func:`video_near_dup` trick —
+    zero new hash code), and the per-frame 2-word signatures collect
+    into ONE frame-major ``array<bigint>`` of ``2 * n_frames`` words:
+    ``[f0w0, f0w1, f1w0, f1w1, ...]``.
+
+    This flattening is what lets the video modality ride the
+    signature-generic streaming handler: the vector is a ``(doc_id,
+    sig array<bigint>)`` row exactly like an image or audio signature
+    — only the MATCH predicate differs (frame-aligned MAX, not sum;
+    :func:`video_match_stored`).
+
+    Scale shape: one decode pass (the frame fan-out and hash run in
+    the same Arrow pipeline), then a single map-side-combinable
+    groupBy on the video id collecting ``n_frames`` 16-byte structs —
+    32 B/video of state downstream."""
+    assert 1 <= n_frames <= 8
+    fsig = image_dhash(
+        frame_sample(media, n_frames=n_frames).select(
+            (F.col("doc_id") * 8 + F.col("frame_idx")).alias("doc_id"),
+            F.col("frame").alias("media"),
+        )
+    ).select(
+        F.floor(F.col("doc_id") / 8).cast("long").alias("vid"),
+        (F.col("doc_id") % 8).cast("int").alias("fi"),
+        "sig",
+    )
+    return fsig.groupBy("vid").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("fi", "sig"))),
+                lambda s: s["sig"],
+            )
+        ).alias("sig")
+    ).select(F.col("vid").alias("doc_id"), "sig")
+
+
+def video_match_stored(
+    stored_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    n_frames: int = 4,
+    max_hamming: int = 7,
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """The video twin of :func:`dhash_match_stored`: decide a batch of
+    frame-signature vectors (:func:`video_sigs`) against the
+    accumulated admitted state.  Two videos match when EVERY
+    frame-aligned pair is within ``max_hamming`` — i.e. the MAX
+    per-frame Hamming ≤ radius (the :func:`video_near_dup` predicate),
+    NOT the whole-vector sum the image/audio modalities use.
+
+    Capture is EXACT for the same reason as :func:`video_near_dup`:
+    the accept region requires frame 0 within ``max_hamming``, and
+    pigeonhole banding on frame 0's 2 words (16 chunks × ``chunk_bits``
+    bits ≥ radius + 1 chunks) covers that completely — so banding
+    never changes a decision and the K-batch state evolution unrolls
+    to plain SQL (the replay twin's hash gate).
+
+    Duplication-safety mirrors the image handler: identical stored
+    VECTORS collapse to their min-id row before banding, and
+    ``dup_of`` takes the minimum matching id, so candidates per batch
+    video are bounded by DISTINCT stored vectors."""
+    from .similarity import hamming, sig_chunk_bands
+
+    bsig = batch_sigs
+    stored_min = stored_sigs.groupBy("sig").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    f0 = lambda df: df.select(  # noqa: E731 — local slice helper
+        "doc_id", F.slice("sig", 1, 2).alias("sig")
+    )
+    bband = sig_chunk_bands(f0(bsig), chunk_bits, id_col="doc_id").select(
+        F.col("doc_id").alias("_bid"), "band", "chunk"
+    )
+    sband = sig_chunk_bands(f0(stored_min), chunk_bits, id_col="doc_id").select(
+        F.col("doc_id").alias("_sid"), "band", "chunk"
+    )
+    cand = bband.join(sband, ["band", "chunk"]).select("_bid", "_sid").distinct()
+    frame_h = [
+        hamming(
+            F.slice(F.col("_bs"), 2 * f + 1, 2),
+            F.slice(F.col("_ss"), 2 * f + 1, 2),
+        )
+        for f in range(n_frames)
+    ]
+    max_h = F.greatest(*frame_h) if len(frame_h) > 1 else frame_h[0]
+    verified = (
+        cand.join(
+            bsig.select(F.col("doc_id").alias("_bid"), F.col("sig").alias("_bs")),
+            "_bid",
+        )
+        .join(
+            stored_min.select(
+                F.col("doc_id").alias("_sid"), F.col("sig").alias("_ss")
+            ),
+            "_sid",
+        )
+        .filter(max_h <= max_hamming)
+        .groupBy("_bid")
+        .agg(F.min("_sid").alias("dup_of"))
+    )
+    return (
+        bsig.select("doc_id")
+        .join(verified, bsig["doc_id"] == verified["_bid"], "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            F.col("dup_of").isNull().alias("is_new"),
+        )
+    )

@@ -13539,6 +13539,31 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_audio_wav_fingerprint", _AUDIO_FP_ORACLE)
+def multimodal_audio_wav_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio fingerprint THROUGH a real file format (r13): each
+    document's bytes are wrapped in a genuine RIFF/WAV PCM container
+    in-plan (:func:`..operators.multimodal.attach_wav_media`), and the
+    fingerprint pass PARSES the container
+    (:func:`..operators.multimodal.decode_audio`, pure bytes — chunk
+    walk, fmt validation, data extraction) before the unchanged
+    framing/energy/packing tail.  The oracle is the RAW fingerprint
+    oracle VERBATIM: a correct parser returns exactly the wrapped
+    stream, so any header-offset, chunk-size, or padding bug in the
+    WAV path breaks the value hash — the container parse is inside
+    the hash gate, not just inside a unit test.  Same one-pass
+    no-shuffle scale shape as the raw query (the container adds ~50
+    bytes/doc of executor-side work)."""
+    from .operators.multimodal import attach_wav_media, audio_fingerprint
+
+    return audio_fingerprint(
+        attach_wav_media(_t(spark, sf_dir, "documents")),
+        window_bytes=16,
+        n_bits=32,
+        container="wav",
+    )
+
+
 _AUDIO_NEAR_DUP_ORACLE = f"""
 WITH afsrc AS (
   SELECT doc_id, text FROM (
@@ -13994,3 +14019,114 @@ def corpus_build_keepbest_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_shards=16,
         decontam_n=3,
     )
+
+
+# =========================================================================
+# r13: the video streaming face — the FOURTH modality on the signature-
+# generic handler.  Frame vectors flatten to one array<bigint> signature
+# (video_sigs); only the match predicate differs (frame-aligned MAX
+# Hamming, video_match_stored).  Frame-0 banding at radius 7 over 16
+# chunks is exact capture, so the K-batch state evolution unrolls to
+# plain SQL like the image/audio twins.
+# =========================================================================
+
+
+def _video_admit_round(k: int) -> str:
+    """One unrolled VIDEO admission round — `_dhash_admit_round` with
+    the frame-aligned MAX predicate: batch-``k`` videos pair with
+    admitted videos frame-by-frame, the per-pair Hamming is the MAX
+    over the 4 aligned frames, and a radius-7 max admits the earliest
+    (min-id) match as ``dup_of``."""
+    return f""",
+vp{k} AS (
+  SELECT x.vid AS vid, s.vid AS svid,
+    MAX(bit_count(xor(x.w0, s.w0)) + bit_count(xor(x.w1, s.w1))) AS mh
+  FROM vb x JOIN vad{k - 1} s ON s.fi = x.fi
+  WHERE x.b = {k}
+  GROUP BY x.vid, s.vid
+),
+vm{k} AS (
+  SELECT b.vid, m.dup_of
+  FROM (SELECT DISTINCT vid FROM vb WHERE b = {k}) b
+  LEFT JOIN (
+    SELECT vid, MIN(svid) AS dup_of FROM vp{k} WHERE mh <= 7 GROUP BY vid
+  ) m USING (vid)
+),
+vad{k} AS (
+  SELECT vid, fi, w0, w1 FROM vad{k - 1}
+  UNION ALL
+  SELECT h.vid, h.fi, h.w0, h.w1 FROM vb h
+  JOIN vm{k} m ON m.vid = h.vid AND m.dup_of IS NULL
+)"""
+
+
+_VIDEO_STREAM_ORACLE = _force_materialized(
+    f"""
+WITH vids AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100001 AS doc_id, '~' || substr(text, 2) AS text
+  FROM documents WHERE doc_id < 50
+),
+vstep AS (
+  SELECT doc_id AS vid, text, length(text) AS vn,
+         greatest(length(text) // 4, 1) AS step
+  FROM vids
+),
+dhsrc AS (
+  SELECT vid * 8 + u.i AS doc_id,
+    substr(text, CAST(u.i * step + 1 AS INT), CAST(step AS INT)) AS text,
+    length(substr(text, CAST(u.i * step + 1 AS INT), CAST(step AS INT))) AS n
+  FROM vstep, LATERAL unnest(generate_series(0, 3)) AS u(i)
+),
+{_DHASH_CTES},
+vsig AS (
+  SELECT doc_id // 8 AS vid, CAST(doc_id % 8 AS INT) AS fi,
+    MAX(CASE WHEN w = 0 THEN word END) AS w0,
+    MAX(CASE WHEN w = 1 THEN word END) AS w1
+  FROM dhwords GROUP BY doc_id // 8, doc_id % 8
+),
+vb AS (SELECT vid, fi, w0, w1, vid % 4 AS b FROM vsig),
+vad0 AS (SELECT vid, fi, w0, w1 FROM vb WHERE b = 0)"""
+    + "".join(_video_admit_round(k) for k in (1, 2, 3))
+    + """
+SELECT vid AS doc_id, CAST(NULL AS BIGINT) AS dup_of, TRUE AS is_new
+FROM (SELECT DISTINCT vid FROM vb WHERE b = 0) z
+UNION ALL
+SELECT vid AS doc_id, dup_of, dup_of IS NULL AS is_new FROM vm1
+UNION ALL
+SELECT vid AS doc_id, dup_of, dup_of IS NULL AS is_new FROM vm2
+UNION ALL
+SELECT vid AS doc_id, dup_of, dup_of IS NULL AS is_new FROM vm3
+"""
+)
+
+
+@register("multimodal_video_stream_replay", _VIDEO_STREAM_ORACLE)
+def multimodal_video_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video family's streaming face
+    (:func:`..streaming.ingest.video_ingest_stream` replayed over 4
+    deterministic micro-batches) — the FOURTH modality on the
+    signature-generic handler, and the proof the handler generalizes
+    past sum-Hamming: video contributes a ``hash_fn`` (frame fan-out →
+    shared dHash kernel → flattened 8-word vector,
+    :func:`..operators.multimodal.video_sigs`) and a ``match_fn``
+    (frame-aligned MAX Hamming ≤ 7,
+    :func:`..operators.multimodal.video_match_stored`); the state
+    layout, replay anti-join, and MERGE protocol are the image/audio
+    code verbatim.  Frame-0 banding at radius 7 over 16 chunks is
+    exact capture, so the K-batch state evolution unrolls to K
+    plain-SQL rounds — streaming decisions hash-checked, not
+    rows-counted.  State is 32 bytes/video (distinct vectors
+    min-collapsed before banding)."""
+    import tempfile
+
+    from .streaming.ingest import replay_video_batches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100001).alias("doc_id"),
+        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    workdir = tempfile.mkdtemp(prefix="video_replay_")
+    return replay_video_batches(docs.unionByName(twins), workdir, k_batches=4)

@@ -493,16 +493,24 @@ def _sig_process_batch(
     max_hamming: int,
     chunk_bits: int,
     sink=None,
+    match_fn=None,
 ):
     """Signature-generic per-micro-batch admission: ``hash_fn(batch)``
     → ``(doc_id, sig array<bigint>)``, decided against the accumulated
-    admitted-signature state with
-    :func:`..operators.multimodal.dhash_match_stored` (itself
+    admitted-signature state with ``match_fn`` (default
+    :func:`..operators.multimodal.dhash_match_stored`, itself
     signature-generic), keyed-MERGE committed.  One handler for every
     modality on the shared near-dup kernel — image dHash words and
-    audio fingerprint words differ only in ``hash_fn``."""
+    audio fingerprint words differ only in ``hash_fn``; video
+    additionally swaps ``match_fn`` for the frame-aligned-MAX
+    predicate (:func:`..operators.multimodal.video_match_stored`) —
+    the state layout, replay anti-join, and MERGE protocol are the
+    same code for all three."""
     from ..operators.merge import ParquetMergeTable
     from ..operators.multimodal import dhash_match_stored
+
+    if match_fn is None:
+        match_fn = dhash_match_stored
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -529,7 +537,7 @@ def _sig_process_batch(
             stored = spark.createDataFrame([], "doc_id long, sig array<bigint>")
             exists = False
         try:
-            ann = dhash_match_stored(
+            ann = match_fn(
                 stored, bsig, max_hamming=max_hamming, chunk_bits=chunk_bits
             )
             rows = bsig.join(ann.select("doc_id", "dup_of", "is_new"), "doc_id")
@@ -1304,6 +1312,106 @@ def replay_audio_batches(
             state_path,
             window_bytes=window_bytes,
             n_bits=n_bits,
+            max_hamming=max_hamming,
+            chunk_bits=chunk_bits,
+        )
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    return (
+        ParquetMergeTable(spark, state_path)
+        .read()
+        .select("doc_id", "dup_of", "is_new")
+    )
+
+
+def video_ingest_stream(
+    docs: DataFrame,
+    state_path: str,
+    n_frames: int = 4,
+    max_hamming: int = 7,
+    chunk_bits: int = 8,
+    sink=None,
+):
+    """Streaming VIDEO near-dup admission — the fourth modality on the
+    signature-generic handler (:func:`_sig_process_batch`): each
+    micro-batch fans its payloads into frames, hashes every frame
+    through the shared dHash kernel, flattens the per-video signature
+    vector ONCE (:func:`..operators.multimodal.video_sigs` — 32
+    bytes/video of state), and is decided against the accumulated
+    admitted-vector state with the frame-aligned MAX predicate
+    (:func:`..operators.multimodal.video_match_stored`).  The handler,
+    state layout, replay anti-join, and MERGE protocol are the image/
+    audio code verbatim — video contributes a ``hash_fn`` and a
+    ``match_fn``, nothing else.
+
+    At the frame-0-banding/radius-7 gate capture is exact (the accept
+    region requires frame 0 within radius; 16 chunks cover it), so
+    the K-batch state evolution unrolls to plain SQL — the replay twin
+    shares the full hash gate."""
+    from ..operators.multimodal import (
+        attach_media,
+        video_match_stored,
+        video_sigs,
+    )
+
+    def hash_fn(batch_df: DataFrame) -> DataFrame:
+        return video_sigs(
+            attach_media(batch_df.select("doc_id", "text")), n_frames=n_frames
+        )
+
+    def match_fn(stored, bsig, max_hamming, chunk_bits):
+        return video_match_stored(
+            stored,
+            bsig,
+            n_frames=n_frames,
+            max_hamming=max_hamming,
+            chunk_bits=chunk_bits,
+        )
+
+    return docs.writeStream.foreachBatch(
+        _sig_process_batch(
+            state_path, hash_fn, max_hamming, chunk_bits, sink, match_fn
+        )
+    )
+
+
+def replay_video_batches(
+    docs: DataFrame,
+    workdir: str,
+    k_batches: int = 4,
+    n_frames: int = 4,
+    max_hamming: int = 7,
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """Replay :func:`video_ingest_stream` as a finite run on the shared
+    deterministic K-batch harness and return the accumulated admission
+    table ``(doc_id, dup_of, is_new)`` — the
+    :func:`replay_dhash_batches` shape for the video modality."""
+    import atexit
+    import shutil
+
+    from ..operators.merge import ParquetMergeTable
+
+    src = _stage_batch_files(docs, workdir, k_batches)
+    state_path = os.path.join(workdir, "video_state")
+    spark = docs.sparkSession
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        video_ingest_stream(
+            stream,
+            state_path,
+            n_frames=n_frames,
             max_hamming=max_hamming,
             chunk_bits=chunk_bits,
         )

@@ -196,8 +196,11 @@ PROBE = (
     "doc_quality_gate_refined",
     "corpus_build_rocchio_gated",
     "multimodal_audio_stream_replay",
-    # round-13 additions: keep-best composed into the build
+    # round-13 additions: keep-best composed into the build; the WAV
+    # container parse inside the fingerprint hash gate
     "corpus_build_keepbest_gated",
+    "multimodal_audio_wav_fingerprint",
+    "multimodal_video_stream_replay",
 )
 
 KEYED = {
