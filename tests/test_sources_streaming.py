@@ -1841,3 +1841,40 @@ class TestAudioIngest:
         s3 = {r["doc_id"]: r for r in ParquetMergeTable(spark, state).read().collect()}
         assert s3[3]["is_new"] is False and s3[3]["dup_of"] == 1
         assert s3[4]["is_new"] is True
+
+
+class TestKeepbestStreamReplay:
+    def test_winner_upgrade_and_tie(self, spark, tmp_path):
+        """The winners ledger upgrades a cluster's canonical when a
+        later near-dup arrives with HIGHER quality, keeps the original
+        on lower quality, and breaks quality ties toward the earliest
+        id — the keep_best_per_cluster decision, accumulated per
+        micro-batch."""
+        from textract_farmdata_pipeline_spark.streaming.ingest import (
+            replay_keepbest_batches,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        other = "completely different media payload with other words " * 7
+        third = "yet another unrelated stream of training bytes here " * 7
+        # (doc_id, text, quality); k=3 batches by doc_id % 3
+        rows = [
+            (0, base, 10),             # b0: admit cluster 0, winner (10, 0)
+            (1, other, 50),            # b1: admit cluster 1, winner (50, 1)
+            (4, "~" + base[1:], 99),   # b1: dup of 0, HIGHER q -> upgrade
+            (5, "~" + other[1:], 5),   # b2: dup of 1, lower q -> keep 1
+            (8, base, 10),             # b2: exact dup of 0, TIE q -> keep 0
+            (2, third, 7),             # b2: new cluster, winner (7, 2)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, quality long"
+        )
+        got = {
+            r["cluster_id"]: (r["best_id"], r["best_q"], r["n_members"])
+            for r in replay_keepbest_batches(
+                docs, str(tmp_path / "kb"), k_batches=3
+            ).collect()
+        }
+        assert got[0] == (4, 99, 3)   # upgraded by the later, better copy
+        assert got[1] == (1, 50, 2)   # lower-quality dup never demotes
+        assert got[2] == (2, 7, 1)    # singleton keeps itself

@@ -14130,3 +14130,97 @@ def multimodal_video_stream_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
     workdir = tempfile.mkdtemp(prefix="video_replay_")
     return replay_video_batches(docs.unionByName(twins), workdir, k_batches=4)
+
+
+# =========================================================================
+# r13: streaming quality-aware canonical selection — the ingest face of
+# dedup_keep_best / corpus_build_keepbest_gated.  Winners ledger =
+# per-cluster max(struct(quality, -id)) MERGE-upserted each batch; max
+# is monotone and order-free, so the per-batch upsert equals the one-
+# shot max for ANY batching and the replay shares a one-shot oracle
+# (the additive-census argument with MAX for SUM).
+# =========================================================================
+
+_KEEPBEST_STREAM_ORACLE = _force_materialized(
+    f"""
+WITH dhsrc AS (
+  SELECT doc_id, text, length(text) AS n FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100001 AS doc_id, '~' || substr(text, 2) AS text
+    FROM documents WHERE doc_id < 50
+  ) u
+),
+{_DHASH_CTES},
+dhsig AS (
+  SELECT doc_id,
+    MAX(CASE WHEN w = 0 THEN word END) AS w0,
+    MAX(CASE WHEN w = 1 THEN word END) AS w1
+  FROM dhwords GROUP BY doc_id
+),
+dhb AS (SELECT doc_id, w0, w1, doc_id % 4 AS b FROM dhsig),
+dad0 AS (SELECT doc_id, w0, w1 FROM dhb WHERE b = 0)"""
+    + "".join(_dhash_admit_round(k) for k in (1, 2, 3))
+    + """,
+kadm AS (
+  SELECT doc_id, CAST(NULL AS BIGINT) AS dup_of FROM dhb WHERE b = 0
+  UNION ALL SELECT doc_id, dup_of FROM dm1
+  UNION ALL SELECT doc_id, dup_of FROM dm2
+  UNION ALL SELECT doc_id, dup_of FROM dm3
+),
+kc AS (
+  SELECT doc_id, COALESCE(dup_of, doc_id) AS cluster_id,
+         (doc_id * 37) % 1000 AS q
+  FROM kadm
+),
+kb AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         MAX(q) AS best_q
+  FROM kc GROUP BY cluster_id
+),
+kid AS (
+  SELECT kc.cluster_id, MIN(kc.doc_id) AS best_id
+  FROM kc JOIN kb ON kb.cluster_id = kc.cluster_id AND kc.q = kb.best_q
+  GROUP BY kc.cluster_id
+)
+SELECT kb.cluster_id, kid.best_id, CAST(kb.best_q AS BIGINT) AS best_q,
+       kb.n_members
+FROM kb JOIN kid USING (cluster_id)
+"""
+)
+
+
+@register("multimodal_keepbest_stream_replay", _KEEPBEST_STREAM_ORACLE)
+def multimodal_keepbest_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality-aware canonical selection
+    (:func:`..streaming.ingest.keepbest_ingest_stream` replayed over 4
+    deterministic micro-batches): perceptual near-dup admission (the
+    dHash signature state, UNCHANGED handler) plus a per-cluster
+    winners ledger MERGE-upserted per batch as ``max(struct(quality,
+    -id))`` — so between any two batches the state answers "which copy
+    do we keep?" with the best-quality member seen so far, retiring
+    keep-first's crawl-order accident from the STREAMING path the way
+    ``corpus_build_keepbest_gated`` retires it from the batch build.
+    Quality is an externally-supplied score (``(doc_id * 37) % 1000``
+    here — the classifier-score shape), so planted twins upgrade their
+    cluster's canonical exactly when their score is higher: both the
+    upgrade and the no-upgrade outcome sit under the hash.  Max is
+    monotone and order-free, so the per-batch upsert equals the
+    one-shot max for ANY batching — the replay shares this one-shot
+    oracle, and a replayed batch re-merges identical rows (no
+    covered-batch protocol needed).  State: 16 B/doc signatures + one
+    24 B row per cluster."""
+    import tempfile
+
+    from .streaming.ingest import replay_keepbest_batches
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100001).alias("doc_id"),
+        F.concat(F.lit("~"), F.expr("substring(text, 2)")).alias("text"),
+    )
+    src = docs.unionByName(twins).withColumn(
+        "quality", F.pmod(F.col("doc_id") * 37, F.lit(1000)).cast("long")
+    )
+    workdir = tempfile.mkdtemp(prefix="keepbest_replay_")
+    return replay_keepbest_batches(src, workdir, k_batches=4)

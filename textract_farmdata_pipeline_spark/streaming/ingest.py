@@ -1428,3 +1428,143 @@ def replay_video_batches(
         .read()
         .select("doc_id", "dup_of", "is_new")
     )
+
+
+def keepbest_ingest_stream(
+    docs: DataFrame,
+    state_path: str,
+    max_hamming: int = 7,
+    chunk_bits: int = 8,
+):
+    """Streaming QUALITY-AWARE canonical selection — the ingest face of
+    :func:`..operators.dedup.keep_best_per_cluster` (and the streaming
+    twin of r13's ``corpus_build_keepbest_gated``): perceptual near-dup
+    admission on the signature-generic handler PLUS a per-cluster
+    winners ledger, so at every micro-batch boundary the state answers
+    "which copy of each near-dup cluster do we keep?" with the
+    highest-QUALITY member seen so far, not the first-crawled one.
+
+    ``docs`` must carry ``(doc_id, text, quality)`` — quality is an
+    externally-supplied long (a classifier score, a resolution, a byte
+    count; the FineWeb shape).  State:
+
+    * ``sigs/``    — the admission table the dHash ingest already
+      keeps (``doc_id, sig, dup_of, is_new``), maintained by the
+      UNCHANGED :func:`_sig_process_batch`.
+    * ``winners/`` — one row per cluster (= admitted rep id):
+      ``(cluster_id, best_q, best_id)``, MERGE-upserted per batch as
+      ``max(struct(quality, -id))`` over {stored winner} ∪ {batch
+      members} — keep the best quality, ties to the EARLIEST id.
+
+    Replay idempotency needs no covered-batch protocol here: max is
+    monotone and order-free, so a replayed batch re-merges the same
+    winner rows (the additive-census argument, with MAX in place of
+    SUM) — and the per-batch upsert of a max equals the one-shot max
+    for ANY batching, which is what lets the replay twin share a
+    one-shot SQL oracle."""
+    from ..operators.merge import ParquetMergeTable
+    from ..operators.multimodal import attach_media, image_dhash
+
+    sigs_path = os.path.join(state_path, "sigs")
+    win_path = os.path.join(state_path, "winners")
+
+    def hash_fn(batch_df: DataFrame) -> DataFrame:
+        return image_dhash(attach_media(batch_df.select("doc_id", "text")))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        qmap = batch_df.select(
+            "doc_id", F.col("quality").cast("long").alias("best_q")
+        ).persist()
+
+        def sink(ann: DataFrame, bid: int) -> None:
+            cand = ann.join(qmap, "doc_id").select(
+                F.coalesce("dup_of", "doc_id").alias("cluster_id"),
+                "best_q",
+                F.col("doc_id").alias("best_id"),
+            )
+            wt = ParquetMergeTable(spark, win_path)
+            exists = os.path.isdir(os.path.join(win_path, "_manifests"))
+            pool = wt.read().unionByName(cand) if exists else cand
+            best = (
+                pool.groupBy("cluster_id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("best_q"), (-F.col("best_id")).alias("_n")
+                        )
+                    ).alias("_b")
+                )
+                .select(
+                    "cluster_id",
+                    F.col("_b.best_q").alias("best_q"),
+                    (-F.col("_b._n")).cast("long").alias("best_id"),
+                )
+            )
+            if exists:
+                wt.merge(best, key="cluster_id")
+            elif not best.isEmpty():
+                wt.create(best)
+
+        inner = _sig_process_batch(
+            sigs_path, hash_fn, max_hamming, chunk_bits, sink
+        )
+        try:
+            inner(batch_df, batch_id)
+        finally:
+            qmap.unpersist()
+
+    return docs.writeStream.foreachBatch(process)
+
+
+def replay_keepbest_batches(
+    docs: DataFrame,
+    workdir: str,
+    k_batches: int = 4,
+    max_hamming: int = 7,
+    chunk_bits: int = 8,
+) -> DataFrame:
+    """Replay :func:`keepbest_ingest_stream` on the shared K-batch
+    harness and return the final per-cluster report ``(cluster_id,
+    best_id, best_q, n_members)`` — winners ledger joined to member
+    counts from the admission log, both read from committed state."""
+    import atexit
+    import shutil
+
+    from ..operators.merge import ParquetMergeTable
+
+    src = _stage_batch_files(
+        docs, workdir, k_batches, cols=("doc_id", "text", "quality")
+    )
+    state_path = os.path.join(workdir, "keepbest_state")
+    spark = docs.sparkSession
+    stream = (
+        spark.readStream.schema("doc_id long, text string, quality long")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        keepbest_ingest_stream(
+            stream, state_path, max_hamming=max_hamming, chunk_bits=chunk_bits
+        )
+        .option("checkpointLocation", os.path.join(workdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(os.path.join(workdir, "ckpt"), ignore_errors=True)
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
+    adm = ParquetMergeTable(spark, os.path.join(state_path, "sigs")).read()
+    counts = (
+        adm.select(F.coalesce("dup_of", "doc_id").alias("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_members"))
+    )
+    winners = ParquetMergeTable(
+        spark, os.path.join(state_path, "winners")
+    ).read()
+    return winners.join(counts, "cluster_id").select(
+        "cluster_id", "best_id", "best_q", "n_members"
+    )

@@ -201,6 +201,7 @@ PROBE = (
     "corpus_build_keepbest_gated",
     "multimodal_audio_wav_fingerprint",
     "multimodal_video_stream_replay",
+    "multimodal_keepbest_stream_replay",
 )
 
 KEYED = {
