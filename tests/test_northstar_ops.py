@@ -290,10 +290,14 @@ class TestMultimodal:
         Re-probed 2026-08-16 (round 13 session start, same result as
         round 12): ``import PIL``
         still raises ModuleNotFoundError in this container and
-        installs remain disallowed, so this skips.  The CODEC formats
-        are the only thing this gate still covers — the uncompressed
-        raster path (BMP/PPM) now decodes in pure bytes and is
-        exercised NON-skipped by TestRasterDecode below."""
+        installs remain disallowed, so this skips.  The gate's
+        remaining coverage shrank again in r13: BMP/PPM decode in pure
+        bytes (TestRasterDecode) and PNG — a REAL compressed format —
+        decodes via stdlib zlib + numpy un-filtering (TestPngDecode,
+        including the raster dHash over a genuine PNG), so only the
+        lossy codec formats (JPEG/WebP) still hide behind PIL.  When
+        PIL IS present this test additionally cross-validates our PNG
+        decoder against a second implementation."""
         PIL_Image = pytest.importorskip(
             "PIL.Image", reason="no image codec in this container"
         )
@@ -317,6 +321,14 @@ class TestMultimodal:
         decoded = decode_image_real(payload, "png")
         assert decoded.shape == (h, w, 3) and decoded.dtype == np.uint8
         assert (decoded == arr).all()  # PNG is lossless — exact bytes
+        # cross-validate the in-repo stdlib PNG decoder against the
+        # codec library on a PIL-ENCODED file (TestPngDecode covers the
+        # self-encoded path; this pins a second encoder's output)
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        assert (decode_image(payload) == arr).all()
         # the same gradient/packing stage runs over real luma bytes
         from textract_farmdata_pipeline_spark.operators.multimodal import (
             image_dhash,
@@ -457,6 +469,169 @@ class TestRasterDecode:
         ri = np.minimum((np.arange(8) * (20 / 8.0)).astype(int), 19)
         ci = np.minimum((np.arange(9) * (30 / 9.0)).astype(int), 29)
         px = g[ri][:, ci]
+        bits = (px[:, :-1] > px[:, 1:]).astype(np.int64).ravel()
+        w0 = int((bits[:32] << np.arange(32)).sum())
+        w1 = int((bits[32:] << np.arange(32)).sum())
+        assert sigs[1] == [w0, w1]
+
+
+class TestPngDecode:
+    """The REAL-compressed-format path (r13): PNG decoded with stdlib
+    zlib + numpy un-filtering, no codec library.  The encoder here is
+    an independent implementation (explicit per-row filter choice +
+    CRC), so round-trip equality cross-checks both directions."""
+
+    @staticmethod
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        import struct
+        import zlib
+
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    @classmethod
+    def _png(cls, arr, color=2, filters=None) -> bytes:
+        """Encode HxWxC uint8 (C=1 gray, 3 RGB, 4 RGBA) with a chosen
+        filter type per row — exercising Sub/Up/Average/Paeth, not
+        just filter 0."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w, c = arr.shape
+        filters = filters or [0] * h
+        stride = w * c
+        flat = arr.reshape(h, stride).astype(np.int64)
+        lines = bytearray()
+        prev = np.zeros(stride, dtype=np.int64)
+        for r in range(h):
+            ft = filters[r]
+            cur = flat[r]
+            enc = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - c] if i >= c else 0
+                up = prev[i]
+                if ft == 0:
+                    enc[i] = cur[i]
+                elif ft == 1:
+                    enc[i] = cur[i] - a
+                elif ft == 2:
+                    enc[i] = cur[i] - up
+                elif ft == 3:
+                    enc[i] = cur[i] - (a + up) // 2
+                else:
+                    cc = prev[i - c] if i >= c else 0
+                    p = a + up - cc
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - cc)
+                    pred = a if pa <= pb and pa <= pc else (up if pb <= pc else cc)
+                    enc[i] = cur[i] - pred
+            lines.append(ft)
+            lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + cls._chunk(b"IHDR", ihdr)
+            + cls._chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + cls._chunk(b"IEND", b"")
+        )
+
+    def test_rgb_all_filters_roundtrip(self):
+        import numpy as np
+
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        rng = np.arange(5 * 7 * 3, dtype=np.int64)
+        arr = ((rng * 31 + (rng // 7) * 13) % 256).astype(np.uint8).reshape(5, 7, 3)
+        png = self._png(arr, color=2, filters=[0, 1, 2, 3, 4])
+        got = decode_image(png)
+        assert got.shape == (5, 7, 3)
+        assert (got == arr).all()
+
+    def test_gray_and_rgba(self):
+        import numpy as np
+
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        g = (np.arange(4 * 6, dtype=np.int64) * 41 % 256).astype(
+            np.uint8
+        ).reshape(4, 6, 1)
+        got = decode_image(self._png(g, color=0, filters=[4, 1, 3, 2]))
+        assert got.shape == (4, 6, 3)
+        assert (got[:, :, 0] == g[:, :, 0]).all()
+        assert (got[:, :, 1] == g[:, :, 0]).all()
+        rgba = (np.arange(3 * 4 * 4, dtype=np.int64) * 17 % 256).astype(
+            np.uint8
+        ).reshape(3, 4, 4)
+        got = decode_image(self._png(rgba, color=6, filters=[2, 4, 1]))
+        assert got.shape == (3, 4, 3)
+        assert (got == rgba[:, :, :3]).all()
+
+    def test_corrupt_and_unsupported_raise(self):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pytest
+
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        arr = np.zeros((2, 2, 3), dtype=np.uint8)
+        png = self._png(arr)
+        # flip one IDAT byte: CRC must catch it (silent pixel corruption
+        # is the failure mode a training pipeline can't detect later)
+        bad = bytearray(png)
+        idat_at = png.index(b"IDAT") + 4
+        bad[idat_at] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            decode_image(bytes(bad))
+        # interlaced: declared unsupported, loudly
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+        inter = (
+            b"\x89PNG\r\n\x1a\n"
+            + self._chunk(b"IHDR", ihdr)
+            + self._chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + self._chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="interlaced"):
+            decode_image(inter)
+
+    def test_raster_dhash_over_real_png(self, spark):
+        """The UNCHANGED image_dhash raster path consumes a genuine
+        compressed PNG end to end — the claim the PIL-gated test was
+        reserving for a codec library, now un-gated."""
+        import numpy as np
+
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            image_dhash,
+            luma_u8,
+            _nn_grid,
+        )
+
+        h, w = 20, 30
+        rng = np.arange(h * w * 3, dtype=np.int64)
+        arr = ((rng * 7 + (rng // 5) * 3) % 256).astype(np.uint8).reshape(h, w, 3)
+        png = self._png(arr, color=2, filters=[i % 5 for i in range(h)])
+        docs = spark.createDataFrame(
+            [(1, bytearray(png))], "doc_id long, media binary"
+        )
+        sigs = {
+            r["doc_id"]: list(r["sig"])
+            for r in image_dhash(docs, decode="raster").collect()
+        }
+        g = luma_u8(arr)
+        px = _nn_grid(g, 8, 9)
         bits = (px[:, :-1] > px[:, 1:]).astype(np.int64).ravel()
         w0 = int((bits[:32] << np.arange(32)).sum())
         w1 = int((bits[32:] << np.arange(32)).sum())
