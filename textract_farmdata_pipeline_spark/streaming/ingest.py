@@ -1485,7 +1485,23 @@ def keepbest_ingest_stream(
             )
             wt = ParquetMergeTable(spark, win_path)
             exists = os.path.isdir(os.path.join(win_path, "_manifests"))
-            pool = wt.read().unionByName(cand) if exists else cand
+            if exists:
+                # Only clusters THIS batch touches re-derive their
+                # winner: stored rows semi-join the batch's cluster
+                # ids before the union, so the per-batch groupBy and
+                # the keyed MERGE are batch-sized — an unrestricted
+                # read().union(cand) re-upserts EVERY cluster every
+                # batch and the copy-on-write merge degrades to a
+                # full-table rewrite per batch (∝ total clusters, the
+                # O(n²)-over-stream-lifetime disease the bloom
+                # covered-table probe documented).
+                touched = (
+                    wt.read()
+                    .join(cand.select("cluster_id").distinct(), "cluster_id")
+                )
+                pool = touched.unionByName(cand)
+            else:
+                pool = cand
             best = (
                 pool.groupBy("cluster_id")
                 .agg(
