@@ -6205,6 +6205,40 @@ class TestVideoNearDup:
         pairs = video_near_dup(self._media(spark, rows)).collect()
         assert pairs == []
 
+    def test_video_sigs_fused_equals_composed(self, spark):
+        """The fused one-pass video_sigs must equal the composed
+        frame_sample → image_dhash → collect spelling bit-for-bit —
+        the fusion is a plan change, never a value change (both run
+        _dhash_words; this pins the slicing/ordering glue)."""
+        from textract_farmdata_pipeline_spark.operators.multimodal import (
+            attach_media,
+            frame_sample,
+            image_dhash,
+            video_sigs,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog " * 8),
+            (2, "xy"),   # shorter than n_frames: empty tail frames
+            (3, ""),     # empty payload: all-zero vector
+        ]
+        media = attach_media(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+        fused = {
+            r["doc_id"]: list(r["sig"]) for r in video_sigs(media).collect()
+        }
+        fsig = image_dhash(
+            frame_sample(media, n_frames=4).select(
+                (F.col("doc_id") * 8 + F.col("frame_idx")).alias("doc_id"),
+                F.col("frame").alias("media"),
+            )
+        ).collect()
+        composed: dict[int, list[int]] = {}
+        for r in sorted(fsig, key=lambda r: r["doc_id"]):
+            composed.setdefault(r["doc_id"] // 8, []).extend(r["sig"])
+        assert fused == composed
+
     def test_match_stored_max_semantics(self, spark):
         """video_match_stored (the streaming decision core) applies the
         same frame-aligned MAX predicate: a stored video matching the

@@ -576,6 +576,28 @@ _DHASH_SCHEMA = "doc_id long, sig array<bigint>"
 # applies unchanged).
 _DHASH_ROWS, _DHASH_COLS = 8, 9
 _DHASH_PIXELS = _DHASH_ROWS * _DHASH_COLS  # 72
+_DHASH_SHIFTS = np.arange(32, dtype=np.int64)
+
+
+def _dhash_words(b: bytes) -> list[int]:
+    """The byte-mode dHash core shared by :func:`image_dhash` and the
+    fused :func:`video_sigs` pass: strided 8×9 resample, horizontal
+    gradient bits, two packed 32-bit words.  Empty bytes hash to
+    ``[0, 0]``.  Exactly the arithmetic the SQL oracles replay — one
+    implementation, two call sites, so the fused video pass cannot
+    drift from the per-frame composition."""
+    if not b:
+        return [0, 0]
+    arr = np.frombuffer(b, dtype=np.uint8)
+    # the resize_image strided take, fixed 72-byte target
+    step = len(b) / float(_DHASH_PIXELS)
+    idx = (np.arange(_DHASH_PIXELS, dtype=np.float64) * step).astype(np.int64)
+    px = arr[np.minimum(idx, len(b) - 1)].reshape(_DHASH_ROWS, _DHASH_COLS)
+    # bit (r*8 + c) = px[r][c] > px[r][c+1]
+    bits = (px[:, :-1] > px[:, 1:]).astype(np.int64).ravel()
+    w0 = int((bits[:32] << _DHASH_SHIFTS).sum())
+    w1 = int((bits[32:] << _DHASH_SHIFTS).sum())
+    return [w0, w1]
 
 
 def image_dhash(media: DataFrame, decode: str = "bytes") -> DataFrame:
@@ -625,21 +647,12 @@ def image_dhash(media: DataFrame, decode: str = "bytes") -> DataFrame:
                     px = _nn_grid(
                         luma_u8(decode_image(b)), _DHASH_ROWS, _DHASH_COLS
                     )
+                    bits = (px[:, :-1] > px[:, 1:]).astype(np.int64).ravel()
+                    w0 = int((bits[:32] << shifts).sum())
+                    w1 = int((bits[32:] << shifts).sum())
+                    rows.append((doc_id, [w0, w1]))
                 else:
-                    arr = np.frombuffer(b, dtype=np.uint8)
-                    # the resize_image strided take, fixed 72-byte target
-                    step = len(b) / float(_DHASH_PIXELS)
-                    idx = (
-                        np.arange(_DHASH_PIXELS, dtype=np.float64) * step
-                    ).astype(np.int64)
-                    px = arr[np.minimum(idx, len(b) - 1)].reshape(
-                        _DHASH_ROWS, _DHASH_COLS
-                    )
-                # bit (r*8 + c) = px[r][c] > px[r][c+1]
-                bits = (px[:, :-1] > px[:, 1:]).astype(np.int64).ravel()
-                w0 = int((bits[:32] << shifts).sum())
-                w1 = int((bits[32:] << shifts).sum())
-                rows.append((doc_id, [w0, w1]))
+                    rows.append((doc_id, _dhash_words(b)))
             yield pd.DataFrame(rows, columns=["doc_id", "sig"])
 
     return media.select("doc_id", "media").mapInPandas(run, schema=_DHASH_SCHEMA)
@@ -1270,29 +1283,37 @@ def video_sigs(media: DataFrame, n_frames: int = 4) -> DataFrame:
     — only the MATCH predicate differs (frame-aligned MAX, not sum;
     :func:`video_match_stored`).
 
-    Scale shape: one decode pass (the frame fan-out and hash run in
-    the same Arrow pipeline), then a single map-side-combinable
-    groupBy on the video id collecting ``n_frames`` 16-byte structs —
-    32 B/video of state downstream."""
+    Scale shape: ONE fused Arrow pass — the frame slicing and the
+    per-frame hash run inside a single ``mapInPandas`` over the
+    payload (the byte core is :func:`_dhash_words`, the same function
+    :func:`image_dhash` runs, so the fused form cannot drift from the
+    per-frame composition — pinned by test).  The composed
+    ``frame_sample → image_dhash → groupBy`` spelling costs a second
+    Python→JVM→Python Arrow round trip carrying every frame's BYTES
+    as rows plus a per-video collect_list shuffle; fusing removes
+    both (measured in docs/SCALE.md's r13 notes)."""
+    from ..shipping import ensure_package_shipped
+
     assert 1 <= n_frames <= 8
-    fsig = image_dhash(
-        frame_sample(media, n_frames=n_frames).select(
-            (F.col("doc_id") * 8 + F.col("frame_idx")).alias("doc_id"),
-            F.col("frame").alias("media"),
-        )
-    ).select(
-        F.floor(F.col("doc_id") / 8).cast("long").alias("vid"),
-        (F.col("doc_id") % 8).cast("int").alias("fi"),
-        "sig",
+    ensure_package_shipped(media.sparkSession)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(
+                pdf["doc_id"].tolist(), pdf["media"].tolist()
+            ):
+                b = bytes(payload or b"")
+                step = max(1, len(b) // n_frames)
+                sig: list[int] = []
+                for i in range(n_frames):
+                    sig.extend(_dhash_words(b[i * step : (i + 1) * step]))
+                rows.append((doc_id, sig))
+            yield pd.DataFrame(rows, columns=["doc_id", "sig"])
+
+    return media.select("doc_id", "media").mapInPandas(
+        run, schema=_DHASH_SCHEMA
     )
-    return fsig.groupBy("vid").agg(
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("fi", "sig"))),
-                lambda s: s["sig"],
-            )
-        ).alias("sig")
-    ).select(F.col("vid").alias("doc_id"), "sig")
 
 
 def video_match_stored(
