@@ -420,7 +420,14 @@ class TestRasterDecode:
             decode_image,
         )
 
+        # JPEG/WebP need a real codec and stay behind the seam; PNG now
+        # decodes with the stdlib, so a malformed PNG raises ValueError
+        # from the decoder, not NotImplementedError from the seam.
         with _pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0....", "jpeg")
+        with _pytest.raises(NotImplementedError):
+            decode_image(b"RIFF....WEBPVP8 ", "webp")
+        with _pytest.raises(ValueError):
             decode_image(b"\x89PNG\r\n\x1a\n....", "png")
 
     def test_resize_and_dhash_on_real_raster(self, spark):
