@@ -45,29 +45,20 @@ def _nullsafe_ne(a: str, b: str, cols: list[str]) -> F.Column:
     return out
 
 
-def merge_changes(
+def _annotate_merge(
     target: DataFrame,
     source: DataFrame,
     key: str,
     delete_condition: F.Column | None = None,
     only_if_changed: bool = True,
-) -> tuple[DataFrame, DataFrame]:
-    """Classify a MERGE and return ``(snapshot, changelog)``.
-
-    Semantics (Delta's ``MERGE INTO`` defaults):
-
-    * key in both & ``delete_condition`` (evaluated on the source row)
-      → row deleted;
-    * key in both otherwise → source row wins (an update); with
-      ``only_if_changed`` the update is suppressed when every non-key
-      column is null-safe-equal, keeping the changelog minimal;
-    * key only in source → insert;
-    * key only in target → unchanged.
-
-    Both outputs derive from ONE full-outer join; columns are the
-    target's schema.  The changelog carries ``_change_type`` with
-    Delta-CDF naming so downstream incremental consumers are portable.
-    """
+) -> DataFrame:
+    """The ONE full-outer join behind a MERGE: every row classified as
+    ``__action`` (insert/update/delete/unchanged) with both sides'
+    columns carried as ``__t_*`` / ``__s_*``.  Factored out of
+    :func:`merge_changes` so :meth:`ParquetMergeTable.merge` can persist
+    this frame ONCE and derive snapshot + changelog from the cache
+    instead of re-executing the join for every output (the changelog's
+    four branches alone re-ran it 4×)."""
     cols = target.columns
     assert cols == source.columns, "target/source schemas must align"
     data_cols = [c for c in cols if c != key]
@@ -92,12 +83,11 @@ def merge_changes(
 
     t_row = [F.col(f"t.{c}").alias(f"__t_{c}") for c in cols]
     s_row = [F.col(f"s.{c}").alias(f"__s_{c}") for c in cols]
-    annotated = joined.select(action.alias("__action"), *t_row, *s_row)
+    return joined.select(action.alias("__action"), *t_row, *s_row)
 
-    def pick(side: str) -> list[F.Column]:
-        return [F.col(f"__{side}_{c}").alias(c) for c in cols]
 
-    snapshot = annotated.filter(F.col("__action") != "delete").select(
+def _snapshot_from(annotated: DataFrame, cols: list[str]) -> DataFrame:
+    return annotated.filter(F.col("__action") != "delete").select(
         *[
             F.when(F.col("__action").isin("insert", "update"), F.col(f"__s_{c}"))
             .otherwise(F.col(f"__t_{c}"))
@@ -105,6 +95,11 @@ def merge_changes(
             for c in cols
         ]
     )
+
+
+def _changelog_from(annotated: DataFrame, cols: list[str]) -> DataFrame:
+    def pick(side: str) -> list[F.Column]:
+        return [F.col(f"__{side}_{c}").alias(c) for c in cols]
 
     inserts = annotated.filter(F.col("__action") == "insert").select(
         *pick("s"), F.lit("insert").alias(CHANGE_COL)
@@ -118,8 +113,38 @@ def merge_changes(
     post = annotated.filter(F.col("__action") == "update").select(
         *pick("s"), F.lit("update_postimage").alias(CHANGE_COL)
     )
-    changelog = inserts.unionByName(deletes).unionByName(pre).unionByName(post)
-    return snapshot, changelog
+    return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
+
+def merge_changes(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    delete_condition: F.Column | None = None,
+    only_if_changed: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Classify a MERGE and return ``(snapshot, changelog)``.
+
+    Semantics (Delta's ``MERGE INTO`` defaults):
+
+    * key in both & ``delete_condition`` (evaluated on the source row)
+      → row deleted;
+    * key in both otherwise → source row wins (an update); with
+      ``only_if_changed`` the update is suppressed when every non-key
+      column is null-safe-equal, keeping the changelog minimal;
+    * key only in source → insert;
+    * key only in target → unchanged.
+
+    Both outputs derive from ONE full-outer join; columns are the
+    target's schema.  The changelog carries ``_change_type`` with
+    Delta-CDF naming so downstream incremental consumers are portable.
+    """
+    cols = target.columns
+    annotated = _annotate_merge(
+        target, source, key, delete_condition=delete_condition,
+        only_if_changed=only_if_changed,
+    )
+    return _snapshot_from(annotated, cols), _changelog_from(annotated, cols)
 
 
 class ParquetMergeTable:
@@ -206,38 +231,103 @@ class ParquetMergeTable:
         delete_condition: F.Column | None = None,
     ) -> int:
         """MERGE ``source`` in; rewrite only files containing matched
-        keys.  Returns the new version number."""
+        keys.  Returns the new version number.
+
+        The source plan is evaluated as few times as possible — it is
+        often expensive (a per-micro-batch match against accumulated
+        state) and a naive implementation re-runs it for the key probe,
+        the snapshot write and each of the changelog's four branches:
+
+        * the source is persisted for the duration of the merge unless
+          the caller already cached it;
+        * when NO stored key matches (the common pure-insert case of
+          every streaming-ingest batch), the full-outer join is skipped
+          outright — every source row is an insert, so the snapshot
+          files are written straight from the source and the changelog
+          is those freshly-written files read back with an ``insert``
+          label (byte-identical rows, zero recompute);
+        * otherwise the annotated join is persisted once and snapshot +
+          changelog both derive from the cache.
+        """
         version = self.latest_version()
         assert version > 0, "create() first"
         old_files = self._read_manifest(version)["files"]
 
-        target = self.spark.read.parquet(*old_files).withColumn(
-            "_file", F.col("_metadata.file_path")
-        )
-        keys = source.select(key).distinct()
-        # File pruning: a file is "touched" iff it holds a matched key.
-        # _metadata.file_path is a URI (file:///...); compare on the
-        # normalized local path.
-        touched_uris = [
-            r["_file"]
-            for r in target.join(keys, key, "left_semi").select("_file").distinct().collect()
-        ]
-        from urllib.parse import urlparse
+        from pyspark import StorageLevel
 
-        # Hadoop renders the scheme as file:/p, file://p or file:///p
-        # depending on path depth; urlparse().path normalizes them all.
-        touched_paths = {urlparse(u).path for u in touched_uris}
-        kept_files = [f for f in old_files if os.path.abspath(f) not in touched_paths]
+        own_cache = source.storageLevel == StorageLevel.NONE
+        if own_cache:
+            source = source.persist()
+        try:
+            target = self.spark.read.parquet(*old_files).withColumn(
+                "_file", F.col("_metadata.file_path")
+            )
+            assert target.columns[:-1] == source.columns, (
+                "target/source schemas must align"
+            )
+            keys = source.select(key).distinct()
+            # File pruning: a file is "touched" iff it holds a matched key.
+            # _metadata.file_path is a URI (file:///...); compare on the
+            # normalized local path.
+            touched_uris = [
+                r["_file"]
+                for r in target.join(keys, key, "left_semi")
+                .select("_file")
+                .distinct()
+                .collect()
+            ]
+            from urllib.parse import urlparse
 
-        touched_target = target.filter(F.col("_file").isin(touched_uris)).drop("_file")
-        snapshot_part, changelog = merge_changes(
-            touched_target, source, key, delete_condition=delete_condition
-        )
+            # Hadoop renders the scheme as file:/p, file://p or file:///p
+            # depending on path depth; urlparse().path normalizes them all.
+            touched_paths = {urlparse(u).path for u in touched_uris}
+            kept_files = [
+                f for f in old_files if os.path.abspath(f) not in touched_paths
+            ]
+            cols = source.columns
+            changes_dir = os.path.join(self.path, "_changes", f"v{version + 1}")
 
-        new_files = self._new_data_files(snapshot_part)
-        changes_dir = os.path.join(self.path, "_changes", f"v{version + 1}")
-        changelog.write.mode("overwrite").parquet(changes_dir)
-        self._write_manifest(version + 1, kept_files + new_files)
+            if not touched_uris:
+                # Pure insert: no stored key matches any source key, so
+                # merge_changes would classify every source row 'insert'
+                # and the snapshot partition IS the source (cast to the
+                # table's column types, as the join's type coercion
+                # would have done).
+                tgt_types = {
+                    f.name: f.dataType
+                    for f in target.drop("_file").schema.fields
+                }
+                aligned = source.select(
+                    *[F.col(c).cast(tgt_types[c]).alias(c) for c in cols]
+                )
+                new_files = self._new_data_files(aligned)
+                if new_files:
+                    changelog = self.spark.read.parquet(*new_files).withColumn(
+                        CHANGE_COL, F.lit("insert")
+                    )
+                else:  # empty source still commits an (empty) changelog
+                    changelog = aligned.withColumn(CHANGE_COL, F.lit("insert"))
+                changelog.write.mode("overwrite").parquet(changes_dir)
+            else:
+                touched_target = target.filter(
+                    F.col("_file").isin(touched_uris)
+                ).drop("_file")
+                annotated = _annotate_merge(
+                    touched_target, source, key, delete_condition=delete_condition
+                ).persist()
+                try:
+                    new_files = self._new_data_files(
+                        _snapshot_from(annotated, cols)
+                    )
+                    _changelog_from(annotated, cols).write.mode(
+                        "overwrite"
+                    ).parquet(changes_dir)
+                finally:
+                    annotated.unpersist()
+            self._write_manifest(version + 1, kept_files + new_files)
+        finally:
+            if own_cache:
+                source.unpersist()
         return version + 1
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
