@@ -1324,6 +1324,53 @@ class TestIncrementalDedup:
         }
         assert got == {10: 1, 11: None, 12: 2, 13: 2}
 
+    def test_exact_set_fast_path_at_threshold_one(self, spark):
+        """threshold=1.0 takes the sorted-shingle-set fast path; its
+        decisions must be exactly 'equal non-empty shingle sets link':
+        exact copies and permuted-equal sets match, strict subsets and
+        blank/NULL texts never do, first arrival (min id) wins."""
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+
+        base = " ".join(["alpha beta gamma delta epsilon zeta"] * 4)
+        # same 3-shingle SET as base, different text (cyclic rotation:
+        # every trigram of either repetition is one of the 6 cyclic
+        # trigrams, and both contain all 6)
+        cyc = " ".join(["beta gamma delta epsilon zeta alpha"] * 4)
+        corpus = self._docs(spark, [(1, base), (2, "plain corpus text " * 8)])
+        new = self._docs(
+            spark,
+            [
+                (10, base),                 # exact copy of corpus 1
+                (11, cyc),                  # set-equal to corpus 1 (rotation)
+                (12, base + "extra tail"),  # strict superset: must NOT link
+                (13, "fresh " + base),      # strict superset: must NOT link
+                (14, "totally novel content " * 8),
+                (15, "totally novel content " * 8),  # within-batch dup of 14
+                (16, ""),                   # blank
+                (17, ""),                   # blank twin: {''} sets are equal
+                (18, None),                 # NULL text: no shingle links,
+                (19, None),                 # but NULLs are one text group
+            ],
+        )
+        got = {
+            r["doc_id"]: r["dup_of"]
+            for r in incremental_minhash_dedup(corpus, new, threshold=1.0).collect()
+        }
+        assert got == {
+            10: 1,
+            11: 1,
+            12: None,
+            13: None,
+            14: None,
+            15: 14,
+            16: None,
+            17: 16,  # identical blank text: same text group
+            18: None,
+            19: 18,  # NULL texts collapse into one text group (both paths)
+        }
+
     def test_recall_matches_full_lsh_on_fixture(self, spark, docs):
         """Splitting the fixture into corpus/new must reproduce exactly
         the cross-split pairs the full self-join LSH finds."""

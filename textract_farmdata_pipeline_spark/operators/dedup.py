@@ -753,6 +753,53 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def _exact_set_links(
+    new_reps: DataFrame,
+    corp_reps: DataFrame,
+    hashed_sh: Column,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-set fast path shared by the incremental dedup/split cores
+    at ``threshold >= 1.0`` (guide §2.4 — remove shuffles the semantics
+    don't need).
+
+    Jaccard ≥ 1.0 holds iff the two (non-empty) shingle SETS are equal:
+    banding capture is exact there (equal sets ⇒ identical MinHash
+    signatures ⇒ every band matches), verification admits exactly
+    set-equality, and both-empty pairs never link (0/0 Jaccard is NULL,
+    matching the general path's NULL-fails-the-filter behavior).  So
+    the per-batch signature bank, the band joins, the per-pair
+    ``array_intersect`` verify and the batch connected components all
+    collapse to grouping on the SORTED shingle set — set equality is
+    transitive, so an equality class IS its connected component and the
+    class minimum is the minimum over every match, which is all the
+    downstream min-folds consume.
+
+    Returns ``(corp_verified, batch_verified)`` in the same shapes the
+    general banding path produces: ``(rep_id, corp_min)`` — the minimum
+    corpus rep with an equal set, one row per linked new rep — and
+    ``(rep_id, cand)`` — the minimum batch rep of the rep's equality
+    class, one row per non-empty new rep (the class-min collapse of the
+    general path's all-pairs rows; every downstream consumer takes
+    ``min(cand)`` under a ``cand < doc_id`` guard, for which the class
+    min is equivalent to the full pair list).
+    """
+    nk = new_reps.select("doc_id", F.sort_array(hashed_sh).alias("k"))
+    ck = corp_reps.select("doc_id", F.sort_array(hashed_sh).alias("k"))
+    nonempty = F.size(F.col("k")) > 0
+    corp_verified = (
+        nk.join(
+            ck.filter(nonempty).groupBy("k").agg(F.min("doc_id").alias("corp_min")),
+            "k",
+        )
+        .select(F.col("doc_id").alias("rep_id"), "corp_min")
+    )
+    batch_verified = nk.filter(nonempty).select(
+        F.col("doc_id").alias("rep_id"),
+        F.min("doc_id").over(Window.partitionBy("k")).alias("cand"),
+    )
+    return corp_verified, batch_verified
+
+
 def incremental_minhash_dedup(
     corpus: DataFrame,
     new_docs: DataFrame,
@@ -795,73 +842,79 @@ def incremental_minhash_dedup(
     )
     corp_reps = corpg.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
 
-    new_sigs = band_buckets(
-        minhash_signatures(new_reps, n_hashes, shingle_n, hash_family=hash_family),
-        n_hashes,
-        bands,
-        portable=portable,
-    )
-    corp_sigs = band_buckets(
-        minhash_signatures(corp_reps, n_hashes, shingle_n, hash_family=hash_family),
-        n_hashes,
-        bands,
-        portable=portable,
-    )
-
-    vs_corpus = (
-        new_sigs.alias("x")
-        .join(
-            corp_sigs.alias("y"),
-            (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket")),
-        )
-        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
-    )
-    # rep-level batch matches, BOTH directions: a member of the earlier
-    # group can still point at a later group's rep if that rep id is
-    # below the member's own id
-    vs_batch = (
-        new_sigs.alias("x")
-        .join(
-            new_sigs.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") != F.col("y.doc_id")),
-        )
-        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
-    )
-
     if portable:
         hashed_sh = shingles(F.col("text"), shingle_n)
     else:
         hashed_sh = F.array_distinct(
             F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
         )
-    new_sh = new_reps.select("doc_id", hashed_sh.alias("sa")).withColumn("sza", F.size("sa"))
-    # candidate side may come from either rep table; union their shingle sets
-    cand_sh = (
-        corp_reps.select("doc_id", hashed_sh.alias("sb"))
-        .unionByName(new_reps.select("doc_id", hashed_sh.alias("sb")))
-        .withColumn("szb", F.size("sb"))
-        .withColumnRenamed("doc_id", "cand")
-    )
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    jaccard = inter.cast("double") / (F.col("sza") + F.col("szb") - inter).cast("double")
-    corp_verified = (
-        vs_corpus.distinct()
-        .join(new_sh, "doc_id")
-        .join(cand_sh, "cand")
-        .filter(jaccard >= threshold)
-        .groupBy("doc_id")
-        .agg(F.min("cand").alias("corp_min"))
-        .withColumnRenamed("doc_id", "rep_id")
-    )
-    batch_verified = (
-        vs_batch.distinct()
-        .join(new_sh, "doc_id")
-        .join(cand_sh, "cand")
-        .filter(jaccard >= threshold)
-        .select(F.col("doc_id").alias("rep_id"), "cand")
-    )
+
+    if threshold >= 1.0:
+        corp_verified, batch_verified = _exact_set_links(
+            new_reps, corp_reps, hashed_sh
+        )
+    else:
+        new_sigs = band_buckets(
+            minhash_signatures(new_reps, n_hashes, shingle_n, hash_family=hash_family),
+            n_hashes,
+            bands,
+            portable=portable,
+        )
+        corp_sigs = band_buckets(
+            minhash_signatures(corp_reps, n_hashes, shingle_n, hash_family=hash_family),
+            n_hashes,
+            bands,
+            portable=portable,
+        )
+
+        vs_corpus = (
+            new_sigs.alias("x")
+            .join(
+                corp_sigs.alias("y"),
+                (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket")),
+            )
+            .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
+        )
+        # rep-level batch matches, BOTH directions: a member of the earlier
+        # group can still point at a later group's rep if that rep id is
+        # below the member's own id
+        vs_batch = (
+            new_sigs.alias("x")
+            .join(
+                new_sigs.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.doc_id") != F.col("y.doc_id")),
+            )
+            .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
+        )
+
+        new_sh = new_reps.select("doc_id", hashed_sh.alias("sa")).withColumn("sza", F.size("sa"))
+        # candidate side may come from either rep table; union their shingle sets
+        cand_sh = (
+            corp_reps.select("doc_id", hashed_sh.alias("sb"))
+            .unionByName(new_reps.select("doc_id", hashed_sh.alias("sb")))
+            .withColumn("szb", F.size("sb"))
+            .withColumnRenamed("doc_id", "cand")
+        )
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        jaccard = inter.cast("double") / (F.col("sza") + F.col("szb") - inter).cast("double")
+        corp_verified = (
+            vs_corpus.distinct()
+            .join(new_sh, "doc_id")
+            .join(cand_sh, "cand")
+            .filter(jaccard >= threshold)
+            .groupBy("doc_id")
+            .agg(F.min("cand").alias("corp_min"))
+            .withColumnRenamed("doc_id", "rep_id")
+        )
+        batch_verified = (
+            vs_batch.distinct()
+            .join(new_sh, "doc_id")
+            .join(cand_sh, "cand")
+            .filter(jaccard >= threshold)
+            .select(F.col("doc_id").alias("rep_id"), "cand")
+        )
     members = newg.select("doc_id", "rep_id")
     # candidate earlier-new reps per member: matching other groups' reps
     # plus the member's own rep; only ids strictly below the member count
@@ -1682,88 +1735,112 @@ def incremental_split_batch(
         "doc_id", "text"
     )
 
-    new_banded = band_buckets(
-        minhash_signatures(new_reps, n_hashes, shingle_n, hash_family=hash_family),
-        n_hashes,
-        bands,
-        portable=portable,
-    )
-    corp_banded = band_buckets(
-        minhash_signatures(corp_reps, n_hashes, shingle_n, hash_family=hash_family),
-        n_hashes,
-        bands,
-        portable=portable,
-    )
-
     if portable:
         hashed_sh = shingles(F.col("text"), shingle_n)
     else:
         hashed_sh = F.array_distinct(
             F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
         )
-    nsh = new_reps.select("doc_id", hashed_sh.alias("sa")).withColumn(
-        "sza", F.size("sa")
-    )
-    csh = (
-        corp_reps.select("doc_id", hashed_sh.alias("sb"))
-        .withColumn("szb", F.size("sb"))
-        .withColumnRenamed("doc_id", "cand")
-    )
-    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
-    jaccard = inter.cast("double") / (
-        F.col("sza") + F.col("szb") - inter
-    ).cast("double")
 
-    vs_corpus = (
-        new_banded.alias("x")
-        .join(
-            corp_banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket")),
+    if threshold >= 1.0:
+        # Exact-set fast path (see _exact_set_links): the equality
+        # class IS the connected component (equality is transitive and
+        # connected_components converges to the component's min node),
+        # so the per-batch signature bank, band joins, verify joins and
+        # the iterative components loop all collapse to one grouping on
+        # the sorted shingle set.  batch_verified's cand is the class
+        # min, i.e. exactly the bcluster label the component fold would
+        # produce; empty-set reps never link and stay singletons.
+        corp_links, batch_verified = _exact_set_links(
+            new_reps, corp_reps, hashed_sh
         )
-        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
-        .distinct()
-    )
-    corp_links = (
-        vs_corpus.join(nsh, "doc_id")
-        .join(csh, "cand")
-        .filter(jaccard >= threshold)
-        .groupBy("doc_id")
-        .agg(F.min("cand").alias("corp_min"))
-        .withColumnRenamed("doc_id", "rep_id")
-    )
+        bclust = (
+            new_reps.select(F.col("doc_id").alias("rep_id"))
+            .join(
+                batch_verified.withColumnRenamed("cand", "bc"), "rep_id", "left"
+            )
+            .select(
+                "rep_id",
+                F.coalesce(F.col("bc"), F.col("rep_id")).alias("bcluster"),
+            )
+        )
+    else:
+        new_banded = band_buckets(
+            minhash_signatures(new_reps, n_hashes, shingle_n, hash_family=hash_family),
+            n_hashes,
+            bands,
+            portable=portable,
+        )
+        corp_banded = band_buckets(
+            minhash_signatures(corp_reps, n_hashes, shingle_n, hash_family=hash_family),
+            n_hashes,
+            bands,
+            portable=portable,
+        )
 
-    nsh_b = nsh.select(
-        F.col("doc_id").alias("cand"),
-        F.col("sa").alias("sb"),
-        F.col("sza").alias("szb"),
-    )
-    vs_batch = (
-        new_banded.alias("x")
-        .join(
-            new_banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        nsh = new_reps.select("doc_id", hashed_sh.alias("sa")).withColumn(
+            "sza", F.size("sa")
         )
-        .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
-        .distinct()
-    )
-    bedges = (
-        vs_batch.join(nsh, "doc_id")
-        .join(nsh_b, "cand")
-        .filter(jaccard >= threshold)
-        .select(F.col("doc_id").alias("doc_a"), F.col("cand").alias("doc_b"))
-    )
-    bcl = connected_components(bedges).withColumnRenamed("node", "rep_id")
-    bclust = (
-        new_reps.select(F.col("doc_id").alias("rep_id"))
-        .join(bcl, "rep_id", "left")
-        .select(
-            "rep_id",
-            F.coalesce(F.col("cluster_id"), F.col("rep_id")).alias("bcluster"),
+        csh = (
+            corp_reps.select("doc_id", hashed_sh.alias("sb"))
+            .withColumn("szb", F.size("sb"))
+            .withColumnRenamed("doc_id", "cand")
         )
-    )
+        inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+        jaccard = inter.cast("double") / (
+            F.col("sza") + F.col("szb") - inter
+        ).cast("double")
+
+        vs_corpus = (
+            new_banded.alias("x")
+            .join(
+                corp_banded.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket")),
+            )
+            .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
+            .distinct()
+        )
+        corp_links = (
+            vs_corpus.join(nsh, "doc_id")
+            .join(csh, "cand")
+            .filter(jaccard >= threshold)
+            .groupBy("doc_id")
+            .agg(F.min("cand").alias("corp_min"))
+            .withColumnRenamed("doc_id", "rep_id")
+        )
+
+        nsh_b = nsh.select(
+            F.col("doc_id").alias("cand"),
+            F.col("sa").alias("sb"),
+            F.col("sza").alias("szb"),
+        )
+        vs_batch = (
+            new_banded.alias("x")
+            .join(
+                new_banded.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(F.col("x.doc_id").alias("doc_id"), F.col("y.doc_id").alias("cand"))
+            .distinct()
+        )
+        bedges = (
+            vs_batch.join(nsh, "doc_id")
+            .join(nsh_b, "cand")
+            .filter(jaccard >= threshold)
+            .select(F.col("doc_id").alias("doc_a"), F.col("cand").alias("doc_b"))
+        )
+        bcl = connected_components(bedges).withColumnRenamed("node", "rep_id")
+        bclust = (
+            new_reps.select(F.col("doc_id").alias("rep_id"))
+            .join(bcl, "rep_id", "left")
+            .select(
+                "rep_id",
+                F.coalesce(F.col("cluster_id"), F.col("rep_id")).alias("bcluster"),
+            )
+        )
 
     anchor = (
         bclust.join(corp_links, "rep_id", "left")
