@@ -71,7 +71,10 @@ def dedup_ingest_stream(
             )
             if exists:
                 table.merge(novel, key="doc_id")
-            elif not novel.isEmpty():
+            else:
+                # create unconditionally on the first batch (an empty
+                # frame writes a schema-only parquet file) - the
+                # decontam-stream precedent; skips a per-replay isEmpty job
                 table.create(novel)
             if sink is not None:
                 sink(ann, batch_id)
@@ -260,7 +263,7 @@ def split_ingest_stream(
             )
             if exists:
                 table.merge(rows, key="doc_id")
-            elif not rows.isEmpty():
+            else:
                 table.create(rows)
             if sink is not None:
                 sink(ann, batch_id)
@@ -378,7 +381,7 @@ def dsir_ingest_stream(
         table = ParquetMergeTable(spark, scores_path)
         if os.path.isdir(os.path.join(scores_path, "_manifests")):
             table.merge(scored, key="doc_id")
-        elif not scored.isEmpty():
+        else:
             table.create(scored)
         if sink is not None:
             sink(scored, batch_id)
@@ -543,7 +546,7 @@ def _sig_process_batch(
             rows = bsig.join(ann.select("doc_id", "dup_of", "is_new"), "doc_id")
             if exists:
                 table.merge(rows, key="doc_id")
-            elif not rows.isEmpty():
+            else:
                 table.create(rows)
             if sink is not None:
                 sink(ann, batch_id)
@@ -669,7 +672,7 @@ def bloom_process_batch(
                 .agg(F.bit_or("bits").alias("bits"))
             )
             words_t.merge(merged, key="word_id")
-        elif not batch_bits.isEmpty():
+        else:
             words_t.create(batch_bits)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -723,7 +726,7 @@ def bloom_process_batch(
                 adm_rows = decisions.select("doc_id", "bloom_member", "is_new")
                 if _exists(adm_path):
                     adm_t.merge(adm_rows, key="doc_id")
-                elif not adm_rows.isEmpty():
+                else:
                     adm_t.create(adm_rows)
                 marker = spark.createDataFrame(
                     [(int(batch_id),)], "batch_id long"
@@ -1519,7 +1522,7 @@ def keepbest_ingest_stream(
             )
             if exists:
                 wt.merge(best, key="cluster_id")
-            elif not best.isEmpty():
+            else:
                 wt.create(best)
 
         inner = _sig_process_batch(
