@@ -538,6 +538,13 @@ def build_corpus(
             text_col=text_col,
         ).withColumnRenamed("doc_id", key_col)
         base = base.join(drop, key_col, "left_anti")
+        # the post-containment corpus is referenced by BOTH the
+        # decontamination branch and the mixture chain (which itself
+        # references its input twice — rates + keep), so a lazy `base`
+        # re-expands the join-heavy excerpt subtree 3× (measured: the
+        # full build's plan at 79 exchanges / 60 sort-merge joins with
+        # zero reuse).  Same staging rule as every other macro-stage.
+        base, _ = tracked_local_checkpoint(base)
     if persist_intermediate:
         base = base.persist()
     clean_docs = docs  # corpus whose text downstream consumers see

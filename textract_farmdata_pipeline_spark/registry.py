@@ -20,6 +20,7 @@ rows-only check and pytest goldens pin their semantics instead.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,8 +44,44 @@ def register(name: str, oracle: str | None = None):
     return wrap
 
 
+# Fan out a too-thin scan only when the table is big enough for the
+# exchange to pay for itself; below this, dimension tables (region,
+# nation, supplier) stay single-task.
+_FAN_OUT_MIN_BYTES = 256 * 1024
+
+
+def _fan_out_thin_scan(df: DataFrame, path: str) -> DataFrame:
+    """Repartition a scan that has fewer splits than cores (guide §2 —
+    stragglers/idle capacity; §6 — input split size).
+
+    The fixture parquet files are single-row-group, so Spark's split
+    logic (min 4 MB per split via openCostInBytes, one row group per
+    split floor) scans e.g. the whole documents table as ONE task and
+    every narrow chain above it — shingling, explodes, Arrow islands —
+    serializes on 1 of 32 cores.  A keyless round-robin repartition to
+    ``defaultParallelism`` costs one tiny exchange (the files below
+    the size gate never take it) and unlocks the full core count for
+    every downstream narrow stage.  Scale-adaptive by construction: at
+    production scale a scan carries ≥ cores splits, the condition is
+    false, and the plan is unchanged — this is NOT a local[32] tuning
+    constant (the driver's lower-core bench runs shift the threshold
+    with ``defaultParallelism`` automatically).
+    """
+    spark = df.sparkSession
+    try:
+        if os.path.getsize(path) < _FAN_OUT_MIN_BYTES:
+            return df
+    except OSError:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    return _fan_out_thin_scan(spark.read.parquet(path), path)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,7 +96,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and expose a derived µs TimestampType ``ts`` for window/date ops.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
         ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
     else:  # µs-native data arrives as TIMESTAMP or (parquet isAdjustedToUTC
