@@ -495,13 +495,32 @@ def main() -> None:
         # as fit a hard byte budget — biggest-first, because those are
         # the rows a trend audit reads; the file has every row either
         # way.
-        full_path = os.path.join(ROOT, "docs", "preflight", "bench_full.json")
+        # Per-cpu-count record path (r13 verdict directive #2): the
+        # driver benches the same tree at two core counts, and a fixed
+        # path made the second (8-core) run clobber the 32-core
+        # evidence.  The full record now lands at a path suffixed with
+        # the core count, so scaling runs never overwrite each other;
+        # bench_full.json stays as a "latest run" convenience copy.
+        n_cores = os.environ.get("SPARK_GRAFT_CPUS") or str(
+            spark.sparkContext.defaultParallelism
+        )
+        full_rel = f"docs/preflight/bench_full_c{n_cores}.json"
+        full_path = os.path.join(ROOT, *full_rel.split("/"))
         os.makedirs(os.path.dirname(full_path), exist_ok=True)
         with open(full_path, "w") as fh:
             json.dump(record, fh, indent=1, sort_keys=True)
             fh.write("\n")
+        with open(
+            os.path.join(ROOT, "docs", "preflight", "bench_full.json"), "w"
+        ) as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+            fh.write("\n")
         line = dict(record)
-        line["queries_full"] = "docs/preflight/bench_full.json"
+        # The printed queries dict is TRUNCATED to the most expensive
+        # rows that fit the driver's tail window; every query is in the
+        # queries_full file — absence from the printed line is byte
+        # budget, not removal.
+        line["queries_full"] = full_rel
         # per-query segment map, run lists, and the requery list live in
         # the full file; the printed line keeps the compact evidence
         # (calib readings + requery count + spread-flag count)

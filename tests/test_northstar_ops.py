@@ -1187,6 +1187,55 @@ class TestParquetMergeTable:
         assert m1 <= m2                 # every old file carried forward
         assert tbl.read().count() == 1001
 
+    def test_upsert_or_matches_generic_merge(self, spark, tmp_path):
+        """The bit_or-specialized upsert must be observably identical
+        to the generic path it replaces in the Bloom words commit:
+        merge(read() ∪ delta groupBy bit_or, key) — same snapshot rows,
+        same changelog classification — and idempotent (re-applying a
+        delta yields an empty changelog)."""
+        from textract_farmdata_pipeline_spark.operators.merge import (
+            ParquetMergeTable,
+        )
+
+        base = spark.createDataFrame(
+            [(0, 0b0011), (1, 0b0100), (2, 0b1000)], "word_id long, bits long"
+        )
+        delta = spark.createDataFrame(
+            # 0: adds a bit (update); 1: already set (unchanged);
+            # 7: new word (insert)
+            [(0, 0b0101), (1, 0b0100), (7, 0b0010)], "word_id long, bits long"
+        )
+        generic = ParquetMergeTable(spark, str(tmp_path / "generic"))
+        generic.create(base)
+        merged = (
+            generic.read()
+            .unionByName(delta)
+            .groupBy("word_id")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+        generic.merge(merged, key="word_id")
+
+        fast = ParquetMergeTable(spark, str(tmp_path / "fast"))
+        fast.create(base)
+        assert fast.upsert_or(delta, key="word_id") == 2
+
+        snap = lambda t: sorted(map(tuple, t.read().select("word_id", "bits").collect()))
+        chg = lambda t: sorted(
+            (r["word_id"], r["bits"], r["_change_type"])
+            for r in t.read_changes(from_version=2, to_version=2).collect()
+        )
+        assert snap(fast) == snap(generic)
+        assert chg(fast) == chg(generic)
+        assert chg(fast) == [
+            (0, 0b0011, "update_preimage"),
+            (0, 0b0111, "update_postimage"),
+            (7, 0b0010, "insert"),
+        ]
+        # idempotence: the same delta OR'd again changes nothing
+        fast.upsert_or(delta, key="word_id")
+        assert snap(fast) == snap(generic)
+        assert fast.read_changes(from_version=3, to_version=3).count() == 0
+
 
 class TestMergeTableMaintenance:
     def _make(self, spark, tmp_path):
@@ -1370,6 +1419,52 @@ class TestIncrementalDedup:
             18: None,
             19: 18,  # NULL texts collapse into one text group (both paths)
         }
+
+    def test_exact_set_fast_path_with_stored_corpus_keys(self, spark):
+        """The stored-key form of the exact-set path (corpus_keys =
+        pre-computed sorted_shingle_key per corpus row, what the
+        streaming state tables persist) must decide identically to the
+        tokenize-from-text form on the full fast-path fixture — and the
+        keys-only path must reject non-1.0 thresholds loudly."""
+        import pytest
+
+        from textract_farmdata_pipeline_spark.operators.dedup import (
+            incremental_minhash_dedup,
+            sorted_shingle_key,
+        )
+
+        base = " ".join(["alpha beta gamma delta epsilon zeta"] * 4)
+        cyc = " ".join(["beta gamma delta epsilon zeta alpha"] * 4)
+        corpus = self._docs(spark, [(1, base), (2, "plain corpus text " * 8)])
+        new = self._docs(
+            spark,
+            [
+                (10, base),
+                (11, cyc),
+                (12, base + "extra tail"),
+                (14, "totally novel content " * 8),
+                (15, "totally novel content " * 8),
+                (16, ""),
+                (18, None),
+            ],
+        )
+        keys = corpus.select(
+            "doc_id", sorted_shingle_key(F.col("text"), 3, "xxhash64").alias("k")
+        )
+        want = {
+            r["doc_id"]: r["dup_of"]
+            for r in incremental_minhash_dedup(corpus, new, threshold=1.0).collect()
+        }
+        got = {
+            r["doc_id"]: r["dup_of"]
+            for r in incremental_minhash_dedup(
+                corpus, new, threshold=1.0, corpus_keys=keys
+            ).collect()
+        }
+        assert got == want
+        assert want[10] == 1 and want[11] == 1 and want[12] is None
+        with pytest.raises(ValueError, match="corpus_keys"):
+            incremental_minhash_dedup(corpus, new, threshold=0.5, corpus_keys=keys)
 
     def test_recall_matches_full_lsh_on_fixture(self, spark, docs):
         """Splitting the fixture into corpus/new must reproduce exactly

@@ -753,10 +753,33 @@ def connected_components(
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
+def sorted_shingle_key(
+    text: Column, shingle_n: int = 3, hash_family: str = "xxhash64"
+) -> Column:
+    """The sorted shingle-set key the exact-set (``threshold == 1.0``)
+    fast path groups on — ONE definition, exposed so the streaming
+    ingest state tables can STORE it per admitted row and the per-batch
+    match can read stored keys instead of re-tokenizing the accumulated
+    corpus every micro-batch (guide §2.4; the state table is what the
+    incremental contract calls "incrementally maintainable").  Exact by
+    construction: the md5/portable family keys on the raw distinct
+    shingle strings (no hash, no collisions), the default family on the
+    distinct ``xxhash64`` shingle hashes — in both cases precisely the
+    array the fast path would compute from the text."""
+    if hash_family == "md5":
+        return F.sort_array(shingles(text, shingle_n))
+    return F.sort_array(
+        F.array_distinct(
+            F.transform(shingles(text, shingle_n), lambda s: F.xxhash64(s))
+        )
+    )
+
+
 def _exact_set_links(
     new_reps: DataFrame,
     corp_reps: DataFrame,
     hashed_sh: Column,
+    corp_keys: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact-set fast path shared by the incremental dedup/split cores
     at ``threshold >= 1.0`` (guide §2.4 — remove shuffles the semantics
@@ -782,9 +805,21 @@ def _exact_set_links(
     general path's all-pairs rows; every downstream consumer takes
     ``min(cand)`` under a ``cand < doc_id`` guard, for which the class
     min is equivalent to the full pair list).
+
+    ``corp_keys`` — a stored ``(doc_id, k)`` table of PRE-COMPUTED
+    sorted shingle keys for the corpus side (written by the streaming
+    ingest handlers via :func:`sorted_shingle_key`) — replaces the
+    tokenize-and-collapse of the corpus frame outright: ``min(doc_id)``
+    per key class over ALL corpus docs equals the min over text-
+    collapsed reps (a rep IS its text group's min id, and a key class
+    is a union of whole text groups), so the per-batch match reads
+    keys instead of re-shingling the accumulated corpus.
     """
     nk = new_reps.select("doc_id", F.sort_array(hashed_sh).alias("k"))
-    ck = corp_reps.select("doc_id", F.sort_array(hashed_sh).alias("k"))
+    if corp_keys is not None:
+        ck = corp_keys.select("doc_id", "k")
+    else:
+        ck = corp_reps.select("doc_id", F.sort_array(hashed_sh).alias("k"))
     nonempty = F.size(F.col("k")) > 0
     corp_verified = (
         nk.join(
@@ -808,9 +843,17 @@ def incremental_minhash_dedup(
     threshold: float = 0.5,
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
+    corpus_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against an existing corpus — the daily
     shape of a crawl pipeline: the corpus NEVER self-joins.
+
+    ``corpus_keys`` — optional stored ``(doc_id, k)`` sorted-shingle-key
+    table for the corpus side (see :func:`sorted_shingle_key`); only
+    meaningful on the ``threshold == 1.0`` exact-set path, where it
+    replaces per-call re-tokenization of the corpus with a read of the
+    stored keys.  The streaming ingest handler maintains it alongside
+    the corpus text.
 
     Candidate generation is (new × corpus) ∪ (new × new) on LSH band
     buckets; corpus-side work is linear (signatures + bucket index,
@@ -833,6 +876,10 @@ def incremental_minhash_dedup(
     new reps} below the member's id.
     """
     portable = hash_family == "md5"
+    if corpus_keys is not None and threshold != 1.0:
+        raise ValueError(
+            "corpus_keys only applies to the threshold == 1.0 exact-set path"
+        )
     newg = new_docs.select("doc_id", "text").withColumn(
         "rep_id", F.min("doc_id").over(Window.partitionBy("text"))
     )
@@ -849,9 +896,13 @@ def incremental_minhash_dedup(
             F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
         )
 
-    if threshold >= 1.0:
+    # == not >=: for a (degenerate) threshold > 1.0 the general banding
+    # path links nothing (Jaccard never exceeds 1.0) while the exact-set
+    # path would still link equal sets — gate on exactly 1.0 so both
+    # paths agree on every threshold (r13 ADVICE).
+    if threshold == 1.0:
         corp_verified, batch_verified = _exact_set_links(
-            new_reps, corp_reps, hashed_sh
+            new_reps, corp_reps, hashed_sh, corp_keys=corpus_keys
         )
     else:
         new_sigs = band_buckets(
@@ -1708,6 +1759,7 @@ def incremental_split_batch(
     shingle_n: int = 3,
     hash_family: str = "md5",
     weights: tuple[int, int, int] = (90, 5, 5),
+    corpus_keys: DataFrame | None = None,
 ) -> DataFrame:
     """The per-batch resolution core of :func:`incremental_leakage_split`,
     factored out so the STREAMING ingest path can call it against a
@@ -1715,10 +1767,19 @@ def incremental_split_batch(
     ``corpus_assigned`` is ``(doc_id, text, split)``, the frozen state;
     returns ``(doc_id, split, origin)`` for the batch only (origin in
     {inherited, fresh}).  One definition, so the streaming replay and
-    the one-shot batch form can never drift on the decision rule."""
+    the one-shot batch form can never drift on the decision rule.
+
+    ``corpus_keys`` — optional stored ``(doc_id, k)`` sorted-shingle-key
+    table (see :func:`sorted_shingle_key`), valid only at
+    ``threshold == 1.0``: the exact-set match then reads stored keys
+    instead of re-tokenizing the accumulated state every batch."""
     from .preprocess import dataset_split
 
     portable = hash_family == "md5"
+    if corpus_keys is not None and threshold != 1.0:
+        raise ValueError(
+            "corpus_keys only applies to the threshold == 1.0 exact-set path"
+        )
     corpus = corpus_assigned
     base = corpus_assigned.select("doc_id", "split")
 
@@ -1742,7 +1803,7 @@ def incremental_split_batch(
             F.transform(shingles(F.col("text"), shingle_n), lambda s: F.xxhash64(s))
         )
 
-    if threshold >= 1.0:
+    if threshold == 1.0:  # == not >=: see incremental_minhash_dedup
         # Exact-set fast path (see _exact_set_links): the equality
         # class IS the connected component (equality is transitive and
         # connected_components converges to the component's min node),
@@ -1752,7 +1813,7 @@ def incremental_split_batch(
         # min, i.e. exactly the bcluster label the component fold would
         # produce; empty-set reps never link and stay singletons.
         corp_links, batch_verified = _exact_set_links(
-            new_reps, corp_reps, hashed_sh
+            new_reps, corp_reps, hashed_sh, corp_keys=corpus_keys
         )
         bclust = (
             new_reps.select(F.col("doc_id").alias("rep_id"))

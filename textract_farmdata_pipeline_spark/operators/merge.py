@@ -204,6 +204,14 @@ class ParquetMergeTable:
     def create(self, df: DataFrame) -> int:
         assert self.latest_version() == 0, "table already exists"
         files = self._new_data_files(df)
+        # Fail fast if the writer produced zero part files (r13 ADVICE):
+        # an empty manifest would make the next merge's read.parquet()
+        # throw with no paths.  Spark writes a schema-only part file for
+        # an empty DataFrame with ≥1 partition — the empty-first-batch
+        # case every ingest handler relies on — so this only trips on a
+        # 0-partition frame, which is a caller bug to surface, not state
+        # to corrupt.
+        assert files, "create() wrote no parquet part files"
         self._write_manifest(1, files)
         return 1
 
@@ -232,6 +240,12 @@ class ParquetMergeTable:
     ) -> int:
         """MERGE ``source`` in; rewrite only files containing matched
         keys.  Returns the new version number.
+
+        Merge keys must be NON-NULL on both sides (every caller keys on
+        a generated id).  File pruning matches keys null-unsafely while
+        the annotated join is null-safe, so a NULL-key row's
+        classification would depend on which path it lands in (r13
+        ADVICE) — not a supported input.
 
         The source plan is evaluated as few times as possible — it is
         often expensive (a per-micro-batch match against accumulated
@@ -262,8 +276,21 @@ class ParquetMergeTable:
             target = self.spark.read.parquet(*old_files).withColumn(
                 "_file", F.col("_metadata.file_path")
             )
-            assert target.columns[:-1] == source.columns, (
-                "target/source schemas must align"
+            # Names AND types (r13 ADVICE): the pure-insert fast path
+            # writes source rows cast to the stored types, and a type
+            # mismatch there would silently narrow (long→int overflow)
+            # where the join path used to widen.  simpleString ignores
+            # nullability metadata, which parquet round-trips loosely.
+            t_fields = [
+                (f.name, f.dataType.simpleString())
+                for f in target.schema.fields[:-1]
+            ]
+            s_fields = [
+                (f.name, f.dataType.simpleString())
+                for f in source.schema.fields
+            ]
+            assert t_fields == s_fields, (
+                f"target/source schemas must align: {t_fields} != {s_fields}"
             )
             keys = source.select(key).distinct()
             # File pruning: a file is "touched" iff it holds a matched key.
@@ -328,6 +355,80 @@ class ParquetMergeTable:
         finally:
             if own_cache:
                 source.unpersist()
+        return version + 1
+
+    def upsert_or(self, delta: DataFrame, key: str, bits_col: str = "bits") -> int:
+        """OR-aggregate upsert specialized for bitmask tables (the Bloom
+        filter's words table): the post-merge row for a key is
+        ``target.bits | delta.bits``, so the generic MERGE machinery is
+        unnecessary — and expensive, because a Bloom delta touches keys
+        spread across EVERY stored file, which forces :meth:`merge`
+        through its worst path per commit: a driver collect of touched
+        files, a full-outer annotated join of the whole table, a
+        persist, and a changelog derived from the annotation (guide
+        §2.4 — remove shuffles/passes the semantics don't need).
+
+        Byte-equivalent to ``merge(read() ∪ delta groupBy bit_or,
+        key)`` — identical snapshot rows and identical changelog
+        classification (``insert`` for new keys, ``update_preimage`` /
+        ``update_postimage`` when the OR actually flips bits,
+        unchanged rows suppressed; deletes impossible) — in exactly two
+        jobs: one groupBy snapshot write and one delta-vs-stored join
+        for the changelog.  No driver collect, no full-outer join over
+        ``__t_*/__s_*`` doubled columns, no persist bookkeeping.
+        Idempotent like the OR itself: re-applying a delta yields an
+        empty changelog and an identical snapshot.
+        """
+        version = self.latest_version()
+        assert version > 0, "create() first"
+        old_files = self._read_manifest(version)["files"]
+        target = self.spark.read.parquet(*old_files)
+        cols = target.columns
+        assert cols == delta.columns and set(cols) == {key, bits_col}, (
+            "upsert_or expects exactly (key, bits) columns on both sides"
+        )
+
+        delta = delta.persist()  # filter-sized: ≤ m_bits/32 rows
+        try:
+            snapshot = (
+                target.unionByName(delta)
+                .groupBy(key)
+                .agg(F.bit_or(bits_col).alias(bits_col))
+                .select(*cols)
+            )
+            new_files = self._new_data_files(snapshot)
+
+            old_bits = F.col(f"t.{bits_col}")
+            new_bits = F.col(f"d.{bits_col}")
+            merged_bits = old_bits.bitwiseOR(new_bits)
+            joined = delta.alias("d").join(
+                target.alias("t"), F.col(f"d.{key}") == F.col(f"t.{key}"), "left"
+            )
+            inserts = joined.filter(F.col(f"t.{key}").isNull()).select(
+                F.col(f"d.{key}").alias(key),
+                new_bits.alias(bits_col),
+                F.lit("insert").alias(CHANGE_COL),
+            )
+            updated = joined.filter(
+                F.col(f"t.{key}").isNotNull() & (merged_bits != old_bits)
+            )
+            pre = updated.select(
+                F.col(f"d.{key}").alias(key),
+                old_bits.alias(bits_col),
+                F.lit("update_preimage").alias(CHANGE_COL),
+            )
+            post = updated.select(
+                F.col(f"d.{key}").alias(key),
+                merged_bits.alias(bits_col),
+                F.lit("update_postimage").alias(CHANGE_COL),
+            )
+            changes_dir = os.path.join(self.path, "_changes", f"v{version + 1}")
+            inserts.unionByName(pre).unionByName(post).write.mode(
+                "overwrite"
+            ).parquet(changes_dir)
+            self._write_manifest(version + 1, new_files)
+        finally:
+            delta.unpersist()
         return version + 1
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:

